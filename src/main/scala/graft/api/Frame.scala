@@ -1,0 +1,252 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Sort key for [[Frame.sortBy]] (reference: Operations/Permutation.hs:42-64).
+  * Strictly more general than the reference: any Column, not just names. */
+sealed trait SortKey { def toCol: Column }
+case class Asc(c: Column) extends SortKey { def toCol: Column = c.asc }
+case class Desc(c: Column) extends SortKey { def toCol: Column = c.desc }
+
+/** The reference's `DataFrame` operation surface
+  * (src/DataFrame/Operations/{Core,Subset,Transformations,Join,Merge,
+  * Permutation}.hs) as a thin, zero-copy wrapper over a Spark DataFrame.
+  *
+  * Every method is a pure logical-plan rewrite — nothing executes until an
+  * action. Catalyst supplies pushdown, pruning, join selection, AQE; the
+  * wrapper adds only the reference's naming/semantic conventions.
+  *
+  * Positional ops (`take`/`drop`/`range`) follow the reference's
+  * order-preserving semantics only relative to an explicit ordering: Spark
+  * frames are unordered at scale, so these take the ordering columns
+  * explicitly (SURVEY §7 "decisions to lock early").
+  */
+final class Frame(val df: DataFrame) {
+  import Frame._
+
+  def columns: Seq[String] = df.columns.toSeq
+  def dimensions: (Long, Int) = (df.count(), df.columns.length)
+
+  // ---- projection / column ops (Operations/Subset.hs:233-326) ----------
+  def select(names: String*): Frame = Frame(df.select(names.map(F.col): _*))
+  def selectBy(p: String => Boolean): Frame =
+    Frame(df.select(df.columns.filter(p).map(F.col).toSeq: _*))
+  /** byProperty isNumeric (Operations/Subset.hs:251-315). */
+  def selectNumeric: Frame = {
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    Frame(df.select(numeric.map(F.col).toSeq: _*))
+  }
+  def selectByNameRange(lo: String, hi: String): Frame =
+    selectBy(n => n >= lo && n <= hi)
+  def selectByIndexRange(lo: Int, hi: Int): Frame =
+    Frame(df.select(df.columns.slice(lo, hi + 1).map(F.col).toSeq: _*))
+  def exclude(names: String*): Frame = Frame(df.drop(names: _*))
+
+  // ---- column insertion / rename (Operations/Core.hs:144-486) ----------
+  def derive(name: String, e: Column): Frame = Frame(df.withColumn(name, e))
+  def deriveMany(cols: (String, Column)*): Frame =
+    Frame(df.withColumns(cols.toMap))
+  def cloneColumn(from: String, to: String): Frame =
+    Frame(df.withColumn(to, F.col(from)))
+  def rename(from: String, to: String): Frame =
+    Frame(df.withColumnRenamed(from, to))
+  def renameMany(m: (String, String)*): Frame =
+    Frame(df.withColumnsRenamed(m.toMap))
+  /** apply f to a column in place (Operations/Transformations.hs:33-132). */
+  def applyTo(name: String)(f: Column => Column): Frame =
+    Frame(df.withColumn(name, f(F.col(name))))
+  /** applyWhere: f on `target` only where `cond` holds
+    * (Operations/Transformations.hs:139-168). */
+  def applyWhere(cond: Column, target: String)(f: Column => Column): Frame =
+    Frame(df.withColumn(target,
+      F.when(cond, f(F.col(target))).otherwise(F.col(target))))
+  /** impute nulls with a constant (Operations/Transformations.hs:192-207). */
+  def impute(name: String, value: Any): Frame =
+    Frame(df.withColumn(name, F.coalesce(F.col(name), F.lit(value))))
+  /** impute with a column-level aggregate, e.g. mean
+    * (Operations/Statistics.hs:290-305). */
+  def imputeWithMean(name: String): Frame =
+    Frame(df.withColumn(name,
+      F.coalesce(F.col(name), F.avg(F.col(name)).over(Window.partitionBy()))))
+
+  // ---- filters (Operations/Subset.hs:102-219) ---------------------------
+  def filterWhere(cond: Column): Frame = Frame(df.filter(cond))
+  def filterJust(name: String): Frame = Frame(df.filter(F.col(name).isNotNull))
+  def filterNothing(name: String): Frame = Frame(df.filter(F.col(name).isNull))
+  def filterAllJust: Frame = Frame(df.na.drop())
+  def filterAllNothing: Frame =
+    Frame(df.filter(df.columns.map(F.col(_).isNull).reduce(_ || _)))
+
+  // ---- positional subsetting (Operations/Subset.hs:48-96) ---------------
+  /** first n rows under an explicit ordering (TakeOrderedAndProject —
+    * no global sort materialized). */
+  def takeRows(n: Int, order: SortKey*): Frame =
+    Frame(df.orderBy(order.map(_.toCol): _*).limit(n))
+  /** rows [lo, hi) under an explicit ordering; needs a row_number window —
+    * single-partition for the rank, so reserve for small/driver-side use. */
+  def range(lo: Int, hi: Int, order: SortKey*): Frame = {
+    val w = Window.orderBy(order.map(_.toCol): _*)
+    Frame(df.withColumn(RowIdx, F.row_number().over(w))
+      .filter(F.col(RowIdx) > lo && F.col(RowIdx) <= hi)
+      .drop(RowIdx))
+  }
+  def dropRows(n: Int, order: SortKey*): Frame = {
+    val w = Window.orderBy(order.map(_.toCol): _*)
+    Frame(df.withColumn(RowIdx, F.row_number().over(w))
+      .filter(F.col(RowIdx) > n).drop(RowIdx))
+  }
+  /** cube (l,w): first l rows × first w columns (Operations/Subset.hs:226) —
+    * N.B. not SQL CUBE (that's [[GroupedFrame.cube]]). */
+  def cubeSlice(l: Int, w: Int, order: SortKey*): Frame =
+    Frame(takeRows(l, order: _*).df
+      .select(df.columns.take(w).map(F.col).toSeq: _*))
+
+  // ---- sampling (Operations/Subset.hs:337-459) ---------------------------
+  def sample(p: Double, seed: Long): Frame = Frame(df.sample(p, seed))
+  def randomSplit(p: Double, seed: Long): (Frame, Frame) = {
+    val Array(a, b) = df.randomSplit(Array(p, 1 - p), seed)
+    (Frame(a), Frame(b))
+  }
+  /** n disjoint random folds (Operations/Subset.hs:416-459). */
+  def kFolds(n: Int, seed: Long): Seq[Frame] = {
+    val tagged = df.withColumn(FoldIdx, (F.rand(seed) * n).cast("int"))
+    (0 until n).map(i => Frame(tagged.filter(F.col(FoldIdx) === i).drop(FoldIdx)))
+  }
+  def shuffle(seed: Long): Frame = Frame(df.orderBy(F.rand(seed)))
+
+  // ---- dedup / sort (Aggregation.hs:289-292, Permutation.hs:42-78) ------
+  def distinct: Frame = Frame(df.distinct())
+  def dropDuplicates(cols: String*): Frame = Frame(df.dropDuplicates(cols))
+  def sortBy(keys: SortKey*): Frame = Frame(df.orderBy(keys.map(_.toCol): _*))
+
+  // ---- grouping (Operations/Aggregation.hs:45-279) -----------------------
+  def groupBy(cols: String*): GroupedFrame =
+    new GroupedFrame(df, cols.map(F.col))
+
+  // ---- joins (Operations/Join.hs) ----------------------------------------
+  // Exact equality (the reference's hash-only matching is a bug we do not
+  // replicate — SURVEY §7). Clashing right-side non-key columns get the
+  // reference's `Right_` prefix (Join.hs:134-144). Catalyst + AQE choose
+  // broadcast / shuffled-hash / sort-merge.
+  def innerJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "inner")
+  def leftJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "left")
+  def rightJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "right")
+  def fullOuterJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "full")
+  def semiJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "left_semi")
+  def antiJoin(other: Frame, keys: Seq[String]): Frame = join(other, keys, "left_anti")
+  def join(other: Frame, keys: Seq[String], how: String): Frame = {
+    val clash = other.df.columns.filterNot(keys.contains)
+      .filter(df.columns.contains).toSeq
+    val renamed = clash.foldLeft(other.df)((d, c) =>
+      d.withColumnRenamed(c, s"Right_$c"))
+    Frame(df.join(renamed, keys, how))
+  }
+
+  // ---- set ops (Operations/Merge.hs) --------------------------------------
+  /** `<>`: vertical union by name; missing columns null-pad
+    * (Merge.hs:16-56). The reference's Either-merge of same-name
+    * different-type columns has no Spark analog — callers cast first. */
+  def unionByName(other: Frame): Frame =
+    Frame(df.unionByName(other.df, allowMissingColumns = true))
+  def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
+  def except(other: Frame): Frame = Frame(df.except(other.df))
+  /** `|||` horizontal zip by position (Merge.hs:59-64) — no native Spark
+    * analog; implemented via per-partition index + join. Documented
+    * divergence: requires both sides to carry a stable order. */
+  def hconcat(other: Frame, leftOrder: SortKey, rightOrder: SortKey): Frame = {
+    val l = df.withColumn(RowIdx,
+      F.row_number().over(Window.orderBy(leftOrder.toCol)))
+    val r = other.df.withColumn(RowIdx,
+      F.row_number().over(Window.orderBy(rightOrder.toCol)))
+    Frame(l.join(r, Seq(RowIdx), "inner").drop(RowIdx))
+  }
+
+  // ---- describe-style (Operations/Core.hs:513-716, Statistics.hs) --------
+  /** per-column null / non-null counts + type (Core.hs:513-578), as one
+    * single-pass aggregate (no per-column jobs). */
+  def describeColumns: DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(F.count(F.when(F.col(c).isNotNull, 1)).as(s"${c}__nonnull"),
+          F.count(F.when(F.col(c).isNull, 1)).as(s"${c}__null"))
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.columns.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(2 * i), row.getLong(2 * i + 1),
+        df.schema(c).dataType.simpleString)
+    }.toSeq.toDF("column", "non_null", "nulls", "type")
+  }
+  /** frequency table with percentages (Operations/Statistics.hs:60-81). */
+  def frequencies(name: String): DataFrame = {
+    val total = Window.partitionBy()
+    df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
+      .withColumn("percentage",
+        F.col("count") * 100.0 / F.sum("count").over(total))
+  }
+  def valueCounts(name: String): DataFrame =
+    df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
+      .orderBy(F.desc("count"), F.col(name))
+
+  /** summarize: describe-table per numeric column
+    * (Operations/Statistics.hs:326-380). One aggregate pass over all
+    * columns; explicit exact percentiles (not approx). */
+  def summarize: DataFrame = {
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = numeric.flatMap { c =>
+      val x = F.col(c)
+      Seq(F.count(F.when(x.isNotNull, 1)).cast("double").as(s"${c}__count"),
+        F.avg(x).as(s"${c}__mean"), F.min(x).cast("double").as(s"${c}__min"),
+        F.percentile(x, F.lit(0.25)).as(s"${c}__p25"),
+        F.percentile(x, F.lit(0.5)).as(s"${c}__median"),
+        F.percentile(x, F.lit(0.75)).as(s"${c}__p75"),
+        F.max(x).cast("double").as(s"${c}__max"),
+        F.stddev_samp(x).as(s"${c}__stddev"),
+        F.skewness(x).as(s"${c}__skewness"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val k = 9
+    numeric.zipWithIndex.map { case (c, i) =>
+      def g(j: Int): Double =
+        if (row.isNullAt(i * k + j)) Double.NaN else row.getDouble(i * k + j)
+      (c, g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7), g(4) - g(3) + (g(5) - g(4)), g(8))
+    }.toDF("column", "count", "mean", "min", "p25", "median", "p75", "max",
+      "stddev", "iqr_parts", "skewness")
+      .withColumn("iqr", F.col("p75") - F.col("p25")).drop("iqr_parts")
+  }
+}
+
+object Frame {
+  def apply(df: DataFrame): Frame = new Frame(df)
+  private val RowIdx = "__graft_row_idx"
+  private val FoldIdx = "__graft_fold"
+}
+
+/** groupBy → aggregate intermediate (reference `GroupedDataFrame`,
+  * Internal/DataFrame.hs:43-48). Also exposes Spark-native grouping sets
+  * (cube/rollup) — net-new capability vs the reference (SURVEY §2.2). */
+final class GroupedFrame(df: DataFrame, keys: Seq[Column]) {
+  def aggregate(aggs: (String, Column)*): Frame =
+    Frame(df.groupBy(keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, e) => e.as(n) }: _*))
+  def cube(aggs: (String, Column)*): Frame =
+    Frame(df.cube(keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, e) => e.as(n) }: _*))
+  def rollup(aggs: (String, Column)*): Frame =
+    Frame(df.rollup(keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, e) => e.as(n) }: _*))
+  /** grouped collect — the reference's `UnAggregated` vector-of-vectors
+    * (Interpreter.hs:701-731) is Spark's collect_list. */
+  def collectGroups(c: Column, as: String): Frame =
+    Frame(df.groupBy(keys: _*).agg(F.collect_list(c).as(as)))
+}

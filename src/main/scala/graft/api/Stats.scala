@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Whole-frame scalar statistics (reference:
+  * src/DataFrame/Operations/Statistics.hs:84-380 and kernels in
+  * src/DataFrame/Internal/Statistics.hs:17-274).
+  *
+  * Each helper is a Column aggregate, so callers can batch several into one
+  * `df.agg(...)` pass — at 100 TB, "one scan per statistic" is the
+  * difference between one job and ten.
+  */
+object Stats {
+
+  def mean(c: Column): Column = F.avg(c)
+  def median(c: Column): Column = F.median(c)
+  def variance(c: Column): Column = F.var_samp(c)
+  def stddev(c: Column): Column = F.stddev_samp(c)
+  def percentile(c: Column, p: Double): Column = F.percentile(c, F.lit(p))
+  def interQuartileRange(c: Column): Column =
+    F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))
+  def correlation(a: Column, b: Column): Column = F.corr(a, b)
+  /** mean squared error (Internal/Statistics.hs:201-207). */
+  def meanSquaredError(a: Column, b: Column): Column = F.avg(F.pow(a - b, 2))
+
+  /** Spark's builtin skewness = g1 = m3 / m2^1.5 (population form). */
+  def skewness(c: Column): Column = F.skewness(c)
+
+  /** The reference's estimator: sqrt(n-1) * m3 / sqrt(m2'^3) over central
+    * sums (Internal/Statistics.hs:89-111) — kept for oracle parity where
+    * the exact estimator matters. Built from raw moments so it runs as one
+    * declarative aggregate (no second pass for the mean).
+    */
+  def skewnessRef(c: Column): Column = {
+    val n = F.count(F.when(c.isNotNull, 1)).cast("double")
+    val s1 = F.sum(c)
+    val s2 = F.sum(c * c)
+    val s3 = F.sum(c * c * c)
+    val m = s1 / n
+    val m2 = s2 / n - m * m                       // central sum² / n
+    val m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    F.sqrt(n - 1) * m3 / F.sqrt(m2 * m2 * m2)
+  }
+
+  /** Binned mutual information between two numeric columns
+    * (Internal/Statistics.hs:209-274): equi-width bin both columns, then
+    * MI = Σ p(x,y) ln(p(x,y) / (p(x)p(y))). Two shuffles over binned keys;
+    * all marginals derived from the joint histogram (single scan).
+    */
+  def mutualInformationBinned(df: DataFrame, a: String, b: String,
+                              bins: Int = 10): Double = {
+    val bounds = df.agg(
+      F.min(a).cast("double"), F.max(a).cast("double"),
+      F.min(b).cast("double"), F.max(b).cast("double")).collect()(0)
+    val (aMin, aMax) = (bounds.getDouble(0), bounds.getDouble(1))
+    val (bMin, bMax) = (bounds.getDouble(2), bounds.getDouble(3))
+    def bin(c: Column, lo: Double, hi: Double): Column =
+      F.least(F.floor((c - lo) / F.lit((hi - lo) / bins + 1e-300)),
+        F.lit(bins - 1L))
+    val joint = df.select(bin(F.col(a), aMin, aMax).as("bx"),
+        bin(F.col(b), bMin, bMax).as("by"))
+      .groupBy("bx", "by").count()
+      .cache()
+    val total = joint.agg(F.sum("count")).collect()(0).getLong(0).toDouble
+    val px = joint.groupBy("bx").agg(F.sum("count").as("cx"))
+    val py = joint.groupBy("by").agg(F.sum("count").as("cy"))
+    val mi = joint.join(px, "bx").join(py, "by")
+      .select(F.sum(
+        (F.col("count") / total) *
+          F.log((F.col("count") * total) / (F.col("cx") * F.col("cy")))))
+      .collect()(0).getDouble(0)
+    joint.unpersist()
+    mi
+  }
+}

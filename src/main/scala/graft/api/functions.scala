@@ -1,0 +1,99 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Expression DSL — the reference's `DataFrame.Functions` surface
+  * (reference: src/DataFrame/Functions.hs, src/DataFrame/Operators.hs)
+  * re-expressed as thin combinators over `org.apache.spark.sql.Column`
+  * so every call stays inside Catalyst codegen. No Scala UDFs here.
+  */
+object functions {
+
+  def col(name: String): Column = F.col(name)
+  def lit(v: Any): Column = F.lit(v)
+
+  // ---- conditional (Functions.hs:57-58, If node) ------------------------
+  def ifThenElse(cond: Column, t: Column, f: Column): Column =
+    F.when(cond, t).otherwise(f)
+
+  /** recode: lookup-map translate; misses become null
+    * (Functions.hs:268-279). */
+  def recode(c: Column, mapping: Map[Any, Any]): Column =
+    mapping.foldLeft(F.lit(null).cast("string")) { case (acc, (k, v)) =>
+      F.when(c === F.lit(k), F.lit(v)).otherwise(acc)
+    }
+
+  /** recodeWithDefault (Functions.hs:281-287). */
+  def recodeWithDefault(c: Column, mapping: Map[Any, Any], default: Column): Column =
+    mapping.foldLeft(default) { case (acc, (k, v)) =>
+      F.when(c === F.lit(k), F.lit(v)).otherwise(acc)
+    }
+
+  /** recodeWithCondition: chained (predicate, value) cases
+    * (Functions.hs:289-298). */
+  def recodeWithCondition(cases: Seq[(Column, Column)], default: Column): Column =
+    cases.foldRight(default) { case ((p, v), acc) => F.when(p, v).otherwise(acc) }
+
+  // ---- null handling (Functions.hs:242-266) -----------------------------
+  // Spark nulls propagate through expressions natively, so most of the
+  // reference's Maybe plumbing dissolves; these keep the names.
+  def fromMaybe(c: Column, default: Any): Column = F.coalesce(c, F.lit(default))
+  def isJust(c: Column): Column = c.isNotNull
+  def isNothing(c: Column): Column = c.isNull
+
+  // ---- math (Expression.hs:62-211, Functions.hs:107-235) ----------------
+  def toDouble(c: Column): Column = c.cast("double")
+  def relu(c: Column): Column = F.greatest(F.lit(0.0), c)
+  def pow(b: Column, e: Column): Column = F.pow(b, e)
+  def divInt(a: Column, b: Column): Column = (a.cast("long") / b.cast("long")).cast("long")
+  def mod(a: Column, b: Column): Column = a % b
+  def minBinary(a: Column, b: Column): Column = F.least(a, b)
+  def maxBinary(a: Column, b: Column): Column = F.greatest(a, b)
+
+  // ---- string (Functions.hs:300-321) -------------------------------------
+  def splitOn(c: Column, sep: String): Column = F.split(c, java.util.regex.Pattern.quote(sep))
+  /** first regex match or null (Functions.hs:309-313; Java dialect). */
+  def matchFirst(c: Column, pattern: String): Column =
+    F.when(c.rlike(pattern), F.regexp_extract(c, pattern, 0))
+  def matchAll(c: Column, pattern: String): Column =
+    F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+  def firstOrNothing(arr: Column): Column =
+    F.when(F.size(arr) > 0, F.element_at(arr, 1))
+  def lastOrNothing(arr: Column): Column =
+    F.when(F.size(arr) > 0, F.element_at(arr, -1))
+
+  // ---- date (Functions.hs:323-338) ---------------------------------------
+  def parseDate(c: Column, fmt: String): Column = F.to_date(c, fmt)
+  def daysBetween(start: Column, end: Column): Column = F.datediff(end, start)
+
+  // ---- aggregates (Functions.hs:150-240) ----------------------------------
+  /** reference `count` counts ALL rows incl. nulls (Functions.hs:150-151);
+    * Spark's count(col) skips nulls, so use count(1). */
+  def countAll: Column = F.count(F.lit(1))
+  def collect(c: Column): Column = F.collect_list(c)
+  /** exact interpolated percentile, p in [0,100] (Statistics.hs:140-168). */
+  def percentile(c: Column, p: Double): Column = F.percentile(c, F.lit(p / 100.0))
+  def median(c: Column): Column = F.median(c)
+  def mode(c: Column): Column = F.mode(c)
+
+  /** zScore — the reference's only window-like construct: an un-grouped
+    * aggregate broadcast back to rows (Functions.hs:222-223,
+    * Interpreter.hs:95-105). */
+  def zScore(c: Column): Column = {
+    val w = Window.partitionBy()
+    (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+  }
+
+  // ---- decimal-exact aggregation helpers ----------------------------------
+  // Double sums are order-dependent (Spark's partial-aggregation order is
+  // nondeterministic across runs), which breaks hash-comparison against any
+  // oracle AND across our own runs. Aggregating through DecimalType is exact
+  // and associative; cast to double only at the very end. At 100 TB this is
+  // also the right call: deterministic re-runs and no precision drift.
+  def dsum(c: Column): Column = F.sum(c.cast("decimal(30,6)"))
+  def dsumD(c: Column): Column = dsum(c).cast("double")
+  def davg(c: Column): Column =
+    (dsum(c).cast("double") / F.count(F.when(c.isNotNull, 1)))
+}

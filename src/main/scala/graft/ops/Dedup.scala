@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All shuffle-conscious:
+  *
+  *  - exact dedup is one hash-aggregate on the dedup key;
+  *  - candidate generation never goes quadratic — pairs only form for
+  *    documents sharing a shingle (Jaccard) or an LSH band bucket
+  *    (MinHash), which is the property that survives a 100× scale-up;
+  *  - shingle/band joins are plain equi-joins, so AQE handles skew and
+  *    Catalyst picks the join strategy.
+  */
+object Dedup {
+
+  /** word-trigram shingles, de-duplicated per document.
+    * Emits (idCol, "s"): one row per distinct shingle. */
+  def shingles(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = split(col(text), " ")
+    df.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col(id), explode(array_distinct(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", get(col("w"), i), get(col("w"), i + 1),
+            get(col("w"), i + 2))))).as("s"))
+  }
+
+  /** exact dedup: keep the smallest id per identical key column. */
+  def exact(df: DataFrame, id: String, key: String): DataFrame = {
+    val keep = df.groupBy(col(key)).agg(min(col(id)).as(id))
+    df.join(keep, Seq(id, key), "left_semi")
+  }
+
+  /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
+    * Returns (d1, d2, jac). Candidates only for docs sharing >= 1 shingle.
+    */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+                   threshold: Double): DataFrame = {
+    val sh = shingles(df, id, text)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(id).as("d1"), col("s"))
+    val b = sh.select(col(id).as("d2"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(id).as("d1"), col("n").as("na")), Seq("d1"))
+      .join(sizes.select(col(id).as("d2"), col("n").as("nb")), Seq("d2"))
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** MinHash signatures: numPerms independent min-hashes over shingles.
+    * One explode + one hash-aggregate; signature built map-side.
+    * Returns (id, sig: array<long>). */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        numPerms: Int): DataFrame = {
+    val sh = shingles(df, id, text)
+    // perm i's hash of shingle s = xxhash64(s, i); min per doc per perm.
+    // Computed as an array fold so the shuffle carries one row per doc.
+    val hashes = sh.select(col(id),
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        i => xxhash64(col("s"), i)).as("hs"))
+    hashes.groupBy(col(id)).agg(
+      array((0 until numPerms).map(i =>
+        min(element_at(col("hs"), i + 1))): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
+    * then verify candidates with exact Jaccard (no false positives; miss
+    * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs
+    * are missed with p < 1e-14). Returns (d1, d2, jac).
+    */
+  def minhashLsh(df: DataFrame, id: String, text: String,
+                 threshold: Double, numPerms: Int = 64,
+                 bands: Int = 32): DataFrame = {
+    val rows = numPerms / bands
+    val sig = minhashSignatures(df, id, text, numPerms)
+    val banded = sig.select(col(id),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
+    // verify candidates with exact Jaccard (small candidate set)
+    val sh = shingles(df, id, text)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col(id).as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col(id).as("d2"), col("s").as("s2")), Seq("d2"))
+      .filter(col("s") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(id).as("d1"), col("n").as("na")), Seq("d1"))
+      .join(sizes.select(col(id).as("d2"), col("n").as("nb")), Seq("d2"))
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** 64-bit SimHash over word hashes: sign-sum each bit of xxhash64(word),
+    * reassemble. Pure expressions; one aggregate per doc happens map-side
+    * inside the projection (no shuffle at all). */
+  def simhash(text: Column): Column = {
+    val ws = split(text, " ")
+    val hs = transform(ws, w => xxhash64(w))
+    // bit b of simhash = majority of bit b across word hashes
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit chunks (two identical
+    * chunks guaranteed when hamming <= 3 by pigeonhole on any 3-of-4
+    * split... we use distance <= maxDist with 4 chunks, guaranteed when
+    * maxDist < 4), then verify hamming. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxDist: Int = 3): DataFrame = {
+    val withSim = df.select(col(id), simhash(col(text)).as("sh"))
+    val chunked = withSim.select(col(id), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2"),
+        hamming(col("x.sh"), col("y.sh")).as("dist")).distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

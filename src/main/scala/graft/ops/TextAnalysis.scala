@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, stopword/quality scoring, n-gram heuristic language ID,
+  * rolling-hash fingerprints. All pure Column expressions (codegen'd,
+  * no UDFs) so they pipeline inside the scan stage at 100 TB — a document
+  * never leaves the executor that read it.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word-pieces + digits + punctuation
+    * as separate tokens (regex segmentation, not a trained BPE). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stops = stopwords.toSet
+    size(filter(tokens(text), w => stops.map(s => w === lit(s)).reduce(_ || _)))
+  }
+
+  /** quality score in [0,1]: blend of length band, stopword ratio and
+    * alpha-character ratio (reference has no equivalent; standard
+    * Gopher/C4-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / n
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val lengthOk = when(n.between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    least(lit(1.0), stopRatio * 2.0) * 0.4 + alphaRatio * 0.3 + lengthOk * 0.3
+  }
+
+  /** n-gram-heuristic language ID: score text against per-language marker
+    * word lists, pick argmax (ties broken by language code). The marker
+    * lists are tiny embedded heuristics, not a trained model. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val stops = markers.toSet
+    size(filter(tokens(text), w => stops.map(s => w === lit(s)).reduce(_ || _)))
+  }
+
+  def predictLang(text: Column): Column = {
+    // argmax over language scores; deterministic tie-break by code order
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, ms) =>
+      struct(langScore(text, ms).as("score"), lit(code).as("code"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("code")).otherwise(lit("unk"))
+  }
+
+  /** 64-bit rolling document fingerprint: order-sensitive polynomial hash
+    * over word hashes (Karp-Rabin style), as a single fold — deterministic
+    * and partition-local. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
+}

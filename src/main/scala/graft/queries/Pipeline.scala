@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis => TA}
+import Sql.{dsum, davg, isum}
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis, event/stream analytics) over the documents / embeddings /
+  * events tables — the 100 TB-scale surface beyond the reference
+  * (builder brief + SURVEY.md §7 step 8).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val registry: Seq[(String, Q)] = Seq(
+
+    // --- text analysis: token counting --------------------------------------
+    "q40_text_tokens" -> Q(
+      (s, d) => docs(s, d)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).as("total_tokens"),
+          (sum(TA.tokenCount(col("text"))).cast("double") / count(lit(1))).as("avg_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        ${isum("len(string_split(text, ' '))")} AS total_tokens,
+        CAST(${isum("len(string_split(text, ' '))")} AS DOUBLE) / COUNT(*) AS avg_tokens,
+        ${isum("n_chars")} AS total_chars,
+        CAST(MAX(length(text)) AS INTEGER) AS max_len
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // --- text analysis: quality scoring (stopword / alpha ratios) ------------
+    "q41_text_quality" -> Q(
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.stopwordCount(col("text")).as("n_stop"),
+        (TA.stopwordCount(col("text")).cast("double") /
+          TA.tokenCount(col("text"))).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> w = 'the' OR w = 'a' OR w = 'an' OR w = 'of' OR w = 'to'
+            OR w = 'and' OR w = 'in' OR w = 'is' OR w = 'it' OR w = 'that')) AS INTEGER) AS n_stop,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> w = 'the' OR w = 'a' OR w = 'an' OR w = 'of' OR w = 'to'
+            OR w = 'and' OR w = 'in' OR w = 'is' OR w = 'it' OR w = 'that')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+          / length(text) AS alpha_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // --- language-ID heuristic vs labeled lang --------------------------------
+    "q42_langid" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("predicted", TA.predictLang(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some {
+        // mirror TextAnalysis.langMarkers + max-(score, code) tie-break:
+        // CASE branches in descending code order with >= comparisons.
+        def sc(ws: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), w -> ${ws.map(w => s"w = '$w'").mkString(" OR ")}))"
+        val en = sc(TA.langMarkers("en")); val es = sc(TA.langMarkers("es"))
+        val fr = sc(TA.langMarkers("fr")); val de = sc(TA.langMarkers("de"))
+        val zh = sc(TA.langMarkers("zh"))
+        s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+          SELECT lang,
+            CASE WHEN greatest($en, $es, $fr, $de, $zh) = 0 THEN 'unk'
+                 WHEN $zh >= $en AND $zh >= $es AND $zh >= $fr AND $zh >= $de THEN 'zh'
+                 WHEN $fr >= $en AND $fr >= $es AND $fr >= $de THEN 'fr'
+                 WHEN $es >= $en AND $es >= $de THEN 'es'
+                 WHEN $en >= $de THEN 'en'
+                 ELSE 'de' END AS predicted
+          FROM documents) GROUP BY lang, predicted ORDER BY lang, predicted"""
+      }),
+
+    // --- exact dedup ------------------------------------------------------------
+    "q43_dedup_exact" -> Q(
+      (s, d) => docs(s, d).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        min(col("doc_id")).as("first_doc"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique,
+        MIN(doc_id) AS first_doc FROM documents GROUP BY source ORDER BY source""")),
+
+    // --- exact n-gram Jaccard similarity join ------------------------------------
+    "q44_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 0.2)
+        .orderBy("d1", "d2"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        ORDER BY d1, d2""")),
+
+    // --- MinHash + LSH near-dup (verified: oracle = exact Jaccard >= 0.8) --------
+    "q45_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", 0.8)
+        .orderBy("d1", "d2"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ORDER BY d1, d2""")),
+
+    // --- SimHash near-dup (engine-specific hash → rows-only check) ----------------
+    "q46_simhash" -> Q(
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 10)
+        .orderBy("d1", "d2"),
+      None),
+
+    // --- brute-force cosine top-k similarity search --------------------------------
+    "q47_ann_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+          "embedding", k = 5)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (SELECT qid, e.vec_id AS nid,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+          FROM q JOIN embeddings e ON e.vec_id <> qid),
+        ranked AS (SELECT qid, nid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+          FROM scored)
+        SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // --- embedding near-dup pairs (cosine threshold join) ---------------------------
+    "q48_embedding_neardup" -> Q(
+      (s, d) => Similarity.cosineJoin(emb(s, d), "vec_id", "embedding", 0.45)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.vec_id AS d1, b.vec_id AS d2,
+        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.45
+        ORDER BY d1, d2""")),
+
+    // --- event-time tumbling window aggregation --------------------------------------
+    "q50_events_hourly" -> Q(
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        event_type, COUNT(*) AS n, ${dsum("value")} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // --- sessionization (gaps-and-islands, 30-min inactivity) -------------------------
+    "q51_sessions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapped = ev(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull, 0)
+              .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+              .otherwise(0))
+        gapped.groupBy("user_id").agg(
+          (sum(col("new_session")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events FROM (
+          SELECT user_id,
+            CASE WHEN lag(ts, 1) OVER w IS NULL THEN 0
+                 WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts, 1) OVER w AS TIMESTAMP))
+                      > 1800000000 THEN 1
+                 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // --- pivot (event_type → columns) ---------------------------------------------------
+    "q52_pivot" -> Q(
+      (s, d) => ev(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // --- document fingerprint (engine hash → rows-only) ---------------------------------
+    "q53_fingerprint" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .groupBy(lit(1).as("g")).agg(
+          countDistinct(col("fp")).as("distinct_fps"),
+          count(lit(1)).as("n_docs"))
+        .drop("g"),
+      None),
+
+    // --- sampling family (seeded; engine-specific RNG → rows-only) ----------------------
+    "q54_sample" -> Q(
+      (s, d) => graft.api.Frame(docs(s, d)).sample(0.2, seed = 42L)
+        .select("doc_id").sortBy(graft.api.Asc(col("doc_id"))).df,
+      None),
+
+    "q55_kfolds" -> Q(
+      (s, d) => {
+        val folds = graft.api.Frame(docs(s, d)).kFolds(5, seed = 42L)
+        folds.zipWithIndex.map { case (f, i) =>
+          f.df.agg(count(lit(1)).as("n")).withColumn("fold", lit(i))
+        }.reduce(_ unionByName _).select("fold", "n").orderBy("fold")
+      },
+      None)
+  )
+}

@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named engine query plus (when SQL-expressible) its DuckDB oracle. */
+case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+/** SQL fragments for the DuckDB oracles. Floating-point policy: every
+  * reorderable aggregate goes through DECIMAL (exact, associative) and is
+  * cast to DOUBLE at the end; per-row double arithmetic is deterministic
+  * and identical across engines, so derived expressions need no rounding.
+  */
+object Sql {
+  /** order-independent exact sum of a double expression, as double. */
+  def dsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+  /** exact mean of a double expression, as double (nulls skipped). */
+  def davg(e: String): String = s"(${dsum(e)} / COUNT($e))"
+  /** exact bigint sum (DuckDB SUM(int) is HUGEINT — normalize). */
+  def isum(e: String): String = s"CAST(SUM($e) AS BIGINT)"
+}

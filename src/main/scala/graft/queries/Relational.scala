@@ -1,0 +1,521 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.api.{Frame, Asc, Desc, Stats, functions => gf}
+import Sql.{dsum, davg, isum}
+
+/** Relational operator coverage (SURVEY.md §2.2) over the TPC-H-ish
+  * tables, each with a DuckDB oracle. Every query ends in a deterministic
+  * ORDER BY so row order matches the oracle byte-for-byte.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  val registry: Seq[(String, Q)] = Seq(
+
+    // --- groupBy + the full aggregate family (TPC-H Q1 shape) -----------
+    "q01_groupby_agg" -> Q(
+      (s, d) => Frame(li(s, d))
+        .filterWhere(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .aggregate(
+          "sum_qty" -> gf.dsumD(col("l_quantity")),
+          "sum_base_price" -> gf.dsumD(col("l_extendedprice")),
+          "sum_disc_price" -> gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          "avg_qty" -> gf.davg(col("l_quantity")),
+          "avg_price" -> gf.davg(col("l_extendedprice")),
+          "avg_disc" -> gf.davg(col("l_discount")),
+          "min_qty" -> min("l_quantity"),
+          "max_qty" -> max("l_quantity"),
+          "count_order" -> gf.countAll)
+        .sortBy(Asc(col("l_returnflag")), Asc(col("l_linestatus"))).df,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsum("l_quantity")} AS sum_qty,
+        ${dsum("l_extendedprice")} AS sum_base_price,
+        ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${davg("l_quantity")} AS avg_qty,
+        ${davg("l_extendedprice")} AS avg_price,
+        ${davg("l_discount")} AS avg_disc,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // --- projection -------------------------------------------------------
+    "q02_select" -> Q(
+      (s, d) => Frame(li(s, d))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- filter (predicate pushdown reaches the scan) ---------------------
+    "q03_filter" -> Q(
+      (s, d) => Frame(li(s, d))
+        .filterWhere(col("l_quantity") >= 30 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity >= 30 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- derive (expression DSL: arithmetic) ------------------------------
+    "q04_derive" -> Q(
+      (s, d) => Frame(li(s, d))
+        .derive("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .derive("charge", col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+        .select("l_orderkey", "l_linenumber", "revenue", "charge")
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+      Some("""SELECT l_orderkey, l_linenumber,
+        l_extendedprice * (1.0 - l_discount) AS revenue,
+        l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- conditional: ifThenElse ------------------------------------------
+    "q05_ifelse" -> Q(
+      (s, d) => Frame(li(s, d))
+        .derive("size_cat", gf.ifThenElse(col("l_quantity") > 25, lit("big"), lit("small")))
+        .groupBy("size_cat", "l_returnflag")
+        .aggregate("n" -> gf.countAll, "total_qty" -> gf.dsumD(col("l_quantity")))
+        .sortBy(Asc(col("size_cat")), Asc(col("l_returnflag"))).df,
+      Some(s"""SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_cat,
+        l_returnflag, COUNT(*) AS n, ${dsum("l_quantity")} AS total_qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY size_cat, l_returnflag""")),
+
+    // --- recode (lookup-map translate) ------------------------------------
+    "q06_recode" -> Q(
+      (s, d) => Frame(li(s, d))
+        .derive("flag_name", gf.recodeWithDefault(col("l_returnflag"),
+          Map("A" -> "accepted", "R" -> "returned", "N" -> "none"), lit("other")))
+        .groupBy("flag_name").aggregate("n" -> gf.countAll)
+        .sortBy(Asc(col("flag_name"))).df,
+      Some("""SELECT CASE l_returnflag WHEN 'A' THEN 'accepted'
+          WHEN 'R' THEN 'returned' WHEN 'N' THEN 'none' ELSE 'other' END AS flag_name,
+        COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY flag_name""")),
+
+    // --- null handling: nullif / coalesce / filterJust --------------------
+    "q07_nulls" -> Q(
+      (s, d) => {
+        val f = Frame(ord(s, d))
+          .derive("status_opt", when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        f.groupBy("o_orderpriority").aggregate(
+          "n_total" -> gf.countAll,
+          "n_present" -> count(col("status_opt")),
+          "n_null" -> count(when(col("status_opt").isNull, 1)))
+          .sortBy(Asc(col("o_orderpriority"))).df
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_total,
+        COUNT(NULLIF(o_orderstatus, 'O')) AS n_present,
+        COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 END) AS n_null
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- string functions ---------------------------------------------------
+    "q08_strings" -> Q(
+      (s, d) => Frame(cust(s, d))
+        .derive("seg_lower", lower(col("c_mktsegment")))
+        .derive("name_num", regexp_extract(col("c_name"), "[0-9]+", 0))
+        .derive("name_len", length(col("c_name")))
+        .derive("tagged", concat(col("c_name"), lit("-"), col("c_mktsegment")))
+        .derive("name_sub", substring(col("c_name"), 10, 9))
+        .select("c_custkey", "seg_lower", "name_num", "name_len", "tagged", "name_sub")
+        .sortBy(Asc(col("c_custkey"))).df,
+      Some("""SELECT c_custkey, lower(c_mktsegment) AS seg_lower,
+        regexp_extract(c_name, '[0-9]+') AS name_num,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        c_name || '-' || c_mktsegment AS tagged,
+        substr(c_name, 10, 9) AS name_sub
+        FROM customer ORDER BY c_custkey""")),
+
+    // --- date functions -----------------------------------------------------
+    "q09_dates" -> Q(
+      (s, d) => Frame(li(s, d))
+        .derive("ship_year", year(col("l_shipdate")))
+        .derive("ship_month", month(col("l_shipdate")))
+        .groupBy("ship_year", "ship_month")
+        .aggregate(
+          "n" -> gf.countAll,
+          "revenue" -> gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          "max_days_since_epoch_start" -> max(datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))))
+        .sortBy(Asc(col("ship_year")), Asc(col("ship_month"))).df,
+      Some(s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        CAST(month(l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS n,
+        ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        CAST(MAX(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))) AS INTEGER)
+          AS max_days_since_epoch_start
+        FROM lineitem GROUP BY 1, 2 ORDER BY ship_year, ship_month""")),
+
+    // --- sort + limit (top-k → TakeOrderedAndProject) ----------------------
+    "q10_sort_limit" -> Q(
+      (s, d) => Frame(li(s, d))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .takeRows(100, Desc(col("l_extendedprice")), Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    // --- distinct -----------------------------------------------------------
+    "q11_distinct" -> Q(
+      (s, d) => Frame(li(s, d)).select("l_returnflag", "l_linestatus")
+        .distinct.sortBy(Asc(col("l_returnflag")), Asc(col("l_linestatus"))).df,
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // --- multi-way join over the star schema (dims broadcast) --------------
+    "q12_join_star" -> Q(
+      (s, d) => {
+        val o = ord(s, d); val c = cust(s, d)
+        val n = broadcast(Tables.nation(s, d)); val r = broadcast(Tables.region(s, d))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(gf.countAll.as("n_orders"),
+            gf.dsumD(col("o_totalprice")).as("total_value"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+        ${dsum("o_totalprice")} AS total_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // --- left join with null-producing side --------------------------------
+    "q13_join_left" -> Q(
+      (s, d) => {
+        val c = Frame(cust(s, d))
+        val o = Frame(ord(s, d).withColumnRenamed("o_custkey", "c_custkey"))
+        c.leftJoin(o, Seq("c_custkey"))
+          .groupBy("c_custkey")
+          .aggregate(
+            "n_orders" -> count(col("o_orderkey")),
+            "total_value" -> coalesce(gf.dsumD(col("o_totalprice")), lit(0.0)))
+          .sortBy(Asc(col("c_custkey"))).df
+      },
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(${dsum("o_totalprice")}, 0.0) AS total_value
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // --- semi join (EXISTS) -------------------------------------------------
+    "q14_join_semi" -> Q(
+      (s, d) => {
+        val c = Frame(cust(s, d))
+        val big = Frame(ord(s, d).filter(col("o_totalprice") > 400000)
+          .withColumnRenamed("o_custkey", "c_custkey"))
+        c.semiJoin(big, Seq("c_custkey"))
+          .select("c_custkey", "c_name").sortBy(Asc(col("c_custkey"))).df
+      },
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // --- anti join (NOT EXISTS) ---------------------------------------------
+    "q15_join_anti" -> Q(
+      (s, d) => {
+        val p = Frame(Tables.part(s, d))
+        val used = Frame(li(s, d).withColumnRenamed("l_partkey", "p_partkey"))
+        p.antiJoin(used, Seq("p_partkey"))
+          .select("p_partkey", "p_name").sortBy(Asc(col("p_partkey"))).df
+      },
+      Some("""SELECT p_partkey, p_name FROM part WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        ORDER BY p_partkey""")),
+
+    // --- full outer join with coalesced key ---------------------------------
+    "q16_join_full" -> Q(
+      (s, d) => {
+        val c = cust(s, d)
+        val l = Frame(c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_acctbal").as("bal_building")))
+        val r = Frame(c.filter(col("c_acctbal") > 4000)
+          .select(col("c_custkey"), col("c_acctbal").as("bal_high")))
+        l.fullOuterJoin(r, Seq("c_custkey"))
+          .sortBy(Asc(col("c_custkey"))).df
+      },
+      Some("""SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+        l.bal_building, r.bal_high
+        FROM (SELECT c_custkey, c_acctbal AS bal_building FROM customer
+              WHERE c_mktsegment = 'BUILDING') l
+        FULL JOIN (SELECT c_custkey, c_acctbal AS bal_high FROM customer
+              WHERE c_acctbal > 4000) r ON l.c_custkey = r.c_custkey
+        ORDER BY c_custkey""")),
+
+    // --- union by name (the reference's <> merge) ---------------------------
+    "q17_union" -> Q(
+      (s, d) => {
+        val o = ord(s, d)
+        val a = Frame(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        val b = Frame(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_totalprice"))) // missing col → null-pad
+        a.unionByName(b)
+          .derive("o_orderstatus", coalesce(col("o_orderstatus"), lit("P?")))
+          .groupBy("o_orderstatus")
+          .aggregate("n" -> gf.countAll, "total" -> gf.dsumD(col("o_totalprice")))
+          .sortBy(Asc(col("o_orderstatus"))).df
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+        FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, 'P?' AS o_orderstatus FROM orders WHERE o_orderstatus = 'P')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- intersect / except --------------------------------------------------
+    "q18_intersect" -> Q(
+      (s, d) => Frame(ord(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .intersect(Frame(ord(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey"))))
+        .sortBy(Asc(col("o_custkey"))).df,
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""")),
+
+    "q19_except" -> Q(
+      (s, d) => Frame(cust(s, d).select(col("c_custkey").as("k")))
+        .except(Frame(ord(s, d).select(col("o_custkey").as("k"))))
+        .sortBy(Asc(col("k"))).df,
+      Some("""SELECT c_custkey AS k FROM customer
+        EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""")),
+
+    // --- window functions: rank / lag / lead / running sum ------------------
+    "q20_window" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .withColumn("next_price", lead("o_totalprice", 1).over(w))
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .filter(col("rnk") <= 3)
+          .select("o_custkey", "rnk", "o_orderkey", "o_totalprice",
+            "prev_price", "next_price", "run_total")
+          .orderBy("o_custkey", "rnk")
+      },
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice, prev_price, next_price, run_total
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER w AS rnk,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
+    // --- zScore: whole-frame aggregate broadcast back to rows ---------------
+    "q21_zscore" -> Q(
+      (s, d) => {
+        val w0 = Window.partitionBy()
+        val s1 = sum(col("o_totalprice").cast("decimal(18,2)")).over(w0).cast("double")
+        val s2 = sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)")).over(w0).cast("double")
+        val n = count(lit(1)).over(w0)
+        val mean = s1 / n
+        val sd = sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
+        ord(s, d)
+          .withColumn("z", round((col("o_totalprice") - mean) / sd, 10))
+          .select("o_orderkey", "o_totalprice", "z")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+        round((o_totalprice - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE) / COUNT(*) OVER ())
+        / sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) OVER () AS DOUBLE)
+             - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE)
+               * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE) / (COUNT(*) OVER ()))
+           / (COUNT(*) OVER () - 1)), 10) AS z
+        FROM orders ORDER BY o_orderkey""")),
+
+    // --- CUBE grouping sets ---------------------------------------------------
+    "q22_cube" -> Q(
+      (s, d) => Frame(li(s, d)).groupBy("l_returnflag", "l_linestatus")
+        .cube("n" -> gf.countAll, "total_qty" -> gf.dsumD(col("l_quantity")))
+        .derive("rflag", coalesce(col("l_returnflag"), lit("ALL")))
+        .derive("lstatus", coalesce(col("l_linestatus"), lit("ALL")))
+        .select("rflag", "lstatus", "n", "total_qty")
+        .sortBy(Asc(col("rflag")), Asc(col("lstatus"))).df,
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        COALESCE(l_linestatus, 'ALL') AS lstatus,
+        COUNT(*) AS n, ${dsum("l_quantity")} AS total_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rflag, lstatus""")),
+
+    // --- ROLLUP ----------------------------------------------------------------
+    "q23_rollup" -> Q(
+      (s, d) => Frame(li(s, d))
+        .derive("ship_year", year(col("l_shipdate")))
+        .groupBy("ship_year", "l_returnflag")
+        .rollup("n" -> gf.countAll, "revenue" -> gf.dsumD(col("l_extendedprice")))
+        .derive("yr", coalesce(col("ship_year"), lit(-1)))
+        .derive("rflag", coalesce(col("l_returnflag"), lit("ALL")))
+        .select("yr", "rflag", "n", "revenue")
+        .sortBy(Asc(col("yr")), Asc(col("rflag"))).df,
+      Some(s"""SELECT COALESCE(CAST(year(l_shipdate) AS INTEGER), -1) AS yr,
+        COALESCE(l_returnflag, 'ALL') AS rflag,
+        COUNT(*) AS n, ${dsum("l_extendedprice")} AS revenue
+        FROM lineitem GROUP BY ROLLUP(CAST(year(l_shipdate) AS INTEGER), l_returnflag)
+        ORDER BY yr, rflag""")),
+
+    // --- variance / stddev / correlation via exact moments ---------------------
+    "q24_stats_moments" -> Q(
+      (s, d) => {
+        def dsumc(c: Column, t: String = "decimal(30,6)") = sum(c.cast(t)).cast("double")
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val n = count(lit(1)).cast("double")
+        val sx = dsumc(x); val sxx = dsumc(x * x)
+        val sy = dsumc(y); val syy = dsumc(y * y, "decimal(36,4)")
+        val sxy = dsumc(x * y)
+        // round: the compare is exact and engines may fuse a*b-c (FMA)
+        // differently, shifting the last ulp of a multiply-subtract chain
+        li(s, d).groupBy("l_returnflag").agg(
+          round((sxx - sx * sx / n) / (n - 1), 8).as("var_qty"),
+          round(sqrt((sxx - sx * sx / n) / (n - 1)), 10).as("stddev_qty"),
+          round((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some({
+        val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
+        val sxx = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
+        val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)"
+        val syy = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(36,4))) AS DOUBLE)"
+        val sxy = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)"
+        val n = "CAST(COUNT(*) AS DOUBLE)"
+        s"""SELECT l_returnflag,
+          round((($sxx - $sx * $sx / $n) / ($n - 1)), 8) AS var_qty,
+          round(sqrt(($sxx - $sx * $sx / $n) / ($n - 1)), 10) AS stddev_qty,
+          round((($sxy - $sx * $sy / $n) /
+            sqrt(($sxx - $sx * $sx / $n) * ($syy - $sy * $sy / $n))), 12) AS corr_qty_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      })),
+
+    // --- exact median / percentile ----------------------------------------------
+    "q25_percentiles" -> Q(
+      (s, d) => li(s, d).groupBy("l_returnflag").agg(
+        gf.median(col("l_quantity")).as("median_qty"),
+        gf.percentile(col("l_quantity"), 25).as("p25_qty"),
+        gf.percentile(col("l_quantity"), 90).as("p90_qty"),
+        (gf.percentile(col("l_quantity"), 75) - gf.percentile(col("l_quantity"), 25)).as("iqr_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        median(l_quantity) AS median_qty,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        quantile_cont(l_quantity, 0.90) AS p90_qty,
+        quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- mode with deterministic tie-break (most-frequent, then smallest) -------
+    "q26_mode" -> Q(
+      (s, d) => {
+        val counts = li(s, d).groupBy("l_returnflag", "l_quantity")
+          .agg(gf.countAll.as("cnt"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cnt").desc, col("l_quantity").asc)
+        counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM
+        (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+         FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // --- frequencies / value counts with percentage ------------------------------
+    "q27_frequencies" -> Q(
+      (s, d) => Frame(ord(s, d)).frequencies("o_orderpriority")
+        .orderBy(col("count").desc, col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS count,
+        COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () AS percentage
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY count DESC, o_orderpriority""")),
+
+    // --- whole-frame summary in one aggregate pass --------------------------------
+    "q28_summary" -> Q(
+      (s, d) => li(s, d).agg(
+        gf.countAll.as("n_rows"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        gf.davg(col("l_quantity")).as("mean_qty"),
+        gf.median(col("l_quantity")).as("median_qty"),
+        min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+        gf.davg(col("l_extendedprice")).as("mean_price"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        ${davg("l_quantity")} AS mean_qty, median(l_quantity) AS median_qty,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        ${davg("l_extendedprice")} AS mean_price,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+        FROM lineitem""")),
+
+    // --- describe: per-column null counts (single pass) ----------------------------
+    "q29_describe_nulls" -> Q(
+      (s, d) => ord(s, d).agg(
+        gf.countAll.as("n_rows"),
+        count(col("o_orderkey")).as("nn_orderkey"),
+        count(col("o_custkey")).as("nn_custkey"),
+        count(col("o_orderstatus")).as("nn_status"),
+        count(col("o_totalprice")).as("nn_totalprice"),
+        count(col("o_orderdate")).as("nn_orderdate"),
+        count(col("o_orderpriority")).as("nn_priority")),
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS nn_orderkey,
+        COUNT(o_custkey) AS nn_custkey, COUNT(o_orderstatus) AS nn_status,
+        COUNT(o_totalprice) AS nn_totalprice, COUNT(o_orderdate) AS nn_orderdate,
+        COUNT(o_orderpriority) AS nn_priority FROM orders""")),
+
+    // --- approximate distinct (scale-path aggregate; exact oracle via threshold) ---
+    "q30_approx_distinct" -> Q(
+      (s, d) => li(s, d).agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts")),
+      Some("""SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+        COUNT(DISTINCT l_partkey) AS exact_parts FROM lineitem""")),
+
+    // --- math function battery (per-row, deterministic doubles) --------------------
+    "q31_math" -> Q(
+      (s, d) => Frame(li(s, d))
+        .filterWhere(col("l_linenumber") === 1 && col("l_orderkey") < 1000)
+        .derive("q_sqrt", sqrt(col("l_quantity")))
+        // ln/exp differ by 1 ulp between JVM and C libm — round for parity
+        .derive("q_ln", round(log(col("l_quantity")), 10))
+        .derive("q_exp_disc", round(exp(col("l_discount")), 10))
+        .derive("q_abs", abs(col("l_quantity") - lit(25.0)))
+        .derive("q_pow", graft.api.functions.pow(col("l_quantity"), lit(2.0)))
+        .derive("q_floor", floor(col("l_extendedprice") / 1000.0))
+        .derive("q_ceil", ceil(col("l_extendedprice") / 1000.0))
+        .derive("q_round", round(col("l_extendedprice") / 7.0, 2))
+        .derive("q_relu", gf.relu(col("l_quantity") - lit(25.0)))
+        .derive("q_signum", signum(col("l_quantity") - lit(25.0)))
+        .derive("q_mod", col("l_quantity") % 7)
+        .derive("q_min2", gf.minBinary(col("l_quantity"), lit(10.0)))
+        .derive("q_max2", gf.maxBinary(col("l_quantity"), lit(40.0)))
+        .select("l_orderkey", "q_sqrt", "q_ln", "q_exp_disc", "q_abs", "q_pow",
+          "q_floor", "q_ceil", "q_round", "q_relu", "q_signum", "q_mod", "q_min2", "q_max2")
+        .sortBy(Asc(col("l_orderkey"))).df,
+      Some("""SELECT l_orderkey, sqrt(l_quantity) AS q_sqrt, round(ln(l_quantity), 10) AS q_ln,
+        round(exp(l_discount), 10) AS q_exp_disc, abs(l_quantity - 25.0) AS q_abs,
+        pow(l_quantity, 2.0) AS q_pow,
+        CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS q_floor,
+        CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS q_ceil,
+        round(l_extendedprice / 7.0, 2) AS q_round,
+        greatest(0.0, l_quantity - 25.0) AS q_relu,
+        CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS q_signum,
+        l_quantity % 7 AS q_mod,
+        least(l_quantity, 10.0) AS q_min2, greatest(l_quantity, 40.0) AS q_max2
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+        ORDER BY l_orderkey"""))
+  )
+}
