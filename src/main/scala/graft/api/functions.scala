@@ -92,8 +92,18 @@ object functions {
   // oracle AND across our own runs. Aggregating through DecimalType is exact
   // and associative; cast to double only at the very end. At 100 TB this is
   // also the right call: deterministic re-runs and no precision drift.
-  def dsum(c: Column): Column = F.sum(c.cast("decimal(30,6)"))
+  //
+  // Sizing: per-row values must fit decimal(18,6) (|x| < 1e12, long-backed
+  // "compact" decimals — ~2× faster than wider decimals); the sum's result
+  // type decimal(28,6) holds ~1e22, i.e. 10^12 rows of 10^5-sized values
+  // per group before overflow — safe at 100 TB.
+  def dsum(c: Column): Column = F.sum(c.cast("decimal(18,6)"))
   def dsumD(c: Column): Column = dsum(c).cast("double")
   def davg(c: Column): Column =
     (dsum(c).cast("double") / F.count(F.when(c.isNotNull, 1)))
+
+  /** fast nondeterministic double sum (order-dependent in the last ulps,
+    * like any parallel engine's SUM(double)) — use when throughput matters
+    * more than bit-reproducibility. */
+  def fsum(c: Column): Column = F.sum(c.cast("double"))
 }

@@ -39,7 +39,11 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: String, text: String,
                    threshold: Double): DataFrame = {
-    val sh = shingles(df, id, text)
+    // join on the 64-bit shingle hash, not the string: same counts modulo
+    // hash collisions (~n²/2^65 — negligible), and the wide self-join
+    // shuffles 8-byte keys instead of strings, which is the term that
+    // dominates at corpus scale.
+    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(id).as("d1"), col("s"))
     val b = sh.select(col(id).as("d2"), col("s"))
@@ -88,7 +92,7 @@ object Dedup {
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
     // verify candidates with exact Jaccard (small candidate set)
-    val sh = shingles(df, id, text)
+    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col(id).as("d1"), col("s")), Seq("d1"))

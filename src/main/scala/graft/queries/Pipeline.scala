@@ -187,7 +187,7 @@ object Pipeline {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+          graft.api.functions.dsumD(col("value")).as("total_value"))
         .orderBy("window_start", "event_type"),
       Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         event_type, COUNT(*) AS n, ${dsum("value")} AS total_value

@@ -11,8 +11,10 @@ case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
   * and identical across engines, so derived expressions need no rounding.
   */
 object Sql {
-  /** order-independent exact sum of a double expression, as double. */
-  def dsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+  /** order-independent exact sum of a double expression, as double.
+    * DECIMAL(18,6) matches graft.api.functions.dsum (same 6-dp rounding
+    * of the same per-row doubles → identical sums). */
+  def dsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
   /** exact mean of a double expression, as double (nulls skipped). */
   def davg(e: String): String = s"(${dsum(e)} / COUNT($e))"
   /** exact bigint sum (DuckDB SUM(int) is HUGEINT — normalize). */

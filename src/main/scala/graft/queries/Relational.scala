@@ -369,11 +369,11 @@ object Relational {
     // --- variance / stddev / correlation via exact moments ---------------------
     "q24_stats_moments" -> Q(
       (s, d) => {
-        def dsumc(c: Column, t: String = "decimal(30,6)") = sum(c.cast(t)).cast("double")
+        def dsumc(c: Column, t: String = "decimal(18,6)") = sum(c.cast(t)).cast("double")
         val x = col("l_quantity"); val y = col("l_extendedprice")
         val n = count(lit(1)).cast("double")
         val sx = dsumc(x); val sxx = dsumc(x * x)
-        val sy = dsumc(y); val syy = dsumc(y * y, "decimal(36,4)")
+        val sy = dsumc(y); val syy = dsumc(y * y, "decimal(18,4)")
         val sxy = dsumc(x * y)
         // round: the compare is exact and engines may fuse a*b-c (FMA)
         // differently, shifting the last ulp of a multiply-subtract chain
@@ -385,11 +385,11 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some({
-        val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
-        val sxx = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
-        val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)"
-        val syy = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(36,4))) AS DOUBLE)"
-        val sxy = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)"
+        val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+        val sxx = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+        val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        val syy = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+        val sxy = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
         val n = "CAST(COUNT(*) AS DOUBLE)"
         s"""SELECT l_returnflag,
           round((($sxx - $sx * $sx / $n) / ($n - 1)), 8) AS var_qty,
