@@ -65,10 +65,11 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("code")).otherwise(lit("unk"))
   }
 
-  /** 64-bit rolling document fingerprint: order-sensitive polynomial hash
-    * over word hashes (Karp-Rabin style), as a single fold — deterministic
-    * and partition-local. */
+  /** 64-bit rolling document fingerprint: order-sensitive hash chain over
+    * words (acc ← xxhash64(acc, word)), as a single fold — deterministic,
+    * partition-local, and overflow-free under ANSI mode (a raw polynomial
+    * `acc * p + h` would overflow LongType). */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
-      (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
+      (acc, w) => xxhash64(acc, w))
 }

@@ -217,16 +217,19 @@ object Relational {
         (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         ORDER BY c_custkey""")),
 
-    // --- anti join (NOT EXISTS) ---------------------------------------------
+    // --- anti join (NOT EXISTS): parts never shipped in 1995 H1 -------------
     "q15_join_anti" -> Q(
       (s, d) => {
         val p = Frame(Tables.part(s, d))
-        val used = Frame(li(s, d).withColumnRenamed("l_partkey", "p_partkey"))
+        val used = Frame(li(s, d)
+          .filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+          .withColumnRenamed("l_partkey", "p_partkey"))
         p.antiJoin(used, Seq("p_partkey"))
           .select("p_partkey", "p_name").sortBy(Asc(col("p_partkey"))).df
       },
       Some("""SELECT p_partkey, p_name FROM part WHERE NOT EXISTS
-        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+           AND l_shipdate < TIMESTAMP '1995-07-01')
         ORDER BY p_partkey""")),
 
     // --- full outer join with coalesced key ---------------------------------
@@ -278,11 +281,12 @@ object Relational {
         ORDER BY o_custkey""")),
 
     "q19_except" -> Q(
-      (s, d) => Frame(cust(s, d).select(col("c_custkey").as("k")))
-        .except(Frame(ord(s, d).select(col("o_custkey").as("k"))))
+      (s, d) => Frame(ord(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")))
+        .except(Frame(ord(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))))
         .sortBy(Asc(col("k"))).df,
-      Some("""SELECT c_custkey AS k FROM customer
-        EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""")),
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY k""")),
 
     // --- window functions: rank / lag / lead / running sum ------------------
     "q20_window" -> Q(

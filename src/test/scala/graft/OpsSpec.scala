@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** dedup / similarity / text-analysis semantics on small controlled data. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+  initLogs()
+
+  val doc0Text = "the quick brown fox jumps over the lazy dog again and again"
+
+  lazy val docs = Seq(
+    (0L, doc0Text),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different words describing an unrelated subject entirely here"),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per duplicate text") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+    assert(kept.count() == 4)
+    assert(kept.filter($"doc_id" === 1L).count() == 0)
+    assert(kept.filter($"doc_id" === 0L).count() == 1)
+  }
+
+  test("ngram Jaccard finds exact and near dup pairs with correct J") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)            // identical docs
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.3 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH recovers the high-similarity pairs of exact Jaccard") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.contains((0L, 1L)))
+  }
+
+  test("minhash signature length and determinism") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.values.forall(_.length == 16))
+    assert(rows(0L) == rows(1L)) // identical docs → identical signatures
+  }
+
+  test("simhash: identical docs at distance 0, near dups close, unrelated far") {
+    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(1L)) == 0)
+    assert(ham(sims(0L), sims(2L)) < ham(sims(0L), sims(3L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1, topK ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((0L, 3L)) - 1.0) < 1e-12)  // parallel
+    assert(math.abs(cos((0L, 1L))) < 1e-12)        // orthogonal
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(topk.toSeq == Seq((1, 3L), (2, 2L)))    // rank1=parallel, rank2=near
+  }
+
+  test("ivf ANN finds the same top neighbor as brute force on clustered data") {
+    val rng = new scala.util.Random(42)
+    def cluster(center: Array[Float], n: Int, base: Long) =
+      (0 until n).map(i => (base + i, center.map(c => c + rng.nextFloat() * 0.1f)))
+    val data = (cluster(Array(1f, 0f, 0f), 20, 0L) ++
+      cluster(Array(0f, 1f, 0f), 20, 100L)).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+      .toDF("cid", "embedding")
+    val queries = data.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    val bf = Similarity.bruteForceTopK(queries, data, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfTopK(queries, data, centroids, "vec_id", "embedding",
+      k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf == bf)
+  }
+
+  test("text analysis: tokens, stopwords, quality, langid, fingerprint") {
+    val t = docs.select($"doc_id",
+      TA.tokenCount($"text").as("n"),
+      TA.stopwordCount($"text").as("stops"),
+      TA.qualityScore($"text").as("q"),
+      TA.predictLang($"text").as("lang"),
+      TA.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getString(4), r.getLong(5))).toMap
+    assert(t(0L)._1 == 12)
+    assert(t(0L)._2 == 3)               // the, the, and
+    assert(t(0L)._4 == "en")
+    assert(t(0L)._3 > 0 && t(0L)._3 <= 1.0)
+    assert(t(0L)._5 == t(1L)._5)        // identical text → identical fingerprint
+    assert(t(0L)._5 != t(2L)._5)
+    assert(TA.defaultStopwords.nonEmpty)
+  }
+
+  test("bpe-ish token count segments words and punctuation") {
+    val df = Seq((1L, "hello, world! a1b2")).toDF("doc_id", "text")
+    val n = df.select(TA.tokenCountBpeIsh($"text")).as[Int].head()
+    assert(n > 5) // hell+o+,+worl+d+!+a+1+b+2
+  }
+
+  test("multimodal: pack → features → frames → resize plumbing") {
+    val packed = Multimodal.packDocuments(docs)
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(packed)
+    val f = feats.filter($"doc_id" === 0L).head()
+    assert(f.getLong(1) == doc0Text.getBytes("UTF-8").length.toLong)
+    assert(f.getDouble(3) > 0)                     // entropy
+    assert(f.getSeq[Long](4).length == 8)
+    // identical payloads → identical features
+    val f1 = feats.filter($"doc_id" === 1L).head()
+    assert(f.getDouble(2) == f1.getDouble(2) && f.getDouble(3) == f1.getDouble(3))
+    val frames = Multimodal.sampleFrames(packed, blockBytes = 16, stride = 2)
+    assert(frames.filter($"doc_id" === 0L).select(size($"frames")).as[Int].head() >= 1)
+    val resized = Multimodal.resizePayload(packed, 32)
+    assert(resized.select(length($"payload")).as[Int].collect().forall(_ == 32))
+  }
+}

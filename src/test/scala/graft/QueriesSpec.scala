@@ -1,0 +1,49 @@
+package graft
+
+import graft.api.Stats
+import org.apache.spark.sql.functions._
+
+/** registry smoke: every declared query runs and returns rows at sf0.001
+  * (the DuckDB hash gate runs via scripts/check.py — see the verify skill). */
+class QueriesSpec extends SparkSpec {
+  initLogs()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle query has matching column sets promised by its SQL") {
+    // cheap structural check: every query referenced by oracleSql exists
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql for unknown query $k")
+    }
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name returns rows at sf0.001") {
+      assert(fn(spark, sfSmoke).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("stats helpers: moments, MI, skewness") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val row = li.agg(
+      Stats.mean(col("l_quantity")), Stats.variance(col("l_quantity")),
+      Stats.skewness(col("l_quantity")), Stats.skewnessRef(col("l_quantity")),
+      Stats.correlation(col("l_quantity"), col("l_extendedprice")),
+      Stats.meanSquaredError(col("l_quantity"), col("l_quantity") * 1.1),
+      Stats.interQuartileRange(col("l_quantity"))).head()
+    assert(row.getDouble(0) > 0 && row.getDouble(1) > 0)
+    // both skewness estimators near 0 for near-uniform quantity, same sign region
+    assert(math.abs(row.getDouble(2)) < 0.5 && math.abs(row.getDouble(3)) < 0.5)
+    assert(row.getDouble(4).abs <= 1.0)
+    assert(row.getDouble(5) > 0)
+    assert(row.getDouble(6) > 0)
+    val mi = Stats.mutualInformationBinned(
+      li.select(col("l_quantity"), col("l_extendedprice")), "l_quantity", "l_extendedprice", 8)
+    assert(mi >= 0.0)
+    val miSelf = Stats.mutualInformationBinned(
+      li.select(col("l_quantity"), col("l_quantity").as("q2")), "l_quantity", "q2", 8)
+    assert(miSelf > mi) // a column carries more information about itself
+  }
+}
