@@ -68,10 +68,26 @@ final class Frame(val df: DataFrame) {
   def impute(name: String, value: Any): Frame =
     Frame(df.withColumn(name, F.coalesce(F.col(name), F.lit(value))))
   /** impute with a column-level aggregate, e.g. mean
-    * (Operations/Statistics.hs:290-305). */
-  def imputeWithMean(name: String): Frame =
-    Frame(df.withColumn(name,
-      F.coalesce(F.col(name), F.avg(F.col(name)).over(Window.partitionBy()))))
+    * (Operations/Statistics.hs:290-305). Scalar agg → 1-row broadcast
+    * crossJoin: two jobs, no single-partition window shuffle (a global
+    * Window would force the whole frame into ONE task at scale). */
+  def imputeWithMean(name: String): Frame = {
+    val mean = df.agg(F.avg(F.col(name)).as(AggCol))
+    Frame(df.crossJoin(F.broadcast(mean))
+      .withColumn(name, F.coalesce(F.col(name), F.col(AggCol)))
+      .drop(AggCol))
+  }
+
+  /** zScore of `name` appended as `as` — the reference's un-grouped
+    * aggregate broadcast back to rows (Functions.hs:222-223,
+    * Interpreter.hs:95-105), as aggregate-then-broadcast-crossJoin. */
+  def zScore(name: String, as: String): Frame = {
+    val x = F.col(name)
+    val stats = df.agg(F.avg(x).as(AggCol), F.stddev_samp(x).as(AggCol2))
+    Frame(df.crossJoin(F.broadcast(stats))
+      .withColumn(as, (x - F.col(AggCol)) / F.col(AggCol2))
+      .drop(AggCol, AggCol2))
+  }
 
   // ---- filters (Operations/Subset.hs:102-219) ---------------------------
   def filterWhere(cond: Column): Frame = Frame(df.filter(cond))
@@ -181,12 +197,16 @@ final class Frame(val df: DataFrame) {
         df.schema(c).dataType.simpleString)
     }.toSeq.toDF("column", "non_null", "nulls", "type")
   }
-  /** frequency table with percentages (Operations/Statistics.hs:60-81). */
+  /** frequency table with percentages (Operations/Statistics.hs:60-81).
+    * Grand total via 1-row broadcast crossJoin, not a global window —
+    * the grouped frame is small but the no-single-partition-exchange
+    * invariant holds for every registry query (plan-asserted). */
   def frequencies(name: String): DataFrame = {
-    val total = Window.partitionBy()
-    df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
-      .withColumn("percentage",
-        F.col("count") * 100.0 / F.sum("count").over(total))
+    val counts = df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
+    val total = counts.agg(F.sum("count").as(AggCol))
+    counts.crossJoin(F.broadcast(total))
+      .withColumn("percentage", F.col("count") * 100.0 / F.col(AggCol))
+      .drop(AggCol)
   }
   def valueCounts(name: String): DataFrame =
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
@@ -227,6 +247,8 @@ object Frame {
   def apply(df: DataFrame): Frame = new Frame(df)
   private val RowIdx = "__graft_row_idx"
   private val FoldIdx = "__graft_fold"
+  private val AggCol = "__graft_agg"
+  private val AggCol2 = "__graft_agg2"
 }
 
 /** groupBy → aggregate intermediate (reference `GroupedDataFrame`,

@@ -2,7 +2,6 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.expressions.Window
 
 /** Expression DSL — the reference's `DataFrame.Functions` surface
   * (reference: src/DataFrame/Functions.hs, src/DataFrame/Operators.hs)
@@ -78,13 +77,10 @@ object functions {
   def median(c: Column): Column = F.median(c)
   def mode(c: Column): Column = F.mode(c)
 
-  /** zScore — the reference's only window-like construct: an un-grouped
-    * aggregate broadcast back to rows (Functions.hs:222-223,
-    * Interpreter.hs:95-105). */
-  def zScore(c: Column): Column = {
-    val w = Window.partitionBy()
-    (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
-  }
+  // zScore lives on Frame (Frame.zScore): the reference's un-grouped
+  // aggregate broadcast back to rows (Functions.hs:222-223) needs an
+  // aggregate-then-broadcast-crossJoin plan; a Column-level formulation
+  // would force a global Window = the whole table in ONE task at scale.
 
   // ---- decimal-exact aggregation helpers ----------------------------------
   // Double sums are order-dependent (Spark's partial-aggregation order is

