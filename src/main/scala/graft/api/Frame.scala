@@ -30,6 +30,17 @@ final class Frame(val df: DataFrame) {
   def columns: Seq[String] = df.columns.toSeq
   def dimensions: (Long, Int) = (df.count(), df.columns.length)
 
+  // ---- sinks (reference: IO/CSV.hs:392-459) -----------------------------
+  def writeCsv(path: String): Unit = graft.sources.Csv.writeCsv(df, path)
+  def writeTsv(path: String): Unit = graft.sources.Csv.writeTsv(df, path)
+  def writeParquet(path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  /** rows Spark could not structurally parse (PERMISSIVE corrupt-record
+    * column) — the reference's `partiallyParsed`
+    * (Operations/Core.hs:580-587). Pass the corruptColumn used at read. */
+  def partiallyParsed(corruptColumn: String = "_corrupt_record"): Frame =
+    Frame(df.filter(F.col(corruptColumn).isNotNull))
+
   // ---- projection / column ops (Operations/Subset.hs:233-326) ----------
   def select(names: String*): Frame = Frame(df.select(names.map(F.col): _*))
   def selectBy(p: String => Boolean): Frame =
@@ -245,6 +256,18 @@ final class Frame(val df: DataFrame) {
 
 object Frame {
   def apply(df: DataFrame): Frame = new Frame(df)
+
+  // ---- I/O front door (reference: src/DataFrame.hs:49-97 quick-start) ---
+  import org.apache.spark.sql.SparkSession
+  import graft.sources.{Csv, CsvOptions}
+  def readCsv(spark: SparkSession, path: String): Frame =
+    Frame(Csv.readCsv(spark, path))
+  def readTsv(spark: SparkSession, path: String): Frame =
+    Frame(Csv.readTsv(spark, path))
+  def readCsvWithOpts(spark: SparkSession, path: String, opts: CsvOptions): Frame =
+    Frame(Csv.read(spark, path, opts))
+  def readParquet(spark: SparkSession, path: String): Frame =
+    Frame(spark.read.parquet(path))
   private val RowIdx = "__graft_row_idx"
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"

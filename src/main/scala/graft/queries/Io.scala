@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.{functions => gf}
+import graft.sources.Csv
+import Sql.dsum
+
+/** I/O-surface coverage: CSV round-trip + null-token semantics.
+  *
+  * The oracle never reads our CSV files — each query writes a slice out
+  * through the engine's own writer, reads it back through the engine's
+  * reader (inference on), and the ORACLE recomputes the expected result
+  * straight from the parquet table. A type-inference or null-token bug
+  * shows up as a schema/hash mismatch.
+  */
+object Io {
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val registry: Seq[(String, Q)] = Seq(
+
+    // --- CSV write → read-with-inference round trip -------------------------
+    // long / double / string / date columns all survive the text round trip
+    // with the types the reference's sample-inference would assign
+    // (IO/CSV.hs:206-301, Operations/Typing.hs:25-63).
+    "q32_csv_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmp("q32_csv")
+        val slice = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"),
+            col("l_shipdate").cast("date").as("l_shipdate"))
+        Csv.writeCsv(slice, out)
+        val back = Csv.readCsv(s, out)
+        // inference must land DateType here (schema-asserted in CsvSpec);
+        // surface as timestamp for the driver's pandas-level compare
+        assert(back.schema("l_shipdate").dataType ==
+          org.apache.spark.sql.types.DateType, "date inference regressed")
+        back.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_quantity, l_extendedprice, l_returnflag,
+        CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS l_shipdate
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- null tokens (isNullish) + inference over a column with nulls -------
+    // Inject the reference's null indicators as literal text, round-trip
+    // through CSV, and verify safeRead turns them into nulls while the
+    // remaining values still infer as double (Internal/Parsing.hs:15-20).
+    "q33_csv_nulls" -> Q(
+      (s, d) => {
+        val out = tmp("q33_csv")
+        val k = col("c_custkey")
+        val src = Tables.customer(s, d).select(
+          k,
+          when(k % 7 === 0, lit("NA")).when(k % 11 === 0, lit("null"))
+            .otherwise(col("c_name")).as("name_raw"),
+          when(k % 5 === 0, lit("N/A"))
+            .otherwise(col("c_acctbal").cast("string")).as("bal_raw"))
+        Csv.writeCsv(src, out)
+        val back = Csv.readCsv(s, out)
+        back.agg(
+          gf.countAll.as("n_rows"),
+          count(col("name_raw")).as("n_names"),
+          count(when(col("name_raw").isNull, 1)).as("n_name_null"),
+          count(when(col("bal_raw").isNull, 1)).as("n_bal_null"),
+          gf.dsumD(col("bal_raw")).as("sum_bal"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 11 <> 0 THEN 1 END) AS n_names,
+        COUNT(CASE WHEN c_custkey % 7 = 0 OR c_custkey % 11 = 0 THEN 1 END) AS n_name_null,
+        COUNT(CASE WHEN c_custkey % 5 = 0 THEN 1 END) AS n_bal_null,
+        ${dsum("CASE WHEN c_custkey % 5 <> 0 THEN c_acctbal END")} AS sum_bal
+        FROM customer"""))
+  )
+}
