@@ -125,16 +125,27 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 × 16-bit chunks (two identical
-    * chunks guaranteed when hamming <= 3 by pigeonhole on any 3-of-4
-    * split... we use distance <= maxDist with 4 chunks, guaranteed when
-    * maxDist < 4), then verify hamming. */
+  /** SimHash near-dup pairs: block on `maxDist + 1` bit-chunks of the
+    * 64-bit signature — if hamming(a,b) <= maxDist, the differing bits
+    * touch at most maxDist chunks, so at least one of the maxDist+1
+    * chunks is identical (pigeonhole) and the pair lands in a shared
+    * bucket. FULL recall by construction, exact hamming verify after.
+    * maxDist=3 → the classic 4×16-bit split; maxDist=10 → 11 chunks of
+    * 5-6 bits (narrower chunks = more candidates — the recall/cost
+    * trade-off is explicit in the parameter, never silent). */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")
+    val numChunks = maxDist + 1
+    val base = 64 / numChunks; val rem = 64 % numChunks
+    val widths = Seq.tabulate(numChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val withSim = df.select(col(id), simhash(col(text)).as("sh"))
+    val chunkCols = offsets.zip(widths).map { case (off, w) =>
+      shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
+    }
     val chunked = withSim.select(col(id), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&

@@ -60,6 +60,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash blocking recall: pairs match exact all-pairs hamming (sf0.001)") {
+    // differential check of the pigeonhole blocking: the bucketed path
+    // must return EXACTLY the pairs an exact all-pairs hamming join finds
+    val d = Tables.documents(spark, sfSmoke).select($"doc_id", $"text")
+    for (maxDist <- Seq(3, 10)) {
+      val got = Dedup.simhashPairs(d, "doc_id", "text", maxDist)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val sims = d.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      val exact = sims.as("a").crossJoin(sims.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id" &&
+          Dedup.hamming($"a.sh", $"b.sh") <= maxDist)
+        .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+      assert(got == exact, s"maxDist=$maxDist: got ${got.size}, exact ${exact.size}")
+    }
+  }
+
   test("cosine similarity: orthogonal=0, identical=1, topK ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
