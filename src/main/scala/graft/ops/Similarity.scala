@@ -43,14 +43,86 @@ object Similarity {
   }
 
   /** All pairs with cosine >= threshold (near-duplicate detection).
-    * Quadratic candidate space — prefer [[ivfTopK]] or LSH banding when
-    * the corpus is large; kept exact for verification and oracles. */
+    * Quadratic candidate space via a broadcast-nested-loop join — oracle
+    * validator ONLY. The registered/scale path is
+    * [[cosinePairsBlocked]] (exact) or [[cosineNearDupLsh]] (approx). */
   def cosineJoin(df: DataFrame, id: String, vec: String,
                  threshold: Double): DataFrame = {
     val a = df.select(col(id).as("d1"), col(vec).as("v1"))
     val b = df.select(col(id).as("d2"), col(vec).as("v2"))
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** EXACT all-pairs cosine threshold join as a blocked equi-join.
+    *
+    * An exact threshold join at a moderate threshold is inherently
+    * O(n²) comparisons — no blocking scheme can prune with guaranteed
+    * recall when near-threshold pairs sit inside the bulk of the cosine
+    * distribution. What CAN scale is the plan shape: instead of
+    * broadcasting one whole side (BroadcastNestedLoopJoin — dies when
+    * the table outgrows one executor), hash every row into one of
+    * `blocks` groups and equi-join on the block-PAIR key, so the n²
+    * work is spread over blocks·(blocks+1)/2 independent shuffle
+    * partitions, each comparing two (n/blocks)-sized chunks. Replication
+    * factor is ~blocks/2 rows per side — tune `blocks` ≈ √(2·cluster
+    * cores) so one block pair ≈ one task.
+    *
+    * Every unordered pair is generated exactly once: a cross-block pair
+    * appears only in the (min-block, max-block) bucket; a same-block
+    * pair appears in both orders and the `d1 < d2` filter keeps one. */
+  def cosinePairsBlocked(df: DataFrame, id: String, vec: String,
+                         threshold: Double, blocks: Int = 8): DataFrame = {
+    val blk = pmod(xxhash64(col(id)), lit(blocks)).cast("int")
+    val base = df.select(col(id), col(vec), blk.as("b"))
+    val left = base.select(col(id).as("d1"), col(vec).as("v1"),
+      col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
+    val right = base.select(col(id).as("d2"), col(vec).as("v2"),
+      explode(sequence(lit(0), col("b"))).as("bi"), col("b").as("bj"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Random-hyperplane LSH near-duplicate pairs: the APPROXIMATE scale
+    * path for the high-threshold regime where near-dup detection is
+    * actually run (t ≳ 0.8). Sign-sketch each vector against
+    * `bands`·`rowsPerBand` seeded Gaussian hyperplanes, bucket-join on
+    * per-band sketch words, verify candidates with exact cosine (no
+    * false positives). Per-pair miss probability (1 - p^r)^b with
+    * p = 1 - acos(cos)/π — at cos=0.9, r=8, b=16: < 1e-4. At low
+    * thresholds p approaches the random-pair collision rate and LSH
+    * stops pruning — use [[cosinePairsBlocked]] there. */
+  def cosineNearDupLsh(df: DataFrame, id: String, vec: String,
+                       threshold: Double, bands: Int = 16,
+                       rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vec))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
+    // per-band sketch word: rowsPerBand sign bits packed into a long
+    val bandCols = (0 until bands).map { b =>
+      val word = (0 until rowsPerBand).map { r =>
+        val plane = planes(b * rowsPerBand + r)
+        val d = aggregate(
+          zip_with(col(vec), typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(b).as("band"), word.as("w"))
+    }
+    val sk = df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col(vec), col("bk.band").as("band"), col("bk.w").as("w"))
+    val cand = sk.as("x").join(sk.as("y"),
+        col("x.band") === col("y.band") && col("x.w") === col("y.w") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2"),
+        col(s"x.$vec").as("v1"), col(s"y.$vec").as("v2"))
+      .dropDuplicates("d1", "d2")
+    cand.select(col("d1"), col("d2"), cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

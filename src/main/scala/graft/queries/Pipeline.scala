@@ -161,8 +161,12 @@ object Pipeline {
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // --- embedding near-dup pairs (cosine threshold join) ---------------------------
+    // EXACT, via the blocked pair equi-join (work spread over block-pair
+    // shuffle partitions, no whole-side broadcast). cosineJoin (BNL) stays
+    // as the oracle validator only; the approximate high-threshold path is
+    // Similarity.cosineNearDupLsh (differential-tested in OpsSpec).
     "q48_embedding_neardup" -> Q(
-      (s, d) => Similarity.cosineJoin(emb(s, d), "vec_id", "embedding", 0.45)
+      (s, d) => Similarity.cosinePairsBlocked(emb(s, d), "vec_id", "embedding", 0.45)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("d1", "d2"),
       Some("""SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -180,6 +184,49 @@ object Pipeline {
          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.45
         ORDER BY d1, d2""")),
+
+    // --- IVF ANN top-k (deterministic centroids → DuckDB-replicable) ------------------
+    // centroids = every 100th vector; corpus assigned to nearest cell;
+    // queries probe the 2 closest cells; exact re-rank inside probed cells.
+    "q49_ivf_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, centroids,
+          "vec_id", "embedding", k = 3, nProbe = 2)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 0),
+          cass AS (SELECT nid, nv, cid AS cell FROM (
+            SELECT c.vec_id AS nid, c.embedding AS nv, ct.cid,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY ${cosSql("c.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM embeddings c CROSS JOIN cent ct) WHERE rn = 1),
+          qass AS (SELECT qid, qv, cid AS cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cent ct)
+            WHERE rn <= 2),
+          scored AS (SELECT qid, nid, MAX(${cosSql("qv", "nv")}) AS cos
+            FROM qass JOIN cass USING (cell) WHERE qid <> nid GROUP BY qid, nid),
+          ranked AS (SELECT qid, nid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, rank, nid, round(cos, 6) AS cos FROM ranked
+          WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
 
     // --- event-time tumbling window aggregation --------------------------------------
     "q50_events_hourly" -> Q(

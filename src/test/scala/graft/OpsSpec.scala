@@ -94,6 +94,40 @@ class OpsSpec extends SparkSpec {
     assert(topk.toSeq == Seq((1, 3L), (2, 2L)))    // rank1=parallel, rank2=near
   }
 
+  test("blocked cosine pair join matches the BNL validator exactly") {
+    val e = Tables.embeddings(spark, sfSmoke)
+    for (blocks <- Seq(1, 8)) {
+      val got = graft.ops.Similarity
+        .cosinePairsBlocked(e, "vec_id", "embedding", 0.4, blocks)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val want = graft.ops.Similarity
+        .cosineJoin(e, "vec_id", "embedding", 0.4)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(got == want, s"blocks=$blocks: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("LSH near-dup recovers all high-cosine pairs on clustered vectors") {
+    // 3 clusters of near-identical vectors + noise dims: true pairs are
+    // within-cluster (cos > 0.95); LSH with r=8, b=16 must find them all
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val base = Array.fill(3, dim)(rnd.nextGaussian())
+    val rows = for (c <- 0 until 3; i <- 0 until 5) yield {
+      val v = base(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (c * 100L + i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .cosineNearDupLsh(df, "vec_id", "embedding", 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val want = graft.ops.Similarity
+      .cosineJoin(df, "vec_id", "embedding", 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"got ${got.size}, want ${want.size}")
+  }
+
   test("ivf ANN finds the same top neighbor as brute force on clustered data") {
     val rng = new scala.util.Random(42)
     def cluster(center: Array[Float], n: Int, base: Long) =

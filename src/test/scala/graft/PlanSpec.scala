@@ -21,6 +21,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q48 plans a shuffle equi-join, not a broadcast nested loop") {
+    val plan = SparkEntry.queries("q48_embedding_neardup")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q48 must pair via the blocked equi-join at scale")
+  }
+
   test("Frame.zScore / imputeWithMean / frequencies avoid global windows") {
     import org.apache.spark.sql.functions._
     val li = graft.api.Frame(Tables.lineitem(spark, sfSmoke))
