@@ -525,6 +525,37 @@ object Relational {
         l_quantity % 7 AS q_mod,
         least(l_quantity, 10.0) AS q_min2, greatest(l_quantity, 40.0) AS q_max2
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
-        ORDER BY l_orderkey"""))
+        ORDER BY l_orderkey""")),
+
+    // --- lift / lift2: user scalar UDFs (Functions.hs:63-105) ---------------
+    "q35_udf_scalar" -> Q(
+      (s, d) => {
+        val rev = graft.api.Udf.lift((x: String) => x.reverse)
+        val lens = graft.api.Udf.lift2((a: String, b: String) => a.length + b.length)
+        Frame(cust(s, d))
+          .derive("rev_name", rev(col("c_name")))
+          .derive("len2", lens(col("c_name"), col("c_mktsegment")))
+          .select("c_custkey", "rev_name", "len2")
+          .sortBy(Asc(col("c_custkey"))).df
+      },
+      Some("""SELECT c_custkey, reverse(c_name) AS rev_name,
+        CAST(length(c_name) + length(c_mktsegment) AS INTEGER) AS len2
+        FROM customer ORDER BY c_custkey""")),
+
+    // --- reduce: user fold aggregate (Functions.hs:237-240) -----------------
+    // integer fold (order-independent) so the distributed merge is exact
+    "q36_udf_reduce" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sumSq = graft.api.Udf.reduce[Double, Long](
+          0L, (acc, x) => { val q = math.round(x); acc + q * q }, _ + _)(
+          col("l_quantity"))
+        li(s, d).groupBy("l_returnflag")
+          .agg(sumSq.as("sum_qty_sq"), gf.countAll.as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+        ${isum("CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)")} AS sum_qty_sq,
+        COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
