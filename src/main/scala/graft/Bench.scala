@@ -32,10 +32,12 @@ object Bench {
     "q04_derive" -> SparkEntry.queries("q04_derive"),
     "q12_join_star" -> SparkEntry.queries("q12_join_star"),
     "q20_window" -> SparkEntry.queries("q20_window"),
+    "q21_zscore" -> SparkEntry.queries("q21_zscore"),
     "q24_stats_moments" -> SparkEntry.queries("q24_stats_moments"),
     "q44_ngram_jaccard" -> SparkEntry.queries("q44_ngram_jaccard"),
     "q45_minhash_lsh" -> SparkEntry.queries("q45_minhash_lsh"),
     "q47_ann_topk" -> SparkEntry.queries("q47_ann_topk"),
+    "q48_embedding_neardup" -> SparkEntry.queries("q48_embedding_neardup"),
     "q50_events_hourly" -> SparkEntry.queries("q50_events_hourly"),
     "q51_sessions" -> SparkEntry.queries("q51_sessions"))
 
@@ -66,7 +68,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout AND a file: sbt prefixes stdout with [info], which breaks
+    // line-oriented JSON parsing downstream — the file copy is canonical.
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) with double accumulation in element order. */
+  /** dot(a, b) with double accumulation in element order — a codegen'd
+    * Catalyst expression (graft.expr.DotProduct): same arithmetic, same
+    * order, no per-pair array allocation or boxing. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expr.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -75,16 +76,21 @@ object Similarity {
   def cosinePairsBlocked(df: DataFrame, id: String, vec: String,
                          threshold: Double, blocks: Int = 8): DataFrame = {
     val blk = pmod(xxhash64(col(id)), lit(blocks)).cast("int")
-    val base = df.select(col(id), col(vec), blk.as("b"))
+    // norm is a pure per-row function: compute it once per row, not once
+    // per pair (same double value either way — dot is order-preserving)
+    val base = df.select(col(id), col(vec).cast("array<double>").as(vec),
+      blk.as("b")).withColumn("nrm", norm(col(vec)))
     val left = base.select(col(id).as("d1"), col(vec).as("v1"),
+      col("nrm").as("n1"),
       col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
     val right = base.select(col(id).as("d2"), col(vec).as("v2"),
+      col("nrm").as("n2"),
       explode(sequence(lit(0), col("b"))).as("bi"), col("b").as("bj"))
     left.join(right, Seq("bi", "bj"))
       .filter(col("bi") =!= col("bj") || col("d1") < col("d2"))
       .select(least(col("d1"), col("d2")).as("d1"),
         greatest(col("d1"), col("d2")).as("d2"),
-        cosine(col("v1"), col("v2")).as("cos"))
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
