@@ -134,6 +134,15 @@ final class Frame(val df: DataFrame) {
 
   // ---- sampling (Operations/Subset.hs:337-459) ---------------------------
   def sample(p: Double, seed: Long): Frame = Frame(df.sample(p, seed))
+  /** deterministic, engine-portable sample on an id column: keep rows
+    * whose portable integer mixer lands below p·M. Unlike seeded-RNG
+    * [[sample]], any engine (and any rerun, any partitioning) selects
+    * the SAME rows — the property a reproducible 100 TB pipeline wants. */
+  def sampleHash(idCol: String, p: Double): Frame =
+    Frame(df.filter(portableMix(F.col(idCol)) < math.round(p * MixM)))
+  /** deterministic disjoint folds: fold i = rows with mix(id) ≡ i (mod n). */
+  def kFoldsHash(idCol: String, n: Int): Seq[Frame] =
+    (0 until n).map(i => Frame(df.filter(portableMix(F.col(idCol)) % n === i)))
   def randomSplit(p: Double, seed: Long): (Frame, Frame) = {
     val Array(a, b) = df.randomSplit(Array(p, 1 - p), seed)
     (Frame(a), Frame(b))
@@ -272,6 +281,17 @@ object Frame {
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"
   private val AggCol2 = "__graft_agg2"
+
+  /** engine-portable integer mixer over a non-negative id: two rounds of
+    * multiply-add mod the Mersenne prime 2³¹−1, overflow-safe for any
+    * long id (every intermediate < 2³¹·P < 2⁶³). The same arithmetic is
+    * expressible in ANSI SQL (see queries.Sql.mix), so samples/folds
+    * hash-match across engines. */
+  val MixM: Long = 2147483647L
+  private val MixP1 = 2654435761L
+  private val MixP2 = 2246822519L
+  def portableMix(c: Column): Column =
+    F.pmod(F.pmod(F.pmod(c, F.lit(MixM)) * MixP1 + MixP2, F.lit(MixM)) * MixP2, F.lit(MixM))
 }
 
 /** groupBy → aggregate intermediate (reference `GroupedDataFrame`,

@@ -289,19 +289,23 @@ object Pipeline {
         .drop("g"),
       None),
 
-    // --- sampling family (seeded; engine-specific RNG → rows-only) ----------------------
+    // --- sampling family: portable-hash variants (oracle-checkable; the
+    // seeded-RNG sample/kFolds stay on Frame for API parity) ---------------
     "q54_sample" -> Q(
-      (s, d) => graft.api.Frame(docs(s, d)).sample(0.2, seed = 42L)
+      (s, d) => graft.api.Frame(docs(s, d)).sampleHash("doc_id", 0.2)
         .select("doc_id").sortBy(graft.api.Asc(col("doc_id"))).df,
-      None),
+      Some(s"""SELECT doc_id FROM documents
+        WHERE ${Sql.mix("doc_id")} < CAST(round(0.2 * 2147483647) AS BIGINT)
+        ORDER BY doc_id""")),
 
     "q55_kfolds" -> Q(
       (s, d) => {
-        val folds = graft.api.Frame(docs(s, d)).kFolds(5, seed = 42L)
+        val folds = graft.api.Frame(docs(s, d)).kFoldsHash("doc_id", 5)
         folds.zipWithIndex.map { case (f, i) =>
           f.df.agg(count(lit(1)).as("n")).withColumn("fold", lit(i))
         }.reduce(_ unionByName _).select("fold", "n").orderBy("fold")
       },
-      None)
+      Some(s"""SELECT CAST(${Sql.mix("doc_id")} % 5 AS INTEGER) AS fold,
+        COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold"""))
   )
 }

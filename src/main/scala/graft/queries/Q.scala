@@ -19,4 +19,7 @@ object Sql {
   def davg(e: String): String = s"(${dsum(e)} / COUNT($e))"
   /** exact bigint sum (DuckDB SUM(int) is HUGEINT — normalize). */
   def isum(e: String): String = s"CAST(SUM($e) AS BIGINT)"
+  /** graft.api.Frame.portableMix in ANSI SQL — identical arithmetic. */
+  def mix(e: String): String =
+    s"((((($e) % 2147483647) * 2654435761 + 2246822519) % 2147483647) * 2246822519 % 2147483647)"
 }
