@@ -35,6 +35,10 @@ final class Frame(val df: DataFrame) {
   def writeTsv(path: String): Unit = graft.sources.Csv.writeTsv(df, path)
   def writeParquet(path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+  def writeJSONL(path: String): Unit = graft.sources.Json.writeJSONL(df, path)
+  /** JDBC sink (dataframe-persistent toPersistent). */
+  def toPersistent(url: String, table: String): Unit =
+    graft.sources.Jdbc.toPersistent(df, url, table)
   /** rows Spark could not structurally parse (PERMISSIVE corrupt-record
     * column) — the reference's `partiallyParsed`
     * (Operations/Core.hs:580-587). Pass the corruptColumn used at read. */
@@ -277,6 +281,15 @@ object Frame {
     Frame(Csv.read(spark, path, opts))
   def readParquet(spark: SparkSession, path: String): Frame =
     Frame(spark.read.parquet(path))
+  /** reference top-level-array JSON (IO/JSON.hs:23-133). */
+  def readJSON(spark: SparkSession, path: String): Frame =
+    Frame(graft.sources.Json.readJSON(spark, path))
+  /** JSON-lines — the splittable, distributed-scan shape. */
+  def readJSONL(spark: SparkSession, path: String): Frame =
+    Frame(graft.sources.Json.readJSONL(spark, path))
+  /** JDBC source (dataframe-persistent fromPersistent). */
+  def fromPersistent(spark: SparkSession, url: String, table: String): Frame =
+    Frame(graft.sources.Jdbc.fromPersistent(spark, url, table))
   private val RowIdx = "__graft_row_idx"
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.{functions => gf}
-import graft.sources.Csv
+import graft.sources.{Csv, Json}
 import Sql.dsum
 
 /** I/O-surface coverage: CSV round-trip + null-token semantics.
@@ -78,6 +78,28 @@ object Io {
         COUNT(CASE WHEN c_custkey % 7 = 0 OR c_custkey % 11 = 0 THEN 1 END) AS n_name_null,
         COUNT(CASE WHEN c_custkey % 5 = 0 THEN 1 END) AS n_bal_null,
         ${dsum("CASE WHEN c_custkey % 5 <> 0 THEN c_acctbal END")} AS sum_bal
-        FROM customer"""))
+        FROM customer""")),
+
+    // --- JSON round trip: JSONL write → schema-inferred read ---------------
+    // (readJSONL is the splittable scale path; the reference's
+    // top-level-array readJSON is covered in JsonSpec.)
+    "q34_json" -> Q(
+      (s, d) => {
+        val out = tmp("q34_json")
+        val slice = Tables.events(s, d)
+          .filter(col("event_id") % 10 === 0)
+          .select("event_id", "user_id", "event_type", "value")
+        Json.writeJSONL(slice, out)
+        Json.readJSONL(s, out)
+          .groupBy("event_type")
+          .agg(gf.countAll.as("n"),
+            max(col("user_id")).as("max_user"),
+            gf.dsumD(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, MAX(user_id) AS max_user,
+        ${dsum("value")} AS total_value
+        FROM events WHERE event_id % 10 = 0
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
