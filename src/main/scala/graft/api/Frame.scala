@@ -3,7 +3,6 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 
 /** Sort key for [[Frame.sortBy]] (reference: Operations/Permutation.hs:42-64).
   * Strictly more general than the reference: any Column, not just names. */
@@ -117,18 +116,26 @@ final class Frame(val df: DataFrame) {
     * no global sort materialized). */
   def takeRows(n: Int, order: SortKey*): Frame =
     Frame(df.orderBy(order.map(_.toCol): _*).limit(n))
-  /** rows [lo, hi) under an explicit ordering; needs a row_number window —
-    * single-partition for the rank, so reserve for small/driver-side use. */
-  def range(lo: Int, hi: Int, order: SortKey*): Frame = {
-    val w = Window.orderBy(order.map(_.toCol): _*)
-    Frame(df.withColumn(RowIdx, F.row_number().over(w))
-      .filter(F.col(RowIdx) > lo && F.col(RowIdx) <= hi)
+  /** rows [lo, hi) under an explicit ordering. Global contiguous indices
+    * come from zipWithIndex over the range-partitioned sort: one count
+    * job for per-partition offsets, then a map — every partition works
+    * in parallel (a global row_number window would funnel the whole
+    * table through ONE task). */
+  def range(lo: Int, hi: Int, order: SortKey*): Frame =
+    Frame(indexed(order).filter(F.col(RowIdx) >= lo && F.col(RowIdx) < hi)
       .drop(RowIdx))
-  }
-  def dropRows(n: Int, order: SortKey*): Frame = {
-    val w = Window.orderBy(order.map(_.toCol): _*)
-    Frame(df.withColumn(RowIdx, F.row_number().over(w))
-      .filter(F.col(RowIdx) > n).drop(RowIdx))
+  def dropRows(n: Int, order: SortKey*): Frame =
+    Frame(indexed(order).filter(F.col(RowIdx) >= n).drop(RowIdx))
+
+  /** sorted frame + 0-based contiguous [[Frame.RowIdx]] column. */
+  private def indexed(order: Seq[SortKey]): DataFrame = {
+    val sorted = df.orderBy(order.map(_.toCol): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(RowIdx, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
   }
   /** cube (l,w): first l rows × first w columns (Operations/Subset.hs:226) —
     * N.B. not SQL CUBE (that's [[GroupedFrame.cube]]). */
@@ -195,13 +202,12 @@ final class Frame(val df: DataFrame) {
   def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
   def except(other: Frame): Frame = Frame(df.except(other.df))
   /** `|||` horizontal zip by position (Merge.hs:59-64) — no native Spark
-    * analog; implemented via per-partition index + join. Documented
-    * divergence: requires both sides to carry a stable order. */
+    * analog; both sides get a zipWithIndex ordinal (parallel, see
+    * [[range]]) and equi-join on it. Documented divergence: requires
+    * both sides to carry a stable order. */
   def hconcat(other: Frame, leftOrder: SortKey, rightOrder: SortKey): Frame = {
-    val l = df.withColumn(RowIdx,
-      F.row_number().over(Window.orderBy(leftOrder.toCol)))
-    val r = other.df.withColumn(RowIdx,
-      F.row_number().over(Window.orderBy(rightOrder.toCol)))
+    val l = indexed(Seq(leftOrder))
+    val r = other.indexed(Seq(rightOrder))
     Frame(l.join(r, Seq(RowIdx), "inner").drop(RowIdx))
   }
 

@@ -74,6 +74,49 @@ object Events {
       }
   }
 
+  /** Production-shaped streaming sessionization: EventTimeTimeout +
+    * watermark. State per user is ONE open session (bounded); closed
+    * sessions emit as soon as a newer event proves the gap elapsed, and
+    * the trailing session emits when the watermark passes its timeout —
+    * so state size is O(users), not O(events), and output is final
+    * (no retractions). Batch differential: same gap semantics as
+    * [[sessionize]] / q51. */
+  def sessionizeStream(events: Dataset[Event],
+                       watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          def out(ss: SessionState) = SessionOut(userId,
+            new java.sql.Timestamp(ss.sessionStart), ss.nEvents,
+            (ss.lastTs - ss.sessionStart) / 1000.0)
+          if (state.hasTimedOut) {
+            val closed = out(state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val start = state.getOption.map(List(_)).getOrElse(Nil)
+            val sessions = sorted.foldLeft(start) { (acc, e) =>
+              val t = e.ts.getTime
+              acc match {
+                case head :: tail if t - head.lastTs <= gapMs =>
+                  head.copy(lastTs = t, nEvents = head.nEvents + 1) :: tail
+                case _ => SessionState(t, t, 1) :: acc
+              }
+            }
+            val open :: closed = sessions: @unchecked
+            state.update(open)
+            // fire when the watermark passes the open session's gap end
+            state.setTimeoutTimestamp(open.lastTs + gapMs)
+            closed.reverseIterator.map(out)
+          }
+      }
+  }
+
   /** run the hourly-stats streaming query over `sourceDir` parquet into an
     * in-memory table, synchronously (for tests / local smoke). Complete
     * mode so every window is visible once the finite source drains; a

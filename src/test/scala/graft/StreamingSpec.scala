@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     assert(perUser == batch)
   }
 
+  test("sessionizeStream: event-time timeout closes sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long, user: Long) = Events.Event(
+      id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+    val src = MemoryStream[Events.Event]
+    val q = Events.sessionizeStream(src.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // batch 1: user 1 has two sessions already separated by > 30 min —
+      // the older closes immediately; the newer stays open in state
+      // (timeline starts at minute 100: event time 0 is not after the
+      // initial watermark 0 and would be dropped as late)
+      src.addData(ev(1, 100, 1), ev(2, 110, 1), ev(3, 220, 1))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_stream").collect()
+      assert(afterB1.length == 1 && afterB1.head.getLong(2) == 2)
+      // batch 2: a much later event advances the watermark past the open
+      // session's gap end → it times out and closes (n_events = 1)
+      src.addData(ev(4, 700, 2))
+      q.processAllAvailable()
+      src.addData(ev(5, 800, 2))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L)), s"open session did not time out: ${rows.mkString}")
+    } finally q.stop()
+  }
+
   test("watermark + sliding windows plan and execute") {
     val ev = Tables.events(spark, sfSmoke)
     val slid = Events.slidingStats(Events.withLateData(ev))
