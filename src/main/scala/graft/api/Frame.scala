@@ -78,6 +78,17 @@ final class Frame(val df: DataFrame) {
   def applyWhere(cond: Column, target: String)(f: Column => Column): Frame =
     Frame(df.withColumn(target,
       F.when(cond, f(F.col(target))).otherwise(F.col(target))))
+  /** apply f to one row of a column under an explicit ordering
+    * (Operations/Transformations.hs:171-189 — positional, so like
+    * range/hconcat it needs the order made explicit; index is 0-based
+    * over that order). */
+  def applyAtIndex(i: Long, name: String, order: SortKey*)(f: Column => Column): Frame = {
+    val ind = indexed(order)
+    Frame(ind.withColumn(name,
+      F.when(F.col(RowIdx) === i, f(F.col(name))).otherwise(F.col(name)))
+      .drop(RowIdx))
+  }
+
   /** impute nulls with a constant (Operations/Transformations.hs:192-207). */
   def impute(name: String, value: Any): Frame =
     Frame(df.withColumn(name, F.coalesce(F.col(name), F.lit(value))))
@@ -242,6 +253,31 @@ final class Frame(val df: DataFrame) {
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
       .orderBy(F.desc("count"), F.col(name))
 
+  /** first-n rows rendered as a GitHub-style markdown table
+    * (Internal/DataFrame.hs:91-117 `toMarkdownTable`). Driver-side
+    * display helper — bounded by n, never materializes the frame. */
+  def toMarkdownTable(n: Int = 20): String = {
+    val hdr = df.columns.toSeq
+    val sep = hdr.map(_ => "---")
+    val rows = df.take(n).toSeq.map(_.toSeq.map(v =>
+      if (v == null) "null" else v.toString))
+    (Seq(hdr, sep) ++ rows)
+      .map(_.mkString("| ", " | ", " |")).mkString("\n")
+  }
+
+  /** plain-text display with the type row and truncation note — the
+    * reference's `show`/`asText` (Internal/DataFrame.hs:70-117). */
+  def asText(n: Int = 20): String = {
+    val hdr = df.columns.toSeq
+    val types = df.schema.fields.map(_.dataType.simpleString).toSeq
+    val taken = df.take(n + 1)
+    val rows = taken.take(n).toSeq.map(_.toSeq.map(v =>
+      if (v == null) "null" else v.toString))
+    val table = (Seq(hdr, types) ++ rows)
+      .map(_.mkString("| ", " | ", " |")).mkString("\n")
+    if (taken.length > n) table + s"\nShowing $n rows" else table
+  }
+
   /** summarize: describe-table per numeric column
     * (Operations/Statistics.hs:326-380). One aggregate pass over all
     * columns; explicit exact percentiles (not approx). */
@@ -296,6 +332,53 @@ object Frame {
   /** JDBC source (dataframe-persistent fromPersistent). */
   def fromPersistent(spark: SparkSession, url: String, table: String): Frame =
     Frame(graft.sources.Jdbc.fromPersistent(spark, url, table))
+
+  // ---- in-memory constructors (Operations/Core.hs:613-643) --------------
+  /** build a Frame from named columns; shorter columns null-pad to the
+    * longest (the reference's insertColumn pad semantics). Scala Options
+    * unwrap to nullable values; element types are inferred from the
+    * first non-null value per column. */
+  def fromNamedColumns(spark: SparkSession, cols: Seq[(String, Seq[Any])]): Frame = {
+    require(cols.nonEmpty, "fromNamedColumns: no columns")
+    val n = cols.map(_._2.length).max
+    val schema = StructType(cols.map { case (name, vs) =>
+      StructField(name, inferType(vs), nullable = true)
+    })
+    val rows = (0 until n).map { i =>
+      Row.fromSeq(cols.map { case (_, vs) => unwrapOpt(vs.lift(i).orNull) })
+    }
+    Frame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema))
+  }
+
+  /** positional variant: columns named "0", "1", …
+    * (Core.hs:643 fromUnnamedColumns). */
+  def fromUnnamedColumns(spark: SparkSession, cols: Seq[Seq[Any]]): Frame =
+    fromNamedColumns(spark, cols.zipWithIndex.map { case (v, i) => i.toString -> v })
+
+  /** build a Frame from rows + column names. */
+  def fromRows(spark: SparkSession, names: Seq[String], rows: Seq[Seq[Any]]): Frame =
+    fromNamedColumns(spark, names.zipWithIndex.map { case (nm, i) =>
+      nm -> rows.map(r => r.lift(i).orNull)
+    })
+
+  private def unwrapOpt(x: Any): Any = x match {
+    case Some(v) => v
+    case None => null
+    case v => v
+  }
+  private def inferType(vs: Seq[Any]): DataType =
+    vs.iterator.map(unwrapOpt).find(_ != null) match {
+      case Some(_: Int) => IntegerType
+      case Some(_: Long) => LongType
+      case Some(_: Double) => DoubleType
+      case Some(_: Float) => FloatType
+      case Some(_: Boolean) => BooleanType
+      case Some(_: java.sql.Timestamp) => TimestampType
+      case Some(_: java.sql.Date) => DateType
+      case Some(_: java.math.BigDecimal) => DecimalType(38, 18)
+      case _ => StringType
+    }
   private val RowIdx = "__graft_row_idx"
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"

@@ -19,6 +19,39 @@ class FrameSpec extends SparkSpec {
   lazy val right = Frame(Seq(("K0", "B0"), ("K1", "B1"), ("K2", "B2"))
     .toDF("key", "B"))
 
+  test("fromNamedColumns / fromRows: inference, Option unwrap, null-pad") {
+    val f = Frame.fromNamedColumns(spark, Seq(
+      "a" -> Seq(1, 2, 3),
+      "b" -> Seq(Some("x"), None, Some("z")),
+      "c" -> Seq(1.5))) // shorter → null-pads
+    assert(f.df.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("int", "string", "double"))
+    assert(f.df.count() == 3)
+    assert(f.df.filter($"b".isNull).count() == 1)
+    assert(f.df.filter($"c".isNull).count() == 2)
+    val r = Frame.fromRows(spark, Seq("x", "y"),
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(r.df.orderBy("x").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(Frame.fromUnnamedColumns(spark, Seq(Seq(1), Seq(2))).columns ==
+      Seq("0", "1"))
+  }
+
+  test("applyAtIndex changes exactly one positioned row") {
+    val f = main26.applyAtIndex(0, "test1", Asc(col("test1")))(_ + 100)
+    assert(f.df.filter($"test1" === 101).count() == 1)
+    assert(f.df.filter($"test1" === 1).count() == 0)
+    assert(f.df.count() == 26)
+  }
+
+  test("toMarkdownTable / asText render bounded driver-side tables") {
+    val md = main26.toMarkdownTable(2)
+    assert(md.startsWith("| test1 | test2 |"))
+    assert(md.linesIterator.size == 4) // header + sep + 2 rows
+    assert(md.linesIterator.toSeq(1).contains("---"))
+    val txt = main26.asText(3)
+    assert(txt.contains("| int | string |") && txt.endsWith("Showing 3 rows"))
+  }
+
   test("select / exclude / rename / cloneColumn") {
     assert(main26.select("test1").columns == Seq("test1"))
     assert(main26.exclude("test1").columns == Seq("test2"))
