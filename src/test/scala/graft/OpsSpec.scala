@@ -169,6 +169,34 @@ class OpsSpec extends SparkSpec {
     assert(n > 5) // hell+o+,+worl+d+!+a+1+b+2
   }
 
+  test("multimodal: real PNG decode, features, and geometric resize") {
+    import java.awt.image.BufferedImage
+    // two synthetic PNGs: solid dark gray 8x6, and half-black/half-white 16x4
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val solid = png(8, 6, (_, _) => 0x404040)
+    val split = png(16, 4, (x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    val packed = Seq((1L, solid), (2L, split), (3L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeImages(packed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) == 8 && feats(1L).getInt(2) == 6)
+    assert(math.abs(feats(1L).getDouble(3) - 0x40) < 1.0)
+    assert(feats(2L).getInt(1) == 16)
+    assert(math.abs(feats(2L).getDouble(3) - 127.5) < 2.0)
+    // corrupt payload → null features, no failure
+    assert(feats(3L).isNullAt(1))
+    // geometric resize: 16x4 → 4x2, still a decodable PNG
+    val resized = Multimodal.resizeImages(packed.filter($"doc_id" === 2L), 4, 2)
+    val back = Multimodal.decodeImages(resized).head()
+    assert(back.getInt(1) == 4 && back.getInt(2) == 2)
+  }
+
   test("multimodal: pack → features → frames → resize plumbing") {
     val packed = Multimodal.packDocuments(docs)
     assert(packed.schema("payload").dataType.typeName == "binary")
