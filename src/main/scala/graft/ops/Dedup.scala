@@ -36,14 +36,28 @@ object Dedup {
 
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     * Returns (d1, d2, jac). Candidates only for docs sharing >= 1 shingle.
+    *
+    * `dfCap`: drop shingles appearing in more than dfCap documents before
+    * the self-join. High-DF shingles (common trigrams) contribute
+    * quadratic posting-list pairs while carrying almost no similarity
+    * signal — the standard skew guard for corpus scale. Capping changes
+    * results (intersection/union lose the dropped shingles), so the
+    * default stays exact; production corpora should set it.
     */
   def ngramJaccard(df: DataFrame, id: String, text: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, dfCap: Option[Int] = None): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts modulo
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
     // shuffles 8-byte keys instead of strings, which is the term that
     // dominates at corpus scale.
-    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
+    val sh0 = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
+    val sh = dfCap match {
+      case Some(cap) =>
+        val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        sh0.join(keep, Seq("s"), "left_semi")
+      case None => sh0
+    }
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(id).as("d1"), col("s"))
     val b = sh.select(col(id).as("d2"), col("s"))
@@ -78,15 +92,29 @@ object Dedup {
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs
     * are missed with p < 1e-14). Returns (d1, d2, jac).
     */
+  /** `maxBucket`: skip band buckets holding more than maxBucket docs.
+    * A mega-bucket means many documents share a band signature — in a
+    * duplicate-heavy corpus that's a clique of near-identical docs, and
+    * pairing it is quadratic in the clique size. Documents dropped from
+    * one band usually still pair through their other bands, but recall
+    * is no longer guaranteed — default stays exact. */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  threshold: Double, numPerms: Int = 64,
-                 bands: Int = 32): DataFrame = {
+                 bands: Int = 32, maxBucket: Option[Int] = None): DataFrame = {
     val rows = numPerms / bands
     val sig = minhashSignatures(df, id, text, numPerms)
-    val banded = sig.select(col(id),
+    val banded0 = sig.select(col(id),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val keep = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select("band", "bucket")
+        banded0.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$id") < col(s"y.$id"))

@@ -42,6 +42,32 @@ class OpsSpec extends SparkSpec {
     assert(exact.contains((0L, 1L)))
   }
 
+  test("skew guards: shingle dfCap and LSH bucket cap prune without losing near-dups") {
+    // 30 docs share a common header trigram (high DF); two true near-dups
+    val common = "shared header words appear everywhere in this corpus"
+    val filler = (1 to 30).map(i =>
+      (100L + i, s"$common unique tail number $i content ${i * 37}"))
+    val dup = Seq((1L, doc0Text), (2L, doc0Text + " extra"))
+    val d = (filler ++ dup).toDF("doc_id", "text")
+    // capped run still finds the true near-dup pair
+    val capped = Dedup.ngramJaccard(d, "doc_id", "text", 0.5, dfCap = Some(10))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    // and prunes: the shared-header docs no longer co-occur on the common shingles
+    val uncapped = Dedup.ngramJaccard(d, "doc_id", "text", 0.0)
+      .count()
+    val cappedAll = Dedup.ngramJaccard(d, "doc_id", "text", 0.0, dfCap = Some(10))
+      .count()
+    assert(cappedAll < uncapped)
+    // LSH bucket cap: exact duplicates form a mega-bucket; cap 5 bounds it
+    val clones = (1 to 20).map(i => (i.toLong, doc0Text)).toDF("doc_id", "text")
+    val cappedLsh = Dedup.minhashLsh(clones, "doc_id", "text", 0.8,
+      maxBucket = Some(5))
+    assert(cappedLsh.count() == 0) // every bucket over cap → all skipped
+    val openLsh = Dedup.minhashLsh(clones, "doc_id", "text", 0.8)
+    assert(openLsh.count() == 20L * 19 / 2)
+  }
+
   test("minhash signature length and determinism") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
     val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
