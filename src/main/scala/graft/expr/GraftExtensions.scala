@@ -1,0 +1,28 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers graft's custom Catalyst
+  * expressions with the SQL function registry, so `spark.sql` users get
+  * them too (the Column API path via [[VectorExpressions]] needs no
+  * registration).
+  *
+  * Enable with:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes two array<double> args")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

@@ -29,6 +29,28 @@ class PlanSpec extends SparkSpec {
       "q48 must pair via the blocked equi-join at scale")
   }
 
+  test("filters and projections push down to the parquet scan") {
+    // q03: filter must reach the scan as PushedFilters, and the scan
+    // must read only the referenced columns (ReadSchema pruning)
+    val plan = SparkEntry.queries("q03_filter")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in q03 scan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") ||
+      plan.contains("EqualTo(l_returnflag"), s"filter not pushed: $plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_extendedprice"),
+      "scan reads columns the query never touches")
+  }
+
+  test("SQL users reach graft_dot via SparkSessionExtensions") {
+    // spark.sql.extensions is static conf — set in the session builders
+    // (SparkSpec here; Verify/Bench for the driver surface)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("Frame.zScore / imputeWithMean / frequencies avoid global windows") {
     import org.apache.spark.sql.functions._
     val li = graft.api.Frame(Tables.lineitem(spark, sfSmoke))
