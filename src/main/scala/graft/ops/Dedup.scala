@@ -71,20 +71,17 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** MinHash signatures: numPerms independent min-hashes over shingles.
-    * One explode + one hash-aggregate; signature built map-side.
-    * Returns (id, sig: array<long>). */
+  /** MinHash signatures: numPerms independent min-hashes over shingles,
+    * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
+    * tight loop per document instead of a numPerms-element array
+    * allocation per shingle row. The shuffle carries each doc's shingle
+    * hash list (8 bytes/shingle). Returns (id, sig: array<long>). */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numPerms: Int): DataFrame = {
-    val sh = shingles(df, id, text)
-    // perm i's hash of shingle s = xxhash64(s, i); min per doc per perm.
-    // Computed as an array fold so the shuffle carries one row per doc.
-    val hashes = sh.select(col(id),
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        i => xxhash64(col("s"), i)).as("hs"))
-    hashes.groupBy(col(id)).agg(
-      array((0 until numPerms).map(i =>
-        min(element_at(col("hs"), i + 1))): _*).as("sig"))
+    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("h"))
+    sh.groupBy(col(id)).agg(collect_list("h").as("hs"))
+      .select(col(id),
+        graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
   }
 
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
