@@ -216,9 +216,11 @@ final class Frame(val df: DataFrame) {
     * analog; both sides get a zipWithIndex ordinal (parallel, see
     * [[range]]) and equi-join on it. Documented divergence: requires
     * both sides to carry a stable order. */
-  def hconcat(other: Frame, leftOrder: SortKey, rightOrder: SortKey): Frame = {
-    val l = indexed(Seq(leftOrder))
-    val r = other.indexed(Seq(rightOrder))
+  def hconcat(other: Frame, leftOrder: SortKey, rightOrder: SortKey): Frame =
+    hconcat(other, Seq(leftOrder), Seq(rightOrder))
+  def hconcat(other: Frame, leftOrder: Seq[SortKey], rightOrder: Seq[SortKey]): Frame = {
+    val l = indexed(leftOrder)
+    val r = other.indexed(rightOrder)
     Frame(l.join(r, Seq(RowIdx), "inner").drop(RowIdx))
   }
 

@@ -527,6 +527,35 @@ object Relational {
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
         ORDER BY l_orderkey""")),
 
+    // --- positional range under explicit order (zipWithIndex path) ----------
+    "q37_range" -> Q(
+      (s, d) => Frame(li(s, d))
+        .range(100, 200, Asc(col("l_orderkey")), Asc(col("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "l_quantity").df
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 100""")),
+
+    // --- hconcat ||| positional zip (both sides ordered) --------------------
+    "q38_hconcat" -> Q(
+      (s, d) => {
+        val c = cust(s, d)
+        val byKey = Frame(c.select(col("c_custkey"), col("c_name")))
+        val byBal = Frame(c.select(col("c_acctbal").as("bal"),
+          col("c_custkey").as("bal_key")))
+        byKey.hconcat(byBal, Seq(Asc(col("c_custkey"))),
+            Seq(Desc(col("bal")), Asc(col("bal_key"))))
+          .sortBy(Asc(col("c_custkey"))).df
+      },
+      Some("""SELECT a.c_custkey, a.c_name, b.bal, b.bal_key FROM
+        (SELECT c_custkey, c_name,
+          row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) a
+        JOIN
+        (SELECT c_acctbal AS bal, c_custkey AS bal_key,
+          row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) b USING (rn)
+        ORDER BY a.c_custkey""")),
+
     // --- lift / lift2: user scalar UDFs (Functions.hs:63-105) ---------------
     "q35_udf_scalar" -> Q(
       (s, d) => {
