@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** word-trigram shingles, de-duplicated per document.
-    * Emits (idCol, "s"): one row per distinct shingle. */
+    * Emits (idCol, "s"): one row per distinct shingle string. */
   def shingles(df: DataFrame, id: String, text: String): DataFrame = {
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
@@ -25,6 +25,22 @@ object Dedup {
       .select(col(id), explode(array_distinct(
         transform(sequence(lit(0), size(col("w")) - 3),
           i => concat_ws(" ", get(col("w"), i), get(col("w"), i + 1),
+            get(col("w"), i + 2))))).as("s"))
+  }
+
+  /** 64-bit trigram shingle hashes, de-duplicated per document — the
+    * join/sketch hot path. Hashes the three words directly
+    * (multi-arg xxhash64), skipping the per-shingle string concat the
+    * display-oriented [[shingles]] builds. Distinct-hash counts equal
+    * distinct-string counts modulo ~n²/2⁶⁵ collisions — the same
+    * accepted approximation as joining on hashes. */
+  def shingleHashes(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = split(col(text), " ")
+    df.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col(id), explode(array_distinct(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => xxhash64(get(col("w"), i), get(col("w"), i + 1),
             get(col("w"), i + 2))))).as("s"))
   }
 
@@ -50,7 +66,7 @@ object Dedup {
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
     // shuffles 8-byte keys instead of strings, which is the term that
     // dominates at corpus scale.
-    val sh0 = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
+    val sh0 = shingleHashes(df, id, text)
     val sh = dfCap match {
       case Some(cap) =>
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -78,7 +94,7 @@ object Dedup {
     * hash list (8 bytes/shingle). Returns (id, sig: array<long>). */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numPerms: Int): DataFrame = {
-    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("h"))
+    val sh = shingleHashes(df, id, text).withColumnRenamed("s", "h")
     sh.groupBy(col(id)).agg(collect_list("h").as("hs"))
       .select(col(id),
         graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
@@ -117,7 +133,7 @@ object Dedup {
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
     // verify candidates with exact Jaccard (small candidate set)
-    val sh = shingles(df, id, text).select(col(id), xxhash64(col("s")).as("s"))
+    val sh = shingleHashes(df, id, text)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col(id).as("d1"), col("s")), Seq("d1"))
