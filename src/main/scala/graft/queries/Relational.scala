@@ -527,6 +527,37 @@ object Relational {
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
         ORDER BY l_orderkey""")),
 
+    // --- trig / transcendental battery (Expression.hs:147-211 Floating) -----
+    // JVM and libm differ in the last ulp on transcendentals — round(10)
+    "q39_trig" -> Q(
+      (s, d) => {
+        val x = col("l_discount") // in [0, 0.1] — safe domain for inverses
+        Frame(li(s, d))
+          .filterWhere(col("l_linenumber") === 1 && col("l_orderkey") < 1000)
+          .deriveMany(
+            "t_sin" -> round(sin(x), 10), "t_cos" -> round(cos(x), 10),
+            "t_tan" -> round(tan(x), 10), "t_asin" -> round(asin(x), 10),
+            "t_acos" -> round(acos(x), 10), "t_atan" -> round(atan(x), 10),
+            "t_sinh" -> round(sinh(x), 10), "t_cosh" -> round(cosh(x), 10),
+            "t_tanh" -> round(tanh(x), 10),
+            "t_logb" -> round(log(2.0, col("l_quantity")), 10),
+            "t_atan2" -> round(atan2(x, lit(1.0)), 10))
+          .select("l_orderkey", "t_sin", "t_cos", "t_tan", "t_asin", "t_acos",
+            "t_atan", "t_sinh", "t_cosh", "t_tanh", "t_logb", "t_atan2")
+          .sortBy(Asc(col("l_orderkey"))).df
+      },
+      Some("""SELECT l_orderkey,
+        round(sin(l_discount), 10) AS t_sin, round(cos(l_discount), 10) AS t_cos,
+        round(tan(l_discount), 10) AS t_tan, round(asin(l_discount), 10) AS t_asin,
+        round(acos(l_discount), 10) AS t_acos, round(atan(l_discount), 10) AS t_atan,
+        round((exp(l_discount) - exp(-l_discount)) / 2, 10) AS t_sinh,
+        round((exp(l_discount) + exp(-l_discount)) / 2, 10) AS t_cosh,
+        round((exp(l_discount) - exp(-l_discount)) / (exp(l_discount) + exp(-l_discount)), 10) AS t_tanh,
+        round(ln(l_quantity) / ln(2.0), 10) AS t_logb,
+        round(atan2(l_discount, 1.0), 10) AS t_atan2
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+        ORDER BY l_orderkey""")),
+
     // --- positional range under explicit order (zipWithIndex path) ----------
     "q37_range" -> Q(
       (s, d) => Frame(li(s, d))
