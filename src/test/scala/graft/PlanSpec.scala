@@ -42,6 +42,13 @@ class PlanSpec extends SparkSpec {
       "scan reads columns the query never touches")
   }
 
+  test("q12 broadcasts its dimension tables") {
+    val plan = SparkEntry.queries("q12_join_star")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "star-schema dims should broadcast, not shuffle")
+  }
+
   test("SQL users reach graft_dot via SparkSessionExtensions") {
     // spark.sql.extensions is static conf — set in the session builders
     // (SparkSpec here; Verify/Bench for the driver surface)
