@@ -117,16 +117,16 @@ object Events {
       }
   }
 
-  /** run the hourly-stats streaming query over `sourceDir` parquet into an
-    * in-memory table, synchronously (for tests / local smoke). Complete
-    * mode so every window is visible once the finite source drains; a
-    * production deployment would use Append + watermark ([[withLateData]]).
-    * Returns the result table. */
-  def runStreamToMemory(spark: SparkSession, sourceDir: String,
-                        name: String): DataFrame = {
+  /** run any same-code batch/stream transform over `sourceDir` parquet
+    * into an in-memory table, synchronously (tests / local smoke).
+    * Complete mode so every window is visible once the finite source
+    * drains; a production deployment would use Append + watermark
+    * ([[withLateData]]). Returns the result table. */
+  def runStreamToMemory(spark: SparkSession, sourceDir: String, name: String,
+                        transform: DataFrame => DataFrame = hourlyStats): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = hourlyStats(stream)
+    val q = transform(stream)
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()

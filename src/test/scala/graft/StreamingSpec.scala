@@ -68,9 +68,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("watermark + sliding windows plan and execute") {
+  test("watermark + sliding windows: stream equals batch") {
     val ev = Tables.events(spark, sfSmoke)
     val slid = Events.slidingStats(Events.withLateData(ev))
     assert(slid.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val expected = Events.slidingStats(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val got = Events.runStreamToMemory(spark, dir, "sliding_smoke",
+        Events.slidingStats)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(got == expected && got.nonEmpty)
   }
 }
