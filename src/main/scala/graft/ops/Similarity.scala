@@ -74,15 +74,20 @@ object Similarity {
     * appears only in the (min-block, max-block) bucket; a same-block
     * pair appears in both orders and the `d1 < d2` filter keeps one. */
   def cosinePairsBlocked(df: DataFrame, id: String, vec: String,
-                         threshold: Double, blocks: Int = 8): DataFrame = {
-    val blk = pmod(xxhash64(col(id)), lit(blocks)).cast("int")
+                         threshold: Double, blocks: Int = 0): DataFrame = {
+    // auto-size so block-pair count ≈ cluster parallelism: B(B+1)/2 tasks
+    val b =
+      if (blocks > 0) blocks
+      else math.max(8, math.ceil(math.sqrt(
+        2.0 * df.sparkSession.sparkContext.defaultParallelism)).toInt)
+    val blk = pmod(xxhash64(col(id)), lit(b)).cast("int")
     // norm is a pure per-row function: compute it once per row, not once
     // per pair (same double value either way — dot is order-preserving)
     val base = df.select(col(id), col(vec).cast("array<double>").as(vec),
       blk.as("b")).withColumn("nrm", norm(col(vec)))
     val left = base.select(col(id).as("d1"), col(vec).as("v1"),
       col("nrm").as("n1"),
-      col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
+      col("b").as("bi"), explode(sequence(col("b"), lit(b - 1))).as("bj"))
     val right = base.select(col(id).as("d2"), col(vec).as("v2"),
       col("nrm").as("n2"),
       explode(sequence(lit(0), col("b"))).as("bi"), col("b").as("bj"))
