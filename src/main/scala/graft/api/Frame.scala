@@ -78,6 +78,17 @@ final class Frame(val df: DataFrame) {
   def applyWhere(cond: Column, target: String)(f: Column => Column): Frame =
     Frame(df.withColumn(target,
       F.when(cond, f(F.col(target))).otherwise(F.col(target))))
+  /** insert an in-memory vector as a column, aligned by position under
+    * an explicit ordering, with the reference's pad semantics
+    * (Operations/Core.hs:144-360 expandColumn): a shorter vector
+    * null-pads; a longer vector extends the frame with null rows. */
+  def insertVector(name: String, values: Seq[Any], order: SortKey*): Frame = {
+    val spark = df.sparkSession
+    val vdf = Frame.fromNamedColumns(spark, Seq(
+      RowIdx -> values.indices.map(_.toLong), name -> values)).df
+    Frame(indexed(order).join(vdf, Seq(RowIdx), "full").drop(RowIdx))
+  }
+
   /** apply f to one row of a column under an explicit ordering
     * (Operations/Transformations.hs:171-189 — positional, so like
     * range/hconcat it needs the order made explicit; index is 0-based

@@ -36,6 +36,16 @@ class FrameSpec extends SparkSpec {
       Seq("0", "1"))
   }
 
+  test("insertVector aligns by position and null-pads both directions") {
+    val base = Frame(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val shorter = base.insertVector("extra", Seq(10.5, 20.5), Asc(col("k")))
+    assert(shorter.df.count() == 3)
+    assert(shorter.df.filter($"extra".isNull).select("k").as[Int].head() == 3)
+    val longer = base.insertVector("extra", Seq(1.0, 2.0, 3.0, 4.0), Asc(col("k")))
+    assert(longer.df.count() == 4)
+    assert(longer.df.filter($"k".isNull).select("extra").as[Double].head() == 4.0)
+  }
+
   test("applyAtIndex changes exactly one positioned row") {
     val f = main26.applyAtIndex(0, "test1", Asc(col("test1")))(_ + 100)
     assert(f.df.filter($"test1" === 101).count() == 1)
