@@ -89,6 +89,22 @@ final class Frame(val df: DataFrame) {
     Frame(indexed(order).join(vdf, Seq(RowIdx), "full").drop(RowIdx))
   }
 
+  /** insertVector padding with a default value instead of null
+    * (Operations/Core.hs:230-290 insertVectorWithDefault). */
+  def insertVectorWithDefault(name: String, default: Any, values: Seq[Any],
+                              order: SortKey*): Frame = {
+    val ins = insertVector(name, values, order: _*)
+    Frame(ins.df.withColumn(name, F.coalesce(F.col(name), F.lit(default))))
+  }
+
+  /** positional boolean-mask filter (Operations/Subset.hs
+    * filterByVector): keep row i where mask(i) under the explicit
+    * order; rows beyond the mask drop. */
+  def filterByVector(mask: Seq[Boolean], order: SortKey*): Frame = {
+    val ins = insertVector(MaskCol, mask, order: _*)
+    Frame(ins.df.filter(F.col(MaskCol) === true).drop(MaskCol))
+  }
+
   /** apply f to one row of a column under an explicit ordering
     * (Operations/Transformations.hs:171-189 — positional, so like
     * range/hconcat it needs the order made explicit; index is 0-based
@@ -159,6 +175,18 @@ final class Frame(val df: DataFrame) {
     }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
+  /** last n rows under an explicit ordering (Operations/Subset.hs
+    * takeLast): the top-n of the REVERSED order — no count job, stays
+    * TakeOrderedAndProject. */
+  def takeLast(n: Int, order: SortKey*): Frame =
+    Frame(df.orderBy(order.map(k => flip(k).toCol): _*).limit(n))
+  def dropLast(n: Int, order: SortKey*): Frame =
+    dropRows(n, order.map(flip): _*)
+  private def flip(k: SortKey): SortKey = k match {
+    case Asc(c) => Desc(c)
+    case Desc(c) => Asc(c)
+  }
+
   /** cube (l,w): first l rows × first w columns (Operations/Subset.hs:226) —
     * N.B. not SQL CUBE (that's [[GroupedFrame.cube]]). */
   def cubeSlice(l: Int, w: Int, order: SortKey*): Frame =
@@ -265,6 +293,30 @@ final class Frame(val df: DataFrame) {
   def valueCounts(name: String): DataFrame =
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
       .orderBy(F.desc("count"), F.col(name))
+
+  // ---- driver-side extractors (Operations/Core.hs:683-800) --------------
+  // Bounded-use helpers for handing data to local ML / plotting code —
+  // they collect to the driver; never call on an unbounded frame.
+  def columnAsList[T](name: String): Seq[T] =
+    df.select(F.col(name)).collect().toSeq.map(_.getAs[T](0))
+  /** row-major double matrix of the numeric columns
+    * (Core.hs toDoubleMatrix). */
+  def toDoubleMatrix: Seq[Array[Double]] = {
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    df.select(numeric.map(c => F.col(c).cast("double")): _*)
+      .collect().map(r => Array.tabulate(numeric.length)(r.getDouble)).toSeq
+  }
+
+  /** Scala source for typed column bindings — the analog of the
+    * reference's Template Haskell `declareColumns` (Functions.hs:
+    * 446-486), which generates one binding per schema field. Scala has
+    * no splice at this level, so this returns the code to paste. */
+  def declareColumns: String =
+    df.schema.fields.map { f =>
+      val ident = f.name.replaceAll("[^A-Za-z0-9_]", "_")
+      s"""val $ident: Column = col("${f.name}") // ${f.dataType.simpleString}"""
+    }.mkString("\n")
 
   /** first-n rows rendered as a GitHub-style markdown table
     * (Internal/DataFrame.hs:91-117 `toMarkdownTable`). Driver-side
@@ -396,6 +448,7 @@ object Frame {
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"
   private val AggCol2 = "__graft_agg2"
+  private val MaskCol = "__graft_mask"
 
   /** engine-portable integer mixer over a non-negative id: two rounds of
     * multiply-add mod the Mersenne prime 2³¹−1, overflow-safe for any

@@ -46,6 +46,28 @@ class FrameSpec extends SparkSpec {
     assert(longer.df.filter($"k".isNull).select("extra").as[Double].head() == 4.0)
   }
 
+  test("takeLast / dropLast / filterByVector / insertVectorWithDefault") {
+    val last = main26.takeLast(3, Asc(col("test1")))
+    assert(last.df.select("test1").as[Int].collect().sorted.toSeq == Seq(24, 25, 26))
+    val dropped = main26.dropLast(3, Asc(col("test1")))
+    assert(dropped.df.count() == 23 && dropped.df.agg(max("test1")).as[Int].head() == 23)
+    val masked = main26.filterByVector(
+      (1 to 26).map(_ % 2 == 0), Asc(col("test1")))
+    assert(masked.df.count() == 13)
+    assert(masked.df.agg(min("test1")).as[Int].head() == 2)
+    val withDef = main26.insertVectorWithDefault("w", -1.0,
+      Seq(1.5, 2.5), Asc(col("test1")))
+    assert(withDef.df.filter($"w" === -1.0).count() == 24)
+  }
+
+  test("driver-side extractors and declareColumns codegen") {
+    assert(main26.columnAsList[Int]("test1").sorted == (1 to 26))
+    val m = Frame(Seq((1, 2.5), (3, 4.5)).toDF("a", "b")).toDoubleMatrix
+    assert(m.map(_.toSeq) == Seq(Seq(1.0, 2.5), Seq(3.0, 4.5)))
+    val decl = main26.declareColumns
+    assert(decl.contains("""val test1: Column = col("test1")"""))
+  }
+
   test("applyAtIndex changes exactly one positioned row") {
     val f = main26.applyAtIndex(0, "test1", Asc(col("test1")))(_ + 100)
     assert(f.df.filter($"test1" === 101).count() == 1)
