@@ -24,5 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_dot(a, b) takes two array<double> args")
         DotProduct(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_minhash_sig(hashes, numPerms) takes an array<bigint> and an int literal")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numPerms must be an int literal, got $other")
+        }
+        MinHashSignature(args.head, n)
+      }))
   }
 }

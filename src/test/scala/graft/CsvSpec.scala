@@ -95,6 +95,15 @@ class CsvSpec extends SparkSpec {
     assert(bad.head().getString(2) == "onlyone")
   }
 
+  test("writeTsv round-trips through tab separation") {
+    val dir = Files.createTempDirectory("graft_tsv_rt").resolve("out").toString
+    import spark.implicits._
+    val src = Seq((1L, "has,comma", 1.5), (2L, "plain", -2.5)).toDF("n", "s", "x")
+    Csv.writeTsv(src, dir)
+    val back = Csv.readTsv(spark, dir)
+    assert(back.orderBy("n").collect().toSeq == src.orderBy("n").collect().toSeq)
+  }
+
   test("writeCsv round-trips a frame through text") {
     val dir = Files.createTempDirectory("graft_csv_rt").resolve("out").toString
     import spark.implicits._

@@ -56,6 +56,10 @@ class PlanSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(r == 11.0)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array(1L, 2L, 3L), 16) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16)
   }
 
   test("Frame.zScore / imputeWithMean / frequencies avoid global windows") {
