@@ -99,10 +99,16 @@ final class Frame(val df: DataFrame) {
 
   /** positional boolean-mask filter (Operations/Subset.hs
     * filterByVector): keep row i where mask(i) under the explicit
-    * order; rows beyond the mask drop. */
+    * order; rows beyond the mask drop, and mask entries beyond the
+    * last row are ignored (a LEFT join on the index — unlike
+    * insertVector's full join, a too-long mask cannot fabricate
+    * phantom all-null rows). */
   def filterByVector(mask: Seq[Boolean], order: SortKey*): Frame = {
-    val ins = insertVector(MaskCol, mask, order: _*)
-    Frame(ins.df.filter(F.col(MaskCol) === true).drop(MaskCol))
+    val spark = df.sparkSession
+    val vdf = Frame.fromNamedColumns(spark, Seq(
+      RowIdx -> mask.indices.map(_.toLong), MaskCol -> mask)).df
+    Frame(indexed(order).join(vdf, Seq(RowIdx), "left")
+      .filter(F.col(MaskCol) === true).drop(RowIdx, MaskCol))
   }
 
   /** apply f to one row of a column under an explicit ordering
@@ -305,7 +311,8 @@ final class Frame(val df: DataFrame) {
     val numeric = df.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     df.select(numeric.map(c => F.col(c).cast("double")): _*)
-      .collect().map(r => Array.tabulate(numeric.length)(r.getDouble)).toSeq
+      .collect().map(r => Array.tabulate(numeric.length)(i =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i))).toSeq
   }
 
   /** Scala source for typed column bindings — the analog of the

@@ -116,7 +116,11 @@ object Multimodal {
     val name = "imageio"
     System.setProperty("java.awt.headless", "true")
 
-    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    // ImageIO.read returns null only for unrecognized formats but THROWS
+    // (IIOException) for recognized-but-truncated/corrupt payloads — both
+    // must become None so a corrupt image yields null features, not a
+    // failed task (the decodeImages contract).
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       Option(img).map { im =>
@@ -136,9 +140,9 @@ object Multimodal {
         }
         (w, h, gray)
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       Option(img).map { im =>
@@ -154,7 +158,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   val imageFeatureSchema: StructType = StructType(Seq(

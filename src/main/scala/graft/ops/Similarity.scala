@@ -107,13 +107,26 @@ object Similarity {
     * false positives). Per-pair miss probability (1 - p^r)^b with
     * p = 1 - acos(cos)/π — at cos=0.9, r=8, b=16: < 1e-4. At low
     * thresholds p approaches the random-pair collision rate and LSH
-    * stops pruning — use [[cosinePairsBlocked]] there. */
+    * stops pruning — use [[cosinePairsBlocked]] there.
+    *
+    * `dim`: the (uniform) embedding dimensionality. Pass it explicitly
+    * to keep operator construction lazy (no Spark job); when omitted
+    * (<= 0) it is probed from the first row — one tiny driver action —
+    * and an empty frame short-circuits to an empty result. Vectors
+    * shorter than `dim` zip_with-truncate against the hyperplanes. */
   def cosineNearDupLsh(df: DataFrame, id: String, vec: String,
                        threshold: Double, bands: Int = 16,
-                       rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vec))).first().getInt(0)
+                       rowsPerBand: Int = 8, seed: Long = 42L,
+                       dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else {
+      val h = df.select(size(col(vec))).head(1)
+      if (h.isEmpty)
+        return df.limit(0).select(col(id).as("d1"), col(id).as("d2"),
+          lit(0.0).as("cos"))
+      h(0).getInt(0)
+    }
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
+    val planes = Array.fill(bands * rowsPerBand, d)(rnd.nextGaussian())
     // per-band sketch word: rowsPerBand sign bits packed into a long
     val bandCols = (0 until bands).map { b =>
       val word = (0 until rowsPerBand).map { r =>

@@ -104,7 +104,14 @@ object Events {
               val t = e.ts.getTime
               acc match {
                 case head :: tail if t - head.lastTs <= gapMs =>
-                  head.copy(lastTs = t, nEvents = head.nEvents + 1) :: tail
+                  // min/max merge: a cross-batch out-of-order event above
+                  // the watermark but older than the open session must not
+                  // regress lastTs (later gap checks would measure from a
+                  // stale timestamp) and may extend the session backwards.
+                  head.copy(
+                    sessionStart = math.min(head.sessionStart, t),
+                    lastTs = math.max(head.lastTs, t),
+                    nEvents = head.nEvents + 1) :: tail
                 case _ => SessionState(t, t, 1) :: acc
               }
             }

@@ -60,10 +60,23 @@ class FrameSpec extends SparkSpec {
     assert(withDef.df.filter($"w" === -1.0).count() == 24)
   }
 
+  test("filterByVector: a too-long mask cannot fabricate phantom rows") {
+    val base = Frame(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val masked = base.filterByVector(Seq(true, true, true, true), Asc(col("k")))
+    assert(masked.df.count() == 2)
+    assert(masked.df.filter($"k".isNull).count() == 0)
+    // too-short mask: rows beyond it drop
+    val short = base.filterByVector(Seq(true), Asc(col("k")))
+    assert(short.df.select("k").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("driver-side extractors and declareColumns codegen") {
     assert(main26.columnAsList[Int]("test1").sorted == (1 to 26))
     val m = Frame(Seq((1, 2.5), (3, 4.5)).toDF("a", "b")).toDoubleMatrix
     assert(m.map(_.toSeq) == Seq(Seq(1.0, 2.5), Seq(3.0, 4.5)))
+    // nulls surface as NaN, not NPE
+    val withNaN = Frame(Seq((1, Some(2.0)), (2, None)).toDF("a", "b")).toDoubleMatrix
+    assert(withNaN.exists(_(1).isNaN) && withNaN.exists(_(1) == 2.0))
     val decl = main26.declareColumns
     assert(decl.contains("""val test1: Column = col("test1")"""))
   }

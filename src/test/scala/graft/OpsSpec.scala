@@ -154,6 +154,22 @@ class OpsSpec extends SparkSpec {
       s"got ${got.size}, want ${want.size}")
   }
 
+  test("cosineNearDupLsh: explicit dim is lazy (no job at construction); empty frame short-circuits") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.cosineNearDupLsh(df, "vec_id", "embedding", 0.9, dim = 2)
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "constructing the operator with an explicit dim ran a Spark job")
+    assert(plan.count() == 1)
+    // empty frame, inferred dim: empty result, no NoSuchElementException
+    val empty = df.limit(0)
+    val emptyRes = Similarity.cosineNearDupLsh(empty, "vec_id", "embedding", 0.9)
+    assert(emptyRes.count() == 0)
+    assert(emptyRes.columns.toSeq == Seq("d1", "d2", "cos"))
+  }
+
   test("ivf ANN finds the same top neighbor as brute force on clustered data") {
     val rng = new scala.util.Random(42)
     def cluster(center: Array[Float], n: Int, base: Long) =
@@ -207,7 +223,10 @@ class OpsSpec extends SparkSpec {
     }
     val solid = png(8, 6, (_, _) => 0x404040)
     val split = png(16, 4, (x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
-    val packed = Seq((1L, solid), (2L, split), (3L, "not an image".getBytes))
+    // doc 4: RECOGNIZED format but truncated — ImageIO throws (not null);
+    // the codec must swallow it into null features like unrecognized bytes
+    val packed = Seq((1L, solid), (2L, split), (3L, "not an image".getBytes),
+      (4L, solid.take(30)))
       .toDF("doc_id", "payload")
     val feats = Multimodal.decodeImages(packed).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -215,8 +234,10 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(feats(1L).getDouble(3) - 0x40) < 1.0)
     assert(feats(2L).getInt(1) == 16)
     assert(math.abs(feats(2L).getDouble(3) - 127.5) < 2.0)
-    // corrupt payload → null features, no failure
+    // corrupt payloads → null features, no failure (both the unrecognized
+    // and the recognized-but-truncated kind)
     assert(feats(3L).isNullAt(1))
+    assert(feats(4L).isNullAt(1))
     // geometric resize: 16x4 → 4x2, still a decodable PNG
     val resized = Multimodal.resizeImages(packed.filter($"doc_id" === 2L), 4, 2)
     val back = Multimodal.decodeImages(resized).head()

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: out-of-order event above watermark does not regress the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long, user: Long) = Events.Event(
+      id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+    val src = MemoryStream[Events.Event]
+    val q = Events.sessionizeStream(src.toDS(), watermarkDelay = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      // minute 200, then an out-of-order 195 (above watermark 140): the
+      // merge must keep lastTs = 200 — a regressed lastTs = 195 would make
+      // the next event at 228 look like a 33-min gap and split the session
+      src.addData(ev(1, 200, 1)); q.processAllAvailable()
+      src.addData(ev(2, 195, 1)); q.processAllAvailable()
+      src.addData(ev(3, 228, 1)); q.processAllAvailable()
+      // advance the watermark far past the open session's gap end so it
+      // times out and emits
+      src.addData(ev(4, 400, 2)); q.processAllAvailable()
+      src.addData(ev(5, 500, 2)); q.processAllAvailable()
+      val u1 = spark.table("sess_ooo").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1).getTime / 60000L, r.getLong(2), r.getDouble(3)))
+      assert(u1.toSeq == Seq((195L, 3L, 1980.0)),
+        s"expected one merged session (start 195, 3 events, 1980 s), got ${u1.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("watermark + sliding windows: stream equals batch") {
     val ev = Tables.events(spark, sfSmoke)
     val slid = Events.slidingStats(Events.withLateData(ev))
