@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * "queries":{...},"sf":...}.
   *
   * Queries are materialized through the noop sink (count() lets Catalyst
-  * prune the very work being measured). Each query runs twice and the
-  * second (steady-state) run is reported: whole-stage codegen compiles a
-  * fresh class per novel plan and C2 JIT needs one pass, which at this
-  * data size would otherwise dominate the measurement — the reference's
-  * criterion benchmarks equally report post-warmup times.
+  * prune the very work being measured). Each query runs one warm-up
+  * (whole-stage codegen compiles a fresh class per novel plan and C2 JIT
+  * needs one pass — at this data size that would dominate a cold
+  * measurement) plus SPARK_GRAFT_ITERS measured iterations (default 3),
+  * reporting the per-query MEDIAN: a single steady-state run cannot
+  * distinguish a plan regression from GC/session noise (round-2 lesson —
+  * q01/q24 swung +39%/+78% on identical plans). Per-query min/max go to
+  * the `spread` field for noise diagnosis.
   */
 object Bench {
 
@@ -54,23 +57,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    def run(fn: (SparkSession, String) => DataFrame): Double = {
-      if (once(fn) < 0) return -1.0 // warm-up (codegen + JIT)
-      once(fn)
+    /** warm-up + `iters` measured runs → (median, min, max). */
+    def run(fn: (SparkSession, String) => DataFrame): (Double, Double, Double) = {
+      if (once(fn) < 0) return (-1.0, -1.0, -1.0) // warm-up (codegen + JIT)
+      val ts = Seq.fill(iters)(once(fn))
+      if (ts.exists(_ < 0)) return (-1.0, -1.0, -1.0)
+      val s = ts.sorted
+      (s(s.length / 2), s.head, s.last)
     }
 
     val results = headline.map { case (name, fn) => name -> run(fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val spread = results.map { case (k, (_, lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     // stdout AND a file: sbt prefixes stdout with [info], which breaks
     // line-oriented JSON parsing downstream — the file copy is canonical.
     println(json)
