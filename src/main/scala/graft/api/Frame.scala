@@ -32,8 +32,17 @@ final class Frame(val df: DataFrame) {
   // ---- sinks (reference: IO/CSV.hs:392-459) -----------------------------
   def writeCsv(path: String): Unit = graft.sources.Csv.writeCsv(df, path)
   def writeTsv(path: String): Unit = graft.sources.Csv.writeTsv(df, path)
-  def writeParquet(path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+  /** parquet sink; `partitionBy` writes hive-style `col=value/`
+    * directories. At 100 TB the write layout IS the read plan: a filter
+    * on a partition column prunes to its directories at planning time
+    * (zero data read for excluded partitions — plan-asserted in
+    * PlanSpec). Pick low-cardinality columns a downstream query filters
+    * on; never a high-cardinality key (one dir per value). */
+  def writeParquet(path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
   def writeJSONL(path: String): Unit = graft.sources.Json.writeJSONL(df, path)
   /** JDBC sink (dataframe-persistent toPersistent). */
   def toPersistent(url: String, table: String): Unit =
@@ -220,6 +229,16 @@ final class Frame(val df: DataFrame) {
     (0 until n).map(i => Frame(tagged.filter(F.col(FoldIdx) === i).drop(FoldIdx)))
   }
   def shuffle(seed: Long): Frame = Frame(df.orderBy(F.rand(seed)))
+
+  /** unnest an array column: one row per element, other columns
+    * repeated (the public surface of the generator the dedup operators
+    * use internally; reference list workflows Functions.hs:300-307). */
+  def explodeCol(name: String, as: String): Frame =
+    Frame(df.withColumn(as, F.explode(F.col(name))).drop(name))
+  /** [[explodeCol]] with the element's 0-based position in `posAs`. */
+  def posexplodeCol(name: String, posAs: String, as: String): Frame =
+    Frame(df.select(df.columns.filterNot(_ == name).map(F.col).toSeq :+
+      F.posexplode(F.col(name)).as(Seq(posAs, as)): _*))
 
   // ---- dedup / sort (Aggregation.hs:289-292, Permutation.hs:42-78) ------
   def distinct: Frame = Frame(df.distinct())

@@ -63,6 +63,18 @@ object functions {
   def lastOrNothing(arr: Column): Column =
     F.when(F.size(arr) > 0, F.element_at(arr, -1))
 
+  // ---- generators / unnest ------------------------------------------------
+  // The reference's list workflows (Functions.hs:300-307: splitOn + list
+  // heads) unnest via these; used internally by the dedup operators
+  // (ops/Dedup.scala) and exposed here as the public DSL surface.
+  /** one output row per array element (rows with empty/null arrays drop). */
+  def explode(c: Column): Column = F.explode(c)
+  /** like [[explode]] but keeps empty/null arrays as a single null row. */
+  def explodeOuter(c: Column): Column = F.explode_outer(c)
+  /** explode with the element's 0-based position — select as
+    * `posexplode(c).as(Seq("pos", "value"))`. */
+  def posexplode(c: Column): Column = F.posexplode(c)
+
   // ---- date (Functions.hs:323-338) ---------------------------------------
   def parseDate(c: Column, fmt: String): Column = F.to_date(c, fmt)
   def daysBetween(start: Column, end: Column): Column = F.datediff(end, start)

@@ -148,20 +148,30 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** 64-bit SimHash over word hashes: sign-sum each bit of xxhash64(word),
+  /** SimHash over word hashes: sign-sum each bit of wordHash(word),
     * reassemble. Pure expressions; one aggregate per doc happens map-side
     * inside the projection (no shuffle at all). */
-  def simhash(text: Column): Column = {
-    val ws = split(text, " ")
-    val hs = transform(ws, w => xxhash64(w))
+  private def simhashImpl(text: Column, bits: Int,
+                          wordHash: Column => Column): Column = {
+    val hs = transform(split(text, " "), wordHash)
     // bit b of simhash = majority of bit b across word hashes
-    val bitCols = (0 until 64).map { b =>
+    val bitCols = (0 until bits).map { b =>
       val votes = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _)
   }
+
+  /** 64-bit SimHash on xxhash64 word hashes — the production path. */
+  def simhash(text: Column): Column = simhashImpl(text, 64, w => xxhash64(w))
+
+  /** 31-bit engine-PORTABLE SimHash on
+    * [[TextAnalysis.portableWordHash]] (31 bits because the portable
+    * mixer's codomain is [0, 2³¹−1)) — DuckDB-replicable, so the near-dup
+    * pair set is oracle-checkable. Production corpora use [[simhash]]. */
+  def simhashPortable(text: Column): Column =
+    simhashImpl(text, 31, TextAnalysis.portableWordHash)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -175,13 +185,23 @@ object Dedup {
     * 5-6 bits (narrower chunks = more candidates — the recall/cost
     * trade-off is explicit in the parameter, never silent). */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsImpl(df, id, simhash(col(text)), maxDist, bits = 64)
+
+  /** [[simhashPairs]] on the portable 31-bit simhash — same pigeonhole
+    * blocking over 31 bits. */
+  def simhashPairsPortable(df: DataFrame, id: String, text: String,
+                           maxDist: Int = 3): DataFrame =
+    simhashPairsImpl(df, id, simhashPortable(col(text)), maxDist, bits = 31)
+
+  private def simhashPairsImpl(df: DataFrame, id: String, sim: Column,
+                               maxDist: Int, bits: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist must be in [0, ${bits - 1}]")
     val numChunks = maxDist + 1
-    val base = 64 / numChunks; val rem = 64 % numChunks
+    val base = bits / numChunks; val rem = bits % numChunks
     val widths = Seq.tabulate(numChunks)(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val withSim = df.select(col(id), simhash(col(text)).as("sh"))
+    val withSim = df.select(col(id), sim.as("sh"))
     val chunkCols = offsets.zip(widths).map { case (off, w) =>
       shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
     }

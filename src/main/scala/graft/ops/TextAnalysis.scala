@@ -72,4 +72,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, w) => xxhash64(acc, w))
+
+  /** engine-PORTABLE word hash: 31-multiplier character polynomial over
+    * Unicode code points mod the Mersenne prime 2³¹−1, finished with the
+    * portable integer mixer ([[graft.api.Frame.portableMix]]). The same
+    * arithmetic is expressible in ANSI SQL (queries.Sql.wordHash), so
+    * operators built on it — [[fingerprintPortable]],
+    * [[Dedup.simhashPortable]] — hash-match across engines; the xxhash64
+    * variants remain the production fast path. Every intermediate stays
+    * below 2³¹·31 + 2²¹ < 2³⁶ — no overflow under ANSI mode. */
+  def portableWordHash(w: Column): Column = {
+    val poly = aggregate(split(w, ""), lit(7L),
+      (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+    graft.api.Frame.portableMix(poly)
+  }
+
+  /** engine-portable order-sensitive document fingerprint: the
+    * [[fingerprint]] chain re-based on [[portableWordHash]] and the
+    * mixer's multiply-add-mod arithmetic (every intermediate
+    * < 2³¹·2654435761 < 2⁶³ — overflow-free). DuckDB-replicable. */
+  def fingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit(7L),
+      (acc, w) => (((acc * 2654435761L + portableWordHash(w)) % 2147483647L)
+        * 2246822519L) % 2147483647L)
 }

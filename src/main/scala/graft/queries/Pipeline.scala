@@ -130,11 +130,79 @@ object Pipeline {
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         ORDER BY d1, d2""")),
 
-    // --- SimHash near-dup (engine-specific hash → rows-only check) ----------------
+    // --- skew-capped dedup variants: the paths a 100×-scale corpus should
+    // run. q44b drops shingles with document frequency > 5 before the
+    // self-join (high-DF shingles contribute quadratic posting-list pairs
+    // with no similarity signal); the DuckDB oracle applies the SAME
+    // HAVING COUNT(*) <= 5 pre-filter, so the capped semantics — including
+    // the changed jac values — are hash-checked, not assumed. At sf0.01 the
+    // cap prunes 29 shingles.
+    "q44b_ngram_jaccard_capped" -> Q(
+      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 0.2,
+        dfCap = Some(5)).orderBy("d1", "d2"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 5),
+        sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 SEMI JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        ORDER BY d1, d2""")),
+
+    // q45b: LSH with the mega-bucket guard active (band buckets holding
+    // more than 4 docs are skipped — a bucket that big is a near-identical
+    // clique whose pairing is quadratic in clique size). The bucketing is
+    // engine-hash-specific so DuckDB cannot replicate WHICH buckets cap;
+    // the oracle stays exact Jaccard >= 0.8, which also proves the cap
+    // loses no true pair at this scale (the largest band bucket here is
+    // the 3-doc near-dup clique). Cap-triggering behavior is separately
+    // differential-tested in OpsSpec "skew guards".
+    "q45b_minhash_lsh_capped" -> Q(
+      (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", 0.8,
+        maxBucket = Some(4)).orderBy("d1", "d2"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ORDER BY d1, d2""")),
+
+    // --- SimHash near-dup: the PORTABLE 31-bit variant, fully oracle-backed
+    // (the 64-bit xxhash64 simhashPairs stays the production path and keeps
+    // its exact-all-pairs differential in OpsSpec). DuckDB recomputes the
+    // same word hashes → same 31-bit simhashes → exact all-pairs hamming.
     "q46_simhash" -> Q(
-      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 10)
-        .orderBy("d1", "d2"),
-      None),
+      (s, d) => Dedup.simhashPairsPortable(docs(s, d), "doc_id", "text",
+        maxDist = 3).orderBy("d1", "d2"),
+      Some {
+        val votes = (0 until 31).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val sim = (0 until 31).map(b =>
+          s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          whs AS (SELECT doc_id, ${Sql.wordHash("w")} AS h FROM words),
+          bits AS (SELECT doc_id, $votes FROM whs GROUP BY doc_id),
+          sims AS (SELECT doc_id, $sim AS sim FROM bits)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+            bit_count(xor(a.sim, b.sim)) AS dist
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          ORDER BY d1, d2"""
+      }),
 
     // --- brute-force cosine top-k similarity search --------------------------------
     "q47_ann_topk" -> Q(
@@ -279,15 +347,18 @@ object Pipeline {
         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
-    // --- document fingerprint (engine hash → rows-only) ---------------------------------
+    // --- document fingerprint: per-doc PORTABLE chain, fully oracle-backed
+    // (stronger than the old count-distinct shape — every fingerprint value
+    // is hash-checked; the xxhash64 TA.fingerprint stays the fast path).
     "q53_fingerprint" -> Q(
       (s, d) => docs(s, d)
-        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
-        .groupBy(lit(1).as("g")).agg(
-          countDistinct(col("fp")).as("distinct_fps"),
-          count(lit(1)).as("n_docs"))
-        .drop("g"),
-      None),
+        .select(col("doc_id"), TA.fingerprintPortable(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        list_reduce(list_prepend(7::BIGINT, list_transform(string_split(text, ' '),
+          w -> ${Sql.wordHash("w")})),
+          (acc, h) -> ((acc * 2654435761 + h) % 2147483647 * 2246822519) % 2147483647) AS fp
+        FROM documents ORDER BY doc_id""")),
 
     // --- sampling family: portable-hash variants (oracle-checkable; the
     // seeded-RNG sample/kFolds stay on Frame for API parity) ---------------
@@ -306,6 +377,72 @@ object Pipeline {
         }.reduce(_ unionByName _).select("fold", "n").orderBy("fold")
       },
       Some(s"""SELECT CAST(${Sql.mix("doc_id")} % 5 AS INTEGER) AS fold,
-        COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold"""))
+        COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold""")),
+
+    // --- positional API-parity chain against a hand-computed VALUES oracle.
+    // Exercises the reference pad/align semantics end-to-end
+    // (/root/reference/src/DataFrame/Operations/Core.hs:144-360 expandColumn,
+    // Operations/Subset.hs:48-96): fromNamedColumns → insertVector (short:
+    // null-pads; long: extends the frame with null rows) → filterByVector →
+    // takeLast → insertVectorWithDefault → applyAtIndex. Every edge the
+    // unit suite covers is re-checked here by value against DuckDB.
+    "q56_api_parity" -> Q(
+      (s, _) => {
+        import graft.api.{Asc, Frame}
+        val base = Frame.fromNamedColumns(s, Seq(
+          "k" -> Seq(1, 2, 3, 4, 5),
+          "v" -> Seq("a", "b", "c", "d", "e")))
+        val f1 = base.insertVector("s", Seq(10.5, 20.5), Asc(col("k")))
+        val f2 = f1.insertVector("l",
+          Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0), Asc(col("k")))
+        val f3 = f2.filterByVector(
+          Seq(true, false, true, true, false, true, true), Asc(col("l")))
+        val f4 = f3.takeLast(3, Asc(col("l")))
+        val f5 = f4.insertVectorWithDefault("w", -1.0, Seq(100.0), Asc(col("l")))
+        f5.applyAtIndex(0, "l", Asc(col("l")))(_ + 0.25)
+          .sortBy(Asc(col("l"))).df
+      },
+      Some("""SELECT * FROM (VALUES
+        (CAST(4 AS INTEGER), CAST('d' AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(4.25 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+        (CAST(NULL AS INTEGER), NULL, NULL, 6.0, -1.0),
+        (NULL, NULL, NULL, 7.0, -1.0)) AS t(k, v, s, l, w)
+        ORDER BY l""")),
+
+    // --- public explode/unnest surface: splitOn → explode → re-aggregate
+    // (the reference's list workflow, Functions.hs:300-307).
+    "q57_explode" -> Q(
+      (s, d) => graft.api.Frame(docs(s, d).select(col("doc_id"),
+          graft.api.functions.splitOn(col("text"), " ").as("words")))
+        .explodeCol("words", "word")
+        .groupBy("word").aggregate("n" -> count(lit(1)))
+        .filterWhere(col("n") >= 50)
+        .sortBy(graft.api.Desc(col("n")), graft.api.Asc(col("word"))).df,
+      Some("""SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w HAVING COUNT(*) >= 50 ORDER BY n DESC, word""")),
+
+    // --- partition-aware parquet write → partition-pruned read-back.
+    // The write lays out event_type=X/ directories; the read filters one
+    // value, which must prune at planning time (PlanSpec asserts the scan
+    // touches a single partition directory). Oracle recomputes from the
+    // source table — a layout or pruning bug surfaces as a value mismatch.
+    "q58_partitioned_write" -> Q(
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_q58_part"
+        graft.api.Frame(ev(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value")))
+          .writeParquet(out, partitionBy = Seq("event_type"))
+        s.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            graft.api.functions.dsumD(col("value")).as("total_value"),
+            max(col("event_id")).as("max_id"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${dsum("value")} AS total_value,
+        MAX(event_id) AS max_id FROM events WHERE event_type = 'purchase'
+        GROUP BY event_type"""))
   )
 }

@@ -22,4 +22,14 @@ object Sql {
   /** graft.api.Frame.portableMix in ANSI SQL — identical arithmetic. */
   def mix(e: String): String =
     s"((((($e) % 2147483647) * 2654435761 + 2246822519) % 2147483647) * 2246822519 % 2147483647)"
+  /** TextAnalysis.portableWordHash's char polynomial in DuckDB SQL:
+    * fold (acc·31 + codepoint) mod 2³¹−1 over the word's characters
+    * (DuckDB ascii() and Spark ascii() both return the Unicode code
+    * point of the first character — verified incl. CJK). `w` is a SQL
+    * expression yielding the word. */
+  def charPoly(w: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex($w,''), " +
+      "c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"
+  /** TextAnalysis.portableWordHash in DuckDB SQL. */
+  def wordHash(w: String): String = mix(charPoly(w))
 }

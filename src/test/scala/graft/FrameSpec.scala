@@ -182,6 +182,23 @@ class FrameSpec extends SparkSpec {
     assert(e.df.count() == 23)
   }
 
+  test("explodeCol / posexplodeCol unnest array columns") {
+    val f = Frame(Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+      .toDF("id", "xs"))
+    val ex = f.explodeCol("xs", "x")
+    assert(ex.columns == Seq("id", "x"))
+    assert(ex.df.orderBy("id", "x").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "c"))) // empty array drops
+    val pos = f.posexplodeCol("xs", "pos", "x")
+    assert(pos.columns == Seq("id", "pos", "x"))
+    assert(pos.df.filter($"id" === 1L && $"x" === "b")
+      .select("pos").as[Int].head() == 1)
+    // functions surface
+    import graft.api.{functions => gf}
+    val viaFn = f.df.select($"id", gf.explodeOuter($"xs").as("x"))
+    assert(viaFn.count() == 4) // id=3 keeps a null row
+  }
+
   test("hconcat zips by position") {
     val a = Frame(Seq(1, 2, 3).toDF("x"))
     val b = Frame(Seq("a", "b", "c").toDF("y"))

@@ -102,6 +102,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("portable simhash/fingerprint: deterministic, 31-bit, blocking matches exact all-pairs") {
+    val d = Tables.documents(spark, sfSmoke).select($"doc_id", $"text")
+    // 31-bit codomain
+    val sims = d.select(Dedup.simhashPortable($"text")).as[Long].collect()
+    assert(sims.forall(s => s >= 0 && s < (1L << 31)))
+    // blocking differential vs exact all-pairs hamming
+    val got = Dedup.simhashPairsPortable(d, "doc_id", "text", maxDist = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val sh = d.select($"doc_id", Dedup.simhashPortable($"text").as("sh"))
+    val exact = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" && Dedup.hamming($"a.sh", $"b.sh") <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"got ${got.size}, exact ${exact.size}")
+    // portable fingerprint: deterministic, order-sensitive, in-mixer-range
+    val fps = docs.select($"doc_id", TA.fingerprintPortable($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L) && fps(0L) != fps(2L))
+    assert(fps.values.forall(f => f >= 0 && f < (1L << 31)))
+  }
+
   test("cosine similarity: orthogonal=0, identical=1, topK ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -49,6 +49,33 @@ class PlanSpec extends SparkSpec {
       "star-schema dims should broadcast, not shuffle")
   }
 
+  test("partitioned write → filtered read prunes to one partition directory") {
+    import org.apache.spark.sql.functions._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_part"
+    graft.api.Frame(Tables.events(spark, sfSmoke)
+        .select(col("event_id"), col("event_type"), col("value")))
+      .writeParquet(out, partitionBy = Seq("event_type"))
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    // the filter must become a planning-time PartitionFilter on the scan
+    // (inputFiles reflects the pre-pruning analyzed plan, so check the
+    // physical scan instead)
+    val plan = pruned.queryExecution.executedPlan
+    val pf = plan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("purchase"), s"filter not a partition filter: $pf")
+    assert(pruned.count() > 0)
+    // resolve the scan's partition listing under its partition filters:
+    // only the one directory may survive
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=purchase")),
+      s"scan lists files outside the filtered partition: $files")
+  }
+
   test("SQL users reach graft_dot via SparkSessionExtensions") {
     // spark.sql.extensions is static conf — set in the session builders
     // (SparkSpec here; Verify/Bench for the driver surface)
