@@ -180,15 +180,36 @@ final class Frame(val df: DataFrame) {
   def dropRows(n: Int, order: SortKey*): Frame =
     Frame(indexed(order).filter(F.col(RowIdx) >= n).drop(RowIdx))
 
-  /** sorted frame + 0-based contiguous [[Frame.RowIdx]] column. */
+  /** sorted frame + 0-based contiguous [[Frame.RowIdx]] column.
+    *
+    * Implemented as zipWithIndex over the physical UnsafeRow RDD
+    * (`queryExecution.toRdd`): rows never leave Tungsten binary format —
+    * no Row-encoder round trip on either side. zipWithIndex's two passes
+    * (per-partition count, then map) run over ONE pinned RDD lineage, so
+    * the range-sort boundaries both passes see are identical. That
+    * pinning is load-bearing: a pure two-job Dataset formulation
+    * (offsets job + consumer job) re-instantiates the plan per action,
+    * and RangePartitioner re-SAMPLES boundaries with a per-RDD-id seed —
+    * offsets computed against one partitioning would be applied to
+    * another, silently corrupting indices. Every partition works in
+    * parallel (a global row_number window would funnel the whole table
+    * through one task). */
   private def indexed(order: Seq[SortKey]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     val sorted = df.orderBy(order.map(_.toCol): _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(RowIdx, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
+    val internal = sorted.queryExecution.toRdd.zipWithIndex.mapPartitions { it =>
+      val joined = new JoinedRow
+      val idxRow = new GenericInternalRow(1)
+      val proj = UnsafeProjection.create(schema)
+      it.map { case (r, i) =>
+        idxRow.setLong(0, i)
+        proj(joined(r, idxRow)): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.InternalBridge
+      .internalCreateDataFrame(sorted.sparkSession, internal, schema)
   }
   /** last n rows under an explicit ordering (Operations/Subset.hs
     * takeLast): the top-n of the REVERSED order — no count job, stays

@@ -16,6 +16,10 @@ final case class ProvideNames(names: Seq[String]) extends HeaderSpec
 sealed trait TypeSpec
 final case class InferFromSample(n: Int) extends TypeSpec
 final case class SpecifyTypes(types: Seq[DataType]) extends TypeSpec
+/** per-NAME column types (reference: IO/CSV.hs:141-196 keys options by
+  * column name, not position); unknown names error, matching the
+  * reference's failure on a spec for a column that doesn't exist. */
+final case class SpecifyTypesByName(types: Map[String, DataType]) extends TypeSpec
 case object NoInference extends TypeSpec
 
 final case class CsvOptions(
@@ -106,6 +110,7 @@ object Csv {
     opts.types match {
       case NoInference => cleaned
       case SpecifyTypes(ts) => castWithTypes(cleaned, ts, opts)
+      case SpecifyTypesByName(ts) => castWithTypesByName(cleaned, ts, opts)
       case InferFromSample(n) => inferAndCast(cleaned, n, opts)
     }
   }
@@ -154,6 +159,23 @@ object Csv {
         castTo(q(c), ts(i), opts.dateFormat).as(c)
       else q(c)
     }.toSeq: _*)
+
+  /** by-name SpecifyTypes: cast the named columns, leave the rest as
+    * string; an unknown name is an immediate error. */
+  private def castWithTypesByName(df: DataFrame, ts: Map[String, DataType],
+                                  opts: CsvOptions): DataFrame = {
+    val unknown = ts.keys.filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"SpecifyTypesByName: no such column(s): ${unknown.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    df.select(df.columns.map { c =>
+      ts.get(c) match {
+        case Some(t) if !opts.corruptColumn.contains(c) =>
+          castTo(q(c), t, opts.dateFormat).as(c)
+        case _ => q(c)
+      }
+    }.toSeq: _*)
+  }
 
   private def castTo(c: Column, t: DataType, fmt: String): Column = t match {
     case DateType => F.try_to_date(c, fmt)

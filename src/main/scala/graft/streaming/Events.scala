@@ -41,14 +41,16 @@ object Events {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, duration_sec: Double)
 
-  /** Stateful sessionization with a 30-minute inactivity gap via
-    * flatMapGroupsWithState — emits a session when the gap elapses
-    * (ProcessingTimeTimeout for the local smoke path; on a production
-    * stream use EventTimeTimeout + watermark).
+  /** Batch-complete sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState. Mirrors the batch gaps-and-islands query
+    * (q51_sessions) so the two can be differentially tested.
     *
-    * Mirrors the batch gaps-and-islands query (q51_sessions) so the two
-    * can be differentially tested.
-    */
+    * DEPRECATED for streams: NoTimeout + a per-user LIST of sessions
+    * means state grows with event count and trailing sessions never
+    * close — on an unbounded stream use [[sessionizeStream]]
+    * (EventTimeTimeout + watermark, one open session per user). */
+  @deprecated("smoke-test/batch-differential only — unbounded state on a " +
+    "real stream; use sessionizeStream", "round-3")
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000

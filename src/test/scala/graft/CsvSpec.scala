@@ -83,6 +83,23 @@ class CsvSpec extends SparkSpec {
     assert(two.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, DoubleType))
   }
 
+  test("SpecifyTypesByName casts by name; unknown name errors") {
+    val p = writeFixture("byname.csv", "a,b,c\n1,2.5,2020-01-01\n2,3.5,2020-01-02\n")
+    val df = Csv.read(spark, p, CsvOptions(types = SpecifyTypesByName(
+      Map("a" -> LongType, "c" -> DateType))))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("a") == LongType)
+    assert(types("b") == StringType) // unnamed stays string
+    assert(types("c") == DateType)
+    assert(df.agg(sum("a")).head().getLong(0) == 3L)
+    // unknown-name error parity with the reference's named specs
+    val err = intercept[IllegalArgumentException] {
+      Csv.read(spark, p, CsvOptions(types = SpecifyTypesByName(
+        Map("nope" -> LongType))))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("corrupt records: partiallyParsed captures structural failures") {
     val p = writeFixture("corrupt.csv", "a,b\n1,2\nonlyone\n3,4\n")
     val df = Csv.read(spark, p, CsvOptions(

@@ -1,10 +1,12 @@
 package graft
 
+import scala.annotation.nowarn
 import org.apache.spark.sql.functions._
 import graft.streaming.Events
 
 /** Structured Streaming: the streaming path must agree with the identical
   * batch transform (same code, incremental execution). */
+@nowarn("cat=deprecation") // batch-differential intentionally uses sessionize
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
   initLogs()
