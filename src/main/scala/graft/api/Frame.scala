@@ -44,6 +44,21 @@ final class Frame(val df: DataFrame) {
       .parquet(path)
   }
   def writeJSONL(path: String): Unit = graft.sources.Json.writeJSONL(df, path)
+  /** bucketed managed-table sink: rows are hash-clustered into a fixed
+    * number of buckets per `cols` (optionally sorted within buckets).
+    * Joins and aggregations between tables bucketed the same way on the
+    * same keys need NO shuffle at all — at 100 TB, pre-bucketing the
+    * fact tables once pays for itself on the first repeated join
+    * (plan-asserted shuffle-free in PlanSpec). Bucket count is fixed at
+    * write time: pick ≈ cluster cores × small factor. */
+  def writeBucketedTable(table: String, buckets: Int, cols: Seq[String],
+                         sortCols: Seq[String] = Nil): Unit = {
+    require(cols.nonEmpty, "writeBucketedTable: no bucket columns")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
   /** JDBC sink (dataframe-persistent toPersistent). */
   def toPersistent(url: String, table: String): Unit =
     graft.sources.Jdbc.toPersistent(df, url, table)
@@ -444,6 +459,11 @@ object Frame {
   /** JDBC source (dataframe-persistent fromPersistent). */
   def fromPersistent(spark: SparkSession, url: String, table: String): Frame =
     Frame(graft.sources.Jdbc.fromPersistent(spark, url, table))
+  /** catalog-table source (pairs with [[Frame.writeBucketedTable]] —
+    * reads carry the bucketing metadata, so co-bucketed joins plan
+    * shuffle-free). */
+  def fromTable(spark: SparkSession, table: String): Frame =
+    Frame(spark.table(table))
 
   // ---- in-memory constructors (Operations/Core.hs:613-643) --------------
   /** build a Frame from named columns; shorter columns null-pad to the

@@ -65,6 +65,45 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("code")).otherwise(lit("unk"))
   }
 
+  /** word n-grams as an array column (space-joined). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => get(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** fraction of tokens covered by the single most frequent word
+    * n-gram — the Gopher-style repetition signal (high on looping /
+    * boilerplate text). Pure expressions, O(distinct·total) per row,
+    * scan-stage. 0.0 for docs shorter than n tokens. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    val maxCount = array_max(transform(array_distinct(g),
+      x => size(filter(g, y => y === x))))
+    when(size(g) > 0,
+      maxCount.cast("double") * n / size(tokens(text))).otherwise(lit(0.0))
+  }
+
+  /** fraction of repeated (non-first-occurrence) tokens:
+    * 1 − distinct/total. 0 on empty docs. */
+  def duplicateWordFraction(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) > 0,
+      lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+      .otherwise(lit(0.0))
+  }
+
+  /** fraction of repeated non-empty lines — the duplicate-line Gopher
+    * signal; 0 for single-line docs. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(lit(0.0))
+  }
+
   /** 64-bit rolling document fingerprint: order-sensitive hash chain over
     * words (acc ← xxhash64(acc, word)), as a single fold — deterministic,
     * partition-local, and overflow-free under ANSI mode (a raw polynomial

@@ -422,6 +422,36 @@ object Pipeline {
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w HAVING COUNT(*) >= 50 ORDER BY n DESC, word""")),
 
+    // --- repetition quality signals (Gopher-style): top-bigram/-trigram
+    // token coverage and duplicate-word fraction per doc, each replicated
+    // in DuckDB list SQL. The high end of top2 flags looping/boilerplate
+    // docs a pretraining pipeline drops.
+    "q59_repetition" -> Q(
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TA.topNgramFraction(col("text"), 2).as("top2"),
+        TA.topNgramFraction(col("text"), 3).as("top3"),
+        TA.duplicateWordFraction(col("text")).as("dup_words"))
+        .orderBy("doc_id"),
+      Some {
+        def topSql(n: Int) = {
+          val gram = (1 to n).map(k => s"w[i+${k - 1}]").mkString(" || ' ' || ")
+          s"""CASE WHEN len(w) >= $n THEN
+            CAST(list_max(list_transform(list_distinct(g$n),
+              x -> len(list_filter(g$n, y -> y = x)))) * $n AS DOUBLE) / len(w)
+            ELSE 0.0 END"""
+        }
+        s"""SELECT doc_id, ${topSql(2)} AS top2, ${topSql(3)} AS top3,
+          CASE WHEN len(w) > 0
+            THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+            ELSE 0.0 END AS dup_words
+        FROM (SELECT doc_id, w,
+            list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1]) AS g2,
+            list_transform(range(1, greatest(len(w) - 1, 1)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        ORDER BY doc_id"""
+      }),
+
     // --- partition-aware parquet write → partition-pruned read-back.
     // The write lays out event_type=X/ directories; the read filters one
     // value, which must prune at planning time (PlanSpec asserts the scan

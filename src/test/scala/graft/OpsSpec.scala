@@ -225,6 +225,27 @@ class OpsSpec extends SparkSpec {
     assert(TA.defaultStopwords.nonEmpty)
   }
 
+  test("repetition signals: looping text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),              // one repeated word
+      (2L, "buy now buy now buy now buy now"),            // repeated bigram
+      (3L, "all these words appear exactly once here"),   // no repetition
+      (4L, "x"),                                          // shorter than any n-gram
+      (5L, "line\nline\nother")                           // duplicate line
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TA.topNgramFraction($"text", 2).as("top2"),
+      TA.duplicateWordFraction($"text").as("dupw"),
+      TA.duplicateLineFraction($"text").as("dupl"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 > 0.9 && r(1L)._2 > 0.8)   // "spam spam" dominates
+    assert(r(2L)._1 > 0.9)                      // "buy now" covers most tokens
+    assert(r(3L)._1 < 0.4 && r(3L)._2 == 0.0)
+    assert(r(4L)._1 == 0.0 && r(4L)._2 == 0.0)
+    assert(math.abs(r(5L)._3 - (1.0 - 2.0 / 3)) < 1e-12)
+    assert(r(3L)._3 == 0.0)
+  }
+
   test("bpe-ish token count segments words and punctuation") {
     val df = Seq((1L, "hello, world! a1b2")).toDF("doc_id", "text")
     val n = df.select(TA.tokenCountBpeIsh($"text")).as[Int].head()

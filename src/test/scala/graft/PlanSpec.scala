@@ -76,6 +76,34 @@ class PlanSpec extends SparkSpec {
       s"scan lists files outside the filtered partition: $files")
   }
 
+  test("co-bucketed tables join with no shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    graft.api.Frame(orders).writeBucketedTable(
+      "graft_bkt_orders", 8, Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+    graft.api.Frame(li).writeBucketedTable(
+      "graft_bkt_lineitem", 8, Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the assertion is about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = graft.api.Frame.fromTable(spark, "graft_bkt_orders")
+        .innerJoin(graft.api.Frame.fromTable(spark, "graft_bkt_lineitem"),
+          Seq("o_orderkey"))
+      val plan = j.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join should be shuffle-free:\n$plan")
+      assert(j.df.count() == li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("SQL users reach graft_dot via SparkSessionExtensions") {
     // spark.sql.extensions is static conf — set in the session builders
     // (SparkSpec here; Verify/Bench for the driver surface)
