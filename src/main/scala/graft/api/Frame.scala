@@ -37,9 +37,16 @@ final class Frame(val df: DataFrame) {
     * on a partition column prunes to its directories at planning time
     * (zero data read for excluded partitions — plan-asserted in
     * PlanSpec). Pick low-cardinality columns a downstream query filters
-    * on; never a high-cardinality key (one dir per value). */
-  def writeParquet(path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+    * on; never a high-cardinality key (one dir per value).
+    * `maxRecordsPerFile` > 0 caps file size (file sizing is the other
+    * half of write-side layout: too-large files limit read parallelism,
+    * too-small ones drown the driver in footers). */
+  def writeParquet(path: String, partitionBy: Seq[String] = Nil,
+                   compression: String = "snappy",
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    var w = df.write.mode("overwrite").option("compression", compression)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
@@ -255,6 +262,20 @@ final class Frame(val df: DataFrame) {
   /** deterministic disjoint folds: fold i = rows with mix(id) ≡ i (mod n). */
   def kFoldsHash(idCol: String, n: Int): Seq[Frame] =
     (0 until n).map(i => Frame(df.filter(portableMix(F.col(idCol)) % n === i)))
+  /** deterministic, engine-portable STRATIFIED sample: per-stratum keep
+    * probability (strata absent from the map drop). Same portable-mixer
+    * property as [[sampleHash]] — any engine, any rerun, any
+    * partitioning selects the same rows, which is how a 100 TB pipeline
+    * rebalances sources (e.g. downsample crawl, keep all books)
+    * reproducibly. One scan, no shuffle. */
+  def sampleHashStratified(idCol: String, strataCol: String,
+                           fractions: Map[String, Double]): Frame = {
+    val thresh = fractions.foldLeft(F.lit(-1L).cast(LongType)) {
+      case (acc, (k, p)) =>
+        F.when(F.col(strataCol) === k, F.lit(math.round(p * MixM))).otherwise(acc)
+    }
+    Frame(df.filter(portableMix(F.col(idCol)) < thresh))
+  }
   def randomSplit(p: Double, seed: Long): (Frame, Frame) = {
     val Array(a, b) = df.randomSplit(Array(p, 1 - p), seed)
     (Frame(a), Frame(b))

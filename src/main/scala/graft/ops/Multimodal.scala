@@ -161,6 +161,107 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ---- real audio codec (RIFF/WAVE PCM) ---------------------------------
+
+  /** audio analog of [[MediaCodec]]: decode a payload to (sampleRate,
+    * mono float samples in [-1, 1]); None when not decodable. */
+  trait AudioCodec extends Serializable {
+    def name: String
+    def decode(payload: Array[Byte]): Option[(Int, Array[Float])]
+  }
+
+  /** Minimal RIFF/WAVE PCM decoder: 8- or 16-bit integer PCM, any
+    * channel count (channels average to mono). A pure-JVM chunk walk —
+    * no external dependency; corrupt, truncated, or non-WAV payloads
+    * yield None (never a failed task). */
+  object WavCodec extends AudioCodec {
+    val name = "wav-pcm"
+
+    def decode(payload: Array[Byte]): Option[(Int, Array[Float])] = try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (bb.remaining() < 12 || tag() != "RIFF") return None
+      bb.getInt() // declared RIFF size (untrusted — we walk actual chunks)
+      if (tag() != "WAVE") return None
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+      while (bb.remaining() >= 8) {
+        val id = tag()
+        val size = bb.getInt()
+        if (size < 0 || size > bb.remaining()) return None
+        val next = bb.position() + size + (size & 1) // chunks are word-aligned
+        if (id == "fmt " && size >= 16) {
+          fmt = Some((bb.getShort().toInt, bb.getShort().toInt,
+            bb.getInt(), { bb.getInt(); bb.getShort(); bb.getShort().toInt }))
+        } else if (id == "data") {
+          fmt match {
+            case Some((1, ch, rate, bits))
+                if ch >= 1 && (bits == 8 || bits == 16) =>
+              val bytesPerSample = bits / 8
+              val frames = size / (bytesPerSample * ch)
+              val mono = new Array[Float](frames)
+              var i = 0
+              while (i < frames) {
+                var acc = 0.0f
+                var c = 0
+                while (c < ch) {
+                  acc += (if (bits == 16) bb.getShort() / 32768.0f
+                          else ((bb.get() & 0xFF) - 128) / 128.0f)
+                  c += 1
+                }
+                mono(i) = acc / ch
+                i += 1
+              }
+              return Some((rate, mono))
+            case _ => return None // non-PCM or fmt missing/unsupported
+          }
+        }
+        if (next > bb.limit()) return None
+        bb.position(next)
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_sec", DoubleType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("peak", DoubleType, nullable = true),
+    StructField("zero_cross_rate", DoubleType, nullable = true)))
+
+  /** REAL audio decode + feature extraction (duration, RMS, peak,
+    * zero-crossing rate), per-partition, same no-payload-shuffle shape
+    * as [[decodeImages]]; undecodable payloads → null features. */
+  def decodeAudio(packed: DataFrame, codec: AudioCodec = WavCodec): DataFrame = {
+    val spark = packed.sparkSession
+    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        codec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((rate, s)) if s.nonEmpty =>
+            var sumSq = 0.0; var peak = 0.0; var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              sumSq += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
+              i += 1
+            }
+            Row(id, rate, s.length.toLong, s.length.toDouble / rate,
+              math.sqrt(sumSq / s.length), peak, zc.toDouble / s.length)
+          case _ => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),

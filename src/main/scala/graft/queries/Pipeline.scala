@@ -379,6 +379,26 @@ object Pipeline {
       Some(s"""SELECT CAST(${Sql.mix("doc_id")} % 5 AS INTEGER) AS fold,
         COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold""")),
 
+    // --- portable stratified sampling: per-stratum keep probabilities,
+    // reproducible across engines/reruns/partitionings (the source-
+    // rebalancing primitive of a pretraining pipeline); strata absent
+    // from the map drop entirely (es/de here).
+    "q60_stratified_sample" -> Q(
+      (s, d) => graft.api.Frame(docs(s, d))
+        .sampleHashStratified("doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0, "fr" -> 0.1))
+        .df.groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id
+        FROM documents
+        WHERE ${Sql.mix("doc_id")} < CASE lang
+          WHEN 'en' THEN CAST(round(0.5 * 2147483647) AS BIGINT)
+          WHEN 'zh' THEN CAST(round(1.0 * 2147483647) AS BIGINT)
+          WHEN 'fr' THEN CAST(round(0.1 * 2147483647) AS BIGINT)
+          ELSE -1 END
+        GROUP BY lang ORDER BY lang""")),
+
     // --- positional API-parity chain against a hand-computed VALUES oracle.
     // Exercises the reference pad/align semantics end-to-end
     // (/root/reference/src/DataFrame/Operations/Core.hs:144-360 expandColumn,

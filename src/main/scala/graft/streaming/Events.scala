@@ -35,6 +35,18 @@ object Events {
   def withLateData(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
 
+  /** exact dedup on a stream — the streaming analog of `Dedup.exact`:
+    * the first arrival of each key emits, later duplicates within the
+    * watermark horizon drop, and key state EXPIRES once the watermark
+    * passes (bounded state — a plain dropDuplicates on a stream keeps
+    * every key forever). A duplicate arriving later than the watermark
+    * delay after its original is treated as new: pick the delay from
+    * the pipeline's actual duplicate lag. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)

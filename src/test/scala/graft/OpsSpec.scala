@@ -285,6 +285,36 @@ class OpsSpec extends SparkSpec {
     assert(back.getInt(1) == 4 && back.getInt(2) == 2)
   }
 
+  test("multimodal audio: real WAV PCM decode + features; corrupt → null") {
+    import javax.sound.sampled._
+    // 0.5 s of a 440 Hz sine at 8 kHz, amplitude 0.5, written through
+    // javax.sound (an independent WAV writer — stronger than testing our
+    // decoder against bytes we laid out ourselves)
+    val rate = 8000f; val freq = 440.0; val n = 4000
+    val samples = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt.toShort)
+    val pcm = new Array[Byte](n * 2)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val packed = Seq((1L, wav), (2L, "not audio at all".getBytes),
+      (3L, wav.take(30))) // recognized header, truncated data
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeAudio(packed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f = feats(1L)
+    assert(f.getInt(1) == 8000 && f.getLong(2) == 4000L)
+    assert(math.abs(f.getDouble(3) - 0.5) < 1e-9)                 // duration
+    assert(math.abs(f.getDouble(4) - 0.5 / math.sqrt(2)) < 0.005) // sine RMS
+    assert(math.abs(f.getDouble(6) - 2 * freq / rate) < 0.01)     // zero-cross rate
+    assert(f.getDouble(5) <= 0.5 + 1e-6 && f.getDouble(5) > 0.45) // peak
+    assert(feats(2L).isNullAt(1) && feats(3L).isNullAt(1))
+  }
+
   test("multimodal: pack → features → frames → resize plumbing") {
     val packed = Multimodal.packDocuments(docs)
     assert(packed.schema("payload").dataType.typeName == "binary")

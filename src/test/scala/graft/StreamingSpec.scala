@@ -99,6 +99,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long) = Events.Event(
+      id, new java.sql.Timestamp(minute * 60000L), 1L, "click", 1.0)
+    val src = MemoryStream[Events.Event]
+    val q = Events.dedupStream(src.toDS().toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      src.addData(ev(1, 100), ev(2, 110)); q.processAllAvailable()
+      // a cross-batch duplicate of id 1 within the watermark horizon drops
+      src.addData(ev(1, 111), ev(3, 120)); q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("watermark + sliding windows: stream equals batch") {
     val ev = Tables.events(spark, sfSmoke)
     val slid = Events.slidingStats(Events.withLateData(ev))
