@@ -28,21 +28,36 @@ object Dedup {
             get(col("w"), i + 2))))).as("s"))
   }
 
-  /** 64-bit trigram shingle hashes, de-duplicated per document — the
-    * join/sketch hot path. Hashes the three words directly
-    * (multi-arg xxhash64), skipping the per-shingle string concat the
-    * display-oriented [[shingles]] builds. Distinct-hash counts equal
-    * distinct-string counts modulo ~n²/2⁶⁵ collisions — the same
-    * accepted approximation as joining on hashes. */
-  def shingleHashes(df: DataFrame, id: String, text: String): DataFrame = {
+  /** per-doc array of distinct 64-bit trigram shingle hashes — the
+    * join/sketch hot path, computed ONCE in the scan projection. Hashes
+    * the three words directly (multi-arg xxhash64), skipping the
+    * per-shingle string concat the display-oriented [[shingles]] builds.
+    * Distinct-hash counts equal distinct-string counts modulo ~n²/2⁶⁵
+    * collisions — the same accepted approximation as joining on hashes.
+    * Emits (idCol, "hs": array<long>). */
+  def shingleHashArrays(df: DataFrame, id: String, text: String): DataFrame = {
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col(id), explode(array_distinct(
+      .select(col(id), array_distinct(
         transform(sequence(lit(0), size(col("w")) - 3),
           i => xxhash64(get(col("w"), i), get(col("w"), i + 1),
-            get(col("w"), i + 2))))).as("s"))
+            get(col("w"), i + 2)))).as("hs"))
   }
+
+  /** exploded (idCol, "s") shingle-hash rows.
+    *
+    * explode_OUTER, deliberately: the array is never empty (the
+    * `size(w) >= 3` filter guarantees ≥ 1 shingle) so outer ≡ inner —
+    * but exploding an ATTRIBUTE with inner explode triggers
+    * InferFiltersFromGenerate, whose inferred `size(hs) > 0 /
+    * isnotnull(hs)` predicates push below the projection by alias
+    * substitution and re-evaluate the whole shingle transform twice
+    * more per row (observed 4× wall-clock on q44). The outer variant is
+    * exempt from that rule. */
+  def shingleHashes(df: DataFrame, id: String, text: String): DataFrame =
+    shingleHashArrays(df, id, text)
+      .select(col(id), explode_outer(col("hs")).as("s"))
 
   /** exact dedup: keep the smallest id per identical key column. */
   def exact(df: DataFrame, id: String, key: String): DataFrame = {
@@ -65,7 +80,12 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same counts modulo
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
     // shuffles 8-byte keys instead of strings, which is the term that
-    // dominates at corpus scale.
+    // dominates at corpus scale. The pair aggregation keys stay the slim
+    // (d1, d2) and `sizes` stays an AGGREGATE over the exploded shingles:
+    // two alternatives measured SLOWER at sf0.1 — carrying sizes through
+    // the pair join/groupBy doubled its hash width (2-4×), and a
+    // scan-only size(hs) projection lost the accurate post-aggregate
+    // statistics that let the sizes joins broadcast (+45%).
     val sh0 = shingleHashes(df, id, text)
     val sh = dfCap match {
       case Some(cap) =>
@@ -74,12 +94,12 @@ object Dedup {
         sh0.join(keep, Seq("s"), "left_semi")
       case None => sh0
     }
+    // capped semantics: sizes count only RETAINED shingles
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(id).as("d1"), col("s"))
     val b = sh.select(col(id).as("d2"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+    a.join(b, Seq("s")).filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-    inter
       .join(sizes.select(col(id).as("d1"), col("n").as("na")), Seq("d1"))
       .join(sizes.select(col(id).as("d2"), col("n").as("nb")), Seq("d2"))
       .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
@@ -90,15 +110,14 @@ object Dedup {
   /** MinHash signatures: numPerms independent min-hashes over shingles,
     * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
     * tight loop per document instead of a numPerms-element array
-    * allocation per shingle row. The shuffle carries each doc's shingle
-    * hash list (8 bytes/shingle). Returns (id, sig: array<long>). */
+    * allocation per shingle row. Entirely scan-stage: the shingle-hash
+    * array is built in the same projection (no explode → collect_list
+    * shuffle — min-hashing is order-independent, so the per-doc array
+    * never needs to leave its executor). Returns (id, sig: array<long>). */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        numPerms: Int): DataFrame = {
-    val sh = shingleHashes(df, id, text).withColumnRenamed("s", "h")
-    sh.groupBy(col(id)).agg(collect_list("h").as("hs"))
-      .select(col(id),
-        graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
-  }
+                        numPerms: Int): DataFrame =
+    shingleHashArrays(df, id, text).select(col(id),
+      graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
 
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
     * then verify candidates with exact Jaccard (no false positives; miss
@@ -132,18 +151,17 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
-    // verify candidates with exact Jaccard (small candidate set)
-    val sh = shingleHashes(df, id, text)
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col(id).as("d1"), col("s")), Seq("d1"))
-      .join(sh.select(col(id).as("d2"), col("s").as("s2")), Seq("d2"))
-      .filter(col("s") === col("s2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col(id).as("d1"), col("n").as("na")), Seq("d1"))
-      .join(sizes.select(col(id).as("d2"), col("n").as("nb")), Seq("d2"))
-      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+    // verify candidates with exact Jaccard: join each side's shingle-hash
+    // ARRAY (computed once in a scan projection) and intersect per pair —
+    // no re-explode, no per-shingle shuffle, no sizes aggregates. The
+    // candidate set is small, so carrying two arrays per pair is cheap.
+    val arrays = shingleHashArrays(df, id, text)
+    cand
+      .join(arrays.select(col(id).as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(arrays.select(col(id).as("d2"), col("hs").as("hs2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("i").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
   }
