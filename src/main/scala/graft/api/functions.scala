@@ -106,9 +106,14 @@ object functions {
   // type decimal(28,6) holds ~1e22, i.e. 10^12 rows of 10^5-sized values
   // per group before overflow — safe at 100 TB.
   def dsum(c: Column): Column = F.sum(c.cast("decimal(18,6)"))
-  def dsumD(c: Column): Column = dsum(c).cast("double")
+  /** exact sum as double — same per-row decimal(18,6) rounding as
+    * [[dsum]], accumulated in graft's codegen'd 128-bit register
+    * instead of Spark's BigDecimal-backed decimal(28,6) sum buffer
+    * (bit-identical results, ~3× faster on agg-bound queries; see
+    * [[graft.expr.Int128SumMicros]]). */
+  def dsumD(c: Column): Column = graft.expr.AggregateExpressions.dsum128(c)
   def davg(c: Column): Column =
-    (dsum(c).cast("double") / F.count(F.when(c.isNotNull, 1)))
+    (dsumD(c) / F.count(F.when(c.isNotNull, 1)))
 
   /** fast nondeterministic double sum (order-dependent in the last ulps,
     * like any parallel engine's SUM(double)) — use when throughput matters

@@ -37,5 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(args.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dsum128"),
+      new ExpressionInfo(classOf[Int128SumMicros].getName, "graft_dsum128"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "graft_dsum128(unscaledMicros[, scale]) sums bigint unscaled values exactly")
+        val scale = args.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"scale must be an int literal, got $other")
+        }.getOrElse(6)
+        Int128SumMicros(args.head, scale)
+      }))
   }
 }

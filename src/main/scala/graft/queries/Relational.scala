@@ -378,7 +378,13 @@ object Relational {
     // --- variance / stddev / correlation via exact moments ---------------------
     "q24_stats_moments" -> Q(
       (s, d) => {
-        def dsumc(c: Column, t: String = "decimal(18,6)") = sum(c.cast(t)).cast("double")
+        // 128-bit exact sums (same per-row decimal rounding, primitive
+        // codegen buffer — see graft.expr.Int128SumMicros); scale 4 keeps
+        // the y² terms inside 18 digits, matching the oracle's cast
+        def dsumc(c: Column, t: String = "decimal(18,6)") = {
+          val scale = t.split(",")(1).stripSuffix(")").trim.toInt
+          graft.expr.AggregateExpressions.dsumScaled(c, scale)
+        }
         val x = col("l_quantity"); val y = col("l_extendedprice")
         val n = count(lit(1)).cast("double")
         val sx = dsumc(x); val sxx = dsumc(x * x)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Custom Catalyst aggregate semantics: the 128-bit exact sum must be
+  * bit-identical to the decimal(18,6) formulation it replaces, on every
+  * path (partial/final merge, grouped, nulls, negatives, empty). */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+  initLogs()
+
+  private def decimalSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  test("dsum128 equals the decimal sum on random signed data across partitions") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(10000)((rnd.nextLong() % 4, // 4 groups
+      (rnd.nextDouble() - 0.5) * 2e9 + rnd.nextGaussian() * 1e-4))
+    val df = xs.toDF("k", "x").repartition(16) // force partial + merge
+    val got = df.groupBy("k").agg(gf.dsumD($"x").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("k").agg(decimalSum($"x").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want) // exact double equality — same per-row rounding + exact sum
+  }
+
+  test("dsum128: nulls skipped, all-null and empty groups → null, magnitudes near the cast bound") {
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(1.0000005)), (1L, None), (1L, Some(-2.25)),
+      (2L, None), (2L, None),
+      (3L, Some(9.99999e11)), (3L, Some(-9.99999e11)), (3L, Some(0.000001))
+    ).toDF("k", "x")
+    val rows = df.groupBy("k").agg(gf.dsumD($"x").as("s"), decimalSum($"x").as("w"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1),
+         if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    rows.values.foreach { case (got, want) => assert(got == want) }
+    assert(rows(2L)._1 == null)
+    // ungrouped over an empty frame → null, matching SUM semantics
+    val empty = df.filter($"k" === 99L)
+    assert(empty.agg(gf.dsumD($"x")).head().isNullAt(0))
+  }
+
+  test("dsum128: negative totals and the 2^63 lo-word carry path") {
+    // many large negative micros force low-word wraparound + borrow
+    val df = spark.range(0, 200000)
+      .select((lit(-9.5e8) - ($"id" % 7).cast("double")).as("x"))
+    val got = df.agg(gf.dsumD($"x")).head().getDouble(0)
+    val want = df.agg(decimalSum($"x")).head().getDouble(0)
+    assert(got == want && got < 0)
+  }
+
+  test("davg matches the decimal formulation") {
+    val df = Seq(Some(1.5), None, Some(2.5), Some(-0.25)).toDF("x")
+    val got = df.agg(gf.davg($"x")).head().getDouble(0)
+    val want = df.agg((decimalSum($"x") / count(when($"x".isNotNull, 1))))
+      .head().getDouble(0)
+    assert(got == want)
+  }
+}

@@ -115,6 +115,10 @@ class PlanSpec extends SparkSpec {
       "SELECT graft_minhash_sig(array(1L, 2L, 3L), 16) AS s")
       .head().getSeq[Long](0)
     assert(sig.length == 16)
+    val s128 = spark.sql(
+      "SELECT graft_dsum128(unscaled, 6) FROM VALUES (1500000L), (2250000L) AS t(unscaled)")
+      .head().getDouble(0)
+    assert(s128 == 3.75)
   }
 
   test("Frame.zScore / imputeWithMean / frequencies avoid global windows") {
