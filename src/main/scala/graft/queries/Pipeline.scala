@@ -442,6 +442,28 @@ object Pipeline {
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w HAVING COUNT(*) >= 50 ORDER BY n DESC, word""")),
 
+    // --- as-of (point-in-time) join: each click gets the user's most
+    // recent purchase value at-or-before its timestamp. One shuffle on
+    // the key + per-key window carry-forward (ops/AsofJoin.scala);
+    // oracle = DuckDB's native ASOF LEFT JOIN.
+    "q61_asof_join" -> Q(
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("last_purchase"))
+        graft.ops.AsofJoin.asofJoinBackward(
+            clicks, purchases, "user_id", "ts", Seq("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (SELECT user_id, ts, MAX(value) AS last_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, r.last_purchase
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY event_id""")),
+
     // --- repetition quality signals (Gopher-style): top-bigram/-trigram
     // token coverage and duplicate-word fraction per doc, each replicated
     // in DuckDB list SQL. The high end of top2 flags looping/boilerplate

@@ -122,6 +122,31 @@ class OpsSpec extends SparkSpec {
     assert(fps.values.forall(f => f >= 0 && f < (1L << 31)))
   }
 
+  test("asof join: backward, ties attach, no match → null, per-key isolation") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val trades = Seq((1L, 1L, t(10)), (2L, 1L, t(20)), (3L, 1L, t(30)),
+      (4L, 2L, t(15)), (5L, 3L, t(5)))
+      .toDF("trade_id", "k", "ts")
+    val quotes = Seq((1L, t(10), 1.0), (1L, t(25), 2.0), (2L, t(14), 9.0))
+      .toDF("k", "ts", "px")
+    val got = graft.ops.AsofJoin
+      .asofJoinBackward(trades, quotes, "k", "ts", Seq("px"))
+      .orderBy("trade_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got(1L) == 1.0)  // tie: quote at ts == trade ts attaches
+    assert(got(2L) == 1.0)  // latest quote <= 20 is the one at 10
+    assert(got(3L) == 2.0)  // picks up the 25-minute quote
+    assert(got(4L) == 9.0)  // key 2 sees only key-2 quotes
+    assert(got(5L) == null) // key 3 has no quote at all
+    // plan: the window is key-partitioned, never global
+    val plan = graft.ops.AsofJoin
+      .asofJoinBackward(trades, quotes, "k", "ts", Seq("px"))
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
+  }
+
   test("cosine similarity: orthogonal=0, identical=1, topK ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
