@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed point-in-interval (range) join — `l.key = r.key AND l.ts
+  * BETWEEN r.start AND r.end` — as a bucketed equi-join.
+  *
+  * Spark plans a raw inequality conjunct as a key equi-join whose
+  * non-equi part is a post-join filter: every same-key pair
+  * materializes before the range predicate prunes, which explodes on
+  * hot keys. Here time is cut into `bucketWidthMicros` buckets: a point
+  * lands in exactly ONE bucket, an interval explodes into the buckets
+  * it covers, and the join is a pure equi-join on (key, bucket) with
+  * the exact BETWEEN applied after. No dedup pass is needed — a
+  * (point, interval) match can only meet in the point's single bucket.
+  *
+  * Pick `bucketWidthMicros` near the typical interval length: cost is
+  * ~(interval/bucketWidth + 1) replicated interval rows, and bucket-join
+  * fan-in of points per (key, bucket). `maxBucketsPerInterval` caps
+  * pathological intervals by TRUNCATING them to the cap — an explicit,
+  * documented recall trade-off like Dedup's skew guards; the default
+  * (None) replicates faithfully.
+  */
+object RangeJoin {
+
+  private val PB = "__graft_pbkt"
+  private val IB = "__graft_ibkt"
+  private val RK = "__graft_rkey"
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+                      ts: String, start: String, end: String,
+                      bucketWidthMicros: Long,
+                      maxBucketsPerInterval: Option[Int] = None): DataFrame = {
+    require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    val w = bucketWidthMicros
+    val sB = (unix_micros(col(start)) / w).cast("long")
+    val eB0 = (unix_micros(col(end)) / w).cast("long")
+    val eB = maxBucketsPerInterval match {
+      case Some(cap) => least(eB0, sB + (cap - 1))
+      case None => eB0
+    }
+    val p = points.withColumn(PB, (unix_micros(col(ts)) / w).cast("long"))
+    val iv = intervals
+      .filter(col(start) <= col(end))
+      .withColumn(IB, explode(sequence(sB, eB)))
+      .withColumnRenamed(key, RK)
+    p.join(iv, col(PB) === col(IB) && col(key) === col(RK), "inner")
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop(PB, IB, RK)
+  }
+}

@@ -464,6 +464,35 @@ object Pipeline {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // --- keyed point-in-interval range join: clicks inside the 30-minute
+    // window after a same-user purchase (attribution). Bucketed equi-join
+    // on (user, time-bucket) — never a same-key cross product
+    // (ops/RangeJoin.scala); oracle = DuckDB inequality join.
+    "q62_range_join" -> Q(
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val windows = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"),
+            col("value").as("p_value"))
+        graft.ops.RangeJoin.pointInInterval(clicks, windows, "user_id",
+            "ts", "p_start", "p_end", bucketWidthMicros = 1800000000L)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_start"), col("p_value"))
+          .orderBy("event_id", "p_start")
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS p_start,
+            ts + INTERVAL 30 MINUTE AS p_end, value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+          CAST(p.p_start AS TIMESTAMP) AS p_start, p.p_value
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND c.ts >= p.p_start AND c.ts <= p.p_end
+        ORDER BY event_id, p_start""")),
+
     // --- repetition quality signals (Gopher-style): top-bigram/-trigram
     // token coverage and duplicate-word fraction per doc, each replicated
     // in DuckDB list SQL. The high end of top2 flags looping/boilerplate

@@ -147,6 +147,32 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("range join: bucketed point-in-interval matches, boundaries inclusive, cap truncates") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val pts = Seq((1L, 1L, t(10)), (2L, 1L, t(30)), (3L, 1L, t(31)),
+      (4L, 2L, t(10)), (5L, 1L, t(50))).toDF("pid", "k", "ts")
+    val ivs = Seq((1L, t(0), t(30), "a"), (1L, t(25), t(95), "b"),
+      (3L, t(0), t(100), "c")).toDF("k", "lo", "hi", "tag")
+    // bucket width 7 min: intervals span many buckets; matches must be exact
+    val got = graft.ops.RangeJoin.pointInInterval(
+        pts, ivs, "k", "ts", "lo", "hi", bucketWidthMicros = 7L * 60000000L)
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (5L, "b")))
+    // one row per (point, interval) pair — no bucket-induced duplicates
+    val n = graft.ops.RangeJoin.pointInInterval(
+      pts, ivs, "k", "ts", "lo", "hi", bucketWidthMicros = 60000000L).count()
+    assert(n == 5)
+    // cap truncates long intervals to 2 buckets of 7 min from lo:
+    // b covers buckets [3, 4] only → minute 50 (bucket 7) drops,
+    // minute 30 (bucket 4) stays
+    val capped = graft.ops.RangeJoin.pointInInterval(
+        pts, ivs, "k", "ts", "lo", "hi", 7L * 60000000L,
+        maxBucketsPerInterval = Some(2))
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(!capped.contains((5L, "b")))
+    assert(capped.contains((2L, "b")) && capped.contains((1L, "a")))
+  }
+
   test("cosine similarity: orthogonal=0, identical=1, topK ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
