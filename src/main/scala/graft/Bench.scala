@@ -42,7 +42,11 @@ object Bench {
     "q47_ann_topk" -> SparkEntry.queries("q47_ann_topk"),
     "q48_embedding_neardup" -> SparkEntry.queries("q48_embedding_neardup"),
     "q50_events_hourly" -> SparkEntry.queries("q50_events_hourly"),
-    "q51_sessions" -> SparkEntry.queries("q51_sessions"))
+    "q51_sessions" -> SparkEntry.queries("q51_sessions"),
+    // round-3 net-new operators
+    "q59_repetition" -> SparkEntry.queries("q59_repetition"),
+    "q61_asof_join" -> SparkEntry.queries("q61_asof_join"),
+    "q62_range_join" -> SparkEntry.queries("q62_range_join"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -143,6 +143,69 @@ object MinHashSignature {
   }
 }
 
+/** count of the single most frequent word n-gram in a token array —
+  * the kernel of TextAnalysis.topNgramFraction. A higher-order-function
+  * formulation is evaluated INTERPRETED (ArrayTransform/ArrayAggregate
+  * are CodegenFallback) and re-evaluates captured expressions per
+  * element — measured seconds per thousand rows; this is one tight
+  * build-sort-scan loop per document, exact string equality (no hash
+  * collisions), inside whole-stage codegen. Returns 0 for docs shorter
+  * than n tokens. */
+case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_ngram_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_ngram_count needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TopNgramCount.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TopNgramCount.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCount =
+    copy(child = newChild)
+}
+
+object TopNgramCount {
+  /** shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): Long = {
+    val L = arr.numElements()
+    if (L < n) return 0L
+    val m = L - n + 1
+    val grams = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        val s = arr.getUTF8String(i + k)
+        if (s != null) sb.append(s.toString)
+        k += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var best = 1L; var run = 1L
+    i = 1
+    while (i < m) {
+      if (grams(i) == grams(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -157,4 +220,8 @@ object VectorExpressions {
   def minhashSig(hashes: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSignature(
       ColumnBridge.expression(hashes), numPerms))
+
+  /** most-frequent-word-n-gram count over a token array. */
+  def topNgramCount(words: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramCount(ColumnBridge.expression(words), n))
 }

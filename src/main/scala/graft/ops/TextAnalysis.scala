@@ -76,14 +76,18 @@ object TextAnalysis {
 
   /** fraction of tokens covered by the single most frequent word
     * n-gram — the Gopher-style repetition signal (high on looping /
-    * boilerplate text). Pure expressions, O(distinct·total) per row,
-    * scan-stage. 0.0 for docs shorter than n tokens. */
+    * boilerplate text). Scan-stage via the codegen'd
+    * [[graft.expr.TopNgramCount]] kernel (build n-grams, sort, longest
+    * equal-run — exact string equality): two interpreted-HOF
+    * formulations measured seconds-per-thousand-rows because
+    * ArrayTransform/ArrayAggregate are CodegenFallback and re-evaluate
+    * captured expressions per element. 0.0 for docs shorter than n
+    * tokens. */
   def topNgramFraction(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    val maxCount = array_max(transform(array_distinct(g),
-      x => size(filter(g, y => y === x))))
-    when(size(g) > 0,
-      maxCount.cast("double") * n / size(tokens(text))).otherwise(lit(0.0))
+    val w = tokens(text)
+    val best = graft.expr.VectorExpressions.topNgramCount(w, n)
+    when(size(w) >= n,
+      best.cast("double") * n / size(w)).otherwise(lit(0.0))
   }
 
   /** fraction of repeated (non-first-occurrence) tokens:

@@ -21,12 +21,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q48 plans a shuffle equi-join, not a broadcast nested loop") {
-    val plan = SparkEntry.queries("q48_embedding_neardup")(spark, sfSmoke)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      "q48 must pair via the blocked equi-join at scale")
+  test("q48/q61/q62 plan shuffle equi-joins, not nested loops or cartesians") {
+    for (q <- Seq("q48_embedding_neardup", "q61_asof_join", "q62_range_join")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q must stay an equi-join at scale")
+    }
   }
 
   test("filters and projections push down to the parquet scan") {
