@@ -86,6 +86,11 @@ object functions {
   def collect(c: Column): Column = F.collect_list(c)
   /** exact interpolated percentile, p in [0,100] (Statistics.hs:140-168). */
   def percentile(c: Column, p: Double): Column = F.percentile(c, F.lit(p / 100.0))
+  /** approximate percentile (Greenwald-Khanna sketch) — the 100 TB scale
+    * path when the exact sort-based percentile's shuffle is too heavy;
+    * `accuracy` trades memory for error (err ≤ 1/accuracy). */
+  def percentileApprox(c: Column, p: Double, accuracy: Int = 10000): Column =
+    F.percentile_approx(c, F.lit(p / 100.0), F.lit(accuracy))
   def median(c: Column): Column = F.median(c)
   def mode(c: Column): Column = F.mode(c)
 

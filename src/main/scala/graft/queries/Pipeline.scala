@@ -464,6 +464,24 @@ object Pipeline {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // --- funnel analysis: view → click → purchase in strict time order
+    // per user (greedy first-occurrence chain — exact for existence).
+    // One hash-aggregate per step; oracle mirrors the chain in SQL CTEs.
+    "q63_funnel" -> Q(
+      (s, d) => graft.ops.Funnel.funnelCounts(ev(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MAX(s1.t1) AS t1,
+            MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+          FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MAX(s2.t1) AS t1, MAX(s2.t2) AS t2,
+            MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+          FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+        SELECT COUNT(*) AS n_users, COUNT(t1) AS n_step1,
+          COUNT(t2) AS n_step2, COUNT(t3) AS n_step3 FROM s3""")),
+
     // --- keyed point-in-interval range join: clicks inside the 30-minute
     // window after a same-user purchase (attribution). Bucketed equi-join
     // on (user, time-bucket) — never a same-key cross product

@@ -51,6 +51,14 @@ class ExprSpec extends SparkSpec {
     assert(got == want && got < 0)
   }
 
+  test("percentileApprox tracks the exact percentile within sketch error") {
+    val df = spark.range(1, 100001).select($"id".cast("double").as("x"))
+    val r = df.agg(
+      gf.percentile($"x", 50).as("exact"),
+      gf.percentileApprox($"x", 50).as("approx")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(0) < 0.01)
+  }
+
   test("davg matches the decimal formulation") {
     val df = Seq(Some(1.5), None, Some(2.5), Some(-0.25)).toDF("x")
     val got = df.agg(gf.davg($"x")).head().getDouble(0)

@@ -147,6 +147,30 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("funnel: greedy chain is order-strict per user") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1 completes in order
+      (1L, t(10), "view"), (1L, t(20), "click"), (1L, t(30), "purchase"),
+      // user 2: purchase BEFORE click → chain stops at click
+      (2L, t(10), "view"), (2L, t(30), "click"), (2L, t(20), "purchase"),
+      // user 3: click only, no view → never starts
+      (3L, t(10), "click"),
+      // user 4: view-click tie (same ts) is NOT "after" → stops at view
+      (4L, t(10), "view"), (4L, t(10), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val counts = graft.ops.Funnel.funnelCounts(events, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase")).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2),
+      counts.getLong(3)) == (4L, 3L, 2L, 1L))
+    val times = graft.ops.Funnel.funnelTimes(events, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(times(1L).getTimestamp(3) == t(30))
+    assert(times(2L).isNullAt(3)) // purchase at 20 precedes click at 30
+    assert(times(4L).isNullAt(2)) // tie doesn't advance
+  }
+
   test("range join: bucketed point-in-interval matches, boundaries inclusive, cap truncates") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     val pts = Seq((1L, 1L, t(10)), (2L, 1L, t(30)), (3L, 1L, t(31)),
