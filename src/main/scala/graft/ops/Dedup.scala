@@ -181,6 +181,53 @@ object Dedup {
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** Connected components over an undirected pair list (d1, d2) —
+    * iterative min-label propagation: every node starts as its own
+    * label; each round takes the min of its own and its neighbors'
+    * labels; at convergence label = the component's minimum id. Each
+    * round is one shuffle join + aggregate; rounds needed = graph
+    * diameter (near-dup clusters are shallow — a handful). Lineage is
+    * cut per round with localCheckpoint so the plan doesn't grow
+    * unboundedly; convergence is a count of changed labels.
+    * Returns (node, component). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+          col("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** near-duplicate dedup keep-list: MinHash-LSH pairs → connected
+    * components → keep the minimum id per component (plus every doc in
+    * no near-dup pair). The end-to-end corpus dedup a training-data
+    * pipeline actually runs. */
+  def dedupNearMinhash(df: DataFrame, id: String, text: String,
+                       threshold: Double, numPerms: Int = 64,
+                       bands: Int = 32,
+                       maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
+    val comps = connectedComponents(pairs)
+    val drop = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash on xxhash64 word hashes — the production path. */
   def simhash(text: Column): Column = simhashImpl(text, 64, w => xxhash64(w))
 

@@ -464,6 +464,34 @@ object Pipeline {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // --- near-dup clustering: LSH pairs → connected components (iterative
+    // min-label propagation; label = component min id). The oracle
+    // recomputes exact-Jaccard pairs and closes them transitively with a
+    // recursive CTE — algorithm-independent agreement on every component.
+    "q64_neardup_components" -> Q(
+      (s, d) => Dedup.connectedComponents(
+          Dedup.minhashLsh(docs(s, d), "doc_id", "text", 0.8))
+        .orderBy("node"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (SELECT node, node AS r FROM nodes
+          UNION SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        ORDER BY node""")),
+
     // --- funnel analysis: view → click → purchase in strict time order
     // per user (greedy first-occurrence chain — exact for existence).
     // One hash-aggregate per step; oracle mirrors the chain in SQL CTEs.

@@ -147,6 +147,24 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("connected components: chain, triangle, isolated pair; dedup keeps min per cluster") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain → component 1
+      (10L, 11L), (10L, 12L), (11L, 12L), // triangle → component 10
+      (20L, 21L)                       // pair → component 20
+    ).toDF("d1", "d2")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // end-to-end near-dup dedup: docs 0/1 identical, 2 near-dup of 0 →
+    // one cluster keeps only doc 0; 3 and 4 untouched
+    val kept = Dedup.dedupNearMinhash(docs, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
   test("funnel: greedy chain is order-strict per user") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
