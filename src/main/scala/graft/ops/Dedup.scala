@@ -80,28 +80,35 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same counts modulo
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
     // shuffles 8-byte keys instead of strings, which is the term that
-    // dominates at corpus scale. The pair aggregation keys stay the slim
-    // (d1, d2) and `sizes` stays an AGGREGATE over the exploded shingles:
-    // two alternatives measured SLOWER at sf0.1 — carrying sizes through
-    // the pair join/groupBy doubled its hash width (2-4×), and a
-    // scan-only size(hs) projection lost the accurate post-aggregate
-    // statistics that let the sizes joins broadcast (+45%).
-    val sh0 = shingleHashes(df, id, text)
-    val sh = dfCap match {
+    // dominates at corpus scale. Doc sizes ride the shingle rows and are
+    // recovered as aggregate VALUES — max(na)/max(nb), constant within a
+    // (d1, d2) group — so the pair groupBy keeps its slim 16-byte keys
+    // and no separate sizes subplan exists. Two measured dead ends, for
+    // the record: sizes in the GROUPING KEYS doubled the agg hash width
+    // (2-4× slower); a separate scan-only sizes frame lost the accurate
+    // post-aggregate statistics that let its joins broadcast (+45%).
+    val withN = dfCap match {
+      case None =>
+        // explode_outer: see shingleHashes — keeps the shingle transform
+        // single-evaluation; hs rides the Generate so size(hs) is free
+        shingleHashArrays(df, id, text)
+          .select(col(id), col("hs"), explode_outer(col("hs")).as("s"))
+          .select(col(id), size(col("hs")).as("n"), col("s"))
       case Some(cap) =>
+        // capped semantics: n counts only RETAINED shingles, so it must
+        // be recomputed after the DF filter
+        val sh0 = shingleHashes(df, id, text)
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("s")
-        sh0.join(keep, Seq("s"), "left_semi")
-      case None => sh0
+        val kept = sh0.join(keep, Seq("s"), "left_semi")
+        val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("n"))
+        kept.join(sizes, Seq(id))
     }
-    // capped semantics: sizes count only RETAINED shingles
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(id).as("d1"), col("s"))
-    val b = sh.select(col(id).as("d2"), col("s"))
+    val a = withN.select(col(id).as("d1"), col("n").as("na"), col("s"))
+    val b = withN.select(col(id).as("d2"), col("n").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-      .join(sizes.select(col(id).as("d1"), col("n").as("na")), Seq("d1"))
-      .join(sizes.select(col(id).as("d2"), col("n").as("nb")), Seq("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("i"), max("na").as("na"), max("nb").as("nb"))
       .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
