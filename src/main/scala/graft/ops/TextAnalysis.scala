@@ -108,6 +108,30 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** PII scrubbing for training corpora: replace emails, IPv4 addresses
+    * and international-format phone numbers with typed placeholder
+    * tokens. Pure codegen'd regexp_replace chain (scan-stage); the
+    * patterns are deliberately conservative and RE2-compatible so the
+    * behavior is replicable in other engines (q65's DuckDB oracle runs
+    * the same expressions). Order: emails first (an address contains no
+    * IP/phone substring once replaced). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{7,15}"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** count of PII tokens a redaction pass would remove — the audit
+    * metric logged before dropping or scrubbing a document. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))) +
+      size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
   /** 64-bit rolling document fingerprint: order-sensitive hash chain over
     * words (acc ← xxhash64(acc, word)), as a single fold — deterministic,
     * partition-local, and overflow-free under ANSI mode (a raw polynomial

@@ -464,6 +464,38 @@ object Pipeline {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // --- PII redaction: deterministic synthetic PII (email/IP/phone built
+    // from doc_id) is injected into every document, redacted with the
+    // RE2-compatible pattern chain, and the full redacted text plus the
+    // pre-redaction count are hash-checked — both engines run the same
+    // regexes over the same constructed input.
+    "q65_pii_redaction" -> Q(
+      (s, d) => {
+        val idStr = col("doc_id").cast("string")
+        val injected = concat(col("text"),
+          lit(" contact user"), idStr, lit("@example.com at 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1 or +1555000"), idStr)
+        docs(s, d).select(col("doc_id"),
+          TA.piiCount(injected).as("n_pii"),
+          TA.redactPii(injected).as("clean"))
+          .orderBy("doc_id")
+      },
+      // DuckDB single-quoted literals keep backslashes literally, so the
+      // Scala pattern strings embed verbatim
+      Some(s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(injected, '${TA.emailPattern}'))
+          + len(regexp_extract_all(injected, '${TA.ipv4Pattern}'))
+          + len(regexp_extract_all(injected, '${TA.phonePattern}')) AS INTEGER) AS n_pii,
+        regexp_replace(regexp_replace(regexp_replace(injected,
+          '${TA.emailPattern}', '<EMAIL>', 'g'),
+          '${TA.ipv4Pattern}', '<IP>', 'g'),
+          '${TA.phonePattern}', '<PHONE>', 'g') AS clean
+        FROM (SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com at 10.' ||
+          (doc_id % 256) || '.0.1 or +1555000' || doc_id AS injected
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // --- near-dup clustering: LSH pairs → connected components (iterative
     // min-label propagation; label = component min id). The oracle
     // recomputes exact-Jaccard pairs and closes them transitively with a

@@ -339,6 +339,22 @@ class OpsSpec extends SparkSpec {
     assert(r(3L)._3 == 0.0)
   }
 
+  test("PII redaction: emails, IPs, phones replaced; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "mail alice.smith+test@sub.example.org and bob@x.io now"),
+      (2L, "server at 192.168.1.254 responded"),
+      (3L, "call +4915123456789 today"),
+      (4L, "nothing sensitive here 3.14 is fine")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TA.piiCount($"text").as("n"),
+      TA.redactPii($"text").as("c"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
+    assert(r(1L) == (2, "mail <EMAIL> and <EMAIL> now"))
+    assert(r(2L) == (1, "server at <IP> responded"))
+    assert(r(3L) == (1, "call <PHONE> today"))
+    assert(r(4L) == (0, "nothing sensitive here 3.14 is fine"))
+  }
+
   test("bpe-ish token count segments words and punctuation") {
     val df = Seq((1L, "hello, world! a1b2")).toDF("doc_id", "text")
     val n = df.select(TA.tokenCountBpeIsh($"text")).as[Int].head()
