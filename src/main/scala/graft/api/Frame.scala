@@ -245,6 +245,24 @@ final class Frame(val df: DataFrame) {
     case Desc(c) => Asc(c)
   }
 
+  /** expose the 0-based contiguous positional index under an explicit
+    * ordering as a regular column (the parallel zipWithIndex described
+    * at [[indexed]]). */
+  def withIndex(as: String, order: SortKey*): Frame =
+    Frame(indexed(order).withColumnRenamed(RowIdx, as))
+
+  /** top k rows per group under `order` (dense ranking is NOT applied:
+    * ties beyond k drop deterministically by the order given — add a
+    * tiebreaker key for full determinism). Window is group-partitioned,
+    * never global. */
+  def topKPerGroup(groupCols: Seq[String], k: Int, order: SortKey*): Frame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(F.col): _*)
+      .orderBy(order.map(_.toCol): _*)
+    Frame(df.withColumn(RankCol, F.row_number().over(w))
+      .filter(F.col(RankCol) <= k).drop(RankCol))
+  }
+
   /** cube (l,w): first l rows × first w columns (Operations/Subset.hs:226) —
     * N.B. not SQL CUBE (that's [[GroupedFrame.cube]]). */
   def cubeSlice(l: Int, w: Int, order: SortKey*): Frame =
@@ -533,6 +551,7 @@ object Frame {
       case _ => StringType
     }
   private val RowIdx = "__graft_row_idx"
+  private val RankCol = "__graft_rank"
   private val FoldIdx = "__graft_fold"
   private val AggCol = "__graft_agg"
   private val AggCol2 = "__graft_agg2"
