@@ -165,6 +165,23 @@ class OpsSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L))
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    // one hot key (90% of rows) + tail
+    val left = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "payload")
+    val right = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"))
+      .toDF("k", "v")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = graft.ops.Skew.saltedJoin(left, right, Seq("k"), factor = 8)
+      .select("k", "payload", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+    val leftOuter = graft.ops.Skew.saltedJoin(left, right, Seq("k"), 8, "left")
+    assert(leftOuter.count() == 2000)
+    assert(leftOuter.filter($"v".isNull).count() == left.filter(
+      !$"k".isin(7L, 10L, 20L)).count())
+  }
+
   test("funnel: greedy chain is order-strict per user") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
