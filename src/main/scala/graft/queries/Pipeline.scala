@@ -296,6 +296,49 @@ object Pipeline {
           WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
+    // --- deterministic Lloyd k-means over embeddings (2 iterations, k=4
+    // from every-125th init). Every iteration is engine-reproducible:
+    // sequential-fold distances (graft_dot ≡ list_sum) and decimal-exact
+    // centroid means — so DuckDB replays the whole algorithm unrolled as
+    // CTEs and the final centroids hash-match to the last bit.
+    "q66_kmeans" -> Q(
+      (s, d) => graft.ops.KMeans.lloydProfile(emb(s, d), "vec_id", "embedding",
+        initEvery = 125, iters = 2).orderBy("cell", "pos"),
+      Some {
+        val D = 64
+        def dist(carr: String) =
+          s"""list_sum(list_transform($carr, y -> y*y)) - 2*list_sum(
+             list_transform(range(1, ${D + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * $carr[i]))"""
+        s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+            list_transform(embedding, y -> CAST(y AS DOUBLE)) AS c
+          FROM embeddings WHERE vec_id % 125 = 0),
+        a1 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c0.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("c0.c")}, c0.cell) AS rn
+          FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+        ex1 AS (SELECT cell, unnest(list_transform(range(1, ${D + 1}),
+            i -> struct_pack(pos := i - 1,
+              q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)))) AS u FROM a1),
+        m1 AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+            CAST(SUM(u.q) AS DOUBLE) / 67108864.0 / COUNT(*) AS c
+          FROM ex1 GROUP BY cell, u.pos),
+        m1c AS (SELECT cell, list(c ORDER BY pos) AS c FROM m1 GROUP BY cell),
+        a2 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, m1c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("m1c.c")}, m1c.cell) AS rn
+          FROM embeddings e CROSS JOIN m1c) WHERE rn = 1),
+        ex2 AS (SELECT cell, unnest(list_transform(range(1, ${D + 1}),
+            i -> struct_pack(pos := i - 1,
+              q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)))) AS u FROM a2),
+        m2 AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+            CAST(SUM(u.q) AS DOUBLE) / 67108864.0 / COUNT(*) AS c
+          FROM ex2 GROUP BY cell, u.pos),
+        cnt AS (SELECT cell, COUNT(*) AS n FROM a2 GROUP BY cell)
+        SELECT m2.cell, cnt.n, m2.pos, m2.c FROM m2 JOIN cnt USING (cell)
+        ORDER BY cell, pos"""
+      }),
+
     // --- event-time tumbling window aggregation --------------------------------------
     "q50_events_hourly" -> Q(
       (s, d) => ev(s, d)

@@ -300,6 +300,27 @@ class OpsSpec extends SparkSpec {
     assert(emptyRes.columns.toSeq == Seq("d1", "d2", "cos"))
   }
 
+  test("kmeans lloydProfile recovers planted clusters") {
+    val rnd = new scala.util.Random(3)
+    // two tight planted clusters around (±1, 0, 0); ids interleaved so the
+    // every-2nd-id init seeds one centroid in each
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(base + rnd.nextFloat() * 0.01f,
+        rnd.nextFloat() * 0.01f, rnd.nextFloat() * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val prof = graft.ops.KMeans.lloydProfile(df, "vec_id", "embedding",
+      initEvery = 20, iters = 3)
+    val cells = prof.select("cell", "n").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.toSeq.sorted == Seq(20L, 20L)) // balanced recovery
+    val c0 = prof.filter($"cell" === 0L && $"pos" === 0).select("c").head().getDouble(0)
+    val c1 = prof.filter($"cell" === 1L && $"pos" === 0).select("c").head().getDouble(0)
+    assert(math.abs(math.abs(c0) - 1.0) < 0.02 && math.abs(math.abs(c1) - 1.0) < 0.02)
+    assert(c0 * c1 < 0) // one per side
+  }
+
   test("ivf ANN finds the same top neighbor as brute force on clustered data") {
     val rng = new scala.util.Random(42)
     def cluster(center: Array[Float], n: Int, base: Long) =
