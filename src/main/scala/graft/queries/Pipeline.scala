@@ -422,6 +422,23 @@ object Pipeline {
       Some(s"""SELECT CAST(${Sql.mix("doc_id")} % 5 AS INTEGER) AS fold,
         COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold""")),
 
+    // --- projection/rename/apply API-parity chain over a real table,
+    // graduating the ops only FrameSpec covered: cloneColumn → rename →
+    // exclude → applyTo, then aggregate on the derived shape.
+    "q67_api_chain" -> Q(
+      (s, d) => graft.api.Frame(Tables.customer(s, d))
+        .cloneColumn("c_mktsegment", "seg")
+        .rename("c_custkey", "key")
+        .selectBy(n => n == "key" || n == "seg")
+        .applyTo("key")(_ * 2)
+        .groupBy("seg").aggregate(
+          "n" -> count(lit(1)),
+          "total" -> sum(col("key")))
+        .sortBy(graft.api.Asc(col("seg"))).df,
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        CAST(SUM(c_custkey * 2) AS BIGINT) AS total
+        FROM customer GROUP BY c_mktsegment ORDER BY seg""")),
+
     // --- portable stratified sampling: per-stratum keep probabilities,
     // reproducible across engines/reruns/partitionings (the source-
     // rebalancing primitive of a pretraining pipeline); strata absent
