@@ -108,6 +108,23 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** fixed-size token chunking with overlap — the pretraining/RAG prep
+    * op: chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size).
+    * Every document yields ≥ 1 chunk (short docs produce themselves);
+    * the final chunk may be shorter. Pure codegen'd expressions over the
+    * token array (scan-stage — pair with [[graft.api.Frame.explodeCol]]
+    * to get one row per chunk). */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "chunkTokens: need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val w = tokens(text)
+    val nChunks = greatest(
+      ceil((size(w) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(w, i * stride + 1, lit(chunkSize))))
+  }
+
   /** PII scrubbing for training corpora: replace emails, IPv4 addresses
     * and international-format phone numbers with typed placeholder
     * tokens. Pure codegen'd regexp_replace chain (scan-stage); the

@@ -422,6 +422,23 @@ object Pipeline {
       Some(s"""SELECT CAST(${Sql.mix("doc_id")} % 5 AS INTEGER) AS fold,
         COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY fold""")),
 
+    // --- token chunking with overlap: every doc → 32-token chunks with
+    // 8-token overlap, one row per chunk (the pretraining/RAG prep
+    // shape). Chunk strings hash-match DuckDB list slicing.
+    "q68_chunking" -> Q(
+      (s, d) => graft.api.Frame(docs(s, d).select(col("doc_id"),
+          TA.chunkTokens(col("text"), chunkSize = 32, overlap = 8).as("chunks")))
+        .posexplodeCol("chunks", "chunk_id", "chunk")
+        .df.orderBy("doc_id", "chunk_id"),
+      Some("""SELECT doc_id, CAST(t.u.i AS INTEGER) AS chunk_id, t.u.c AS chunk
+        FROM (SELECT doc_id,
+            unnest(list_transform(range(0, greatest(
+                CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1)),
+              i -> struct_pack(i := i,
+                c := array_to_string(w[i*24 + 1 : i*24 + 32], ' ')))) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) t
+        ORDER BY doc_id, chunk_id""")),
+
     // --- projection/rename/apply API-parity chain over a real table,
     // graduating the ops only FrameSpec covered: cloneColumn → rename →
     // exclude → applyTo, then aggregate on the derived shape.

@@ -138,6 +138,28 @@ object Events {
       }
   }
 
+  /** Stream-stream inner join within an event-time bound — the
+    * click-attribution primitive: right rows join left rows of the same
+    * key whose timestamp falls in [rightTs, rightTs + within]. Both
+    * sides carry watermarks, and the time bound is what lets Spark
+    * EXPIRE join state (an unbounded-condition stream-stream join would
+    * buffer both streams forever). Column names must be disjoint apart
+    * from nothing — pass pre-renamed frames; `leftTs`/`rightTs` name
+    * each side's event-time column. */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        within: String = "30 minutes",
+                        watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(leftTs) >= col(rightTs) &&
+        col(leftTs) <= col(rightTs) + expr(s"INTERVAL $within"),
+      "inner")
+  }
+
   /** run any same-code batch/stream transform over `sourceDir` parquet
     * into an in-memory table, synchronously (tests / local smoke).
     * Complete mode so every window is visible once the finite source

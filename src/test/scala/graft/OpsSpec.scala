@@ -377,6 +377,23 @@ class OpsSpec extends SparkSpec {
     assert(r(3L)._3 == 0.0)
   }
 
+  test("chunkTokens: overlap, short docs, exact coverage") {
+    val txt = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, txt), (2L, "tiny doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = df.select($"doc_id",
+      TA.chunkTokens($"text", chunkSize = 20, overlap = 5).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // 50 tokens, stride 15 → ceil(45/15)=3 chunks: [1,20],[16,35],[31,50]
+    assert(chunks(1L).length == 3)
+    val c = chunks(1L).map(_.split(" "))
+    assert(c(0).head == "w1" && c(0).last == "w20")
+    assert(c(1).head == "w16" && c(1).last == "w35")
+    assert(c(2).head == "w31" && c(2).last == "w50")
+    assert(c(0).takeRight(5).sameElements(c(1).take(5))) // overlap
+    assert(chunks(2L) == Seq("tiny doc")) // short doc → itself
+    assert(chunks(3L) == Seq(""))          // empty doc → one empty chunk
+  }
+
   test("PII redaction: emails, IPs, phones replaced; counts match; clean text untouched") {
     val df = Seq(
       (1L, "mail alice.smith+test@sub.example.org and bob@x.io now"),

@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join within a time bound matches across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Events.joinStreamsWithin(
+      clks.toDS().toDF("clk_user", "clk_ts", "clk_id"),
+      imps.toDS().toDF("imp_user", "imp_ts", "ad"),
+      "clk_user", "imp_user", "clk_ts", "imp_ts", within = "30 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join").start()
+    try {
+      imps.addData((1L, ts(100), "adA"), (2L, ts(100), "adB"))
+      q.processAllAvailable()
+      // click 20 min after user 1's impression → joins; click 40 min
+      // after user 2's impression → outside the bound
+      clks.addData((1L, ts(120), 11L), (2L, ts(140), 22L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Long]("clk_id"), r.getAs[String]("ad"))).toSet
+      assert(rows == Set((11L, "adA")), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("watermark + sliding windows: stream equals batch") {
     val ev = Tables.events(spark, sfSmoke)
     val slid = Events.slidingStats(Events.withLateData(ev))
