@@ -45,6 +45,40 @@ object Dedup {
             get(col("w"), i + 2)))).as("hs"))
   }
 
+  /** per-doc array of distinct 64-bit word n-gram hashes for arbitrary
+    * n — [[shingleHashArrays]] generalized (n = 3 is the shingle case). */
+  def ngramHashArrays(df: DataFrame, id: String, text: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "ngramHashArrays: n must be >= 1")
+    val w = split(col(text), " ")
+    df.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id), array_distinct(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)))
+        .as("hs"))
+  }
+
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-grams it shares with ANY benchmark document —
+    * the standard eval-set leakage check run before training. Long n
+    * (8+) keeps incidental phrase overlap out; only real leakage (near
+    * copies of benchmark items) scores. Plan shape: benchmark n-gram
+    * hashes dedupe once (benchmark is small), the corpus side is a
+    * scan + explode, and the join is a semi-style equi-join on 8-byte
+    * hashes — linear in corpus size, never all-pairs. Returns
+    * (id, n_shared) for flagged docs only. */
+  def decontaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                            id: String, text: String,
+                            n: Int = 8): DataFrame = {
+    val bg = ngramHashArrays(benchmark, id, text, n)
+      .select(explode_outer(col("hs")).as("g")).distinct()
+    val cg = ngramHashArrays(corpus, id, text, n)
+      .select(col(id), explode_outer(col("hs")).as("g"))
+    cg.join(bg, Seq("g"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** exploded (idCol, "s") shingle-hash rows.
     *
     * explode_OUTER, deliberately: the array is never empty (the

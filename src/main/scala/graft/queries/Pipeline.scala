@@ -541,6 +541,37 @@ object Pipeline {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY event_id""")),
 
+    // --- benchmark decontamination: flag corpus docs sharing distinct
+    // 8-grams with a held-out benchmark slice (doc_id % 20 == 5). Only
+    // near copies of benchmark items score at n=8; the oracle runs the
+    // same overlap on n-gram STRINGS (hash-vs-string counts equal modulo
+    // ~n²/2⁶⁵ collisions, the accepted shingle approximation).
+    "q69_decontamination" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.decontaminationReport(
+          all.filter(col("doc_id") % 20 =!= 5),
+          all.filter(col("doc_id") % 20 === 5),
+          "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH bench AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 = 5),
+          corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 <> 5),
+          bg AS (SELECT DISTINCT unnest(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram)) AS g
+            FROM bench WHERE len(w) >= 8),
+          cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram))) AS g
+            FROM corpus WHERE len(w) >= 8)
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM cg SEMI JOIN bg USING (g)
+          GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
     // --- PII redaction: deterministic synthetic PII (email/IP/phone built
     // from doc_id) is injected into every document, redacted with the
     // RE2-compatible pattern chain, and the full redacted text plus the

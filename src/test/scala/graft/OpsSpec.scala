@@ -147,6 +147,21 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("decontamination flags only docs sharing a full n-gram with the benchmark") {
+    val bench = Seq((100L, "the secret answer to question seven is forty two exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the secret answer to question seven is forty two exactly suffix"),
+      (2L, "the secret answer to question nine is different entirely here now"),
+      (3L, "completely unrelated content with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminationReport(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 1) // verbatim leak
+    assert(!flagged.contains(2L)) // shares only a 6-word prefix, not 8
+    assert(!flagged.contains(3L))
+  }
+
   test("connected components: chain, triangle, isolated pair; dedup keeps min per cluster") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain → component 1
