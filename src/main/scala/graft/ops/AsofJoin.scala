@@ -23,10 +23,17 @@ import org.apache.spark.sql.expressions.Window
   * Rows with a null timestamp on either side are dropped (no "as of
   * never"); duplicate right rows per (key, ts) should be pre-deduped by
   * the caller to make the attached value deterministic.
+  *
+  * Value columns are carried as ONE struct per right row (a struct with
+  * all-null fields is still non-null), so `last(_, ignoreNulls)` picks
+  * the most recent right ROW — a legitimately-NULL value on the matched
+  * row stays NULL instead of being skipped for an older non-null one
+  * (DuckDB ASOF JOIN semantics, which the q61 oracle checks).
   */
 object AsofJoin {
 
   private val Side = "__graft_asof_side"
+  private val Payload = "__graft_asof_payload"
 
   /** backward as-of join; `valueCols` are the right-side columns to
     * attach (null where no right row precedes the left row). */
@@ -42,17 +49,18 @@ object AsofJoin {
 
     val lTagged = left.filter(col(ts).isNotNull).withColumn(Side, lit(1))
     val rTagged = right.filter(col(ts).isNotNull)
-      .select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .select(col(key), col(ts),
+        struct(valueCols.map(col): _*).as(Payload))
       .withColumn(Side, lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col(Side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn(Payload, last(col(Payload), ignoreNulls = true).over(w))
     carried.filter(col(Side) === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"$Payload.$c").as(c)): _*)
   }
 
   /** convenience: attach one right column under a new name. */

@@ -251,6 +251,11 @@ object Dedup {
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after maxIter=$maxIter " +
+          "rounds (graph diameter exceeds maxIter); returning would split " +
+          "components and silently under-dedup. Raise maxIter.")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -35,11 +35,20 @@ object KMeans {
   val Grid: Double = 67108864.0
 
   /** run `iters` assign+update rounds; returns one row per (cell, pos):
-    * final centroid component `c` plus the cell's member count `n`. */
+    * final centroid component `c` plus the cell's member count `n`.
+    *
+    * `id` must be a LongType column (it seeds the deterministic init:
+    * every `initEvery`-th id becomes a centroid). A cell that loses all
+    * members in some round drops out of subsequent rounds — standard
+    * Lloyd behavior; the returned profile only contains surviving
+    * cells. */
   def lloydProfile(df: DataFrame, id: String, vec: String,
                    initEvery: Int, iters: Int): DataFrame = {
     require(iters >= 1, "lloydProfile: iters must be >= 1")
     val spark = df.sparkSession
+    require(df.schema(id).dataType == LongType,
+      s"lloydProfile: id column '$id' must be LongType, " +
+        s"got ${df.schema(id).dataType.simpleString}")
     val dvec = col(vec).cast("array<double>")
 
     var centroids: Seq[(Long, Seq[Double])] = df
@@ -47,6 +56,9 @@ object KMeans {
       .select(col(id), dvec.as("c")).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    require(centroids.nonEmpty,
+      s"lloydProfile: init selected zero centroids (no row has $id % " +
+        s"$initEvery == 0) — pick initEvery within the id range")
 
     def assignCol(cs: Seq[(Long, Seq[Double])]): Column = {
       val scored = cs.map { case (cell, c) =>

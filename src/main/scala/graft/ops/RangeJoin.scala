@@ -33,6 +33,11 @@ object RangeJoin {
                       bucketWidthMicros: Long,
                       maxBucketsPerInterval: Option[Int] = None): DataFrame = {
     require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet) - key
+    require(shared.isEmpty,
+      s"pointInInterval: points and intervals share non-key columns " +
+        s"${shared.toSeq.sorted.mkString(", ")} — rename or drop one side " +
+        "(only the key column may be shared)")
     val w = bucketWidthMicros
     val sB = (unix_micros(col(start)) / w).cast("long")
     val eB0 = (unix_micros(col(end)) / w).cast("long")

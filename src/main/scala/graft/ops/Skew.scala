@@ -18,18 +18,22 @@ object Skew {
 
   private val Salt = "__graft_salt"
 
-  /** inner/left equi-join with salting. The left salt is derived
-    * deterministically from the whole row's key columns plus a
-    * per-partition/ordinal component — any assignment is correct (each
-    * left row joins the right replica carrying its salt), determinism
-    * just keeps reruns stable. */
+  /** inner/left equi-join with salting. The left salt is derived from
+    * the CONTENT of the whole left row (xxhash64 over every column), so
+    * it is stable across task retries and speculation — partition-id /
+    * ordinal salts can reassign a row's shuffle partition on
+    * recomputation. Any assignment is correct (each left row joins the
+    * right replica carrying its salt); the cost of content-hashing is
+    * that fully-identical duplicate rows share a salt and colocate —
+    * acceptable, since k identical rows carry no more reducer state
+    * than one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  factor: Int, how: String = "inner"): DataFrame = {
     require(factor > 1, "saltedJoin: factor must be > 1")
     require(Seq("inner", "left").contains(how),
       "saltedJoin supports inner/left joins")
     val l = left.withColumn(Salt,
-      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
         lit(factor)).cast("int"))
     val r = right.withColumn(Salt,
       explode(sequence(lit(0), lit(factor - 1))))

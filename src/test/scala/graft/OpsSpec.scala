@@ -147,6 +147,56 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("asof join: a null value on the matched right row stays null") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // quote at minute 20 has px = NULL; trade at 25 must see that null,
+    // NOT skip back to the non-null quote at minute 10
+    val trades = Seq((1L, 1L, t(25))).toDF("trade_id", "k", "ts")
+    val quotes = Seq((1L, t(10), Some(1.0)), (1L, t(20), None))
+      .toDF("k", "ts", "px")
+    val got = graft.ops.AsofJoin
+      .asofJoinBackward(trades, quotes, "k", "ts", Seq("px")).head()
+    assert(got.isNullAt(3))
+  }
+
+  test("connected components: unconverged maxIter throws instead of splitting") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // and with enough rounds the same graph resolves to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .select("component").distinct().count()
+    assert(ok == 1L)
+  }
+
+  test("kmeans: empty init and non-long id fail fast") {
+    val df = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.KMeans.lloydProfile(df, "vec_id", "embedding",
+        initEvery = 1000, iters = 1)
+    }
+    assert(e.getMessage.contains("zero centroids"))
+    val typed = df.withColumn("vec_id", $"vec_id".cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.KMeans.lloydProfile(typed, "vec_id", "embedding", 1, 1)
+    }
+    assert(e2.getMessage.contains("LongType"))
+  }
+
+  test("range join: shared non-key column names fail fast") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val pts = Seq((1L, 1L, t(10), "x")).toDF("pid", "k", "ts", "tag")
+    val ivs = Seq((1L, t(0), t(30), "a")).toDF("k", "lo", "hi", "tag")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(pts, ivs, "k", "ts", "lo", "hi",
+        bucketWidthMicros = 60000000L)
+    }
+    assert(e.getMessage.contains("tag"))
+  }
+
   test("decontamination flags only docs sharing a full n-gram with the benchmark") {
     val bench = Seq((100L, "the secret answer to question seven is forty two exactly"))
       .toDF("doc_id", "text")
