@@ -51,6 +51,10 @@ final class Frame(val df: DataFrame) {
       .parquet(path)
   }
   def writeJSONL(path: String): Unit = graft.sources.Json.writeJSONL(df, path)
+  /** ORC sink (warehouse-format parity; oracle round trip q70). */
+  def writeOrc(path: String, compression: String = "zstd",
+               maxRecordsPerFile: Long = 0L): Unit =
+    graft.sources.Orc.writeOrc(df, path, compression, maxRecordsPerFile)
   /** bucketed managed-table sink: rows are hash-clustered into a fixed
     * number of buckets per `cols` (optionally sorted within buckets).
     * Joins and aggregations between tables bucketed the same way on the
@@ -489,6 +493,8 @@ object Frame {
     Frame(Csv.read(spark, path, opts))
   def readParquet(spark: SparkSession, path: String): Frame =
     Frame(spark.read.parquet(path))
+  def readOrc(spark: SparkSession, path: String): Frame =
+    Frame(graft.sources.Orc.readOrc(spark, path))
   /** reference top-level-array JSON (IO/JSON.hs:23-133). */
   def readJSON(spark: SparkSession, path: String): Frame =
     Frame(graft.sources.Json.readJSON(spark, path))

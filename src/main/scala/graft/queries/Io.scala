@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.{functions => gf}
-import graft.sources.{Csv, Json}
+import graft.sources.{Csv, Json, Orc}
 import Sql.dsum
 
 /** I/O-surface coverage: CSV round-trip + null-token semantics.
@@ -100,6 +100,36 @@ object Io {
       Some(s"""SELECT event_type, COUNT(*) AS n, MAX(user_id) AS max_user,
         ${dsum("value")} AS total_value
         FROM events WHERE event_id % 10 = 0
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // --- ORC write → read round trip ----------------------------------------
+    // Columnar-format parity beyond parquet: long / double / string /
+    // date / timestamp all survive the ORC round trip with identical
+    // values and types. The oracle never touches our ORC files — it
+    // recomputes from parquet, so any ORC type-mapping drift fails the
+    // hash match.
+    "q70_orc_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmp("q70_orc")
+        val slice = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        Orc.writeOrc(slice, out)
+        val back = Orc.readOrc(s, out)
+        back.groupBy("o_orderstatus")
+          .agg(gf.countAll.as("n"),
+            gf.dsumD(col("o_totalprice")).as("total"),
+            max(col("o_orderdate")).as("last_date"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsum("o_totalprice")} AS total,
+        MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_date,
+        MAX(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

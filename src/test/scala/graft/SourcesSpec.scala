@@ -40,6 +40,26 @@ class SourcesSpec extends SparkSpec {
       src.orderBy("id").collect().toSeq)
   }
 
+  test("ORC round trip preserves values, types, and nulls") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("out").toString
+    val src = Seq(
+      (1L, Some("a"), Some(1.5), Some(java.sql.Date.valueOf("2024-01-31"))),
+      (2L, None, Some(-2.25), None),
+      (3L, Some("c"), None, Some(java.sql.Date.valueOf("1999-12-31"))))
+      .toDF("id", "s", "v", "d")
+    graft.sources.Orc.writeOrc(src, dir)
+    val back = graft.sources.Orc.readOrc(spark, dir)
+    // ORC keeps the exact Spark types (nullability always relaxes on read)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+    // predicate pushdown reaches the ORC scan (same posture as parquet)
+    val plan = back.filter(col("id") === 2L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"))
+  }
+
   test("JDBC round trip through embedded Derby") {
     val url = s"jdbc:derby:memory:graftdb;create=true"
     val src = Seq((1L, "x", 10.5), (2L, "y", 20.25), (3L, "z", -1.0))
