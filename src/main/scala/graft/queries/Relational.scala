@@ -622,6 +622,52 @@ object Relational {
       },
       Some(s"""SELECT l_returnflag,
         ${isum("CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)")} AS sum_qty_sq,
-        COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- wider window battery: rank flavors, distribution, nth/first --------
+    // Everything q20 doesn't cover: rank vs dense_rank under real ties
+    // (o_orderpriority has few distinct values), ntile, percent_rank /
+    // cume_dist (ratios of exact integers — deterministic doubles in
+    // both engines), nth_value / first_value over the default running
+    // frame. All windows are key-partitioned; at scale this is one
+    // shuffle on o_custkey and a per-partition sort — never a global
+    // window.
+    // Two windows: wTies orders by the low-cardinality priority alone,
+    // so rank/dense_rank/percent_rank/cume_dist face REAL peer groups
+    // (these are functions of the order-key values only — deterministic
+    // under ties); wFull adds the unique key for the value functions
+    // (ntile/first/nth), which need a total order to be deterministic.
+    "q71_window_battery" -> Q(
+      (s, d) => {
+        val wTies = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderpriority"))
+        val wFull = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+        ord(s, d)
+          .filter(col("o_custkey") % 5 === 0)
+          .withColumn("rnk", rank().over(wTies))
+          .withColumn("drnk", dense_rank().over(wTies))
+          .withColumn("prank", percent_rank().over(wTies))
+          .withColumn("cdist", cume_dist().over(wTies))
+          .withColumn("tile", ntile(4).over(wFull))
+          .withColumn("first_key", first("o_orderkey").over(wFull))
+          .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wFull))
+          .select("o_custkey", "o_orderkey", "o_orderpriority", "rnk",
+            "drnk", "prank", "cdist", "tile", "first_key", "second_key")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderpriority,
+        rank() OVER wt AS rnk,
+        dense_rank() OVER wt AS drnk,
+        percent_rank() OVER wt AS prank,
+        cume_dist() OVER wt AS cdist,
+        ntile(4) OVER wf AS tile,
+        first_value(o_orderkey) OVER wf AS first_key,
+        nth_value(o_orderkey, 2) OVER wf AS second_key
+        FROM orders WHERE o_custkey % 5 = 0
+        WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderpriority, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }
