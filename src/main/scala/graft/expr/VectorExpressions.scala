@@ -206,6 +206,152 @@ object TopNgramCount {
   }
 }
 
+/** elementwise arr[i] / divisor — the L2-normalize kernel. A
+  * `transform(arr, x -> x / nrm)` HOF is CodegenFallback (interpreted,
+  * boxing per element); this is one tight primitive loop. Division (not
+  * multiply-by-reciprocal) keeps bit-parity with the DuckDB oracle's
+  * `list_transform(v, x -> x / nrm)`. */
+case class VectorDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_div"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_div needs (array<double>, double), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val d = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) / d; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $a.getDouble($i) / $b;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDivide =
+    copy(left = newLeft, right = newRight)
+}
+
+/** int8 quantization kernel: round(arr[i] / scale) clamped to
+  * [-127, 127], as array<tinyint> — 4× smaller than float32 on disk and
+  * over the wire, the standard storage/ANN-recall trade at corpus
+  * scale. Symmetric (no zero-point): scale = maxAbs/127 keeps 0.0 → 0
+  * exactly. Dequantization is [[VectorDequantInt8]]. */
+case class VectorQuantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "graft_vec_quant_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_quant_i8 needs (array<double>, double), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = Math.round(x.getDouble(i) / s)
+      out(i) = Math.max(-127L, Math.min(127L, q)).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val q = ctx.freshName("q")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          long $q = java.lang.Math.round($a.getDouble($i) / $b);
+          $out[$i] = (byte) java.lang.Math.max(-127L, java.lang.Math.min(127L, $q));
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorQuantizeInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** int8 dequantization: arr[i] * scale back to array<double>. */
+case class VectorDequantInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_dequant_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_dequant_i8 needs (array<tinyint>, double), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getByte(i) * s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $a.getByte($i) * $b;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDequantInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -224,4 +370,22 @@ object VectorExpressions {
   /** most-frequent-word-n-gram count over a token array. */
   def topNgramCount(words: Column, n: Int): Column =
     ColumnBridge.column(TopNgramCount(ColumnBridge.expression(words), n))
+
+  /** elementwise arr / divisor (L2-normalize kernel). */
+  def vecDiv(arr: Column, divisor: Column): Column =
+    ColumnBridge.column(VectorDivide(
+      ColumnBridge.expression(arr.cast("array<double>")),
+      ColumnBridge.expression(divisor.cast("double"))))
+
+  /** symmetric int8 quantization of arr at the given scale. */
+  def vecQuantizeInt8(arr: Column, scale: Column): Column =
+    ColumnBridge.column(VectorQuantizeInt8(
+      ColumnBridge.expression(arr.cast("array<double>")),
+      ColumnBridge.expression(scale.cast("double"))))
+
+  /** int8 dequantization back to array<double>. */
+  def vecDequantInt8(arr: Column, scale: Column): Column =
+    ColumnBridge.column(VectorDequantInt8(
+      ColumnBridge.expression(arr),
+      ColumnBridge.expression(scale.cast("double"))))
 }

@@ -730,6 +730,37 @@ object Pipeline {
       },
       Some(s"""SELECT event_type, COUNT(*) AS n, ${dsum("value")} AS total_value,
         MAX(event_id) AS max_id FROM events WHERE event_type = 'purchase'
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // --- embedding L2 normalization (codegen'd VectorDivide kernel).
+    // Surfaces the first normalized component and the self-dot of the
+    // normalized vector (≡ 1 up to fp) — both per-row double chains the
+    // oracle replays with the q47-proven list_transform formulation
+    // (sequential fold, same division). round(9) per the fp policy for
+    // sqrt/division chains.
+    "q72_embed_normalize" -> Q(
+      (s, d) => {
+        val e = emb(s, d).filter(col("vec_id") % 20 === 0)
+        e.select(col("vec_id"),
+            graft.ops.Embeddings.l2Normalize(col("embedding")).as("u"))
+          .select(col("vec_id"),
+            round(element_at(col("u"), 1), 9).as("x1"),
+            round(Similarity.dot(col("u"), col("u")), 9).as("n2"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE vec_id % 20 = 0),
+        n AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(range(1, len(v) + 1),
+            i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
+          FROM e),
+        u AS (SELECT vec_id,
+          list_transform(range(1, len(v) + 1),
+            i -> CAST(v[i] AS DOUBLE) / nrm) AS u
+          FROM n)
+        SELECT vec_id, round(u[1], 9) AS x1,
+          round(list_sum(list_transform(range(1, len(u) + 1),
+            i -> u[i] * u[i])), 9) AS n2
+        FROM u ORDER BY vec_id"""))
   )
 }

@@ -59,6 +59,56 @@ class ExprSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(0) < 0.01)
   }
 
+  test("vecDiv matches the HOF transform division bit-for-bit") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(500)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val nrm = graft.ops.Similarity.norm($"v")
+    val got = df.select($"id",
+        graft.expr.VectorExpressions.vecDiv($"v", nrm).as("u"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    val want = df.withColumn("n", nrm)
+      .select($"id", transform($"v", x => x / $"n").as("u"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    assert(got.zip(want).forall { case (a, b) => a == b })
+    // normalized self-dot is 1 within fp
+    val n2 = df.select(
+      graft.ops.Embeddings.l2Normalize($"v").as("u"))
+      .select(graft.ops.Similarity.dot($"u", $"u")).collect()
+    assert(n2.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("int8 quantize: error bounded by scale/2, zero vector exact, round trip preserves cosine") {
+    val rnd = new scala.util.Random(23)
+    val df = (Seq.fill(300)(Seq.fill(24)(rnd.nextDouble() * 6 - 3)) :+
+        Seq.fill(24)(0.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val q = graft.ops.Embeddings.quantizeEmbeddings(df, "v")
+    assert(q.schema("v_q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    val back = graft.ops.Embeddings.dequantEmbeddings(q, "v")
+      .withColumnRenamed("v", "vd")
+      .join(df, "id")
+    // per-component |v - dequant(quant(v))| <= scale/2 (+ ulp)
+    val viol = back.select($"id", $"v", $"vd",
+        graft.ops.Embeddings.int8Scale($"v").as("sc"))
+      .collect().count { r =>
+        val v = r.getSeq[Double](1); val vd = r.getSeq[Double](2)
+        val sc = r.getDouble(3)
+        v.zip(vd).exists { case (a, b) => math.abs(a - b) > sc / 2 + 1e-12 }
+      }
+    assert(viol == 0)
+    // zero vector survives exactly
+    val z = back.filter($"id" === 300L).head()
+    assert(z.getSeq[Double](1).forall(_ == 0.0) &&
+      z.getSeq[Double](2).forall(_ == 0.0))
+    // cosine(v, dequant) stays near 1 for non-zero vectors
+    val cosines = back.filter($"id" < 300L).select(
+      (graft.ops.Similarity.cosine($"v", $"vd")).as("c")).collect()
+    assert(cosines.forall(r => r.getDouble(0) > 0.999))
+  }
+
   test("davg matches the decimal formulation") {
     val df = Seq(Some(1.5), None, Some(2.5), Some(-0.25)).toDF("x")
     val got = df.agg(gf.davg($"x")).head().getDouble(0)
