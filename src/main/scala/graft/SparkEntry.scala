@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Io, Pipeline, Q, Relational}
+import graft.queries.{Io, Macro, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{Io, Pipeline, Q, Relational}
 object SparkEntry {
 
   private val registry: Seq[(String, Q)] =
-    Relational.registry ++ Pipeline.registry ++ Io.registry
+    Relational.registry ++ Pipeline.registry ++ Io.registry ++ Macro.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -51,6 +51,23 @@ class PlanSpec extends SparkSpec {
       "star-schema dims should broadcast, not shuffle")
   }
 
+  test("macro queries: dims broadcast, date filters reach the fact scans") {
+    for (q <- Seq("q73_tpch_q3", "q74_tpch_q5")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: dimension joins must broadcast")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q: no nested loops")
+    }
+    val p3 = SparkEntry.queries("q73_tpch_q3")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // both date predicates push into their parquet scans
+    assert(p3.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p3.contains("GreaterThan(l_shipdate"), "l_shipdate filter not pushed")
+    assert(p3.contains("LessThan(o_orderdate"), "o_orderdate filter not pushed")
+  }
+
   test("partitioned write → filtered read prunes to one partition directory") {
     import org.apache.spark.sql.functions._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_part"
