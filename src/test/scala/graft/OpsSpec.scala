@@ -147,6 +147,55 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("zorder layout: every file covers a narrow range of BOTH columns") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val rnd = new scala.util.Random(31)
+    // two independent uniform columns — the adversarial case for a
+    // single-column sort
+    val df = Seq.fill(20000)((rnd.nextInt(100000).toLong,
+      rnd.nextInt(100000).toLong)).toDF("a", "b")
+    def spans(d: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = d.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((fmax($"a") - fmin($"a")).as("sa"), (fmax($"b") - fmin($"b")).as("sb"))
+        .agg(avg($"sa"), avg($"sb")).head()
+      (s.getDouble(0) / 100000.0, s.getDouble(1) / 100000.0)
+    }
+    val zdir = s"$dir/z"
+    graft.ops.Layout.zorderBy(df, Seq("a", "b"), numFiles = 16)
+      .write.parquet(zdir)
+    val (za, zb) = spans(spark.read.parquet(zdir))
+    val sdir = s"$dir/s"
+    df.repartitionByRange(16, $"a").sortWithinPartitions("a")
+      .write.parquet(sdir)
+    val (sa, sb) = spans(spark.read.parquet(sdir))
+    // single-column sort: perfect on a, useless on b (span ≈ 1)
+    assert(sa < 0.2 && sb > 0.8)
+    // z-order: BOTH columns narrow (16 files ⇒ 4 Z-bits ⇒ each file
+    // spans ≤ ~1/4 of each dimension, modulo range-partition cuts)
+    assert(za < 0.5 && zb < 0.5)
+    assert(spark.read.parquet(zdir).count() == 20000)
+  }
+
+  test("compaction: rewrites many small files into the size-targeted count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    spark.range(0, 50000).toDF("id")
+      .withColumn("payload", $"id" * 2)
+      .repartition(64).write.parquet(src)
+    val (bytes, before) = graft.ops.Layout.parquetFootprint(spark, src)
+    assert(before == 64)
+    val (b2, after) = graft.ops.Layout.compactParquet(spark, src, dst,
+      targetFileBytes = bytes / 4)
+    assert(b2 == 64 && after <= 6 && after >= 3) // ~4 size-targeted files
+    assert(spark.read.parquet(dst).count() == 50000)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.compactParquet(spark, src, src, 1000)
+    }
+    assert(e.getMessage.contains("in-place"))
+  }
+
   test("asof join: a null value on the matched right row stays null") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     // quote at minute 20 has px = NULL; trade at 25 must see that null,
