@@ -46,7 +46,11 @@ object Bench {
     // round-3 net-new operators
     "q59_repetition" -> SparkEntry.queries("q59_repetition"),
     "q61_asof_join" -> SparkEntry.queries("q61_asof_join"),
-    "q62_range_join" -> SparkEntry.queries("q62_range_join"))
+    "q62_range_join" -> SparkEntry.queries("q62_range_join"),
+    // round-4: embedding kernels + multi-join composition
+    "q72_embed_normalize" -> SparkEntry.queries("q72_embed_normalize"),
+    "q73_tpch_q3" -> SparkEntry.queries("q73_tpch_q3"),
+    "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

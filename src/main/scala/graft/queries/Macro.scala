@@ -95,6 +95,78 @@ object Macro {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-        GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // --- distributed decision-stump fit, oracle-checked ------------------
+    // One depth-1 CART fit (exact-percentile candidates, gini, the
+    // deterministic tie-breaks documented in ops.DecisionTree) whose
+    // ENTIRE fit — candidate quantiles, per-threshold label histograms,
+    // weighted-gini argmax, majority leaf labels — is replayed by the
+    // DuckDB oracle in SQL. quantile_cont ≡ Spark percentile (q25) and
+    // every gini term is the same two-double arithmetic, so the fitted
+    // (threshold, counts, predictions) must hash-match exactly.
+    "q75_tree_stump" -> Q(
+      (s, d) => {
+        val src = Tables.customer(s, d)
+          .withColumn("lab",
+            when(col("c_acctbal") <= 3000.0, "lo").otherwise("hi"))
+        val tree = graft.ops.DecisionTree.fitClassifier(
+          src, Seq("c_acctbal"), "lab",
+          maxDepth = 1, minSamplesSplit = 2,
+          percentiles = 10 to 90 by 10)
+        tree.toDF(s).orderBy("node_id")
+      },
+      Some("""WITH src AS (
+          SELECT c_acctbal AS v,
+                 CASE WHEN c_acctbal <= 3000.0 THEN 'lo' ELSE 'hi' END AS lab
+          FROM customer WHERE c_acctbal IS NOT NULL),
+        tot AS (SELECT COUNT(*) AS n FROM src),
+        rootlab AS (
+          SELECT lab, COUNT(*) AS cnt FROM src GROUP BY lab),
+        parent AS (
+          SELECT 1.0 - SUM((cnt::DOUBLE / n::DOUBLE) * (cnt::DOUBLE / n::DOUBLE)) AS g
+          FROM rootlab, tot),
+        cand AS (
+          SELECT DISTINCT unnest(quantile_cont(v,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS thr FROM src),
+        histo AS (
+          SELECT c.thr, s.lab,
+            SUM(CASE WHEN s.v <= c.thr THEN 1 ELSE 0 END) AS lcnt,
+            SUM(CASE WHEN s.v > c.thr THEN 1 ELSE 0 END) AS rcnt
+          FROM cand c CROSS JOIN src s GROUP BY c.thr, s.lab),
+        sides AS (
+          SELECT thr, SUM(lcnt) AS ln, SUM(rcnt) AS rn FROM histo GROUP BY thr),
+        ginis AS (
+          SELECT h.thr,
+            1.0 - SUM((h.lcnt::DOUBLE / sd.ln::DOUBLE) * (h.lcnt::DOUBLE / sd.ln::DOUBLE)) AS gl,
+            1.0 - SUM((h.rcnt::DOUBLE / sd.rn::DOUBLE) * (h.rcnt::DOUBLE / sd.rn::DOUBLE)) AS gr
+          FROM histo h JOIN sides sd ON h.thr = sd.thr
+          GROUP BY h.thr),
+        best AS (
+          SELECT sd.thr, sd.ln, sd.rn,
+            p.g - (sd.ln::DOUBLE * g.gl + sd.rn::DOUBLE * g.gr) / t.n::DOUBLE AS gain
+          FROM sides sd JOIN ginis g ON sd.thr = g.thr, parent p, tot t
+          WHERE sd.ln >= 1 AND sd.rn >= 1
+          ORDER BY gain DESC, sd.thr ASC LIMIT 1),
+        predl AS (
+          SELECT lab FROM histo h JOIN best b ON h.thr = b.thr
+          ORDER BY h.lcnt DESC, h.lab DESC LIMIT 1),
+        predr AS (
+          SELECT lab FROM histo h JOIN best b ON h.thr = b.thr
+          ORDER BY h.rcnt DESC, h.lab DESC LIMIT 1),
+        predroot AS (
+          SELECT lab FROM rootlab ORDER BY cnt DESC, lab DESC LIMIT 1)
+        SELECT * FROM (
+          SELECT 1::BIGINT AS node_id, 0 AS depth, t.n AS n,
+            (SELECT lab FROM predroot) AS prediction,
+            'c_acctbal' AS feature, b.thr AS threshold
+          FROM tot t, best b
+          UNION ALL
+          SELECT 2::BIGINT, 1, b.ln::BIGINT, (SELECT lab FROM predl),
+            NULL, NULL::DOUBLE FROM best b
+          UNION ALL
+          SELECT 3::BIGINT, 1, b.rn::BIGINT, (SELECT lab FROM predr),
+            NULL, NULL::DOUBLE FROM best b)
+        ORDER BY node_id"""))
   )
 }

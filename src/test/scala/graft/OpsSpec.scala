@@ -147,6 +147,67 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("int8-quantized ANN: dequantized search recalls the exact neighborhood") {
+    // the 4×-compressed storage path end-to-end: quantize → store →
+    // dequantize → IVF search; on clustered data the top neighbor must
+    // survive quantization
+    val rng = new scala.util.Random(7)
+    def cluster(center: Array[Float], n: Int, base: Long) =
+      (0 until n).map(i => (base + i, center.map(c => c + rng.nextFloat() * 0.1f)))
+    val data = (cluster(Array(1f, 0f, 0f), 20, 0L) ++
+      cluster(Array(0f, 1f, 0f), 20, 100L)).toDF("vec_id", "embedding")
+    val stored = graft.ops.Embeddings.quantizeEmbeddings(data, "embedding")
+    val restored = graft.ops.Embeddings.dequantEmbeddings(stored, "embedding")
+      .select($"vec_id", $"embedding")
+    val centroids = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+      .toDF("cid", "embedding")
+    val queries = restored.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    // quantization (error ≤ scale/2 per comp) can swap near-ties, so
+    // the recall contract is top-k overlap, not exact top-1 identity:
+    // the quantized top-1 must be one of the exact top-5 (same cluster)
+    val bfTop5 = Similarity.bruteForceTopK(
+      data.filter($"vec_id" === 0L || $"vec_id" === 100L), data,
+      "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivfQuant = Similarity.ivfTopK(queries, restored, centroids,
+      "vec_id", "embedding", k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivfQuant.forall { case (q, n) => bfTop5(q).contains(n) })
+    assert(ivfQuant.keySet == Set(0L, 100L))
+  }
+
+  test("decision tree: recovers a planted axis-aligned rule exactly, deterministically") {
+    // rule: x <= 4 → a; else y <= 2 → b; else c  (10×10 grid × 5)
+    val rows = for {
+      _ <- 1 to 5; x <- 0 to 9; y <- 0 to 9
+    } yield (x.toDouble, y.toDouble,
+      if (x <= 4) "a" else if (y <= 2) "b" else "c")
+    val df = rows.toDF("x", "y", "lab").repartition(8)
+    val tree = graft.ops.DecisionTree.fitClassifier(
+      df, Seq("x", "y"), "lab", maxDepth = 3, minSamplesSplit = 5)
+    val acc = df.withColumn("p", tree.predictColumn)
+      .agg(avg(when($"p" === $"lab", 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0)
+    // root splits on x inside [4, 5); right child on y inside [2, 3)
+    val root = tree.nodes(1L)
+    assert(tree.features(root.feature) == "x" &&
+      root.threshold >= 4.0 && root.threshold < 5.0)
+    val right = tree.nodes(root.right)
+    assert(tree.features(right.feature) == "y" &&
+      right.threshold >= 2.0 && right.threshold < 3.0)
+    // left child is a pure leaf — no further split
+    assert(tree.nodes(root.left).feature == -1)
+    // deterministic: same data → identical tree
+    val tree2 = graft.ops.DecisionTree.fitClassifier(
+      df, Seq("x", "y"), "lab", maxDepth = 3, minSamplesSplit = 5)
+    assert(tree2.nodes == tree.nodes)
+    // minLeafSize binds: a huge floor forbids any split
+    val stump = graft.ops.DecisionTree.fitClassifier(
+      df, Seq("x", "y"), "lab", maxDepth = 3, minLeafSize = 400)
+    assert(stump.nodes.size == 1 && stump.nodes(1L).prediction == "a")
+  }
+
   test("zorder layout: every file covers a narrow range of BOTH columns") {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
