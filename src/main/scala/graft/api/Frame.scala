@@ -398,6 +398,42 @@ final class Frame(val df: DataFrame) {
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
       .orderBy(F.desc("count"), F.col(name))
 
+  /** equi-width histogram of a numeric column: (bin, lo, hi, n) for
+    * every NON-EMPTY bin — the data side of the reference's plotting
+    * module (src/DataFrame/Display/Terminal/Plot.hs histograms; the
+    * terminal rendering itself is [[asciiHistogram]]). Bounds ride a
+    * broadcast crossJoin (no driver collect); one scan + one shuffle
+    * on ≤ `bins` keys. Values exactly at max land in the last bin. */
+  def histogram(name: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "histogram: bins must be >= 1")
+    val v = F.col(name).cast("double")
+    val bounds = df.agg(F.min(v).as("mn"), F.max(v).as("mx"))
+    val w = (F.col("mx") - F.col("mn")) / bins + F.lit(1e-300)
+    df.select(v.as("v")).filter(F.col("v").isNotNull)
+      .crossJoin(F.broadcast(bounds))
+      .select(F.least(F.floor((F.col("v") - F.col("mn")) / w),
+        F.lit(bins - 1L)).cast("long").as("bin"),
+        F.col("mn"), F.col("mx"))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.first(F.col("mn") + F.col("bin") * ((F.col("mx") - F.col("mn")) / bins)).as("lo"),
+        F.first(F.col("mn") + (F.col("bin") + 1) * ((F.col("mx") - F.col("mn")) / bins)).as("hi"))
+      .select("bin", "lo", "hi", "n")
+      .orderBy("bin")
+  }
+
+  /** driver-side ASCII rendering of [[histogram]] (bounded: ≤ bins
+    * rows collect). */
+  def asciiHistogram(name: String, bins: Int = 10, width: Int = 40): String = {
+    val rows = histogram(name, bins).collect()
+    if (rows.isEmpty) return "(empty)"
+    val maxN = rows.map(_.getLong(3)).max.toDouble
+    rows.map { r =>
+      val bar = "#" * math.max(1, math.round(r.getLong(3) / maxN * width).toInt)
+      f"[${r.getDouble(1)}%12.4f, ${r.getDouble(2)}%12.4f) ${r.getLong(3)}%8d $bar"
+    }.mkString("\n")
+  }
+
   // ---- driver-side extractors (Operations/Core.hs:683-800) --------------
   // Bounded-use helpers for handing data to local ML / plotting code —
   // they collect to the driver; never call on an unbounded frame.

@@ -48,6 +48,37 @@ object Stats {
     * MI = Σ p(x,y) ln(p(x,y) / (p(x)p(y))). Two shuffles over binned keys;
     * all marginals derived from the joint histogram (single scan).
     */
+  /** [[mutualInformationBinned]] as a one-row DataFrame with the
+    * engine-portable fp policy (each log term rounded to 10 dp, then a
+    * decimal-exact order-independent sum) — the oracle-checkable
+    * formulation (q77). Fully lazy: the bin bounds ride a broadcast
+    * crossJoin instead of a driver collect, so this composes into
+    * larger plans and scales like any aggregate. */
+  def mutualInformationBinnedDF(df: DataFrame, a: String, b: String,
+                                bins: Int = 10): DataFrame = {
+    val src = df.select(F.col(a).cast("double").as("va"),
+      F.col(b).cast("double").as("vb"))
+    val bounds = src.agg(
+      F.min("va").as("amin"), F.max("va").as("amax"),
+      F.min("vb").as("bmin"), F.max("vb").as("bmax"))
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      F.least(F.floor((c - lo) / ((hi - lo) / bins + F.lit(1e-300))),
+        F.lit(bins - 1L)).cast("long")
+    val joint = src.crossJoin(F.broadcast(bounds))
+      .select(bin(F.col("va"), F.col("amin"), F.col("amax")).as("bx"),
+        bin(F.col("vb"), F.col("bmin"), F.col("bmax")).as("by"))
+      .groupBy("bx", "by").agg(F.count(F.lit(1)).as("cnt"))
+    val total = joint.agg(F.sum("cnt").cast("double").as("total"))
+    val px = joint.groupBy("bx").agg(F.sum("cnt").cast("double").as("cx"))
+    val py = joint.groupBy("by").agg(F.sum("cnt").cast("double").as("cy"))
+    val term = (F.col("cnt").cast("double") / F.col("total")) *
+      F.log((F.col("cnt").cast("double") * F.col("total")) /
+        (F.col("cx") * F.col("cy")))
+    joint.join(px, "bx").join(py, "by").crossJoin(F.broadcast(total))
+      .select(F.round(term, 10).cast("decimal(18,10)").as("t"))
+      .agg(F.sum("t").cast("double").as("mi"))
+  }
+
   def mutualInformationBinned(df: DataFrame, a: String, b: String,
                               bins: Int = 10): Double = {
     val bounds = df.agg(

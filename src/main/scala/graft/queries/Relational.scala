@@ -668,6 +668,51 @@ object Relational {
         WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
                wf AS (PARTITION BY o_custkey
                       ORDER BY o_orderpriority, o_orderkey)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // --- equi-width histogram (data side of the reference's plotting) ----
+    // Bin index, exact bin edges, and count per non-empty bin — same
+    // floor((v-min)/width) arithmetic in both engines (width carries the
+    // +1e-300 guard against min==max).
+    "q76_histogram" -> Q(
+      (s, d) => graft.api.Frame(Tables.orders(s, d))
+        .histogram("o_totalprice", bins = 12)
+        .withColumn("lo", round(col("lo"), 6))
+        .withColumn("hi", round(col("hi"), 6)),
+      Some("""WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders),
+        binned AS (
+          SELECT least(floor((o_totalprice - mn) / ((mx - mn) / 12 + 1e-300)),
+            11)::BIGINT AS bin, mn, mx
+          FROM orders, b WHERE o_totalprice IS NOT NULL)
+        SELECT bin,
+          round(any_value(mn) + bin * ((any_value(mx) - any_value(mn)) / 12), 6) AS lo,
+          round(any_value(mn) + (bin + 1) * ((any_value(mx) - any_value(mn)) / 12), 6) AS hi,
+          COUNT(*) AS n
+        FROM binned GROUP BY bin ORDER BY bin""")),
+
+    // --- binned mutual information, engine-portable formulation ----------
+    // Joint/marginal histograms from one scan; each log term rounded to
+    // 10 dp then summed decimal-exact (order-independent) — the fp
+    // policy that lets DuckDB replay a sum of logs bit-for-bit.
+    "q77_mutual_info" -> Q(
+      (s, d) => graft.api.Stats.mutualInformationBinnedDF(
+        Tables.lineitem(s, d), "l_quantity", "l_extendedprice", bins = 10),
+      Some("""WITH src AS (SELECT l_quantity AS va, l_extendedprice AS vb
+          FROM lineitem),
+        b AS (SELECT min(va) AS amin, max(va) AS amax,
+                     min(vb) AS bmin, max(vb) AS bmax FROM src),
+        binned AS (
+          SELECT least(floor((va - amin) / ((amax - amin) / 10 + 1e-300)), 9)::BIGINT AS bx,
+                 least(floor((vb - bmin) / ((bmax - bmin) / 10 + 1e-300)), 9)::BIGINT AS by
+          FROM src, b),
+        joint AS (SELECT bx, by, COUNT(*) AS cnt FROM binned GROUP BY bx, by),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM joint),
+        px AS (SELECT bx, CAST(SUM(cnt) AS DOUBLE) AS cx FROM joint GROUP BY bx),
+        py AS (SELECT by, CAST(SUM(cnt) AS DOUBLE) AS cy FROM joint GROUP BY by)
+        SELECT CAST(SUM(CAST(round(
+            (cnt::DOUBLE / total) * ln((cnt::DOUBLE * total) / (cx * cy)),
+            10) AS DECIMAL(18,10))) AS DOUBLE) AS mi
+        FROM joint JOIN px USING (bx) JOIN py USING (by), tot"""))
   )
 }

@@ -239,4 +239,19 @@ class FrameSpec extends SparkSpec {
     val sm = withNull.summarize
     assert(sm.filter($"column" === "b").select($"median").as[Double].head() == 1.5)
   }
+
+  test("histogram: equi-width bins, max in last bin, constant column, ascii render") {
+    val f = Frame((0 to 100).map(_.toDouble).toDF("v"))
+    val h = f.histogram("v", bins = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(h.keySet == (0L to 9L).toSet)
+    assert(h(0L)._3 == 10 && h(9L)._3 == 11) // 90..100 inclusive: max joins last bin
+    assert(h(0L)._1 == 0.0 && math.abs(h(9L)._2 - 100.0) < 1e-9)
+    // nulls ignored; constant column lands entirely in bin 0
+    val c = Frame(Seq(Some(5.0), Some(5.0), None).toDF("v"))
+      .histogram("v", bins = 4).collect()
+    assert(c.length == 1 && c.head.getLong(0) == 0L && c.head.getLong(3) == 2L)
+    val art = f.asciiHistogram("v", bins = 5)
+    assert(art.linesIterator.size == 5 && art.contains("#"))
+  }
 }
