@@ -167,6 +167,50 @@ object Macro {
           UNION ALL
           SELECT 3::BIGINT, 1, b.rn::BIGINT, (SELECT lab FROM predr),
             NULL, NULL::DOUBLE FROM best b)
-        ORDER BY node_id"""))
+        ORDER BY node_id""")),
+
+    // --- feature-synthesis atom round, fully distributed -----------------
+    // Every (feature, percentile-threshold) atom scored by F1 against a
+    // binary target in one melt + one grouped aggregate (the beam
+    // search's first round as pure relational algebra —
+    // ops.FeatureSynthesis.atomScores). The oracle replays thresholds
+    // (quantile_cont ≡ percentile), tp/fp/fn counts, and the F1
+    // arithmetic.
+    "q78_synth_atoms" -> Q(
+      (s, d) => graft.ops.FeatureSynthesis.atomScores(
+        Tables.customer(s, d),
+        col("c_acctbal") <= 3000.0,
+        Seq("c_acctbal", "c_custkey")),
+      Some("""WITH src AS (
+          SELECT c_acctbal::DOUBLE AS c_acctbal, c_custkey::DOUBLE AS c_custkey,
+                 (c_acctbal <= 3000.0) AS t FROM customer),
+        thr AS (
+          SELECT 'c_acctbal' AS feature, unnest(quantile_cont(c_acctbal,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS thr FROM src
+          UNION
+          SELECT 'c_custkey', unnest(quantile_cont(c_custkey,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) FROM src),
+        melted AS (
+          SELECT 'c_acctbal' AS feature, c_acctbal AS v, t FROM src
+          UNION ALL
+          SELECT 'c_custkey', c_custkey, t FROM src),
+        counts AS (
+          SELECT m.feature, h.thr,
+            SUM(CASE WHEN m.v <= h.thr AND m.t THEN 1 ELSE 0 END)::BIGINT AS tp,
+            SUM(CASE WHEN m.v <= h.thr AND NOT m.t THEN 1 ELSE 0 END)::BIGINT AS fp,
+            SUM(CASE WHEN m.v > h.thr AND m.t THEN 1 ELSE 0 END)::BIGINT AS fn
+          FROM melted m JOIN thr h ON m.feature = h.feature
+          GROUP BY m.feature, h.thr),
+        scored AS (
+          SELECT feature, thr, tp, fp, fn,
+            CASE WHEN tp + fp = 0 THEN 0.0
+                 ELSE tp::DOUBLE / (tp + fp) END AS p,
+            CASE WHEN tp + fn = 0 THEN 0.0
+                 ELSE tp::DOUBLE / (tp + fn) END AS r
+          FROM counts)
+        SELECT feature, thr, tp, fp, fn,
+          round(CASE WHEN p + r = 0.0 THEN 0.0
+                     ELSE 2.0 * p * r / (p + r) END, 9) AS f1
+        FROM scored ORDER BY f1 DESC, feature, thr"""))
   )
 }

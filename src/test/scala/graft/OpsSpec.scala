@@ -208,6 +208,28 @@ class OpsSpec extends SparkSpec {
     assert(stump.nodes.size == 1 && stump.nodes(1L).prediction == "a")
   }
 
+  test("feature synthesis: beam recovers a planted conjunction with F1 = 1") {
+    // target ≡ x <= 4 AND y <= 6 over a 10×10 grid: both atoms exist as
+    // percentile thresholds, one and-expansion must reach F1 = 1
+    val rows = for (x <- 0 to 9; y <- 0 to 9)
+      yield (x.toDouble, y.toDouble, x <= 4 && y <= 6)
+    val df = rows.toDF("x", "y", "t").repartition(4)
+    val beam = graft.ops.FeatureSynthesis.synthesizeBoolean(
+      df, $"t", Seq("x", "y"), beamWidth = 8, rounds = 1)
+    assert(beam.head.f1 == 1.0)
+    assert(beam.head.description.contains("and"))
+    assert(beam.head.description.contains("x <=") &&
+      beam.head.description.contains("y <="))
+    // the winning expression actually reproduces the target
+    val missed = df.filter(beam.head.expr =!= $"t").count()
+    assert(missed == 0)
+    // determinism: identical rerun yields the identical beam
+    val beam2 = graft.ops.FeatureSynthesis.synthesizeBoolean(
+      df, $"t", Seq("x", "y"), beamWidth = 8, rounds = 1)
+    assert(beam2.map(c => (c.description, c.f1)) ==
+      beam.map(c => (c.description, c.f1)))
+  }
+
   test("zorder layout: every file covers a narrow range of BOTH columns") {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
