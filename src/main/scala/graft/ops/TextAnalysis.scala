@@ -108,6 +108,60 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style quality rule set (Rae et al. 2021 §A1.1 heuristics —
+    * public filter battery; the reference has no equivalent): one
+    * boolean per rule plus the overall conjunction, as a struct. Every
+    * rule is a Column expression over the token/line arrays — the
+    * whole battery is scan-stage work with zero shuffles, the posture
+    * for filtering a 100 TB crawl. Thresholds are the published ones;
+    * override via the args.
+    *
+    * `mean_word_len` uses non-space-chars / word-count (exact for
+    * single-space tokenization, and engine-portable — no per-word
+    * fold). */
+  def gopherFlags(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaWordFrac: Double = 0.8,
+                  minStopwords: Int = 2): Column = {
+    val w = tokens(text)
+    val nw = size(w).cast("double")
+    val meanLen = length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(nw, lit(1.0))
+    def occurrences(needle: String) =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern
+        .quote(needle), ""))).cast("double") / needle.length
+    val symbolRatio = (occurrences("#") + occurrences("...")) /
+      greatest(nw, lit(1.0))
+    val lines = split(text, "\n")
+    val nl = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / greatest(nl, lit(1.0))
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / greatest(nl, lit(1.0))
+    val alphaWordFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nw, lit(1.0))
+    val nStop = size(array_intersect(array_distinct(w),
+      typedLit(defaultStopwords)))
+    val fWords = nw >= minWords && nw <= maxWords
+    val fMean = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val fSymbol = symbolRatio <= maxSymbolRatio
+    val fBullet = bulletFrac <= maxBulletFrac
+    val fEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val fAlpha = alphaWordFrac >= minAlphaWordFrac
+    val fStop = nStop >= minStopwords
+    struct(
+      fWords.as("words_ok"), fMean.as("mean_word_len_ok"),
+      fSymbol.as("symbol_ok"), fBullet.as("bullet_ok"),
+      fEllipsis.as("ellipsis_ok"), fAlpha.as("alpha_ok"),
+      fStop.as("stopwords_ok"),
+      (fWords && fMean && fSymbol && fBullet && fEllipsis && fAlpha && fStop)
+        .as("keep"))
+  }
+
   /** fixed-size token chunking with overlap — the pretraining/RAG prep
     * op: chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size).
     * Every document yields ≥ 1 chunk (short docs produce themselves);

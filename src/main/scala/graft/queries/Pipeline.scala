@@ -761,6 +761,60 @@ object Pipeline {
         SELECT vec_id, round(u[1], 9) AS x1,
           round(list_sum(list_transform(range(1, len(u) + 1),
             i -> u[i] * u[i])), 9) AS n2
-        FROM u ORDER BY vec_id"""))
+        FROM u ORDER BY vec_id""")),
+
+    // --- Gopher quality rule battery (scan-stage corpus filter) ----------
+    // Each published rule as a boolean column; the oracle recomputes
+    // every rule from scratch with DuckDB list/string functions
+    // (identical non-overlapping replace semantics, identical
+    // single-space mean-word-length formula).
+    "q79_gopher_quality" -> Q(
+      (s, d) => {
+        val flags = graft.ops.TextAnalysis.gopherFlags(col("text"),
+          minWords = 20) // synthetic docs are shorter than a web crawl
+        docs(s, d).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), flags.as("f"))
+          .select(col("doc_id"), col("f.words_ok"), col("f.mean_word_len_ok"),
+            col("f.symbol_ok"), col("f.bullet_ok"), col("f.ellipsis_ok"),
+            col("f.alpha_ok"), col("f.stopwords_ok"), col("f.keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+          SELECT doc_id, text, string_split(text, ' ') AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents WHERE doc_id % 4 = 0),
+        m AS (
+          SELECT doc_id,
+            len(w)::DOUBLE AS nw,
+            length(replace(text, ' ', ''))::DOUBLE
+              / greatest(len(w)::DOUBLE, 1.0) AS mean_len,
+            ((length(text) - length(replace(text, '#', '')))::DOUBLE
+             + (length(text) - length(replace(text, '...', '')))::DOUBLE / 3)
+              / greatest(len(w)::DOUBLE, 1.0) AS symbol_ratio,
+            len(list_filter(lines, l -> starts_with(l, '- ')
+              OR starts_with(l, '* ') OR starts_with(l, '• ')))::DOUBLE
+              / greatest(len(lines)::DOUBLE, 1.0) AS bullet_frac,
+            len(list_filter(lines, l -> suffix(l, '...')))::DOUBLE
+              / greatest(len(lines)::DOUBLE, 1.0) AS ellipsis_frac,
+            len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / greatest(len(w)::DOUBLE, 1.0) AS alpha_frac,
+            len(list_intersect(list_distinct(w),
+              ['the','a','an','of','to','and','in','is','it','that'])) AS nstop
+          FROM src),
+        f AS (
+          SELECT doc_id,
+            (nw >= 20 AND nw <= 100000) AS words_ok,
+            (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+            (symbol_ratio <= 0.1) AS symbol_ok,
+            (bullet_frac <= 0.9) AS bullet_ok,
+            (ellipsis_frac <= 0.3) AS ellipsis_ok,
+            (alpha_frac >= 0.8) AS alpha_ok,
+            (nstop >= 2) AS stopwords_ok
+          FROM m)
+        SELECT doc_id, words_ok, mean_word_len_ok, symbol_ok, bullet_ok,
+          ellipsis_ok, alpha_ok, stopwords_ok,
+          (words_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok
+           AND ellipsis_ok AND alpha_ok AND stopwords_ok) AS keep
+        FROM f ORDER BY doc_id"""))
   )
 }

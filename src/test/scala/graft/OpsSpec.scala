@@ -553,6 +553,27 @@ class OpsSpec extends SparkSpec {
     assert(TA.defaultStopwords.nonEmpty)
   }
 
+  test("gopher quality flags: each rule fires on its adversarial doc") {
+    val good = (("the quick brown fox jumps over a lazy dog and " * 5) +
+      "it is that kind of tale").trim
+    val docsDf = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "short text only"),                      // words_ok fails
+      (3L, ("## ### #### " * 20).trim),             // symbol + alpha fail
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // bullet fails
+      (5L, good.split(" ").map(w => s"$w...").mkString("\n"))  // ellipsis fails
+    ).toDF("doc_id", "text")
+    val f = docsDf.select($"doc_id",
+        graft.ops.TextAnalysis.gopherFlags($"text", minWords = 10).as("f"))
+      .select($"doc_id", $"f.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getBoolean(8)) // keep
+    assert(!f(2L).getBoolean(1) && !f(2L).getBoolean(8)) // words_ok
+    assert(!f(3L).getBoolean(3) || !f(3L).getBoolean(6)) // symbol/alpha
+    assert(!f(4L).getBoolean(4) && !f(4L).getBoolean(8)) // bullet_ok
+    assert(!f(5L).getBoolean(5)) // ellipsis_ok
+  }
+
   test("repetition signals: looping text scores high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),              // one repeated word
