@@ -308,6 +308,55 @@ case class VectorQuantizeInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** integer dot product over two int8-quantized vectors — the direct
+  * scoring kernel for quantized ANN: accumulates in a long (no
+  * overflow: 127²·dim ≪ 2⁶³), caller multiplies by scaleA·scaleB.
+  * Scoring quantized vectors directly reads 4× less data than
+  * dequantize-then-dot and never materializes the double arrays. */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_i8 needs array<tinyint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += ((long) $a.getByte($i)) * $b.getByte($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** int8 dequantization: arr[i] * scale back to array<double>. */
 case class VectorDequantInt8(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -388,4 +437,10 @@ object VectorExpressions {
     ColumnBridge.column(VectorDequantInt8(
       ColumnBridge.expression(arr),
       ColumnBridge.expression(scale.cast("double"))))
+
+  /** integer dot over two int8 vectors (multiply by scaleA·scaleB for
+    * the approximate real-valued dot). */
+  def dotInt8(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductInt8(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -57,4 +57,23 @@ object Embeddings {
   def dequantEmbeddings(df: DataFrame, vec: String): DataFrame =
     df.withColumn(vec, dequantInt8(col(s"${vec}_q"), col(s"${vec}_scale")))
       .drop(s"${vec}_q", s"${vec}_scale")
+
+  /** approximate dot of two QUANTIZED vectors, scored directly on the
+    * int8 arrays (integer accumulate, then × scaleA·scaleB) — reads 4×
+    * less data than dequantize-then-dot and never materializes the
+    * double arrays. The candidate-scoring kernel for ANN over a
+    * quantized corpus. */
+  def dotQuantized(qa: Column, scaleA: Column, qb: Column,
+                   scaleB: Column): Column =
+    VectorExpressions.dotInt8(qa, qb).cast("double") * scaleA * scaleB
+
+  /** approximate cosine of two quantized vectors (norms likewise from
+    * the integer self-dots — zero-norm inputs yield NaN). */
+  def cosineQuantized(qa: Column, scaleA: Column, qb: Column,
+                      scaleB: Column): Column = {
+    val num = dotQuantized(qa, scaleA, qb, scaleB)
+    val na = sqrt(dotQuantized(qa, scaleA, qa, scaleA))
+    val nb = sqrt(dotQuantized(qb, scaleB, qb, scaleB))
+    num / (na * nb)
+  }
 }

@@ -109,6 +109,31 @@ class ExprSpec extends SparkSpec {
     assert(cosines.forall(r => r.getDouble(0) > 0.999))
   }
 
+  test("int8 dot kernel: integer accumulate matches dequantized double dot; cosine within quant error") {
+    val rnd = new scala.util.Random(41)
+    val df = Seq.fill(200)((Seq.fill(32)(rnd.nextDouble() * 4 - 2),
+        Seq.fill(32)(rnd.nextDouble() * 4 - 2)))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val sa = graft.ops.Embeddings.int8Scale($"a")
+    val sb = graft.ops.Embeddings.int8Scale($"b")
+    val q = df.select($"id", $"a", $"b", sa.as("sa"), sb.as("sb"),
+      graft.ops.Embeddings.quantizeInt8($"a", sa).as("qa"),
+      graft.ops.Embeddings.quantizeInt8($"b", sb).as("qb"))
+    // integer-dot × scales ≡ dot of the dequantized doubles (both are
+    // exactly Σ qa_i·qb_i·sa·sb — same value, 4× less data read)
+    val rows = q.select(
+      graft.ops.Embeddings.dotQuantized($"qa", $"sa", $"qb", $"sb").as("di"),
+      graft.ops.Similarity.dot(
+        graft.ops.Embeddings.dequantInt8($"qa", $"sa"),
+        graft.ops.Embeddings.dequantInt8($"qb", $"sb")).as("dd"),
+      graft.ops.Embeddings.cosineQuantized($"qa", $"sa", $"qb", $"sb").as("cq"),
+      graft.ops.Similarity.cosine($"a", $"b").as("c")).collect()
+    // di vs dd: same sum, different association order — fp-close
+    assert(rows.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    assert(rows.forall(r => math.abs(r.getDouble(2) - r.getDouble(3)) < 0.02))
+  }
+
   test("davg matches the decimal formulation") {
     val df = Seq(Some(1.5), None, Some(2.5), Some(-0.25)).toDF("x")
     val got = df.agg(gf.davg($"x")).head().getDouble(0)

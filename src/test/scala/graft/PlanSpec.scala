@@ -68,6 +68,14 @@ class PlanSpec extends SparkSpec {
     assert(p3.contains("LessThan(o_orderdate"), "o_orderdate filter not pushed")
   }
 
+  test("q72 normalize plans the codegen kernel, not interpreted HOFs") {
+    val plan = SparkEntry.queries("q72_embed_normalize")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_vec_div"), "VectorDivide kernel missing")
+    assert(!plan.contains("transform(") && !plan.contains("aggregate("),
+      "interpreted higher-order functions on the normalize hot path")
+  }
+
   test("partitioned write → filtered read prunes to one partition directory") {
     import org.apache.spark.sql.functions._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_part"

@@ -118,6 +118,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment attaches dim attributes, unmatched keys stay null") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long) = Events.Event(
+      id, new java.sql.Timestamp(6000000L + id * 60000L), user, "click", 1.0)
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val src = MemoryStream[Events.Event]
+    val q = Events.enrichStream(src.toDS().toDF(), dim, Seq("user_id"))
+      .select("event_id", "tier")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_stream").start()
+    try {
+      src.addData(ev(1, 1), ev(2, 2), ev(3, 99)); q.processAllAvailable()
+      val got = spark.table("enrich_stream").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("free"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("stream-stream join within a time bound matches across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
