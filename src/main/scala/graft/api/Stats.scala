@@ -48,6 +48,116 @@ object Stats {
     * MI = Σ p(x,y) ln(p(x,y) / (p(x)p(y))). Two shuffles over binned keys;
     * all marginals derived from the joint histogram (single scan).
     */
+  /** Per-group box-plot statistics — the data side of the reference's
+    * `plotBoxPlots` (Display/Terminal/Plot.hs): five-number summary,
+    * IQR, Tukey whiskers (q1/q3 ∓ 1.5·IQR) and the outlier count.
+    * Two aggregation passes over the grouped values (quartiles, then
+    * outlier counts against the broadcast quartiles) — never a
+    * per-group collect. */
+  def boxPlotStats(df: DataFrame, value: String, by: String,
+                   whiskerScale: Int = -1): DataFrame = {
+    val v = F.col(value).cast("double")
+    def rnd(c: Column) =
+      if (whiskerScale >= 0) F.round(c, whiskerScale) else c
+    val q = df.groupBy(by).agg(
+      F.min(v).as("v_min"),
+      F.percentile(v, F.lit(0.25)).as("q1"),
+      F.median(v).as("v_median"),
+      F.percentile(v, F.lit(0.75)).as("q3"),
+      F.max(v).as("v_max"),
+      F.count(v).as("n"))
+      .withColumn("iqr", F.col("q3") - F.col("q1"))
+      // whiskerScale >= 0 rounds the whiskers BEFORE outlier counting:
+      // q1 ∓ 1.5·iqr is a multiply-add chain whose last ulp can differ
+      // across engines (FMA contraction) — rounding makes the outlier
+      // threshold engine-portable for oracle comparison
+      .withColumn("lo_whisker", rnd(F.col("q1") - F.col("iqr") * 1.5))
+      .withColumn("hi_whisker", rnd(F.col("q3") + F.col("iqr") * 1.5))
+    val outliers = df.select(F.col(by), v.as("v"))
+      .join(F.broadcast(q.select(F.col(by), F.col("lo_whisker").as("lw"),
+        F.col("hi_whisker").as("hw"))), Seq(by))
+      .groupBy(by)
+      .agg(F.sum(F.when(F.col("v") < F.col("lw") ||
+        F.col("v") > F.col("hw"), 1L).otherwise(0L)).as("n_outliers"))
+    q.join(outliers, Seq(by))
+      .select(F.col(by), F.col("v_min"), F.col("q1"), F.col("v_median"),
+        F.col("q3"), F.col("v_max"), F.col("iqr"),
+        F.col("lo_whisker"), F.col("hi_whisker"), F.col("n"),
+        F.col("n_outliers"))
+  }
+
+  /** Pairwise Pearson correlation over `cols` — the data side of
+    * `plotCorrelationMatrix`. ONE aggregation pass computes every
+    * pair's decimal-exact moment sums (order-independent — q24's
+    * proven corr recipe); the tiny pair list assembles driver-side.
+    * round(12) per the multiply-subtract fp policy. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least 2 columns")
+    val spark = df.sparkSession
+    def s1(c: String) = graft.expr.AggregateExpressions
+      .dsumScaled(F.col(c).cast("double"), 6)
+    def s2(a: String, b: String) = graft.expr.AggregateExpressions
+      .dsumScaled(F.col(a).cast("double") * F.col(b).cast("double"), 4)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = cols.map(c => s1(c).as(s"s_$c")) ++
+      cols.map(c => s2(c, c).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => s2(a, b).as(s"sp_${a}_$b") } :+
+      F.count(F.lit(1)).cast("double").as("n")
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def g(name: String) = r.getDouble(r.fieldIndex(name))
+    val n = g("n")
+    val rows = pairs.map { case (a, b) =>
+      val cov = g(s"sp_${a}_$b") - g(s"s_$a") * g(s"s_$b") / n
+      val va = g(s"ss_$a") - g(s"s_$a") * g(s"s_$a") / n
+      val vb = g(s"ss_$b") - g(s"s_$b") * g(s"s_$b") / n
+      (a, b, BigDecimal(cov / math.sqrt(va * vb))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "corr")
+  }
+
+  /** Binned 2-D density — the data side of `plotHeatmap`: (bx, by,
+    * count) over an equi-width grid, same binning arithmetic as
+    * [[mutualInformationBinnedDF]] (bounds ride a broadcast). */
+  def heatmapBins(df: DataFrame, a: String, b: String,
+                  bins: Int = 10): DataFrame = {
+    val src = df.select(F.col(a).cast("double").as("va"),
+      F.col(b).cast("double").as("vb"))
+      .filter(F.col("va").isNotNull && F.col("vb").isNotNull)
+    val bounds = src.agg(
+      F.min("va").as("amin"), F.max("va").as("amax"),
+      F.min("vb").as("bmin"), F.max("vb").as("bmax"))
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      F.least(F.floor((c - lo) / ((hi - lo) / bins + F.lit(1e-300))),
+        F.lit(bins - 1L)).cast("long")
+    src.crossJoin(F.broadcast(bounds))
+      .select(bin(F.col("va"), F.col("amin"), F.col("amax")).as("bx"),
+        bin(F.col("vb"), F.col("bmin"), F.col("bmax")).as("by"))
+      .groupBy("bx", "by").agg(F.count(F.lit(1)).as("n"))
+      .orderBy("bx", "by")
+  }
+
+  /** driver-side ASCII density grid of [[heatmapBins]] (bounded: ≤
+    * bins² rows collect); x right, y up. */
+  def asciiHeatmap(df: DataFrame, a: String, b: String,
+                   bins: Int = 10): String = {
+    val cells = heatmapBins(df, a, b, bins).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    if (cells.isEmpty) return "(empty)"
+    val maxN = cells.values.max.toDouble
+    val shades = " .:-=+*#%@"
+    (bins - 1 to 0 by -1).map { y =>
+      (0 until bins).map { x =>
+        val n = cells.getOrElse((x, y), 0L)
+        shades(math.min(shades.length - 1,
+          math.ceil(n / maxN * (shades.length - 1)).toInt))
+      }.mkString
+    }.mkString("\n")
+  }
+
   /** [[mutualInformationBinned]] as a one-row DataFrame with the
     * engine-portable fp policy (each log term rounded to 10 dp, then a
     * decimal-exact order-independent sum) — the oracle-checkable

@@ -713,6 +713,80 @@ object Relational {
         SELECT CAST(SUM(CAST(round(
             (cnt::DOUBLE / total) * ln((cnt::DOUBLE * total) / (cx * cy)),
             10) AS DECIMAL(18,10))) AS DOUBLE) AS mi
-        FROM joint JOIN px USING (bx) JOIN py USING (by), tot"""))
+        FROM joint JOIN px USING (bx) JOIN py USING (by), tot""")),
+
+    // --- box-plot stats per group (data side of plotBoxPlots) ------------
+    // Five-number summary + Tukey whiskers + outlier count; whiskers
+    // rounded to 6 dp before counting (multiply-add chain fp policy) so
+    // the outlier threshold is engine-portable.
+    "q80_boxplot" -> Q(
+      (s, d) => graft.api.Stats.boxPlotStats(
+        li(s, d), "l_extendedprice", "l_returnflag", whiskerScale = 6)
+        .orderBy("l_returnflag"),
+      Some("""WITH q AS (
+          SELECT l_returnflag,
+            min(l_extendedprice) AS v_min,
+            quantile_cont(l_extendedprice, 0.25) AS q1,
+            median(l_extendedprice) AS v_median,
+            quantile_cont(l_extendedprice, 0.75) AS q3,
+            max(l_extendedprice) AS v_max,
+            COUNT(l_extendedprice) AS n
+          FROM lineitem GROUP BY l_returnflag),
+        w AS (
+          SELECT *, q3 - q1 AS iqr,
+            round(q1 - 1.5 * (q3 - q1), 6) AS lo_whisker,
+            round(q3 + 1.5 * (q3 - q1), 6) AS hi_whisker
+          FROM q),
+        o AS (
+          SELECT l.l_returnflag,
+            SUM(CASE WHEN l.l_extendedprice < w.lo_whisker
+                       OR l.l_extendedprice > w.hi_whisker
+                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+          FROM lineitem l JOIN w ON l.l_returnflag = w.l_returnflag
+          GROUP BY l.l_returnflag)
+        SELECT w.l_returnflag, v_min, q1, v_median, q3, v_max, iqr,
+          lo_whisker, hi_whisker, n, n_outliers
+        FROM w JOIN o ON w.l_returnflag = o.l_returnflag
+        ORDER BY w.l_returnflag""")),
+
+    // --- pairwise correlation matrix (data side of plotCorrelationMatrix)
+    // One aggregation pass for every pair's decimal-exact moments, the
+    // q24-proven corr formula per pair, round(12).
+    "q81_corr_matrix" -> Q(
+      (s, d) => graft.api.Stats.correlationMatrix(
+        li(s, d), Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b"),
+      Some({
+        def s1(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+        def s2(a: String, b: String) =
+          s"CAST(SUM(CAST($a * $b AS DECIMAL(18,4))) AS DOUBLE)"
+        val n = "CAST(COUNT(*) AS DOUBLE)"
+        def corr(a: String, b: String) =
+          s"""round((${s2(a, b)} - ${s1(a)} * ${s1(b)} / $n) /
+            sqrt((${s2(a, a)} - ${s1(a)} * ${s1(a)} / $n)
+               * (${s2(b, b)} - ${s1(b)} * ${s1(b)} / $n)), 12)"""
+        val pairs = Seq(
+          ("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_discount"))
+        val selects = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, ${corr(a, b)} AS corr
+             FROM lineitem""" }
+        selects.mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY col_a, col_b")
+      })),
+
+    // --- 2-D density grid (data side of plotHeatmap) ---------------------
+    "q82_heatmap" -> Q(
+      (s, d) => graft.api.Stats.heatmapBins(
+        li(s, d), "l_quantity", "l_discount", bins = 8),
+      Some("""WITH src AS (SELECT l_quantity AS va, l_discount AS vb
+          FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        b AS (SELECT min(va) AS amin, max(va) AS amax,
+                     min(vb) AS bmin, max(vb) AS bmax FROM src)
+        SELECT least(floor((va - amin) / ((amax - amin) / 8 + 1e-300)), 7)::BIGINT AS bx,
+               least(floor((vb - bmin) / ((bmax - bmin) / 8 + 1e-300)), 7)::BIGINT AS by,
+               COUNT(*) AS n
+        FROM src, b GROUP BY bx, by ORDER BY bx, by"""))
   )
 }

@@ -46,4 +46,35 @@ class QueriesSpec extends SparkSpec {
       li.select(col("l_quantity"), col("l_quantity").as("q2")), "l_quantity", "q2", 8)
     assert(miSelf > mi) // a column carries more information about itself
   }
+
+  test("plot-data surfaces: boxplot, correlation matrix, heatmap, ascii") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val box = Stats.boxPlotStats(li, "l_quantity", "l_returnflag")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(box.nonEmpty)
+    box.values.foreach { r =>
+      // v_min <= q1 <= median <= q3 <= v_max; whiskers bracket the IQR
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3)
+        && r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+      assert(r.getDouble(7) <= r.getDouble(2) && r.getDouble(8) >= r.getDouble(4))
+      assert(r.getLong(10) >= 0 && r.getLong(10) < r.getLong(9))
+    }
+    val cm = Stats.correlationMatrix(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount")).collect()
+    assert(cm.length == 3 && cm.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // decimal-exact-moment corr tracks Spark's built-in estimator
+    // (tolerance = the 4-6 dp per-row quantization of the moment sums)
+    val qp = cm.find(r => r.getString(0) == "l_quantity" &&
+      r.getString(1) == "l_extendedprice").get.getDouble(2)
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .head().getDouble(0)
+    assert(math.abs(qp - builtin) < 1e-3, s"$qp vs $builtin")
+    val hm = Stats.heatmapBins(li, "l_quantity", "l_extendedprice", 6)
+      .collect()
+    assert(hm.map(_.getLong(2)).sum == li.count())
+    assert(hm.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 6 &&
+      r.getLong(1) >= 0 && r.getLong(1) < 6))
+    val art = Stats.asciiHeatmap(li, "l_quantity", "l_extendedprice", 6)
+    assert(art.linesIterator.size == 6)
+  }
 }
