@@ -91,6 +91,67 @@ object FeatureSynthesis {
       .orderBy(col("f1").desc, col("feature"), col("thr"))
   }
 
+  /** Numeric expression synthesis — the reference's `fitRegression`
+    * (Synthesis.hs:290-317): beam search over arithmetic expressions
+    * scored by mean-squared error against a numeric target. Atoms are
+    * the feature columns, the target mean, and the reference's
+    * power-of-ten constants; expansion combines beam members with
+    * atoms under + − × (division omitted: an unguarded /0 poisons MSE
+    * and a guard changes semantics). Scoring batches every candidate
+    * into ONE aggregate pass per round, like the boolean beam. */
+  final case class NumCandidate(description: String, expr: Column, mse: Double)
+
+  def synthesizeNumeric(df: DataFrame, target: Column,
+                        features: Seq[String],
+                        beamWidth: Int = 8, rounds: Int = 2): Seq[NumCandidate] = {
+    require(features.nonEmpty, "synthesizeNumeric: no feature columns")
+    require(beamWidth >= 1 && rounds >= 0)
+    val src = df.select(features.map(c => col(c).cast("double").as(c)) :+
+      target.cast("double").as("__t"): _*).cache()
+    try {
+      val t = col("__t")
+      val tMean = src.agg(avg(t)).head().getDouble(0)
+      val constants: Seq[(String, Column)] =
+        (s"$tMean", lit(tMean)) +:
+          (for (p <- Seq(10.0, 1.0, 0.1); i <- 1 to 3)
+            yield { val v = math.pow(p, i); (s"$v", lit(v)) }).distinct
+      val atoms: Seq[(String, Column)] =
+        features.map(f => (f, col(f))) ++ constants
+
+      def score(cands: Seq[(String, Column)]): Seq[NumCandidate] = {
+        if (cands.isEmpty) return Nil
+        val aggs = cands.zipWithIndex.map { case ((_, e), i) =>
+          avg(pow(e - t, 2)).as(s"mse_$i") }
+        val row = src.agg(aggs.head, aggs.tail: _*).head()
+        cands.zipWithIndex.flatMap { case ((desc, e), i) =>
+          if (row.isNullAt(i)) None
+          else {
+            val m = row.getDouble(i)
+            if (m.isNaN || m.isInfinite) None
+            else Some(NumCandidate(desc, e, m))
+          }
+        }
+      }
+
+      var beam = score(atoms).sortBy(c => (c.mse, c.description))
+        .take(beamWidth)
+      for (_ <- 1 to rounds) {
+        val expanded = for {
+          b <- beam
+          (ad, ae) <- atoms
+          cand <- Seq((s"(${b.description}) + ($ad)", b.expr + ae),
+            (s"(${b.description}) - ($ad)", b.expr - ae),
+            (s"(${b.description}) * ($ad)", b.expr * ae))
+        } yield cand
+        val seen = beam.map(_.description).toSet
+        val fresh = expanded.filterNot(c => seen.contains(c._1))
+        beam = (beam ++ score(fresh))
+          .sortBy(c => (c.mse, c.description)).take(beamWidth)
+      }
+      beam
+    } finally src.unpersist()
+  }
+
   /** synthesize a boolean feature approximating binary `target` from
     * threshold atoms over `features`, expanded `rounds` times with
     * and/or/not combinations; returns the beam sorted best-first. */

@@ -230,6 +230,27 @@ class OpsSpec extends SparkSpec {
       beam.map(c => (c.description, c.f1)))
   }
 
+  test("numeric synthesis: beam recovers planted arithmetic targets to MSE 0") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+      .map { case (x, y) => (x, y, x + y, 2 * x + y) }
+    val df = rows.toDF("x", "y", "t1", "t2").repartition(4)
+    // t1 = x + y: one expansion round
+    val b1 = graft.ops.FeatureSynthesis.synthesizeNumeric(
+      df.select("x", "y", "t1"), $"t1", Seq("x", "y"), rounds = 1)
+    assert(b1.head.mse == 0.0, s"best: ${b1.head}")
+    // t2 = 2x + y: needs (x + x) + y — two rounds
+    val b2 = graft.ops.FeatureSynthesis.synthesizeNumeric(
+      df.select("x", "y", "t2"), $"t2", Seq("x", "y"),
+      beamWidth = 12, rounds = 2)
+    assert(b2.head.mse < 1e-20, s"best: ${b2.head}")
+    // beam quality never degrades round over round (monotone MSE)
+    val b0 = graft.ops.FeatureSynthesis.synthesizeNumeric(
+      df.select("x", "y", "t2"), $"t2", Seq("x", "y"),
+      beamWidth = 12, rounds = 0)
+    assert(b2.head.mse <= b0.head.mse)
+  }
+
   test("zorder layout: every file covers a narrow range of BOTH columns") {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
