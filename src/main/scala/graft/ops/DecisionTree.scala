@@ -69,6 +69,10 @@ object DecisionTree {
                     percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
     require(features.nonEmpty, "fitClassifier: no feature columns")
     require(maxDepth >= 0 && minLeafSize >= 1)
+    require(maxDepth <= 12,
+      "fitClassifier: maxDepth > 12 — the literal when-chain grows as " +
+        "2^depth expressions (codegen limit); deeper trees need a " +
+        "model-as-data representation, not a Column")
     val spark = df.sparkSession
     val pcts = percentiles.map(_ / 100.0)
 
