@@ -398,6 +398,16 @@ final class Frame(val df: DataFrame) {
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
       .orderBy(F.desc("count"), F.col(name))
 
+  /** wide → long (melt/unpivot): one output row per (row, value
+    * column); the inverse of groupBy().pivot(). Spark-native `unpivot`
+    * — a logical Expand, scan-stage, no shuffle. Value columns are
+    * cast to their common type by Spark (mixed types error — cast
+    * first). */
+  def melt(idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valName: String = "value"): Frame =
+    Frame(df.unpivot(idCols.map(F.col).toArray,
+      valueCols.map(F.col).toArray, varName, valName))
+
   /** equi-width histogram of a numeric column: (bin, lo, hi, n) for
     * every NON-EMPTY bin — the data side of the reference's plotting
     * module (src/DataFrame/Display/Terminal/Plot.hs histograms; the

@@ -99,6 +99,17 @@ object Dedup {
     df.join(keep, Seq(id, key), "left_semi")
   }
 
+  /** Incremental exact dedup — the shape a STANDING ingestion pipeline
+    * runs: dedup the new batch internally (min-id per key), then
+    * anti-join against the already-ingested corpus's keys. The seen
+    * side ships only its key column (at 100 TB the historical index is
+    * a key-only parquet table, not the corpus); both the semi and the
+    * anti join shuffle just keys. */
+  def exactIncremental(newBatch: DataFrame, seen: DataFrame,
+                       id: String, key: String): DataFrame =
+    exact(newBatch, id, key)
+      .join(seen.select(col(key)).distinct(), Seq(key), "left_anti")
+
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     * Returns (d1, d2, jac). Candidates only for docs sharing >= 1 shingle.
     *

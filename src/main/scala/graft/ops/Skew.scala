@@ -39,4 +39,31 @@ object Skew {
       explode(sequence(lit(0), lit(factor - 1))))
     l.join(r, keys :+ Salt, how).drop(Salt)
   }
+
+  /** Bloom-pruned inner join: build a Bloom filter over the smaller
+    * side's (long) key, broadcast it, and filter the big side BEFORE
+    * the shuffle — the classic semi-join reduction for selective joins
+    * where both sides are too big to broadcast but few big-side rows
+    * actually match. False positives only cost shuffle volume (the
+    * inner join discards them), so the result is EXACTLY the plain
+    * join. `expectedItems`/`fpp` size the filter: ~9.6 bits per item
+    * at 1% fpp, so 10⁸ keys ≈ 120 MB — broadcastable where the rows
+    * are not. (AQE's runtime bloom pruning covers some of these
+    * shapes; this is the explicit handle.)
+    *
+    * NOTE: building the filter is an EAGER scan of `small` at call
+    * time (stat.bloomFilter collects to the driver), and the membership
+    * probe is a Scala UDF (per-row call, not codegen) — both fine for
+    * the write-side/ETL joins this targets; keys must be castable to
+    * long. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = org.apache.spark.sql.functions.udf(
+      (k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(key).cast("long")))
+      .join(small, Seq(key), "inner")
+  }
 }

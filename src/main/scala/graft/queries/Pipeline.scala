@@ -815,6 +815,25 @@ object Pipeline {
           ellipsis_ok, alpha_ok, stopwords_ok,
           (words_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok
            AND ellipsis_ok AND alpha_ok AND stopwords_ok) AS keep
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // --- incremental exact dedup (new batch vs seen-corpus key index) ----
+    // The standing-ingestion shape: docs with id % 3 == 0 are "already
+    // ingested"; the new batch is everything. Output = the new docs
+    // that are both batch-unique (min id per text) and unseen.
+    "q84_dedup_incremental" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val seen = all.filter(col("doc_id") % 3 === 0).select("text")
+        graft.ops.Dedup.exactIncremental(
+          all.select("doc_id", "text"), seen, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents dn
+        WHERE doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                        WHERE d2.text = dn.text)
+          AND NOT EXISTS (SELECT 1 FROM documents ds
+                          WHERE ds.doc_id % 3 = 0 AND ds.text = dn.text)
+        ORDER BY doc_id"""))
   )
 }

@@ -787,6 +787,23 @@ object Relational {
         SELECT least(floor((va - amin) / ((amax - amin) / 8 + 1e-300)), 7)::BIGINT AS bx,
                least(floor((vb - bmin) / ((bmax - bmin) / 8 + 1e-300)), 7)::BIGINT AS by,
                COUNT(*) AS n
-        FROM src, b GROUP BY bx, by ORDER BY bx, by"""))
+        FROM src, b GROUP BY bx, by ORDER BY bx, by""")),
+
+    // --- melt / unpivot (wide → long, inverse of q52's pivot) ------------
+    "q83_melt" -> Q(
+      (s, d) => graft.api.Frame(li(s, d).filter(col("l_orderkey") < 300))
+        .melt(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .df.orderBy("l_orderkey", "l_linenumber", "variable"),
+      Some("""SELECT * FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                 l_quantity AS value FROM lineitem WHERE l_orderkey < 300
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 300
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 300)
+        ORDER BY l_orderkey, l_linenumber, variable"""))
   )
 }

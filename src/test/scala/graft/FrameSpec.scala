@@ -240,6 +240,20 @@ class FrameSpec extends SparkSpec {
     assert(sm.filter($"column" === "b").select($"median").as[Double].head() == 1.5)
   }
 
+  test("melt: wide to long inverts pivot, preserves ids, null values kept") {
+    val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
+    val long = Frame(wide).melt(Seq("id"), Seq("a", "b")).df
+      .orderBy("id", "variable").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(long.toSeq == Seq((1L, "a", 10.0), (1L, "b", 20.0),
+      (2L, "a", 30.0), (2L, "b", 40.0)))
+    // round trip: melt → pivot recovers the wide frame
+    val back = Frame(wide).melt(Seq("id"), Seq("a", "b")).df
+      .groupBy("id").pivot("variable", Seq("a", "b"))
+      .agg(first($"value")).orderBy("id").collect().map(_.toSeq)
+    assert(back.toSeq == wide.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("histogram: equi-width bins, max in last bin, constant column, ascii render") {
     val f = Frame((0 to 100).map(_.toDouble).toDF("v"))
     val h = f.histogram("v", bins = 10).collect()

@@ -383,6 +383,32 @@ class OpsSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L))
   }
 
+  test("bloom-pruned join equals the plain join and prunes before the shuffle") {
+    val big = (1L to 20000L).map(i => (i, i * 2)).toDF("k", "payload")
+    val small = Seq((5L, "a"), (9999L, "b"), (20000L, "c"), (77L, "d"))
+      .toDF("k", "v")
+    val plain = big.join(small, Seq("k"), "inner")
+      .collect().map(_.toSeq).toSet
+    val pruned = graft.ops.Skew.bloomPrunedJoin(big, small, "k",
+      expectedItems = 10)
+    assert(pruned.collect().map(_.toSeq).toSet == plain && plain.size == 4)
+    // the pre-join filter really prunes: survivors ≈ matches + fp margin
+    val bf = small.stat.bloomFilter("k", 10, 0.01)
+    val survivors = big.filter(
+      org.apache.spark.sql.functions.udf((k: java.lang.Long) =>
+        k != null && bf.mightContainLong(k)).apply($"k")).count()
+    assert(survivors < 500, s"bloom filter passed $survivors of 20000")
+  }
+
+  test("incremental dedup: batch-unique AND unseen survive") {
+    val seen = Seq("alpha", "beta").toDF("text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta")).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.exactIncremental(batch, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L)) // alpha seen; gamma deduped to 11; delta new
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     // one hot key (90% of rows) + tail
     val left = (1 to 2000).map(i =>
