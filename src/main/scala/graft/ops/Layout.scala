@@ -84,17 +84,31 @@ object Layout {
   /** Rewrite the parquet dataset at `src` into `dst` as
     * ceil(totalBytes / targetFileBytes) files (coalesce when shrinking
     * the file count — no shuffle; repartition only when growing it).
-    * Returns (filesBefore, filesAfter). */
+    * Returns (filesBefore, filesAfter).
+    *
+    * For a hive-partitioned dataset pass `partitionBy` — a plain
+    * rewrite would flatten the directory layout into data columns and
+    * every downstream partition-pruned read would full-scan. With
+    * `partitionBy` the rewrite repartitions on the partition columns
+    * (files-per-directory ≈ total target count spread over
+    * directories) and writes the same layout back. */
   def compactParquet(spark: SparkSession, src: String, dst: String,
-                     targetFileBytes: Long): (Int, Int) = {
+                     targetFileBytes: Long,
+                     partitionBy: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, "compactParquet: targetFileBytes must be > 0")
     require(src != dst, "compactParquet: dst must differ from src " +
       "(in-place rewrite would destroy the source on job failure)")
     val (bytes, before) = parquetFootprint(spark, src)
     val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(src)
-    val out = if (want < before) df.coalesce(want) else df.repartition(want)
-    out.write.mode("overwrite").parquet(dst)
+    val out =
+      if (partitionBy.nonEmpty)
+        df.repartition(want, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else if (want < before) df.coalesce(want)
+      else df.repartition(want)
+    val w = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dst)
     val (_, after) = parquetFootprint(spark, dst)
     (before, after)
   }

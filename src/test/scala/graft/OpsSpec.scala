@@ -298,6 +298,22 @@ class OpsSpec extends SparkSpec {
       graft.ops.Layout.compactParquet(spark, src, src, 1000)
     }
     assert(e.getMessage.contains("in-place"))
+    // partitioned compaction preserves the hive layout
+    val psrc = s"$dir/psrc"; val pdst = s"$dir/pdst"
+    spark.range(0, 9000).toDF("id")
+      .withColumn("part", ($"id" % 3).cast("string"))
+      .repartition(48).write.partitionBy("part").parquet(psrc)
+    val (pb, _) = graft.ops.Layout.parquetFootprint(spark, psrc)
+    graft.ops.Layout.compactParquet(spark, psrc, pdst, pb / 3,
+      partitionBy = Seq("part"))
+    val dirs = new java.io.File(pdst).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("part=0", "part=1", "part=2"))
+    assert(spark.read.parquet(pdst).count() == 9000)
+    val prunedFiles = spark.read.parquet(pdst)
+      .filter($"part" === "1").select(input_file_name()).distinct().count()
+    val totalFiles = graft.ops.Layout.parquetFootprint(spark, pdst)._2
+    assert(prunedFiles < totalFiles) // pruning still works post-compaction
   }
 
   test("asof join: a null value on the matched right row stays null") {
