@@ -39,6 +39,8 @@ object Bench {
     "q24_stats_moments" -> SparkEntry.queries("q24_stats_moments"),
     "q44_ngram_jaccard" -> SparkEntry.queries("q44_ngram_jaccard"),
     "q45_minhash_lsh" -> SparkEntry.queries("q45_minhash_lsh"),
+    // round-5: codegen SimHashSignature kernel (was 31 interpreted HOF folds)
+    "q46_simhash" -> SparkEntry.queries("q46_simhash"),
     "q47_ann_topk" -> SparkEntry.queries("q47_ann_topk"),
     "q48_embedding_neardup" -> SparkEntry.queries("q48_embedding_neardup"),
     "q50_events_hourly" -> SparkEntry.queries("q50_events_hourly"),

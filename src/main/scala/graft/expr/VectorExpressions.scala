@@ -401,6 +401,168 @@ case class VectorDequantInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash over a document's word-hash array: bit b of the signature is
+  * the majority vote of bit b across word hashes (strictly-positive
+  * majority sets the bit; ties clear it).
+  *
+  * The higher-order-function formulation evaluated `bits` separate
+  * interpreted `aggregate` folds per row — and each fold re-evaluated the
+  * word-hash `transform` child per element (ArrayAggregate is
+  * CodegenFallback). This computes all bit votes in ONE pass over the
+  * array inside whole-stage codegen. Bit arithmetic is identical to the
+  * fold (`(h >> b) & 1`, vote +1/-1, set iff votes > 0), so signatures —
+  * and therefore the oracle-checked portable pair sets — cannot move.
+  * Null elements vote −1 on every bit, matching the fold's
+  * `when(null === 1, 1).otherwise(-1)` null semantics.
+  */
+case class SimHashSignature(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_sig needs array<bigint>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSignature.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes"); val sig = ctx.freshName("sig")
+      s"""
+        int $n = $c.numElements();
+        int[] $votes = new int[$bits];
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $c.isNullAt($i) ? 0L : $c.getLong($i);
+          for (int $b = 0; $b < $bits; $b++) {
+            if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        long $sig = 0L;
+        for (int $b = 0; $b < $bits; $b++) {
+          if ($votes[$b] > 0) $sig |= (1L << $b);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  /** interpreted path — same arithmetic as the generated code. */
+  def compute(hashes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (hashes.isNullAt(i)) 0L else hashes.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** The engine-portable word hash ([[graft.ops.TextAnalysis.portableWordHash]])
+  * over every element of a word array, in one codegen pass.
+  *
+  * The Column formulation is a `transform` whose lambda is itself an
+  * `aggregate` over `split(w, "")` — two nested CodegenFallback HOFs that
+  * allocate a per-char array per word and evaluate the polynomial fold
+  * interpreted. This computes the identical arithmetic — char-codepoint
+  * polynomial `(acc·31 + cp) mod 2³¹−1` seeded at 7 (empty word → one
+  * step with cp 0, matching `split('', '') = ['']` / `ascii('') = 0`),
+  * finished with the portable mixer — as a tight loop per word.
+  * Signatures and fingerprints built on it cannot move: every
+  * intermediate is the same integer sequence the SQL oracle replays.
+  * Null word elements (never produced by `split`) hash as the empty word.
+  */
+case class PortableWordHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_portable_word_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_portable_word_hashes needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](words.numElements())
+    var i = 0
+    while (i < out.length) {
+      val w = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      out(i) = PortableWordHashes.hashWord(
+        if (w == null) "" else w.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val cls = classOf[PortableWordHashes].getName
+      s"""
+        int $n = $c.numElements();
+        long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          java.lang.String $s = $c.isNullAt($i)
+            ? "" : $c.getUTF8String($i).toString();
+          $out[$i] = $cls.hashWord($s);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PortableWordHashes =
+    copy(child = newChild)
+}
+
+object PortableWordHashes {
+  private final val M = 2147483647L
+  private final val P1 = 2654435761L
+  private final val P2 = 2246822519L
+
+  /** charpoly + mix for one word — callable from generated code. */
+  def hashWord(s: String): Long = {
+    var poly = 7L
+    if (s.isEmpty) poly = (poly * 31) % M // split('','') = [''], ascii('') = 0
+    else {
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        j += Character.charCount(cp)
+        poly = (poly * 31 + cp) % M
+      }
+    }
+    ((poly * P1 + P2) % M * P2) % M
+  }
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -415,6 +577,16 @@ object VectorExpressions {
   def minhashSig(hashes: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSignature(
       ColumnBridge.expression(hashes), numPerms))
+
+  /** SimHash signature (bit-majority) of an array<bigint> of word
+    * hashes, low `bits` bits populated. */
+  def simhashSig(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashSignature(
+      ColumnBridge.expression(hashes), bits))
+
+  /** portable word hash of every element of an array<string>. */
+  def portableWordHashes(words: Column): Column =
+    ColumnBridge.column(PortableWordHashes(ColumnBridge.expression(words)))
 
   /** most-frequent-word-n-gram count over a token array. */
   def topNgramCount(words: Column, n: Int): Column =

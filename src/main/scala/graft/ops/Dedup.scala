@@ -242,18 +242,16 @@ object Dedup {
   }
 
   /** SimHash over word hashes: sign-sum each bit of wordHash(word),
-    * reassemble. Pure expressions; one aggregate per doc happens map-side
-    * inside the projection (no shuffle at all). */
+    * reassemble. The word-hash array feeds the codegen'd
+    * [[graft.expr.SimHashSignature]] kernel — one pass over the array
+    * per document inside whole-stage codegen, instead of `bits`
+    * interpreted `aggregate` folds each re-evaluating the word-hash
+    * transform per element (the established HOF trap — same fix as
+    * MinHashSignature / TopNgramCount). Entirely map-side; no shuffle. */
   private def simhashImpl(text: Column, bits: Int,
                           wordHash: Column => Column): Column = {
     val hs = transform(split(text, " "), wordHash)
-    // bit b of simhash = majority of bit b across word hashes
-    val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
+    graft.expr.VectorExpressions.simhashSig(hs, bits)
   }
 
   /** Connected components over an undirected pair list (d1, d2) —
@@ -316,7 +314,8 @@ object Dedup {
     * mixer's codomain is [0, 2³¹−1)) — DuckDB-replicable, so the near-dup
     * pair set is oracle-checkable. Production corpora use [[simhash]]. */
   def simhashPortable(text: Column): Column =
-    simhashImpl(text, 31, TextAnalysis.portableWordHash)
+    graft.expr.VectorExpressions.simhashSig(
+      graft.expr.VectorExpressions.portableWordHashes(split(text, " ")), 31)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -78,6 +78,63 @@ class ExprSpec extends SparkSpec {
     assert(n2.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("SimHashSignature column matches the per-bit HOF aggregate it replaced") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumped over the lazy dog",
+      "completely different text about spark catalyst expressions",
+      "", "single", "a a a a a a a a"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((wordHash, bits) <- Seq(
+        ((w: org.apache.spark.sql.Column) => xxhash64(w), 64),
+        ((w: org.apache.spark.sql.Column) =>
+          graft.ops.TextAnalysis.portableWordHash(w), 31))) {
+      val hs = transform(split($"text", " "), wordHash)
+      val hof = (0 until bits).map { b =>
+        val votes = aggregate(hs, lit(0), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val rows = docs.select(
+        graft.expr.VectorExpressions.simhashSig(hs, bits).as("got"),
+        hof.as("want")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("PortableWordHashes matches the nested-HOF portableWordHash per word") {
+    val texts = Seq(
+      "the quick brown fox",
+      "double  space trailing ",
+      " leading",
+      "", "a", "δ mixed ünïcödé 漢字",
+      "𝄞 astral clef", // non-BMP code point
+      "punct!? 123 #$%"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val words = split($"text", " ")
+    val rows = texts.select($"id",
+        graft.expr.VectorExpressions.portableWordHashes(words).as("got"),
+        transform(words, w =>
+          graft.ops.TextAnalysis.portableWordHash(w)).as("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"mismatch on text id ${r.getLong(0)}")
+    }
+    // portable simhash end-to-end: codegen chain equals HOF chain
+    val hof = {
+      val hs = transform(words, w => graft.ops.TextAnalysis.portableWordHash(w))
+      (0 until 31).map { b =>
+        val votes = aggregate(hs, lit(0), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    val sh = texts.select(
+      graft.ops.Dedup.simhashPortable($"text").as("got"), hof.as("want")).collect()
+    sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("int8 quantize: error bounded by scale/2, zero vector exact, round trip preserves cosine") {
     val rnd = new scala.util.Random(23)
     val df = (Seq.fill(300)(Seq.fill(24)(rnd.nextDouble() * 6 - 3)) :+

@@ -57,6 +57,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- SimHash signature vs the per-bit majority fold it replaced --------
+  private def naiveSimhash(hs: Seq[Long], bits: Int): Long =
+    (0 until bits).map { b =>
+      val votes = hs.foldLeft(0) { (acc, h) =>
+        acc + (if (((h >> b) & 1L) == 1L) 1 else -1)
+      }
+      if (votes > 0) 1L << b else 0L
+    }.foldLeft(0L)(_ | _)
+
+  test("SimHashSignature matches the per-bit majority fold on random word hashes") {
+    val gen = for {
+      hs <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      bits <- Gen.oneOf(1, 7, 31, 64)
+    } yield (hs, bits)
+    checkProp(Prop.forAllNoShrink(gen) { case (hs, bits) =>
+      val arr = new GenericArrayData(hs.toArray)
+      graft.expr.SimHashSignature.compute(arr, bits) == naiveSimhash(hs, bits)
+    })
+  }
+
   // ---- Int128 accumulation vs BigInt reference ---------------------------
   test("Int128 micros accumulation matches BigInt over random signed longs") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000000000000L, 1000000000000L))
