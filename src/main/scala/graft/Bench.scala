@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * distinguish a plan regression from GC/session noise (round-2 lesson —
   * q01/q24 swung +39%/+78% on identical plans). Per-query min/max go to
   * the `spread` field for noise diagnosis.
+  *
+  * Even the shared-session median can mislead across rounds: q24's
+  * apparent 0.87→1.01 s round-3→4 "regression" (non-overlapping spreads,
+  * unchanged code) dissolved under fresh-session [[tools.QBench]] A/B —
+  * the round-3 commit measures 1.02 s and current code 0.97 s in
+  * isolation; the 0.87 s was favorable co-resident-query state (codegen
+  * cache / GC phase). Attribute cross-round per-query deltas ONLY with
+  * QBench on both commits.
   */
 object Bench {
 
