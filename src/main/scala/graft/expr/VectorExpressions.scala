@@ -563,6 +563,84 @@ object PortableWordHashes {
   }
 }
 
+/** Random-hyperplane sign sketch: every band word of an embedding in one
+  * codegen pass. Word w of band b packs `rowsPerBand` sign bits, bit r =
+  * (vec · planes(b·rowsPerBand + r)) >= 0.
+  *
+  * The Column formulation evaluated bands × rowsPerBand separate
+  * interpreted `aggregate(zip_with(...))` folds per row (128 with the
+  * defaults), each allocating an intermediate array. One pass here, with
+  * the same arithmetic: dots accumulate in element order, and a vector
+  * whose length differs from the plane dimensionality — or containing a
+  * null element — yields all-zero words, exactly as the null-poisoned
+  * `zip_with` fold collapsed every `when` to its 0 branch.
+  * Planes are compared structurally (Vector), so identical sketches
+  * stay canonically equal for plan reuse.
+  */
+case class SignSketch(child: Expression,
+                      planes: Vector[Vector[Double]], rowsPerBand: Int)
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % rowsPerBand == 0,
+    s"planes (${planes.length}) must be a positive multiple of rowsPerBand=$rowsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_sketch"
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_sketch needs array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignSketch.compute(input.asInstanceOf[ArrayData], planesArr, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    val cls = classOf[SignSketch].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.compute($c, $planesRef, $rowsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketch =
+    copy(child = newChild)
+}
+
+object SignSketch {
+  /** one pass over the vector's dots — callable from generated code. */
+  def compute(v: ArrayData, planes: Array[Array[Double]],
+              rowsPerBand: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = planes(0).length
+    val bands = planes.length / rowsPerBand
+    val words = new Array[Long](bands)
+    val n = v.numElements()
+    var clean = n == d
+    var i = 0
+    while (clean && i < n) { if (v.isNullAt(i)) clean = false; i += 1 }
+    if (clean) {
+      var b = 0
+      while (b < bands) {
+        var word = 0L
+        var r = 0
+        while (r < rowsPerBand) {
+          val p = planes(b * rowsPerBand + r)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += v.getDouble(j) * p(j); j += 1 }
+          if (s >= 0) word |= (1L << r)
+          r += 1
+        }
+        words(b) = word
+        b += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -583,6 +661,13 @@ object VectorExpressions {
   def simhashSig(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimHashSignature(
       ColumnBridge.expression(hashes), bits))
+
+  /** all hyperplane-band sketch words of an embedding (array<long>,
+    * one word per band of `rowsPerBand` sign bits). */
+  def signSketch(vec: Column, planes: Vector[Vector[Double]],
+                 rowsPerBand: Int): Column =
+    ColumnBridge.column(SignSketch(
+      ColumnBridge.expression(vec.cast("array<double>")), planes, rowsPerBand))
 
   /** portable word hash of every element of an array<string>. */
   def portableWordHashes(words: Column): Column =

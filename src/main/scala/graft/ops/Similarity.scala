@@ -126,20 +126,19 @@ object Similarity {
       h(0).getInt(0)
     }
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand, d)(rnd.nextGaussian())
-    // per-band sketch word: rowsPerBand sign bits packed into a long
-    val bandCols = (0 until bands).map { b =>
-      val word = (0 until rowsPerBand).map { r =>
-        val plane = planes(b * rowsPerBand + r)
-        val d = aggregate(
-          zip_with(col(vec), typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x)
-        when(d >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      struct(lit(b).as("band"), word.as("w"))
-    }
-    val sk = df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
-      .select(col(id), col(vec), col("bk.band").as("band"), col("bk.w").as("w"))
+    val planes = Vector.fill(bands * rowsPerBand, d)(rnd.nextGaussian())
+    // all band sketch words in ONE codegen pass (graft.expr.SignSketch) —
+    // the per-band-bit aggregate(zip_with(...)) formulation was
+    // bands·rowsPerBand interpreted folds per row (the HOF trap; same fix
+    // as MinHashSignature / SimHashSignature)
+    // posexplode_OUTER: the sketch array is never empty (bands >= 1), and
+    // the _outer variant keeps InferFiltersFromGenerate from planting a
+    // size()>0 filter that would re-evaluate the sketch per row (the
+    // round-3 q44 lesson)
+    val sk = df.select(col(id), col(vec),
+        posexplode_outer(graft.expr.VectorExpressions.signSketch(
+          col(vec), planes, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "w")
     val cand = sk.as("x").join(sk.as("y"),
         col("x.band") === col("y.band") && col("x.w") === col("y.w") &&
           col(s"x.$id") < col(s"y.$id"))

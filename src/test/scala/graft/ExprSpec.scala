@@ -135,6 +135,35 @@ class ExprSpec extends SparkSpec {
     sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("SignSketch matches the per-bit aggregate(zip_with) sketch it replaced") {
+    val rnd0 = new scala.util.Random(5)
+    val dim = 8; val bands = 4; val rowsPerBand = 8
+    val vecs: Seq[Seq[Double]] = Seq.fill(40)(Seq.fill(dim)(rnd0.nextGaussian())) ++
+      Seq(Seq.fill(dim)(0.0),            // all-zero → every dot 0 → all bits set
+          Seq.fill(dim - 2)(1.0),        // short vector → null-poisoned → words 0
+          Seq.fill(dim + 3)(1.0))        // long vector → null-poisoned → words 0
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rnd = new scala.util.Random(42)
+    val planes = Vector.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
+    val hofWords = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val plane = planes(b * rowsPerBand + r)
+        val d = aggregate(
+          zip_with($"v", typedLit(plane), (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    val rows = df.select($"id",
+        graft.expr.VectorExpressions.signSketch($"v", planes, rowsPerBand).as("got"),
+        array(hofWords: _*).as("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"sketch mismatch on vec ${r.getLong(0)}")
+    }
+  }
+
   test("int8 quantize: error bounded by scale/2, zero vector exact, round trip preserves cosine") {
     val rnd = new scala.util.Random(23)
     val df = (Seq.fill(300)(Seq.fill(24)(rnd.nextDouble() * 6 - 3)) :+
