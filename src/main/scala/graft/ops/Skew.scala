@@ -51,19 +51,29 @@ object Skew {
     * are not. (AQE's runtime bloom pruning covers some of these
     * shapes; this is the explicit handle.)
     *
-    * NOTE: building the filter is an EAGER scan of `small` at call
-    * time (stat.bloomFilter collects to the driver), and the membership
-    * probe is a Scala UDF (per-row call, not codegen) — both fine for
-    * the write-side/ETL joins this targets; keys must be castable to
-    * long. */
+    * The build is LAZY: the filter is a `BloomFilterAggregate` inside
+    * an uncorrelated scalar subquery, so it runs as a stage of the
+    * consuming job (nothing collects at call time) and the result ships
+    * to executors as the subquery's broadcast value. The probe is
+    * Spark's codegen `BloomFilterMightContain` — no per-row UDF. This
+    * is the same machinery as Spark's own InjectRuntimeFilter, held
+    * explicitly. Keys must be castable to long; a NULL big-side key
+    * never matches an inner join and is pruned. */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = org.apache.spark.sql.functions.udf(
-      (k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(key).cast("long")))
-      .join(small, Seq(key), "inner")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, InternalBridge}
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val build = new BloomFilterAggregate(
+      ColumnBridge.expression(col(key).cast("long")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bfFrame = small.select(ColumnBridge.column(build).as("__graft_bf"))
+    val probe = BloomFilterMightContain(
+      InternalBridge.scalarSubquery(bfFrame),
+      ColumnBridge.expression(col(key).cast("long")))
+    big.filter(ColumnBridge.column(probe)).join(small, Seq(key), "inner")
   }
 }

@@ -408,6 +408,11 @@ class OpsSpec extends SparkSpec {
     val pruned = graft.ops.Skew.bloomPrunedJoin(big, small, "k",
       expectedItems = 10)
     assert(pruned.collect().map(_.toSeq).toSet == plain && plain.size == 4)
+    // probe must be Spark's codegen BloomFilterMightContain (a lazy
+    // scalar-subquery build), not a per-row Scala UDF
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(2000))
+    assert(!planStr.contains("UDF"), "bloom probe must not be a UDF")
     // the pre-join filter really prunes: survivors ≈ matches + fp margin
     val bf = small.stat.bloomFilter("k", 10, 0.01)
     val survivors = big.filter(
