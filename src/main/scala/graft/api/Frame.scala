@@ -160,16 +160,20 @@ final class Frame(val df: DataFrame) {
   /** impute nulls with a constant (Operations/Transformations.hs:192-207). */
   def impute(name: String, value: Any): Frame =
     Frame(df.withColumn(name, F.coalesce(F.col(name), F.lit(value))))
-  /** impute with a column-level aggregate, e.g. mean
+  /** impute with any column-level aggregate — the reference's
+    * `imputeWith` takes an arbitrary derived aggregate
     * (Operations/Statistics.hs:290-305). Scalar agg → 1-row broadcast
     * crossJoin: two jobs, no single-partition window shuffle (a global
     * Window would force the whole frame into ONE task at scale). */
-  def imputeWithMean(name: String): Frame = {
-    val mean = df.agg(F.avg(F.col(name)).as(AggCol))
-    Frame(df.crossJoin(F.broadcast(mean))
+  def imputeWith(name: String, agg: Column => Column): Frame = {
+    val v = df.agg(agg(F.col(name)).as(AggCol))
+    Frame(df.crossJoin(F.broadcast(v))
       .withColumn(name, F.coalesce(F.col(name), F.col(AggCol)))
       .drop(AggCol))
   }
+  def imputeWithMean(name: String): Frame = imputeWith(name, F.avg)
+  /** exact interpolated median fill (same kernel as q25 percentiles). */
+  def imputeWithMedian(name: String): Frame = imputeWith(name, F.median)
 
   /** zScore of `name` appended as `as` — the reference's un-grouped
     * aggregate broadcast back to rows (Functions.hs:222-223,

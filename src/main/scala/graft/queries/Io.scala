@@ -130,6 +130,30 @@ object Io {
         MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_date,
         MAX(o_orderkey) AS max_key
         FROM orders WHERE o_orderkey % 7 = 0
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- JDBC write → partitioned parallel read round trip ------------------
+    // The reference's dataframe-persistent bridge (Persistent.hs:17-39)
+    // through embedded Derby: toPersistent writes the table, the read
+    // comes back through fromPersistentPartitioned (4 range-bounded
+    // cursors — the cluster-parallel path, not the 1-cursor read). The
+    // oracle recomputes from parquet, so any JDBC type-mapping drift
+    // (BIGINT/DOUBLE/CLOB) fails the hash match.
+    "q85_jdbc_roundtrip" -> Q(
+      (s, d) => {
+        val url = "jdbc:derby:memory:graft_q85;create=true"
+        val slice = Tables.nation(s, d).select(
+          col("n_nationkey").cast("long").as("nationkey"),
+          col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("regionkey"))
+        graft.sources.Jdbc.toPersistent(slice, url, "nation_rt",
+          org.apache.spark.sql.SaveMode.Overwrite)
+        graft.sources.Jdbc.fromPersistentPartitioned(s, url, "nation_rt",
+            "nationkey", 0L, 25L, 4)
+          .orderBy("nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        n_name AS name, CAST(n_regionkey AS BIGINT) AS regionkey
+        FROM nation ORDER BY nationkey"""))
   )
 }

@@ -456,6 +456,26 @@ object Pipeline {
         CAST(SUM(c_custkey * 2) AS BIGINT) AS total
         FROM customer GROUP BY c_mktsegment ORDER BY seg""")),
 
+    // --- imputeWith(median): the reference's aggregate-fill with any
+    // derived aggregate (Operations/Statistics.hs:290-305). Nulls are
+    // planted where c_acctbal < 0, then filled with the exact
+    // interpolated median of the survivors — aggregate-then-broadcast-
+    // crossJoin, never a global window.
+    "q86_impute_median" -> Q(
+      (s, d) => graft.api.Frame(Tables.customer(s, d)
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            when(col("c_acctbal") < 0, lit(null))
+              .otherwise(col("c_acctbal")).as("bal")))
+        .imputeWithMedian("bal")
+        .df.orderBy("c_custkey"),
+      Some("""WITH c AS (SELECT c_custkey,
+          CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer WHERE c_custkey <= 200),
+        m AS (SELECT median(bal) AS mb FROM c)
+        SELECT c.c_custkey, COALESCE(c.bal, m.mb) AS bal FROM c, m
+        ORDER BY c_custkey""")),
+
     // --- portable stratified sampling: per-stratum keep probabilities,
     // reproducible across engines/reruns/partitionings (the source-
     // rebalancing primitive of a pretraining pipeline); strata absent

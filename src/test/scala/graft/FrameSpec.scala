@@ -136,6 +136,14 @@ class FrameSpec extends SparkSpec {
     assert(imp.df.filter($"b" === 9.9).count() == 1)
     val mean = withNull.imputeWithMean("b")
     assert(mean.df.filter($"b" === 2.0).count() == 2)
+    // median fill: odd count → middle value, not the mean
+    val skewed = Frame(Seq((1, Some(1.0)), (2, None), (3, Some(3.0)),
+      (4, Some(100.0))).toDF("a", "b"))
+    val med = skewed.imputeWithMedian("b")
+    assert(med.df.filter($"a" === 2 && $"b" === 3.0).count() == 1)
+    // generalized imputeWith accepts any aggregate
+    val mx = skewed.imputeWith("b", org.apache.spark.sql.functions.max)
+    assert(mx.df.filter($"a" === 2 && $"b" === 100.0).count() == 1)
   }
 
   test("positional: takeRows / dropRows / range keep order semantics") {
