@@ -401,6 +401,16 @@ final class Frame(val df: DataFrame) {
   def valueCounts(name: String): DataFrame =
     df.groupBy(F.col(name)).agg(F.count(F.lit(1)).as("count"))
       .orderBy(F.desc("count"), F.col(name))
+  /** data side of `plotBarsTopN` (Display/Terminal/Plot.hs:213-257):
+    * the n most frequent values — ordered grouped counts under a limit
+    * (TakeOrderedAndProject over ≤ |distinct| rows, never a full sort). */
+  def barsTopN(name: String, n: Int): DataFrame = valueCounts(name).limit(n)
+  /** data side of `plotBarsWithPercentages`
+    * (Display/Terminal/Plot.hs:282-294): frequencies plus the
+    * integer-rounded percent the reference prints in each label. */
+  def barsWithPercentages(name: String): DataFrame =
+    frequencies(name)
+      .withColumn("pct_label", F.round(F.col("percentage")).cast("int"))
 
   /** wide → long (melt/unpivot): one output row per (row, value
     * column); the inverse of groupBy().pivot(). Spark-native `unpivot`

@@ -139,6 +139,37 @@ object Stats {
       .orderBy("bx", "by")
   }
 
+  /** data side of `plotScatter` / `plotScatterBy`
+    * (Display/Terminal/Plot.hs:66-92): (x, y[, group]) as doubles with
+    * null points dropped. `samplePct` < 100 thins points with a
+    * content-derived hash BEFORE any collect — deterministic across
+    * reruns/partitionings, and the only sane way to plot a corpus-scale
+    * table (the renderer needs thousands of points, not 10¹²). */
+  def scatterData(df: DataFrame, x: String, y: String,
+                  group: Option[String] = None,
+                  samplePct: Double = 100.0): DataFrame = {
+    require(samplePct > 0 && samplePct <= 100, "samplePct in (0, 100]")
+    val base = df.select(F.col(x).cast("double").as("x") +:
+        F.col(y).cast("double").as("y") +:
+        group.map(g => F.col(g).as("group")).toSeq: _*)
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull)
+    if (samplePct >= 100.0) base
+    else base.filter(
+      F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(10000L)) <
+        F.lit(math.round(samplePct * 100)))
+  }
+
+  /** data side of `plotLines` / `plotStackedBars`
+    * (Display/Terminal/Plot.hs:94-104,117-134): the y columns in long
+    * (x, series, value) format ordered by x — one unpivot Expand in the
+    * scan stage, the shape any multi-series renderer consumes. */
+  def linesData(df: DataFrame, x: String, ys: Seq[String]): DataFrame = {
+    require(ys.nonEmpty, "linesData: need at least one y column")
+    df.select(F.col(x) +: ys.map(c => F.col(c).cast("double").as(c)): _*)
+      .unpivot(Array(F.col(x)), ys.map(F.col).toArray, "series", "value")
+      .orderBy(F.col(x), F.col("series"))
+  }
+
   /** driver-side ASCII density grid of [[heatmapBins]] (bounded: ≤
     * bins² rows collect); x right, y up. */
   def asciiHeatmap(df: DataFrame, a: String, b: String,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,22 +61,36 @@ object Multimodal {
     (sum / n, entropy, hist.take(8))
   }
 
+  /** typed rows for the Dataset.mapPartitions feature paths: the case
+    * classes keep extraction inside Tungsten (DeserializeToObject →
+    * MapPartitions → SerializeFromObject in ONE plan, no ExistingRDD
+    * scan and no Row-encoder round trip through createDataFrame). */
+  case class ByteFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                          byte_entropy: Double, histogram_head: Seq[Long])
+  case class AudioFeatures(doc_id: Long, sample_rate: Option[Int],
+                           n_samples: Option[Long], duration_sec: Option[Double],
+                           rms: Option[Double], peak: Option[Double],
+                           zero_cross_rate: Option[Double])
+  case class ImageFeatures(doc_id: Long, width: Option[Int],
+                           height: Option[Int], mean_luma: Option[Double],
+                           luma_hist: Option[Seq[Long]])
+  case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
+  private val payloadEnc: Encoder[(Long, Array[Byte])] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+
   /** per-partition feature extraction over (doc_id, payload, meta) rows —
     * the mapPartitions shape a real decoder would use (one codec init per
     * partition, payloads processed where they live). */
-  def extractFeatures(packed: DataFrame): DataFrame = {
-    val spark = packed.sparkSession
-    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { rows =>
-      // real pipeline: initialize the decoder once per partition here
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (mean, entropy, head) = decodeStub(payload)
-        Row(id, payload.length.toLong, mean, entropy, head.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
+  def extractFeatures(packed: DataFrame): DataFrame =
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])](payloadEnc)
+      .mapPartitions { rows =>
+        // real pipeline: initialize the decoder once per partition here
+        rows.map { case (id, payload) =>
+          val (mean, entropy, head) = decodeStub(payload)
+          ByteFeatures(id, payload.length.toLong, mean, entropy, head.toSeq)
+        }
+      }(Encoders.product[ByteFeatures]).toDF()
 
   /** "frame sampling": every `stride`-th block of `blockBytes` bytes, as
     * the video-frame-sample analog (array<binary> column, bounded count). */
@@ -237,30 +251,28 @@ object Multimodal {
   /** REAL audio decode + feature extraction (duration, RMS, peak,
     * zero-crossing rate), per-partition, same no-payload-shuffle shape
     * as [[decodeImages]]; undecodable payloads → null features. */
-  def decodeAudio(packed: DataFrame, codec: AudioCodec = WavCodec): DataFrame = {
-    val spark = packed.sparkSession
-    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        codec.decode(r.getAs[Array[Byte]](1)) match {
-          case Some((rate, s)) if s.nonEmpty =>
-            var sumSq = 0.0; var peak = 0.0; var zc = 0L
-            var i = 0
-            while (i < s.length) {
-              val v = s(i)
-              sumSq += v.toDouble * v
-              if (math.abs(v) > peak) peak = math.abs(v)
-              if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
-              i += 1
-            }
-            Row(id, rate, s.length.toLong, s.length.toDouble / rate,
-              math.sqrt(sumSq / s.length), peak, zc.toDouble / s.length)
-          case _ => Row(id, null, null, null, null, null, null)
+  def decodeAudio(packed: DataFrame, codec: AudioCodec = WavCodec): DataFrame =
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])](payloadEnc)
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          codec.decode(payload) match {
+            case Some((rate, s)) if s.nonEmpty =>
+              var sumSq = 0.0; var peak = 0.0; var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i)
+                sumSq += v.toDouble * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
+                i += 1
+              }
+              AudioFeatures(id, Some(rate), Some(s.length.toLong),
+                Some(s.length.toDouble / rate), Some(math.sqrt(sumSq / s.length)),
+                Some(peak), Some(zc.toDouble / s.length))
+            case _ => AudioFeatures(id, None, None, None, None, None, None)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, audioFeatureSchema)
-  }
+      }(Encoders.product[AudioFeatures]).toDF()
 
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -274,40 +286,32 @@ object Multimodal {
     * payloads yield null features, not failures — at corpus scale some
     * media is always corrupt. */
   def decodeImages(packed: DataFrame, codec: MediaCodec = ImageIoCodec,
-                   histBins: Int = 16): DataFrame = {
-    val spark = packed.sparkSession
-    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        codec.decode(r.getAs[Array[Byte]](1)) match {
-          case Some((w, h, gray)) =>
-            val hist = new Array[Long](histBins)
-            var sum = 0.0
-            gray.foreach { b =>
-              val u = b & 0xFF; sum += u; hist(u * histBins / 256) += 1
-            }
-            Row(id, w, h, sum / math.max(gray.length, 1), hist.toSeq)
-          case None => Row(id, null, null, null, null)
+                   histBins: Int = 16): DataFrame =
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])](payloadEnc)
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          codec.decode(payload) match {
+            case Some((w, h, gray)) =>
+              val hist = new Array[Long](histBins)
+              var sum = 0.0
+              gray.foreach { b =>
+                val u = b & 0xFF; sum += u; hist(u * histBins / 256) += 1
+              }
+              ImageFeatures(id, Some(w), Some(h),
+                Some(sum / math.max(gray.length, 1)), Some(hist.toSeq))
+            case None => ImageFeatures(id, None, None, None, None)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, imageFeatureSchema)
-  }
+      }(Encoders.product[ImageFeatures]).toDF()
 
   /** REAL geometric resize: payload → payload (re-encoded), same
     * per-partition no-shuffle shape. */
   def resizeImages(packed: DataFrame, w: Int, h: Int,
-                   codec: MediaCodec = ImageIoCodec): DataFrame = {
-    val spark = packed.sparkSession
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = true)))
-    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        Row(r.getLong(0),
-          codec.resize(r.getAs[Array[Byte]](1), w, h).orNull)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+                   codec: MediaCodec = ImageIoCodec): DataFrame =
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])](payloadEnc)
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          MediaPayload(id, codec.resize(payload, w, h).orNull)
+        }
+      }(Encoders.product[MediaPayload]).toDF()
 }

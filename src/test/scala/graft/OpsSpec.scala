@@ -776,6 +776,11 @@ class OpsSpec extends SparkSpec {
     // identical payloads → identical features
     val f1 = feats.filter($"doc_id" === 1L).head()
     assert(f.getDouble(2) == f1.getDouble(2) && f.getDouble(3) == f1.getDouble(3))
+    // typed Dataset.mapPartitions path: extraction stays in ONE plan —
+    // no ExistingRDD scan (no Row-encoder round trip through an RDD)
+    val planStr = feats.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ExistingRDD"), planStr.take(1500))
+    assert(planStr.contains("MapPartitions"))
     val frames = Multimodal.sampleFrames(packed, blockBytes = 16, stride = 2)
     assert(frames.filter($"doc_id" === 0L).select(size($"frames")).as[Int].head() >= 1)
     val resized = Multimodal.resizePayload(packed, 32)

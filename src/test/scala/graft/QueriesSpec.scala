@@ -77,4 +77,34 @@ class QueriesSpec extends SparkSpec {
     val art = Stats.asciiHeatmap(li, "l_quantity", "l_extendedprice", 6)
     assert(art.linesIterator.size == 6)
   }
+
+  test("plot-data surfaces: scatter, lines, bars top-n / percentages") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val n = li.count()
+    // scatter: pure projection, nulls dropped, optional group column
+    val sc = Stats.scatterData(li, "l_quantity", "l_extendedprice",
+      group = Some("l_returnflag"))
+    assert(sc.columns.toSeq == Seq("x", "y", "group") && sc.count() == n)
+    // deterministic content-hash downsample: stable across reruns, ~pct
+    val thin1 = Stats.scatterData(li, "l_quantity", "l_extendedprice",
+      samplePct = 10.0)
+    val thin2 = Stats.scatterData(li, "l_quantity", "l_extendedprice",
+      samplePct = 10.0)
+    val c1 = thin1.count()
+    assert(c1 == thin2.count() && c1 > n / 20 && c1 < n / 5)
+    // lines: long (x, series, value) — one row per (row, y column)
+    val ln = Stats.linesData(li.limit(50), "l_orderkey",
+      Seq("l_quantity", "l_discount"))
+    assert(ln.columns.toSeq == Seq("l_orderkey", "series", "value"))
+    assert(ln.count() == 100)
+    assert(ln.select("series").distinct().count() == 2)
+    // bars: top-n of the grouped counts; percentages sum to ~100
+    val f = graft.api.Frame(li)
+    val top = f.barsTopN("l_returnflag", 2).collect()
+    assert(top.length == 2 && top(0).getLong(1) >= top(1).getLong(1))
+    val pcts = f.barsWithPercentages("l_returnflag")
+      .agg(sum(col("percentage")), max(col("pct_label"))).head()
+    assert(math.abs(pcts.getDouble(0) - 100.0) < 1e-9)
+    assert(pcts.getInt(1) <= 100)
+  }
 }
