@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * the core of the reference's DecisionTree module
   * (/root/reference/src/DataFrame/DecisionTree.hs:36-44 TreeConfig:
   * maxTreeDepth / minSamplesSplit / minLeafSize / percentile split
-  * candidates), re-expressed as Spark histogram split-finding. The
-  * reference's TAO refinement and expression-synthesis splits
-  * (Synthesis.hs) stay out of scope — this is the classic
-  * axis-aligned gini tree.
+  * candidates), re-expressed as Spark histogram split-finding, plus
+  * TAO refinement ([[taoRefine]]/[[taoOptimize]], DecisionTree.hs:
+  * 121-330). The reference's boolean-expression-synthesis split
+  * candidates (Synthesis.hs compounds inside findBestSplitTAO) stay
+  * out of scope — splits here are axis-aligned thresholds throughout.
   *
   * Scale shape (the MLlib formulation): per depth LEVEL — not per
   * node — one melt (posexplode of the feature array) plus ONE exact
@@ -184,5 +185,246 @@ object DecisionTree {
       }
       Tree(nodes, features)
     } finally base.unpersist()
+  }
+
+  /** ONE TAO (Tree Alternating Optimization) pass over a fitted tree
+    * (reference taoIteration + optimizeNode, DecisionTree.hs:148-246):
+    * bottom-to-top by depth level, each internal node's (feature,
+    * threshold) is re-optimized against the rows that REACH it, with
+    * both child subtrees held fixed. Only "care points" matter — rows
+    * where exactly one fixed subtree predicts the true label
+    * (identifyCarePoints, DecisionTree.hs:296-330); the node's split
+    * becomes a 1-D classification of desired direction, solved with the
+    * SAME per-level percentile + histogram machinery as the fit: one
+    * melt + one threshold pass + one count pass per level, split chosen
+    * driver-side from tiny (node × feature × bucket) counts. A
+    * candidate is admissible only if both sides of the FULL reach set
+    * keep `minLeafSize` rows, and it is accepted only when it strictly
+    * reduces care-point errors — where the reference would collapse an
+    * inadmissible node to a leaf, this pass keeps the current split
+    * (never worse than the input tree). Per level, leaves are
+    * re-majorized on their current reach set BEFORE the internal nodes
+    * above them optimize (the reference's bottom-up order — split
+    * decisions see fresh child predictions); a final pass re-labels
+    * every leaf against the refined splits and recounts `n` bottom-up.
+    *
+    * A subtree emptied by an upstream re-split keeps its old prediction
+    * with n = 0 (the reference prunes these; one pass leaves them —
+    * they are unreachable only for the CURRENT data, and [[taoOptimize]]
+    * iterations may repopulate them). */
+  def taoRefine(df: DataFrame, tree: Tree, label: String,
+                minLeafSize: Int = 1,
+                percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+    val spark = df.sparkSession
+    val features = tree.features
+    val pcts = percentiles.map(_ / 100.0)
+    val base = df.select(
+      (features.map(f => col(f).cast("double").as(f)) :+
+        col(label).cast("string").as("__label")): _*)
+      .na.drop(features :+ "__label").cache()
+    try {
+      var nodes = tree.nodes
+
+      def subtreePred(id: Long): Column = {
+        val nd = nodes(id)
+        if (nd.feature < 0) lit(nd.prediction)
+        else when(col(features(nd.feature)) <= nd.threshold,
+          subtreePred(nd.left)).otherwise(subtreePred(nd.right))
+      }
+      // node reached after descending `target` levels (leaves stop early)
+      def assignToDepth(id: Long, d: Int, target: Int): Column = {
+        val nd = nodes(id)
+        if (d == target || nd.feature < 0) lit(id)
+        else when(col(features(nd.feature)) <= nd.threshold,
+          assignToDepth(nd.left, d + 1, target))
+          .otherwise(assignToDepth(nd.right, d + 1, target))
+      }
+      // per-node column dispatched on __node (few nodes per level)
+      def byNode(items: Seq[(Long, Column)]): Column =
+        items.tail.foldLeft(when(col("__node") === items.head._1, items.head._2)) {
+          case (acc, (id, c)) => acc.when(col("__node") === id, c)
+        }
+
+      val maxDepth = nodes.values.map(_.depth).max
+      for (d <- maxDepth to 0 by -1) {
+        // leaves at this level first (reference optimizeNode's Leaf arm):
+        // re-majorize on the CURRENT reach set so the internal nodes
+        // optimized above them see fresh child predictions
+        val leafIds = nodes.values
+          .filter(n => n.depth == d && n.feature < 0).map(_.id).toSeq.sorted
+        if (leafIds.nonEmpty) {
+          val counts = base.withColumn("__node", assignToDepth(1L, 0, d))
+            .filter(col("__node").isin(leafIds: _*))
+            .groupBy("__node", "__label").count().collect()
+            .groupBy(_.getLong(0))
+          for ((id, rows) <- counts) {
+            val m = rows.map(r => r.getString(1) -> r.getLong(2))
+            nodes += id -> nodes(id).copy(n = m.map(_._2).sum,
+              prediction = m.maxBy { case (l, c) => (c, l) }._1)
+          }
+        }
+        val internal = nodes.values
+          .filter(n => n.depth == d && n.feature >= 0).toSeq.sortBy(_.id)
+        if (internal.nonEmpty) {
+          val ids = internal.map(_.id)
+          // reach rows + fixed-subtree predictions + current direction;
+          // __dir: 1 = only LEFT subtree correct, 2 = only RIGHT, 0 = don't care
+          val withPred = base
+            .withColumn("__node", assignToDepth(1L, 0, d))
+            .filter(col("__node").isin(ids: _*))
+            .withColumn("__lp", byNode(internal.map(n => n.id -> subtreePred(n.left))))
+            .withColumn("__rp", byNode(internal.map(n => n.id -> subtreePred(n.right))))
+            .withColumn("__curL", byNode(internal.map(n =>
+              n.id -> (col(features(n.feature)) <= n.threshold))))
+            .withColumn("__dir",
+              when(col("__lp") === col("__label") && col("__rp") =!= col("__label"), 1)
+                .when(col("__rp") === col("__label") && col("__lp") =!= col("__label"), 2)
+                .otherwise(0))
+            .select(col("__node"), col("__dir"), col("__curL"),
+              posexplode(array(features.map(col): _*)).as(Seq("__f", "__v")))
+            .filter(col("__v").isNotNull)
+            .cache()
+          try {
+            // current care-point errors + reach size per node (melted ×
+            // |features|: divide back out via the f==0 slice)
+            val curRows = withPred.filter(col("__f") === 0)
+              .groupBy("__node").agg(
+                sum(when((col("__dir") === 1 && !col("__curL")) ||
+                  (col("__dir") === 2 && col("__curL")), 1L).otherwise(0L)).as("e"),
+                count(lit(1)).as("n"))
+              .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+            // candidate thresholds per (node, feature) over the FULL reach set
+            val thrMap: Map[(Long, Int), Seq[Double]] = withPred
+              .groupBy("__node", "__f")
+              .agg(percentile(col("__v"), typedLit(pcts)).as("__thr"))
+              .collect().map { r =>
+                (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2).distinct.sorted
+              }.toMap
+            if (thrMap.nonEmpty) {
+              val thrDf = spark.createDataFrame(
+                spark.sparkContext.parallelize(thrMap.toSeq.map { case ((n, f), t) =>
+                  org.apache.spark.sql.Row(n, f, t)
+                }, 1),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("__node",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("__f",
+                    org.apache.spark.sql.types.IntegerType),
+                  org.apache.spark.sql.types.StructField("__thrs",
+                    org.apache.spark.sql.types.ArrayType(
+                      org.apache.spark.sql.types.DoubleType)))))
+              // ONE count pass: (node, f, bucket) → total + care-by-direction
+              val hist = withPred.join(broadcast(thrDf), Seq("__node", "__f"))
+                .withColumn("__bkt", aggregate(col("__thrs"), lit(0),
+                  (acc, t) => acc + when(col("__v") > t, 1).otherwise(0)))
+                .groupBy("__node", "__f", "__bkt").agg(
+                  count(lit(1)).as("t"),
+                  sum(when(col("__dir") === 1, 1L).otherwise(0L)).as("cl"),
+                  sum(when(col("__dir") === 2, 1L).otherwise(0L)).as("cr"))
+                .collect()
+                .map(r => ((r.getLong(0), r.getInt(1)),
+                  (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+                .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+                .withDefaultValue(Seq.empty)
+
+              for (nd <- internal; (curErr, reachN) <- curRows.get(nd.id)) {
+                val best = (for {
+                  f <- features.indices
+                  thrs = thrMap.getOrElse((nd.id, f), Seq.empty[Double])
+                  if thrs.nonEmpty
+                  byBkt = hist((nd.id, f))
+                  clTot = byBkt.map(_._3).sum
+                  (thr, ti) <- thrs.zipWithIndex
+                } yield {
+                  // v <= thrs(ti) ⇔ bkt <= ti (bucket counts thresholds
+                  // strictly below v — the fit's convention)
+                  val leftSide = byBkt.filter(_._1 <= ti)
+                  val lN = leftSide.map(_._2).sum
+                  val errs = (clTot - leftSide.map(_._3).sum) +
+                    leftSide.map(_._4).sum
+                  (errs, f, thr, lN, reachN - lN)
+                }).filter(c => c._4 >= minLeafSize && c._5 >= minLeafSize)
+                  .sortBy(c => (c._1, c._2, c._3)).headOption
+                best match {
+                  case Some((errs, f, thr, _, _)) if errs < curErr =>
+                    nodes += nd.id -> nodes(nd.id).copy(feature = f, threshold = thr)
+                  case _ => // keep the current split
+                }
+              }
+            }
+          } finally withPred.unpersist()
+        }
+      }
+
+      // leaf re-labeling + recount against the refined splits
+      val leafCounts = base
+        .withColumn("__node", assignToDepth(1L, 0, Int.MaxValue))
+        .groupBy("__node", "__label").count().collect()
+        .groupBy(_.getLong(0))
+      nodes = nodes.map { case (id, nd) =>
+        if (nd.feature >= 0) id -> nd
+        else leafCounts.get(id) match {
+          case Some(rows) =>
+            val m = rows.map(r => r.getString(1) -> r.getLong(2))
+            id -> nd.copy(n = m.map(_._2).sum,
+              prediction = m.maxBy { case (l, c) => (c, l) }._1)
+          case None => id -> nd.copy(n = 0L)
+        }
+      }
+      def recount(id: Long): Long = {
+        val nd = nodes(id)
+        if (nd.feature < 0) nd.n
+        else {
+          val n = recount(nd.left) + recount(nd.right)
+          nodes += id -> nodes(id).copy(n = n)
+          n
+        }
+      }
+      recount(1L)
+      Tree(nodes, features)
+    } finally base.unpersist()
+  }
+
+  /** TAO loop (reference taoOptimize, DecisionTree.hs:121-146): repeat
+    * [[taoRefine]] passes until the misclassification-rate improvement
+    * drops below `tol` (one scan-stage aggregate per iteration) or
+    * `iterations` passes ran. Never worse than the input tree: each
+    * pass only accepts strictly-improving node splits. */
+  def taoOptimize(df: DataFrame, tree: Tree, label: String,
+                  iterations: Int = 10, tol: Double = 1e-6,
+                  minLeafSize: Int = 1,
+                  percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+    require(iterations >= 1 && tol >= 0)
+    def loss(t: Tree): Double = df
+      .select(t.predictColumn.as("__p"), col(label).cast("string").as("__l"))
+      .na.drop(Seq("__l"))
+      .agg(avg(when(col("__p") =!= col("__l"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    var cur = tree
+    var curLoss = loss(cur)
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      val next = taoRefine(df, cur, label, minLeafSize, percentiles)
+      val nextLoss = loss(next)
+      converged = curLoss - nextLoss < tol
+      cur = next
+      curLoss = nextLoss
+      i += 1
+    }
+    cur
+  }
+
+  /** greedy CART fit + TAO refinement — the reference's
+    * fitDecisionTree composition (DecisionTree.hs:97-118). */
+  def fitClassifierTao(df: DataFrame, features: Seq[String], label: String,
+                       maxDepth: Int = 4, minSamplesSplit: Int = 5,
+                       minLeafSize: Int = 1, taoIterations: Int = 10,
+                       taoTol: Double = 1e-6,
+                       percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+    val greedy = fitClassifier(df, features, label, maxDepth,
+      minSamplesSplit, minLeafSize, percentiles)
+    taoOptimize(df, greedy, label, taoIterations, taoTol, minLeafSize,
+      percentiles)
   }
 }

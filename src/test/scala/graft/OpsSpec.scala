@@ -208,6 +208,56 @@ class OpsSpec extends SparkSpec {
     assert(stump.nodes.size == 1 && stump.nodes(1L).prediction == "a")
   }
 
+  test("TAO: repairs a planted mis-split, re-majorizes leaves, never hurts") {
+    import graft.ops.DecisionTree
+    import graft.ops.DecisionTree.{Node, Tree}
+    // truth: x <= 4 → a, else b (5 copies of 0..9 so percentiles are stable)
+    val rows = for (_ <- 1 to 5; x <- 0 to 9)
+      yield (x.toDouble, if (x <= 4) "a" else "b")
+    val df = rows.toDF("x", "lab").repartition(4)
+    def acc(t: Tree) = df.withColumn("p", t.predictColumn)
+      .agg(avg(when($"p" === $"lab", 1.0).otherwise(0.0))).head().getDouble(0)
+
+    // 1) planted tree with a damaged root threshold (1.5 instead of ~4.5):
+    //    every reach row is a care point; one pass must relocate the split
+    val damaged = Tree(Map(
+      1L -> Node(1L, 0, 50, "a", 0, 1.5, 2L, 3L),
+      2L -> Node(2L, 1, 10, "a", -1, 0.0, 0L, 0L),
+      3L -> Node(3L, 1, 40, "b", -1, 0.0, 0L, 0L)), Seq("x"))
+    assert(acc(damaged) < 0.8)
+    val fixed = DecisionTree.taoRefine(df, damaged, "lab")
+    assert(acc(fixed) == 1.0)
+    val root = fixed.nodes(1L)
+    assert(root.threshold >= 4.0 && root.threshold < 5.0)
+    assert(fixed.nodes(2L).prediction == "a" && fixed.nodes(2L).n == 25)
+    assert(fixed.nodes(3L).prediction == "b" && fixed.nodes(3L).n == 25)
+
+    // 2) correct split, swapped leaf predictions: the bottom-up order
+    //    re-majorizes the leaves FIRST, so the root split then has zero
+    //    care-point errors and must stay put
+    val swapped = Tree(Map(
+      1L -> Node(1L, 0, 50, "a", 0, 4.5, 2L, 3L),
+      2L -> Node(2L, 1, 25, "b", -1, 0.0, 0L, 0L),
+      3L -> Node(3L, 1, 25, "a", -1, 0.0, 0L, 0L)), Seq("x"))
+    val relabeled = DecisionTree.taoRefine(df, swapped, "lab")
+    assert(acc(relabeled) == 1.0)
+    assert(relabeled.nodes(1L).threshold == 4.5)
+    assert(relabeled.nodes(2L).prediction == "a" &&
+      relabeled.nodes(3L).prediction == "b")
+
+    // 3) TAO never damages an already-perfect greedy fit, and the full
+    //    loop converges (fitClassifierTao == greedy here)
+    val grid = (for (_ <- 1 to 5; x <- 0 to 9; y <- 0 to 9)
+      yield (x.toDouble, y.toDouble,
+        if (x <= 4) "a" else if (y <= 2) "b" else "c"))
+      .toDF("x", "y", "lab").repartition(8)
+    val greedy = DecisionTree.fitClassifier(
+      grid, Seq("x", "y"), "lab", maxDepth = 3, minSamplesSplit = 5)
+    val tao = DecisionTree.fitClassifierTao(
+      grid, Seq("x", "y"), "lab", maxDepth = 3, minSamplesSplit = 5)
+    assert(tao.nodes == greedy.nodes)
+  }
+
   test("feature synthesis: beam recovers a planted conjunction with F1 = 1") {
     // target ≡ x <= 4 AND y <= 6 over a 10×10 grid: both atoms exist as
     // percentile thresholds, one and-expansion must reach F1 = 1
