@@ -251,6 +251,43 @@ object Relational {
               WHERE c_acctbal > 4000) r ON l.c_custkey = r.c_custkey
         ORDER BY c_custkey""")),
 
+    // --- right join (mirror of q13; graduates the unit-only path) -----------
+    "q87_join_right" -> Q(
+      (s, d) => {
+        val o = Frame(ord(s, d).withColumnRenamed("o_custkey", "c_custkey"))
+        val c = Frame(cust(s, d))
+        o.rightJoin(c, Seq("c_custkey"))
+          .groupBy("c_custkey")
+          .aggregate(
+            "n_orders" -> count(col("o_orderkey")),
+            "total_value" -> coalesce(gf.dsumD(col("o_totalprice")), lit(0.0)))
+          .sortBy(Asc(col("c_custkey"))).df
+      },
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(${dsum("o_totalprice")}, 0.0) AS total_value
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // --- valueCounts / barsTopN: ordered grouped counts under a limit
+    // (TakeOrderedAndProject; ties broken by value text in both engines)
+    "q88_bars_topn" -> Q(
+      (s, d) => Frame(cust(s, d)).barsTopN("c_mktsegment", 3),
+      Some("""SELECT c_mktsegment, COUNT(*) AS count FROM customer
+        GROUP BY c_mktsegment ORDER BY count DESC, c_mktsegment LIMIT 3""")),
+
+    // --- grouped collect (Functions.hs:306 collect): list aggregation,
+    // sorted inside each group (order-independent value) and joined to a
+    // string for the hash gate — the driver's compare can't hash arrays
+    "q89_collect_list" -> Q(
+      (s, d) => Frame(Tables.nation(s, d))
+        .groupBy("n_regionkey")
+        .aggregate("names" ->
+          concat_ws(",", sort_array(gf.collect(col("n_name")))))
+        .sortBy(Asc(col("n_regionkey"))).df,
+      Some("""SELECT n_regionkey,
+        array_to_string(list_sort(list(n_name)), ',') AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // --- union by name (the reference's <> merge) ---------------------------
     "q17_union" -> Q(
       (s, d) => {
