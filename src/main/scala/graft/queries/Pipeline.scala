@@ -476,6 +476,32 @@ object Pipeline {
         SELECT c.c_custkey, COALESCE(c.bal, m.mb) AS bal FROM c, m
         ORDER BY c_custkey""")),
 
+    // --- second api-parity chain, graduating the remaining unit-only
+    // transforms: exclude → applyWhere (conditional in-place transform)
+    // → impute (constant fill of planted nulls) → filterAllJust →
+    // aggregate on the transformed shape.
+    "q90_api_chain2" -> Q(
+      (s, d) => graft.api.Frame(Tables.customer(s, d))
+        .exclude("c_name", "c_nationkey")
+        .derive("bal", when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .exclude("c_acctbal")
+        .applyWhere(col("c_mktsegment") === "BUILDING", "bal")(_ * 2)
+        .impute("bal", -1.0)
+        .filterAllJust
+        .groupBy("c_mktsegment").aggregate(
+          "n" -> count(lit(1)),
+          "total" -> graft.api.functions.dsumD(col("bal")))
+        .sortBy(graft.api.Asc(col("c_mktsegment"))).df,
+      Some(s"""WITH t AS (SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal0
+          FROM customer),
+        u AS (SELECT c_mktsegment,
+          COALESCE(CASE WHEN c_mktsegment = 'BUILDING' THEN bal0 * 2
+                        ELSE bal0 END, -1.0) AS bal FROM t)
+        SELECT c_mktsegment, COUNT(*) AS n, ${dsum("bal")} AS total
+        FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // --- portable stratified sampling: per-stratum keep probabilities,
     // reproducible across engines/reruns/partitionings (the source-
     // rebalancing primitive of a pretraining pipeline); strata absent
