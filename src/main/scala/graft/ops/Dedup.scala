@@ -329,23 +329,33 @@ object Dedup {
     * 5-6 bits (narrower chunks = more candidates — the recall/cost
     * trade-off is explicit in the parameter, never silent). */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxDist: Int = 3): DataFrame =
-    simhashPairsImpl(df, id, simhash(col(text)), maxDist, bits = 64)
+                   maxDist: Int = 3,
+                   materialize: Boolean = true): DataFrame =
+    simhashPairsImpl(df, id, simhash(col(text)), maxDist, bits = 64,
+      materialize)
 
   /** [[simhashPairs]] on the portable 31-bit simhash — same pigeonhole
     * blocking over 31 bits. */
   def simhashPairsPortable(df: DataFrame, id: String, text: String,
-                           maxDist: Int = 3): DataFrame =
-    simhashPairsImpl(df, id, simhashPortable(col(text)), maxDist, bits = 31)
+                           maxDist: Int = 3,
+                           materialize: Boolean = true): DataFrame =
+    simhashPairsImpl(df, id, simhashPortable(col(text)), maxDist, bits = 31,
+      materialize)
 
   private def simhashPairsImpl(df: DataFrame, id: String, sim: Column,
-                               maxDist: Int, bits: Int): DataFrame = {
+                               maxDist: Int, bits: Int,
+                               materialize: Boolean): DataFrame = {
     require(maxDist >= 0 && maxDist < bits, s"maxDist must be in [0, ${bits - 1}]")
     val numChunks = maxDist + 1
     val base = bits / numChunks; val rem = bits % numChunks
     val widths = Seq.tabulate(numChunks)(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val withSim = df.select(col(id), sim.as("sh"))
+    // both sides of the chunk self-join would otherwise re-scan the
+    // corpus and recompute the signature (the exchanges don't unify —
+    // the q44/q45 lesson); the materialized frame is (id, 8-byte sh),
+    // KBs per million docs. `materialize = false` restores pure-lazy.
+    val withSim0 = df.select(col(id), sim.as("sh"))
+    val withSim = if (materialize) withSim0.localCheckpoint() else withSim0
     val chunkCols = offsets.zip(widths).map { case (off, w) =>
       shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
     }
