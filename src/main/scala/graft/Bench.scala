@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * isolation; the 0.87 s was favorable co-resident-query state (codegen
   * cache / GC phase). Attribute cross-round per-query deltas ONLY with
   * QBench on both commits.
+  *
+  * Round-6 A/B (QBench, 7 iters, sf0.1, fresh session per commit) on the
+  * three r05 shared-session "regressions" — all dissolved, current code
+  * equal or FASTER in isolation:
+  *   q44_ngram_jaccard    r04 commit 2.04 s [1.74,2.26] vs HEAD 1.95 s [1.74,2.13]
+  *   q48_embedding_neardup r04 commit 1.31 s [1.14,1.42] vs HEAD 1.25 s [1.14,1.52]
+  *   q74_tpch_q5          r04 commit 0.98 s [0.81,1.32] vs HEAD 0.84 s [0.76,1.83]
+  * Root cause of the shared-session spread: the dedup queries
+  * localCheckpoint their shingle/signature frames; in a co-resident run
+  * those blocks (and each iteration's NEW blocks) squat on executor
+  * storage for every later query. Fix: [[releaseCheckpoints]] after every
+  * measured run — each run builds its own checkpoint, so carrying a prior
+  * run's blocks is pure contamination, never reuse.
   */
 object Bench {
 
@@ -77,11 +90,21 @@ object Bench {
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
 
+    // Drop every persisted/localCheckpointed RDD the last run pinned.
+    // Blocking: the next measurement must not overlap the release. The
+    // blocks are per-plan-instantiation (each run re-checkpoints), so
+    // nothing here is reusable state — only storage-pressure carryover.
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9 // release is NOT measured
+      releaseCheckpoints()
+      if (ok) dt else -1.0
     }
     /** warm-up + `iters` measured runs → (median, min, max). */
     def run(fn: (SparkSession, String) => DataFrame): (Double, Double, Double) = {

@@ -31,7 +31,12 @@ object QBench {
     def once(): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same hygiene as Bench: each run re-checkpoints, so a prior
+      // iteration's localCheckpoint blocks are pure storage carryover
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      dt
     }
     once() // warm-up: codegen + JIT
     val ts = Seq.fill(iters)(once()).sorted
