@@ -156,7 +156,9 @@ object Stats {
     if (samplePct >= 100.0) base
     else base.filter(
       F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(10000L)) <
-        F.lit(math.round(samplePct * 100)))
+        // floor at 1: samplePct < 0.005 would otherwise round the keep
+        // threshold to 0 and silently drop every point
+        F.lit(math.max(1L, math.round(samplePct * 100))))
   }
 
   /** data side of `plotLines` / `plotStackedBars`

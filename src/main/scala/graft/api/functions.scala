@@ -18,11 +18,19 @@ object functions {
     F.when(cond, t).otherwise(f)
 
   /** recode: lookup-map translate; misses become null
-    * (Functions.hs:268-279). */
-  def recode(c: Column, mapping: Map[Any, Any]): Column =
-    mapping.foldLeft(F.lit(null).cast("string")) { case (acc, (k, v)) =>
+    * (Functions.hs:268-279). The fallthrough null literal takes the
+    * mapping's VALUE type — an untyped (string-cast) null would coerce
+    * the whole when-chain to string, so `recode(Map(1 -> 2))` must stay
+    * integral. */
+  def recode(c: Column, mapping: Map[Any, Any]): Column = {
+    val nullLit =
+      if (mapping.isEmpty) F.lit(null).cast("string")
+      else F.lit(null).cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(mapping.head._2).dataType)
+    mapping.foldLeft(nullLit) { case (acc, (k, v)) =>
       F.when(c === F.lit(k), F.lit(v)).otherwise(acc)
     }
+  }
 
   /** recodeWithDefault (Functions.hs:281-287). */
   def recodeWithDefault(c: Column, mapping: Map[Any, Any], default: Column): Column =
