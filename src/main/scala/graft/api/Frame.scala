@@ -27,7 +27,13 @@ final class Frame(val df: DataFrame) {
   import Frame._
 
   def columns: Seq[String] = df.columns.toSeq
-  def dimensions: (Long, Int) = (df.count(), df.columns.length)
+  /** column count — free (schema-only, no job). */
+  def columnsCount: Int = df.columns.length
+  /** row count — an ACTION: runs a full Spark job over the frame. */
+  def rowCount: Long = df.count()
+  /** (rows, columns) — an ACTION (delegates to [[rowCount]]); use
+    * [[columnsCount]] when only the width is needed. */
+  def dimensions: (Long, Int) = (rowCount, columnsCount)
 
   // ---- sinks (reference: IO/CSV.hs:392-459) -----------------------------
   def writeCsv(path: String): Unit = graft.sources.Csv.writeCsv(df, path)
@@ -191,7 +197,15 @@ final class Frame(val df: DataFrame) {
   def filterJust(name: String): Frame = Frame(df.filter(F.col(name).isNotNull))
   def filterNothing(name: String): Frame = Frame(df.filter(F.col(name).isNull))
   def filterAllJust: Frame = Frame(df.na.drop())
+  /** rows where EVERY column is null — the reference folds
+    * `filterNothing` over all columns (Operations/Subset.hs:218-219),
+    * i.e. conjunctive. (A prior revision used any-null; fixed to match.) */
   def filterAllNothing: Frame =
+    Frame(df.filter(df.columns.map(F.col(_).isNull).reduce(_ && _)))
+  /** rows where at least one column is null — the complement of
+    * [[filterAllJust]] (not a reference op; kept for the any-null reading
+    * of all-nothing some callers expect). */
+  def filterAnyNothing: Frame =
     Frame(df.filter(df.columns.map(F.col(_).isNull).reduce(_ || _)))
 
   // ---- positional subsetting (Operations/Subset.hs:48-96) ---------------
@@ -357,6 +371,53 @@ final class Frame(val df: DataFrame) {
     * different-type columns has no Spark analog — callers cast first. */
   def unionByName(other: Frame): Frame =
     Frame(df.unionByName(other.df, allowMissingColumns = true))
+  /** [[unionByName]] with an EXPLICIT cast policy for same-name
+    * different-type columns — the Spark rendering of the reference's
+    * Either-merge (`concatColumnsEither`, Internal/Column.hs:816-853),
+    * which combines an Int column and a Text column into `Either Int
+    * Text` values. Spark columns are monomorphic, so instead of a sum
+    * type the clash resolves to one concrete type:
+    *   - numeric ∪ numeric → the wider numeric (byte<short<int<long<
+    *     float<double; any decimal mixed with a different numeric →
+    *     double);
+    *   - any other atomic pair (string∪int, date∪string, …) → string —
+    *     the printable common form, as Either's Show is in the
+    *     reference;
+    *   - complex types (array/map/struct) that differ → error: no
+    *     lossless common form exists, the caller must restructure.
+    * Both sides are cast BEFORE the union so the policy is visible in
+    * the plan; missing columns still null-pad. */
+  def unionByNameCoerced(other: Frame): Frame = {
+    val lT = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rT = other.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rank: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType)
+    def common(n: String, a: DataType, b: DataType): DataType = (a, b) match {
+      case (x: NumericType, y: NumericType) =>
+        (x, y) match {
+          case (dx: DecimalType, dy: DecimalType) =>
+            DecimalType(math.max(dx.precision, dy.precision),
+              math.max(dx.scale, dy.scale))
+          case _ if rank.contains(x) && rank.contains(y) =>
+            if (rank.indexOf(x) >= rank.indexOf(y)) x else y
+          case _ => DoubleType // decimal mixed with a different numeric
+        }
+      case (_: ArrayType, _) | (_, _: ArrayType) |
+           (_: MapType, _) | (_, _: MapType) |
+           (_: StructType, _) | (_, _: StructType) =>
+        throw new IllegalArgumentException(
+          s"unionByNameCoerced: column '$n' has incompatible complex types " +
+            s"${a.simpleString} vs ${b.simpleString}; restructure before union")
+      case _ => StringType // atomic pair: the printable common form
+    }
+    val casts = lT.keySet.intersect(rT.keySet).iterator
+      .filter(n => lT(n) != rT(n))
+      .map(n => n -> common(n, lT(n), rT(n))).toMap
+    def cast(d: DataFrame): DataFrame =
+      casts.foldLeft(d) { case (acc, (n, t)) =>
+        acc.withColumn(n, F.col(n).cast(t)) }
+    Frame(cast(df).unionByName(cast(other.df), allowMissingColumns = true))
+  }
   def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
   def except(other: Frame): Frame = Frame(df.except(other.df))
   /** `|||` horizontal zip by position (Merge.hs:59-64) — no native Spark

@@ -880,6 +880,64 @@ object Pipeline {
                         WHERE d2.text = dn.text)
           AND NOT EXISTS (SELECT 1 FROM documents ds
                           WHERE ds.doc_id % 3 = 0 AND ds.text = dn.text)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --- unionByNameCoerced: the reference's Either-merge
+    // (Internal/Column.hs:816-853) under the explicit Spark cast policy
+    // — int∪double widens to double, int∪string falls back to string,
+    // missing columns null-pad. Hand-computed VALUES oracle.
+    "q91_union_coerced" -> Q(
+      (s, _) => {
+        import graft.api.Frame
+        val ints = Frame.fromNamedColumns(s, Seq(
+          "k" -> Seq(1, 2, 3), "v" -> Seq(10, 20, 30), "tag" -> Seq(7, 8, 9)))
+        val dbls = Frame.fromNamedColumns(s, Seq(
+          "k" -> Seq(4, 5), "v" -> Seq(1.5, 2.5), "tag" -> Seq("a", "b")))
+        val extra = Frame.fromNamedColumns(s, Seq(
+          "k" -> Seq(6), "w" -> Seq("z")))
+        ints.unionByNameCoerced(dbls).unionByNameCoerced(extra)
+          .df.orderBy("k")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, CAST(10 AS DOUBLE), CAST(7 AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (2, CAST(20 AS DOUBLE), CAST(8 AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (3, CAST(30 AS DOUBLE), CAST(9 AS VARCHAR), CAST(NULL AS VARCHAR)),
+          (4, 1.5, 'a', CAST(NULL AS VARCHAR)),
+          (5, 2.5, 'b', CAST(NULL AS VARCHAR)),
+          (6, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 'z'))
+          t(k, v, tag, w) ORDER BY k""")),
+
+    // --- third api-parity chain, graduating the last unit-only
+    // deterministic transforms: cubeSlice (first l rows × first w
+    // columns under an explicit order, Operations/Subset.hs:226) and
+    // the conjunctive filterAllNothing (foldr filterNothing,
+    // Subset.hs:218-219) over planted all-null rows.
+    "q92_api_chain3" -> Q(
+      (s, _) => {
+        import graft.api.{Asc, Frame}
+        val base = Frame.fromNamedColumns(s, Seq(
+          "k" -> Seq(1, 2, 3, 4, 5, 6, 7, 8),
+          "a" -> Seq(10, 20, 30, 40, 50, 60, 70, 80),
+          "b" -> Seq("p", "q", "r", "s", "t", "u", "v", "w")))
+        val planted = base
+          .derive("a", when(col("k") >= 6, lit(null)).otherwise(col("a")))
+          .derive("b", when(col("k") >= 6, lit(null)).otherwise(col("b")))
+        val allNull = planted.exclude("k").filterAllNothing
+        val slice = planted.cubeSlice(4, 2, Asc(col("k")))
+        slice.df.agg(count(lit(1)).as("n_slice"),
+            sum("a").cast("long").as("sum_a"))
+          .crossJoin(allNull.df.agg(count(lit(1)).as("n_allnull")))
+      },
+      Some("""WITH base(k, a, b) AS (VALUES
+          (1, 10, 'p'), (2, 20, 'q'), (3, 30, 'r'), (4, 40, 's'),
+          (5, 50, 't'), (6, 60, 'u'), (7, 70, 'v'), (8, 80, 'w')),
+        planted AS (SELECT k,
+          CASE WHEN k >= 6 THEN NULL ELSE a END AS a,
+          CASE WHEN k >= 6 THEN NULL ELSE b END AS b FROM base),
+        s AS (SELECT COUNT(*) AS n_slice, CAST(SUM(a) AS BIGINT) AS sum_a
+          FROM (SELECT k, a FROM planted ORDER BY k LIMIT 4)),
+        n AS (SELECT COUNT(*) AS n_allnull FROM planted
+          WHERE a IS NULL AND b IS NULL)
+        SELECT s.n_slice, s.sum_a, n.n_allnull FROM s, n"""))
   )
 }

@@ -126,8 +126,40 @@ class FrameSpec extends SparkSpec {
     assert(withNull.filterJust("b").df.count() == 2)
     assert(withNull.filterNothing("b").df.count() == 1)
     assert(withNull.filterAllJust.df.count() == 2)
-    assert(withNull.filterAllNothing.df.count() == 1)
+    // (2, None) has a non-null `a`: all-nothing (conjunctive, the
+    // reference's foldr filterNothing) excludes it; any-nothing keeps it
+    assert(withNull.filterAllNothing.df.count() == 0)
+    assert(withNull.filterAnyNothing.df.count() == 1)
+    val bothNull = Frame(Seq((Some(1), Some(2.0)), (None, None), (Some(3), None))
+      .toDF("a", "b"))
+    assert(bothNull.filterAllNothing.df.count() == 1)
+    assert(bothNull.filterAnyNothing.df.count() == 2)
     assert(main26.filterWhere($"test1" > 20).df.count() == 6)
+  }
+
+  test("unionByNameCoerced: numeric widening, string fallback, complex error") {
+    val ints = Frame(Seq((1, 10), (2, 20)).toDF("k", "v"))
+    val dbls = Frame(Seq((3, 1.5), (4, 2.5)).toDF("k", "v"))
+    val u1 = ints.unionByNameCoerced(dbls)
+    assert(u1.df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(u1.df.agg(sum($"v")).as[Double].head() == 34.0)
+    val strs = Frame(Seq((5, "x")).toDF("k", "v"))
+    val u2 = ints.unionByNameCoerced(strs)
+    assert(u2.df.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(u2.df.count() == 3)
+    // missing columns still null-pad
+    val extra = Frame(Seq((6, 1.0, "z")).toDF("k", "v", "w"))
+    val u3 = ints.unionByNameCoerced(extra)
+    assert(u3.df.columns.toSet == Set("k", "v", "w"))
+    assert(u3.df.filter($"w".isNull).count() == 2)
+    val arr = Frame(Seq((7, Seq(1, 2))).toDF("k", "v"))
+    intercept[IllegalArgumentException] { ints.unionByNameCoerced(arr) }
+  }
+
+  test("dimensions split: columnsCount is schema-only, rowCount counts") {
+    assert(main26.columnsCount == 2)
+    assert(main26.rowCount == 26L)
+    assert(main26.dimensions == (26L, 2))
   }
 
   test("impute fills nulls") {
