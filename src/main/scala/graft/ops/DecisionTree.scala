@@ -27,10 +27,46 @@ import org.apache.spark.sql.functions._
   */
 object DecisionTree {
 
-  /** tree node: leaf when feature < 0. */
+  /** tree node: leaf when feature < 0. `split2 = Some((op, f2, t2))`
+    * makes the split COMPOUND: `(feature <= threshold) op (f2 <= t2)`
+    * with op one of and/or/andnot/ornot/notand/notor/nand/nor — the
+    * two-literal boolean family of the reference's synthesis-grammar
+    * split candidates (DecisionTree.hs:121-330 + Synthesis.hs). Only
+    * [[taoRefineCompound]] produces these; the greedy fit stays
+    * axis-aligned. */
   final case class Node(id: Long, depth: Int, n: Long, prediction: String,
                         feature: Int, threshold: Double,
-                        left: Long, right: Long)
+                        left: Long, right: Long,
+                        split2: Option[(String, Int, Double)] = None)
+
+  /** the two-literal boolean family [[taoRefineCompound]] searches. */
+  val compoundOps: Seq[String] =
+    Seq("and", "or", "andnot", "ornot", "notand", "notor", "nand", "nor")
+
+  /** the node's split predicate as a Column (left-child condition). */
+  private[ops] def splitCol(nd: Node, features: Seq[String],
+                            castDouble: Boolean = false): Column = {
+    def p(f: Int, t: Double) = {
+      val c = col(features(f))
+      (if (castDouble) c.cast("double") else c) <= t
+    }
+    val a = p(nd.feature, nd.threshold)
+    nd.split2 match {
+      case None => a
+      case Some((op, f2, t2)) =>
+        val b = p(f2, t2)
+        op match {
+          case "and" => a && b
+          case "or" => a || b
+          case "andnot" => a && !b
+          case "ornot" => a || !b
+          case "notand" => !a && b
+          case "notor" => !a || b
+          case "nand" => !a || !b
+          case "nor" => !a && !b
+        }
+    }
+  }
 
   final case class Tree(nodes: Map[Long, Node], features: Seq[String]) {
     /** the fitted tree as a when-chain Column: label for a feature row. */
@@ -38,7 +74,7 @@ object DecisionTree {
       def go(id: Long): Column = {
         val nd = nodes(id)
         if (nd.feature < 0) lit(nd.prediction)
-        else when(col(features(nd.feature)).cast("double") <= nd.threshold,
+        else when(splitCol(nd, features, castDouble = true),
           go(nd.left)).otherwise(go(nd.right))
       }
       go(1L)
@@ -228,14 +264,14 @@ object DecisionTree {
       def subtreePred(id: Long): Column = {
         val nd = nodes(id)
         if (nd.feature < 0) lit(nd.prediction)
-        else when(col(features(nd.feature)) <= nd.threshold,
+        else when(splitCol(nd, features),
           subtreePred(nd.left)).otherwise(subtreePred(nd.right))
       }
       // node reached after descending `target` levels (leaves stop early)
       def assignToDepth(id: Long, d: Int, target: Int): Column = {
         val nd = nodes(id)
         if (d == target || nd.feature < 0) lit(id)
-        else when(col(features(nd.feature)) <= nd.threshold,
+        else when(splitCol(nd, features),
           assignToDepth(nd.left, d + 1, target))
           .otherwise(assignToDepth(nd.right, d + 1, target))
       }
@@ -275,7 +311,7 @@ object DecisionTree {
             .withColumn("__lp", byNode(internal.map(n => n.id -> subtreePred(n.left))))
             .withColumn("__rp", byNode(internal.map(n => n.id -> subtreePred(n.right))))
             .withColumn("__curL", byNode(internal.map(n =>
-              n.id -> (col(features(n.feature)) <= n.threshold))))
+              n.id -> splitCol(n, features))))
             .withColumn("__dir",
               when(col("__lp") === col("__label") && col("__rp") =!= col("__label"), 1)
                 .when(col("__rp") === col("__label") && col("__lp") =!= col("__label"), 2)
@@ -347,12 +383,226 @@ object DecisionTree {
                   .sortBy(c => (c._1, c._2, c._3)).headOption
                 best match {
                   case Some((errs, f, thr, _, _)) if errs < curErr =>
-                    nodes += nd.id -> nodes(nd.id).copy(feature = f, threshold = thr)
+                    nodes += nd.id -> nodes(nd.id).copy(feature = f,
+                      threshold = thr, split2 = None)
                   case _ => // keep the current split
                 }
               }
             }
           } finally withPred.unpersist()
+        }
+      }
+
+      // leaf re-labeling + recount against the refined splits
+      val leafCounts = base
+        .withColumn("__node", assignToDepth(1L, 0, Int.MaxValue))
+        .groupBy("__node", "__label").count().collect()
+        .groupBy(_.getLong(0))
+      nodes = nodes.map { case (id, nd) =>
+        if (nd.feature >= 0) id -> nd
+        else leafCounts.get(id) match {
+          case Some(rows) =>
+            val m = rows.map(r => r.getString(1) -> r.getLong(2))
+            id -> nd.copy(n = m.map(_._2).sum,
+              prediction = m.maxBy { case (l, c) => (c, l) }._1)
+          case None => id -> nd.copy(n = 0L)
+        }
+      }
+      def recount(id: Long): Long = {
+        val nd = nodes(id)
+        if (nd.feature < 0) nd.n
+        else {
+          val n = recount(nd.left) + recount(nd.right)
+          nodes += id -> nodes(id).copy(n = n)
+          n
+        }
+      }
+      recount(1L)
+      Tree(nodes, features)
+    } finally base.unpersist()
+  }
+
+  /** Compound-split TAO pass (the reference's boolean-synthesis split
+    * candidates: findBestSplitTAO expands the Synthesis grammar's
+    * and/or/not combinations over threshold literals —
+    * DecisionTree.hs:121-330 + Synthesis.hs). Same care-point scoring
+    * as [[taoRefine]], but candidates are TWO-literal boolean splits
+    * `(fi <= ti) op (fj <= tj)` over all feature pairs, both literals'
+    * thresholds drawn from the same per-node percentile set, op ranging
+    * over the 8-member two-literal family ([[compoundOps]]; XOR needs
+    * two levels and stays out, as in the reference grammar).
+    *
+    * Scale shape: per level, ONE pass computes every feature's per-node
+    * bucket index (codegen when-chains over ≤ percentile-count
+    * thresholds), then one tiny (node × bi × bj) count aggregate per
+    * feature PAIR; the candidate search runs driver-side on 2-D prefix
+    * sums, O(1) per (t1, t2, op) candidate. Cost grows as |features|²
+    * aggregates per level — use on the handful-of-features frames trees
+    * are for, not wide ones (guarded at 16). A compound is accepted
+    * only on strictly fewer care-point errors than the CURRENT split
+    * (axis or compound), with both sides keeping `minLeafSize` rows of
+    * the full reach set — never worse than the input tree. */
+  def taoRefineCompound(df: DataFrame, tree: Tree, label: String,
+                        minLeafSize: Int = 1,
+                        percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+    require(tree.features.size <= 16,
+      "taoRefineCompound: quadratic in features — keep the feature set <= 16")
+    val features = tree.features
+    val pcts = percentiles.map(_ / 100.0)
+    val base = df.select(
+      (features.map(f => col(f).cast("double").as(f)) :+
+        col(label).cast("string").as("__label")): _*)
+      .na.drop(features :+ "__label").cache()
+    try {
+      var nodes = tree.nodes
+      def subtreePred(id: Long): Column = {
+        val nd = nodes(id)
+        if (nd.feature < 0) lit(nd.prediction)
+        else when(splitCol(nd, features),
+          subtreePred(nd.left)).otherwise(subtreePred(nd.right))
+      }
+      def assignToDepth(id: Long, d: Int, target: Int): Column = {
+        val nd = nodes(id)
+        if (d == target || nd.feature < 0) lit(id)
+        else when(splitCol(nd, features),
+          assignToDepth(nd.left, d + 1, target))
+          .otherwise(assignToDepth(nd.right, d + 1, target))
+      }
+      def byNode(items: Seq[(Long, Column)]): Column =
+        items.tail.foldLeft(when(col("__node") === items.head._1, items.head._2)) {
+          case (acc, (id, c)) => acc.when(col("__node") === id, c)
+        }
+
+      val maxDepth = nodes.values.map(_.depth).max
+      for (d <- maxDepth to 0 by -1) {
+        // leaves first, as in taoRefine: fresh child predictions
+        val leafIds = nodes.values
+          .filter(n => n.depth == d && n.feature < 0).map(_.id).toSeq.sorted
+        if (leafIds.nonEmpty) {
+          val counts = base.withColumn("__node", assignToDepth(1L, 0, d))
+            .filter(col("__node").isin(leafIds: _*))
+            .groupBy("__node", "__label").count().collect()
+            .groupBy(_.getLong(0))
+          for ((id, rows) <- counts) {
+            val m = rows.map(r => r.getString(1) -> r.getLong(2))
+            nodes += id -> nodes(id).copy(n = m.map(_._2).sum,
+              prediction = m.maxBy { case (l, c) => (c, l) }._1)
+          }
+        }
+        val internal = nodes.values
+          .filter(n => n.depth == d && n.feature >= 0).toSeq.sortBy(_.id)
+        if (internal.nonEmpty) {
+          val ids = internal.map(_.id)
+          val reach = base
+            .withColumn("__node", assignToDepth(1L, 0, d))
+            .filter(col("__node").isin(ids: _*))
+            .withColumn("__lp", byNode(internal.map(n => n.id -> subtreePred(n.left))))
+            .withColumn("__rp", byNode(internal.map(n => n.id -> subtreePred(n.right))))
+            .withColumn("__curL", byNode(internal.map(n => n.id -> splitCol(n, features))))
+            .withColumn("__dir",
+              when(col("__lp") === col("__label") && col("__rp") =!= col("__label"), 1)
+                .when(col("__rp") === col("__label") && col("__lp") =!= col("__label"), 2)
+                .otherwise(0))
+
+          // per-node percentile thresholds for every feature, one pass
+          val thrMap: Map[(Long, Int), Seq[Double]] = reach
+            .groupBy("__node")
+            .agg(percentile(col(features.head), typedLit(pcts)).as("__t0"),
+              features.tail.zipWithIndex.map { case (f, i) =>
+                percentile(col(f), typedLit(pcts)).as(s"__t${i + 1}") }: _*)
+            .collect().flatMap { r =>
+              features.indices.map(i =>
+                (r.getLong(0), i) -> r.getSeq[Double](i + 1).distinct.sorted)
+            }.toMap
+
+          // bucket index per feature: #thresholds strictly below v,
+          // per-node threshold set dispatched on __node
+          def bucketOf(thrs: Seq[Double], c: Column): Column =
+            thrs.foldLeft(lit(0)) { (acc, t) =>
+              acc + when(c > t, 1).otherwise(0) }
+          val withBkts = features.indices.foldLeft(reach) { (acc, f) =>
+            acc.withColumn(s"__b$f", byNode(ids.map(id =>
+              id -> bucketOf(thrMap.getOrElse((id, f), Seq.empty),
+                col(features(f))))))
+          }.select(col("__node") +: col("__dir") +: col("__curL") +:
+            features.indices.map(f => col(s"__b$f")): _*)
+            .cache()
+          try {
+            val curRows = withBkts.groupBy("__node").agg(
+              sum(when((col("__dir") === 1 && !col("__curL")) ||
+                (col("__dir") === 2 && col("__curL")), 1L).otherwise(0L)).as("e"),
+              count(lit(1)).as("n"),
+              sum(when(col("__dir") === 1, 1L).otherwise(0L)).as("cl"))
+              .collect()
+              .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+              .toMap
+
+            val pairs = for { i <- features.indices; j <- features.indices
+                              if i < j } yield (i, j)
+            // per node: best (errs, opIdx, i, j, t1, t2) across all pairs
+            val best = scala.collection.mutable.Map.empty[Long,
+              (Long, Int, Int, Int, Double, Double)]
+            for ((i, j) <- pairs) {
+              val cells = withBkts.groupBy("__node", s"__b$i", s"__b$j").agg(
+                count(lit(1)).as("t"),
+                sum(when(col("__dir") === 1, 1L).otherwise(0L)).as("cl"),
+                sum(when(col("__dir") === 2, 1L).otherwise(0L)).as("cr"))
+                .collect()
+                .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2),
+                  r.getLong(3), r.getLong(4), r.getLong(5))))
+                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+              for (nd <- internal; nodeCells <- cells.get(nd.id)) {
+                val (curErr, reachN, clTot) = curRows(nd.id)
+                val ti = thrMap.getOrElse((nd.id, i), Seq.empty)
+                val tj = thrMap.getOrElse((nd.id, j), Seq.empty)
+                if (ti.nonEmpty && tj.nonEmpty) {
+                  val (ni, nj) = (ti.size + 1, tj.size + 1)
+                  // prefix sums over (bi <= x, bj <= y) for t/cl/cr
+                  val pt = Array.ofDim[Long](ni + 1, nj + 1)
+                  val pcl = Array.ofDim[Long](ni + 1, nj + 1)
+                  val pcr = Array.ofDim[Long](ni + 1, nj + 1)
+                  for ((bi, bj, t, cl, cr) <- nodeCells) {
+                    pt(bi + 1)(bj + 1) += t; pcl(bi + 1)(bj + 1) += cl
+                    pcr(bi + 1)(bj + 1) += cr
+                  }
+                  for (p <- Seq(pt, pcl, pcr); x <- 1 to ni; y <- 1 to nj)
+                    p(x)(y) += p(x - 1)(y) + p(x)(y - 1) - p(x - 1)(y - 1)
+                  val (totT, totCl, totCr) = (pt(ni)(nj), pcl(ni)(nj), pcr(ni)(nj))
+                  for (x <- 1 to ti.size; y <- 1 to tj.size;
+                       (op, opIdx) <- compoundOps.zipWithIndex) {
+                    // rectangle = (fi <= ti(x-1)) && (fj <= tj(y-1))
+                    def sel(p: Array[Array[Long]], tot: Long): Long = {
+                      op match {
+                        case "and" => p(x)(y)
+                        case "andnot" => p(x)(nj) - p(x)(y)
+                        case "notand" => p(ni)(y) - p(x)(y)
+                        case "nor" => tot - p(x)(nj) - p(ni)(y) + p(x)(y)
+                        case "or" => p(x)(nj) + p(ni)(y) - p(x)(y)
+                        case "ornot" => tot - p(ni)(y) + p(x)(y)
+                        case "notor" => tot - p(x)(nj) + p(x)(y)
+                        case "nand" => tot - p(x)(y)
+                      }
+                    }
+                    val lN = sel(pt, totT)
+                    val rN = totT - lN
+                    if (lN >= minLeafSize && rN >= minLeafSize) {
+                      val errs = (totCl - sel(pcl, totCl)) + sel(pcr, totCr)
+                      if (errs < curErr) {
+                        val cand = (errs, opIdx, i, j, ti(x - 1), tj(y - 1))
+                        val better = best.get(nd.id).forall(b =>
+                          Ordering[(Long, Int, Int, Int, Double, Double)]
+                            .lt(cand, b))
+                        if (better) best(nd.id) = cand
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            for ((id, (_, opIdx, i, j, t1, t2)) <- best)
+              nodes += id -> nodes(id).copy(feature = i, threshold = t1,
+                split2 = Some((compoundOps(opIdx), j, t2)))
+          } finally withBkts.unpersist()
         }
       }
 
@@ -393,7 +643,8 @@ object DecisionTree {
   def taoOptimize(df: DataFrame, tree: Tree, label: String,
                   iterations: Int = 10, tol: Double = 1e-6,
                   minLeafSize: Int = 1,
-                  percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+                  percentiles: Seq[Int] = 10 to 90 by 10,
+                  compound: Boolean = false): Tree = {
     require(iterations >= 1 && tol >= 0)
     def loss(t: Tree): Double = df
       .select(t.predictColumn.as("__p"), col(label).cast("string").as("__l"))
@@ -405,7 +656,10 @@ object DecisionTree {
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
-      val next = taoRefine(df, cur, label, minLeafSize, percentiles)
+      val axis = taoRefine(df, cur, label, minLeafSize, percentiles)
+      val next = if (compound)
+        taoRefineCompound(df, axis, label, minLeafSize, percentiles)
+      else axis
       val nextLoss = loss(next)
       converged = curLoss - nextLoss < tol
       cur = next

@@ -258,6 +258,58 @@ class OpsSpec extends SparkSpec {
     assert(tao.nodes == greedy.nodes)
   }
 
+  test("compound TAO: planted XOR rule is repaired only by a compound split") {
+    import graft.ops.DecisionTree
+    import graft.ops.DecisionTree.{Node, Tree}
+    // truth: label = (x <= 0.5) XOR (y <= 0.5) on an ASYMMETRIC 10×9
+    // grid (symmetric XOR re-majorizes both leaves to the same label —
+    // no care points survive; the 20/25-quadrant imbalance keeps the
+    // leaf majorities distinct). The case the reference's synthesis-
+    // grammar candidates exist for: no axis-aligned depth-1 split
+    // strictly improves, a two-literal compound does.
+    val rows = for (xi <- 1 to 10; yi <- 1 to 9) yield {
+      val (x, y) = (xi / 10.0, yi / 10.0)
+      (x, y, if ((x <= 0.5) ^ (y <= 0.5)) "1" else "0")
+    }
+    val df = rows.toDF("x", "y", "lab").repartition(4)
+    def acc(t: Tree) = df.withColumn("p", t.predictColumn)
+      .agg(avg(when($"p" === $"lab", 1.0).otherwise(0.0))).head().getDouble(0)
+    // depth-1 start: axis split on x, leaf majorities "0"/"1" (25-0 vs
+    // 20-1 left, 25-1 vs 20-0 right) → 50/90 accuracy
+    val start = Tree(Map(
+      1L -> Node(1L, 0, 90, "0", 0, 0.5, 2L, 3L),
+      2L -> Node(2L, 1, 45, "0", -1, 0.0, 0L, 0L),
+      3L -> Node(3L, 1, 45, "1", -1, 0.0, 0L, 0L)), Seq("x", "y"))
+    assert(math.abs(acc(start) - 50.0 / 90) < 1e-12)
+    // axis-only TAO cannot strictly improve any threshold: stays put
+    val axisOnly = DecisionTree.taoRefine(df, start, "lab")
+    assert(math.abs(acc(axisOnly) - 50.0 / 90) < 1e-12)
+    assert(axisOnly.nodes(1L).split2.isEmpty)
+    // the compound pass carves out a pure quadrant (e.g. and → the
+    // 25-row TT corner, all "0"): 50/90 → 70/90 (XOR itself needs two
+    // levels, as in the reference grammar)
+    val fixed = DecisionTree.taoRefineCompound(df, start, "lab")
+    assert(math.abs(acc(fixed) - 70.0 / 90) < 1e-12)
+    val root = fixed.nodes(1L)
+    assert(root.split2.isDefined)
+    val (op, _, _) = root.split2.get
+    assert(graft.ops.DecisionTree.compoundOps.contains(op))
+    // leaves re-majorized on the compound reach sets, counts recounted
+    assert(fixed.nodes(2L).n + fixed.nodes(3L).n == 90)
+    // never-worse invariant: compound pass on an already-perfect fit
+    val sep = (for (xi <- 1 to 10; yi <- 1 to 10)
+      yield (xi / 10.0, yi / 10.0, if (xi <= 5) "a" else "b"))
+      .toDF("x", "y", "lab").repartition(4)
+    val greedy = DecisionTree.fitClassifier(sep, Seq("x", "y"), "lab",
+      maxDepth = 2, minSamplesSplit = 5)
+    val comp = DecisionTree.taoRefineCompound(sep, greedy, "lab")
+    assert(comp.nodes.values.forall(_.split2.isEmpty))
+    // and the opt loop accepts the compound flag end-to-end
+    val looped = DecisionTree.taoOptimize(df, start, "lab",
+      iterations = 3, compound = true)
+    assert(acc(looped) >= 0.75)
+  }
+
   test("feature synthesis: beam recovers a planted conjunction with F1 = 1") {
     // target ≡ x <= 4 AND y <= 6 over a 10×10 grid: both atoms exist as
     // percentile thresholds, one and-expansion must reach F1 = 1
