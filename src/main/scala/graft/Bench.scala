@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   * storage for every later query. Fix: [[releaseCheckpoints]] after every
   * measured run — each run builds its own checkpoint, so carrying a prior
   * run's blocks is pure contamination, never reuse.
+  *
+  * Round-8 sf1-equivalent soak ([[tools.Soak]]: sf0.1 documents
+  * replicated with per-copy near-dup markers — every doc in a
+  * copies-sized J≈0.9 clique, the hostile shape for posting lists and
+  * band buckets):
+  *   10×  (50 000 docs):  exact 1.7 s | ngramJaccard(dfCap)  4.3 s /
+  *        551 k pairs | minhashLsh(maxBucket) 7.6 s / 247 k pairs |
+  *        simhash 2.1 s / 213 k pairs — heap 2.2 GB
+  *   40× (200 000 docs): exact 2.5 s | ngramJaccard 25.0 s / 7.7 M
+  *        pairs | minhashLsh 26.5 s / 4.2 M pairs | simhash 3.4 s /
+  *        3.6 M pairs — heap 8.1 GB, no OOM
+  * 4× the docs with 4× the clique size (≈16× the pair work) costs ~6×
+  * wall — the dfCap/maxBucket guards keep the quadratics bounded, the
+  * memory cliff the sf0.1 bench cannot see does not materialize.
   */
 object Bench {
 

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-path soak at sf1-equivalent scale (VERDICT r5 item 6): the
+  * sf* fixtures stop at 0.1 (5 000 documents), so this main replicates
+  * the sf0.1 documents table `SPARK_GRAFT_SOAK_COPIES`× (default 10 →
+  * 50 000 docs ≈ sf1) with a per-copy marker token prepended to the
+  * text. The marker keeps copies NEAR-duplicates (3-gram Jaccard ≈ 0.9
+  * across copies), which is the hostile shape for the dedup path:
+  * every document sits in a `copies`-sized near-dup clique, so the
+  * shingle posting lists and band buckets are `copies`× longer than
+  * organic data — exactly the skew the dfCap / maxBucket guards exist
+  * for. The soak proves the guards bound the quadratics at scale:
+  * wall-times must stay in the tens of seconds and the JVM must not
+  * OOM; results go to one JSON line (appended to SOAK_LOCAL.json).
+  *
+  * Run: SPARK_GRAFT_SOAK_COPIES=10 sbt "runMain graft.tools.Soak"
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/soak")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the expanded table once per run ---------------------------
+    val docs = graft.Tables.documents(spark, sfDir)
+    val expanded = (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
+        (if (k == 0) col("text")
+         else concat(lit(s"soakmark$k "), col("text"))).as("text"))
+    }.reduce(_ unionAll _)
+    expanded.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val big = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = big.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def release(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+    // exact dedup: one hash-agg + semi join — linear
+    val (nExact, tExact) = time {
+      graft.ops.Dedup.exact(big, "doc_id", "text").count() }
+    release()
+    // q44b shape: dfCap scaled to pass organic shingles (DF ≈ copies)
+    // while pruning stop-shingles whose posting lists went quadratic
+    val (nJac, tJac) = time {
+      graft.ops.Dedup.ngramJaccard(big, "doc_id", "text", 0.2,
+        dfCap = Some(5 * copies)).count() }
+    release()
+    // q45b shape: band-bucket cap slightly above the planted clique size
+    val (nLsh, tLsh) = time {
+      graft.ops.Dedup.minhashLsh(big, "doc_id", "text", 0.8,
+        maxBucket = Some(2 * copies)).count() }
+    release()
+    // simhash near-dup (pigeonhole blocking), same clique pressure
+    val (nSim, tSim) = time {
+      graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count() }
+    release()
+
+    val rt = Runtime.getRuntime
+    val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val json =
+      s"""{"soak":"dedup","copies":$copies,"docs":$nDocs,""" +
+        f""""exact":{"rows":$nExact,"sec":$tExact%.2f},""" +
+        f""""ngram_jaccard":{"rows":$nJac,"sec":$tJac%.2f},""" +
+        f""""minhash_lsh":{"rows":$nLsh,"sec":$tLsh%.2f},""" +
+        f""""simhash":{"rows":$nSim,"sec":$tSim%.2f},""" +
+        s""""heap_used_mb":$heapUsedMb}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SOAK_LOCAL.json"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}
