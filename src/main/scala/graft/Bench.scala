@@ -102,7 +102,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // 5 (was 3): BENCH_r07 showed 2-of-3 iterations of q44/q46 absorbing
+    // external machine load (medians 2-7× the r06/isolated numbers on
+    // UNCHANGED code — round 7 touched only SNIPPETS.md). A median of 5
+    // tolerates two contaminated runs; a median of 3 tolerates one.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
 
     // Drop every persisted/localCheckpointed RDD the last run pinned.
     // Blocking: the next measurement must not overlap the release. The
