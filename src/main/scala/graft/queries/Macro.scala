@@ -211,6 +211,50 @@ object Macro {
         SELECT feature, thr, tp, fp, fn,
           round(CASE WHEN p + r = 0.0 THEN 0.0
                      ELSE 2.0 * p * r / (p + r) END, 9) AS f1
-        FROM scored ORDER BY f1 DESC, feature, thr"""))
+        FROM scored ORDER BY f1 DESC, feature, thr""")),
+
+    // --- compound-TAO repair, oracle-checked golden ----------------------
+    // The planted asymmetric XOR from the unit suite: no axis-aligned
+    // depth-1 threshold strictly improves the 50/90 start, so the
+    // accepted split MUST be a two-literal compound. The search is
+    // deterministic end-to-end (exact percentile thresholds, strict
+    // care-point improvement, (errs, op, feature, threshold) tie-break
+    // ⇒ `and` carves the 25-row TT quadrant into a pure "0" leaf), so
+    // the per-prediction confusion aggregate is a hand-computable
+    // golden, replayed as a VALUES oracle (the q56 pattern; the fit
+    // itself is SQL-replayed in q75 — here the VALUE is that the
+    // compound family engaged at all).
+    "q93_tao_compound" -> Q(
+      (s, _) => {
+        import graft.ops.DecisionTree
+        import graft.ops.DecisionTree.{Node, Tree}
+        val rows = for (xi <- 1 to 10; yi <- 1 to 9) yield {
+          val (x, y) = (xi / 10.0, yi / 10.0)
+          org.apache.spark.sql.Row(x, y, if ((x <= 0.5) ^ (y <= 0.5)) "1" else "0")
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("y",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("lab",
+            org.apache.spark.sql.types.StringType)))
+        val df = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 4), schema)
+        val start = Tree(Map(
+          1L -> Node(1L, 0, 90, "0", 0, 0.5, 2L, 3L),
+          2L -> Node(2L, 1, 45, "0", -1, 0.0, 0L, 0L),
+          3L -> Node(3L, 1, 45, "1", -1, 0.0, 0L, 0L)), Seq("x", "y"))
+        val fixed = DecisionTree.taoRefineCompound(df, start, "lab")
+        df.withColumn("pred", fixed.predictColumn)
+          .groupBy("pred").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("pred") === col("lab"), 1L).otherwise(0L)).as("correct"))
+          .orderBy("pred")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('0', CAST(25 AS BIGINT), CAST(25 AS BIGINT)),
+          ('1', CAST(65 AS BIGINT), CAST(45 AS BIGINT)))
+          t(pred, n, correct) ORDER BY pred"""))
   )
 }
