@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, stopword/quality scoring, n-gram heuristic language ID,
@@ -210,6 +211,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, w) => xxhash64(acc, w))
+
+  /** TF-IDF keyword extraction: the top-k terms per document by
+    * tf·idf with smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn
+    * formulation — public convention; the reference has no equivalent).
+    *
+    * Plan shape at corpus scale: one generator (explode) in the scan
+    * stage, one hash-aggregate keyed (id, word) WITH map-side partial
+    * combine (term counts shrink before the shuffle), a word-keyed
+    * aggregate over those pairs for document frequency (vocabulary-sized
+    * — orders of magnitude smaller than the corpus, AQE broadcasts it
+    * back when it fits), the corpus size as a 1-row broadcast cross join
+    * (the zScore pattern — no driver action), and one id-partitioned
+    * window for the top-k. No all-pairs step anywhere; every shuffle key
+    * is (id, word), word, or id.
+    *
+    * Engine-portable fp policy: idf is rounded to 9 dp BEFORE the tf
+    * multiply and the product to 6 dp after it (ln may differ in the
+    * last ulp across libm implementations — q77's established policy);
+    * ties in the top-k window break on the word itself, so the output
+    * is fully deterministic. Returns (id, word, tf, dfreq, tfidf, rk).
+    */
+  def tfIdfTopK(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    require(k > 0, "tfIdfTopK: k must be positive")
+    val tf = df
+      .select(col(id), explode(filter(tokens(col(text)), w => length(w) > 0)).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val idf = round(
+      log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1)), 9) + 1.0
+    val scored = tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * idf, 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col(id), col("word"), col("tf"), col("dfreq"), col("tfidf"), col("rk"))
+  }
 
   /** engine-PORTABLE word hash: 31-multiplier character polynomial over
     * Unicode code points mod the Mersenne prime 2³¹−1, finished with the

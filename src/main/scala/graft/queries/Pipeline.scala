@@ -938,6 +938,93 @@ object Pipeline {
           FROM (SELECT k, a FROM planted ORDER BY k LIMIT 4)),
         n AS (SELECT COUNT(*) AS n_allnull FROM planted
           WHERE a IS NULL AND b IS NULL)
-        SELECT s.n_slice, s.sum_a, n.n_allnull FROM s, n"""))
+        SELECT s.n_slice, s.sum_a, n.n_allnull FROM s, n""")),
+
+    // --- flagship end-to-end training-data prep pipeline: langid filter →
+    // quality filter → exact dedup → benchmark decontamination → per-source
+    // corpus stats. Each stage is an operator the gate already checks in
+    // isolation (q42/q41/q43/q69); this row checks their COMPOSITION — the
+    // shape a real 100 TB pretraining-prep job runs. The two filters and the
+    // quality score are scan-stage expressions (fused into the parquet read),
+    // dedup is one key-hash-agg + semi join, decontamination one semi
+    // equi-join on 8-gram hashes — no all-pairs step anywhere.
+    "q94_pipeline_e2e" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val bench = base.where(col("doc_id") % 20 === 5)
+        val kept = base.where(col("doc_id") % 20 =!= 5)
+          .where(TA.predictLang(col("text")) === "en")
+          .withColumn("q", TA.qualityScore(col("text")))
+          .where(col("q") >= 0.5)
+        val deduped = Dedup.exact(kept, "doc_id", "text")
+        val flagged = Dedup.decontaminationReport(deduped, bench, "doc_id", "text", n = 8)
+        deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(TA.tokenCount(col("text"))).as("total_tokens"),
+            graft.api.functions.davg(col("q")).as("avg_quality"))
+          .orderBy("source")
+      },
+      Some {
+        def sc(ws: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), w -> ${ws.map(w => s"w = '$w'").mkString(" OR ")}))"
+        val en = sc(TA.langMarkers("en")); val es = sc(TA.langMarkers("es"))
+        val fr = sc(TA.langMarkers("fr")); val de = sc(TA.langMarkers("de"))
+        val zh = sc(TA.langMarkers("zh"))
+        val isEn = s"""(greatest($en, $es, $fr, $de, $zh) > 0
+          AND NOT ($zh >= $en AND $zh >= $es AND $zh >= $fr AND $zh >= $de)
+          AND NOT ($fr >= $en AND $fr >= $es AND $fr >= $de)
+          AND NOT ($es >= $en AND $es >= $de)
+          AND $en >= $de)"""
+        // qualityScore's exact arithmetic, op for op (TextAnalysis.scala):
+        // least(1, stop/n*2)*0.4 + alpha*0.3 + lengthOk*0.3
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val stopCnt = sc(TA.defaultStopwords)
+        val quality = s"""(least(1.0, CAST($stopCnt AS DOUBLE) / $nTok * 2.0) * 0.4
+          + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) * 0.3
+          + (CASE WHEN $nTok BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3)"""
+        val gram = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH bench AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 = 5),
+          kept AS (SELECT doc_id, source, text, $quality AS q FROM documents
+            WHERE doc_id % 20 <> 5 AND $isEn AND $quality >= 0.5),
+          deduped AS (SELECT * FROM kept dn
+            WHERE NOT EXISTS (SELECT 1 FROM kept d2
+              WHERE d2.text = dn.text AND d2.doc_id < dn.doc_id)),
+          bg AS (SELECT DISTINCT unnest(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram)) AS g
+            FROM bench WHERE len(w) >= 8),
+          cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram))) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM deduped)
+            WHERE len(w) >= 8),
+          flagged AS (SELECT DISTINCT doc_id FROM cg SEMI JOIN bg USING (g)),
+          clean AS (SELECT * FROM deduped ANTI JOIN flagged USING (doc_id))
+          SELECT source, COUNT(*) AS n_docs,
+            ${isum("len(string_split(text, ' '))")} AS total_tokens,
+            ${davg("q")} AS avg_quality
+          FROM clean GROUP BY source ORDER BY source"""
+      }),
+
+    // --- TF-IDF keyword extraction: top-3 terms per document ----------------
+    // (TextAnalysis.tfIdfTopK — smoothed sklearn idf, 9/6-dp rounding
+    // policy, word-asc tie-break; see the operator's scale notes.)
+    "q95_tfidf" -> Q(
+      (s, d) => TA.tfIdfTopK(docs(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tf AS (
+          SELECT doc_id, w AS word, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1, 2),
+        dfreq AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, tf.word AS word, tf, dfreq,
+            round(tf * (round(ln(CAST(n_docs + 1 AS DOUBLE) / (dfreq + 1)), 9) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN nn)
+        SELECT doc_id, word, tf, dfreq, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, word) AS rk FROM scored)
+        WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }

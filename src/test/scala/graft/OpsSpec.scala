@@ -723,6 +723,27 @@ class OpsSpec extends SparkSpec {
     assert(TA.defaultStopwords.nonEmpty)
   }
 
+  test("tfIdfTopK: hand-computed scores, rank order, word tie-break") {
+    val df = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple date date date"),
+      (4L, "y x")).toDF("doc_id", "text")
+    val out = TA.tfIdfTopK(df, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N=4; idf(df=1) = round(ln(5/2),9)+1, idf(df=2) = round(ln(5/3),9)+1
+    val idf1 = BigDecimal(math.log(2.5)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 1.0
+    val idf2 = BigDecimal(math.log(5.0 / 3)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 1.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 1)) == ("apple", 2L, 2L, r6(2 * idf2)))   // tf wins
+    assert(out((1L, 2)) == ("cherry", 1L, 1L, r6(idf1)))      // idf beats tf=1 df=2
+    assert(out((1L, 3))._1 == "banana")
+    assert(out((3L, 1)) == ("date", 3L, 2L, r6(3 * idf2)))
+    assert(!out.contains((2L, 3)))                            // only 2 distinct terms
+    assert(out((4L, 1))._1 == "x" && out((4L, 2))._1 == "y")  // equal score → word asc
+  }
+
   test("gopher quality flags: each rule fires on its adversarial doc") {
     val good = (("the quick brown fox jumps over a lazy dog and " * 5) +
       "it is that kind of tale").trim
