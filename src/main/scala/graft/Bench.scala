@@ -87,7 +87,11 @@ object Bench {
     // round-4: embedding kernels + multi-join composition
     "q72_embed_normalize" -> SparkEntry.queries("q72_embed_normalize"),
     "q73_tpch_q3" -> SparkEntry.queries("q73_tpch_q3"),
-    "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"))
+    "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"),
+    // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
+    "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
+    "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),
+    "q96_embed_covariance" -> SparkEntry.queries("q96_embed_covariance"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,4 +76,97 @@ object Embeddings {
     val nb = sqrt(dotQuantized(qb, scaleB, qb, scaleB))
     num / (na * nb)
   }
+
+  /** population covariance matrix of a vector column, as (i, j, cov)
+    * rows for the upper triangle i ≤ j — the input to PCA / whitening /
+    * Mahalanobis scoring over an embedding corpus.
+    *
+    * ONE single-pass aggregation ([[graft.expr.VectorMomentsAgg]]):
+    * each map task accumulates a d(d+1)/2-slot register of exact
+    * decimal(18,6) pair-product sums and ships ONLY that buffer — no
+    * explode, no self-join, no n·d² shuffle rows. The d×d result is a
+    * bounded driver aggregate (the KMeans-centroids pattern);
+    * cov(i,j) = P_ij/n − (S_i/n)(S_j/n), rounded to 9 dp (engine-
+    * portable: the sums are exact, the final multiply-subtract chain is
+    * the only fp step — q96's DuckDB oracle replays it bit-for-bit).
+    *
+    * Inputs should be bounded (|x_i| ≲ 1e3, e.g. normalized embeddings)
+    * — the micro-sums overflow past ~9.2e12 rows at |x_i·x_j| ≤ 1 and
+    * the aggregate throws (never wraps) on overflow. */
+  def covarianceMatrix(df: DataFrame, vec: String, dim: Int): DataFrame = {
+    import graft.expr.MomentsAggregate._
+    val m = df.agg(vectorMoments(col(vec), dim).as("m"))
+      .head().getSeq[Long](0).toArray
+    val n = m(0)
+    require(n > 0, s"covarianceMatrix: no non-null '$vec' rows")
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val mean = (0 until dim).map(i => microsToDouble(m(1 + i)) / n)
+    val rows = for { i <- 0 until dim; j <- i until dim } yield {
+      val p = microsToDouble(m(1 + dim + triIndex(dim, i, j)))
+      (i, j, r9(p / n - mean(i) * mean(j)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** top-k principal components of the embedding corpus: power
+    * iteration with deflation over the collected covariance matrix
+    * (d×d doubles on the driver — trivially bounded; the distributed
+    * work is [[covarianceMatrix]]'s one pass). Deterministic: fixed
+    * iteration count, fixed hash-seeded start vector, sign normalized
+    * so the largest-|component| coordinate is positive. Returns k
+    * orthonormal rows. */
+  def pcaBasis(df: DataFrame, vec: String, dim: Int, k: Int,
+               iters: Int = 100): Array[Array[Double]] = {
+    require(k >= 1 && k <= dim, s"pcaBasis: need 1 <= k <= $dim")
+    val cov = Array.ofDim[Double](dim, dim)
+    covarianceMatrix(df, vec, dim).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val basis = Array.ofDim[Double](k, dim)
+    for (comp <- 0 until k) {
+      // deterministic pseudo-random start (splitmix-style hash per slot)
+      var v = Array.tabulate(dim) { i =>
+        val h = (comp * 1000003L + i) * -7046029254386353131L
+        ((h ^ (h >>> 32)).toDouble / Long.MaxValue.toDouble).abs + 1e-3
+      }
+      def matVec(x: Array[Double]) =
+        Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * x(j)).sum)
+      def orthogonalize(x: Array[Double]): Array[Double] = {
+        var y = x
+        for (p <- 0 until comp) {
+          val d = (0 until dim).map(i => y(i) * basis(p)(i)).sum
+          y = Array.tabulate(dim)(i => y(i) - d * basis(p)(i))
+        }
+        y
+      }
+      def normalize(x: Array[Double]) = {
+        val nrm = math.sqrt(x.map(t => t * t).sum)
+        if (nrm == 0.0) x else x.map(_ / nrm)
+      }
+      v = normalize(orthogonalize(v))
+      for (_ <- 0 until iters) v = normalize(orthogonalize(matVec(v)))
+      // sign convention: largest-|coordinate| positive
+      val am = v.indices.maxBy(i => math.abs(v(i)))
+      basis(comp) = if (v(am) < 0) v.map(-_) else v
+    }
+    basis
+  }
+
+  /** project a vector column onto a (driver-side) basis: array<double>
+    * of dot products, one codegen'd [[graft.expr.DotProduct]] kernel
+    * per component against a literal row — scan-stage, no shuffle. The
+    * dimensionality-reduction step before clustering / ANN at reduced
+    * cost. */
+  def project(vec: Column, basis: Array[Array[Double]]): Column =
+    array(basis.toIndexedSeq.map(b => VectorExpressions.dot(vec, lit(b))): _*)
+
+  /** frame-level PCA reduce: fit the basis, append `outCol` with the
+    * k-dim projection. */
+  def pcaReduce(df: DataFrame, vec: String, dim: Int, k: Int,
+                outCol: String = "pca"): DataFrame =
+    df.withColumn(outCol, project(col(vec), pcaBasis(df, vec, dim, k)))
 }

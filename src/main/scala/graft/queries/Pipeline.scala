@@ -1025,6 +1025,30 @@ object Pipeline {
         SELECT doc_id, word, tf, dfreq, tfidf, CAST(rk AS INTEGER) AS rk FROM (
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY tfidf DESC, word) AS rk FROM scored)
-        WHERE rk <= 3 ORDER BY doc_id, rk"""))
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // --- single-pass covariance matrix over the embedding corpus -----------
+    // (Embeddings.covarianceMatrix / graft.expr.VectorMomentsAgg — each
+    // map task ships ONE d(d+1)/2-slot exact-sum register; the oracle
+    // replays the same decimal(18,6) sums via the explode + self-join
+    // formulation that only works at oracle scale.)
+    "q96_embed_covariance" -> Q(
+      (s, d) => graft.ops.Embeddings
+        .covarianceMatrix(emb(s, d), "embedding", dim = 64)
+        .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        sums AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx
+          FROM e GROUP BY i),
+        prods AS (SELECT a.i AS i, b.i AS j,
+            CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,6))) AS DOUBLE) AS pij
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+        SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j,
+          round(p.pij / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n), 9) AS cov
+        FROM prods p CROSS JOIN nn
+          JOIN sums sa ON p.i = sa.i JOIN sums sb ON p.j = sb.i
+        ORDER BY i, j"""))
   )
 }

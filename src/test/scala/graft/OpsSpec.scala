@@ -147,6 +147,49 @@ class OpsSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("covarianceMatrix: single-pass aggregate matches the naive computation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 0.5f)),
+      (2L, Array(0.0f, 1.0f, 1.5f)),
+      (3L, Array(2.0f, 3.0f, -0.5f)),
+      (4L, Array(1.0f, 0.0f, 0.25f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Embeddings.covarianceMatrix(vecs, "embedding", dim = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val xs = Seq(
+      Array(1.0, 2.0, 0.5), Array(0.0, 1.0, 1.5),
+      Array(2.0, 3.0, -0.5), Array(1.0, 0.0, 0.25))
+    val n = xs.size.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val p = xs.map(x => x(i) * x(j)).sum / n
+      val naive = p - (xs.map(_(i)).sum / n) * (xs.map(_(j)).sum / n)
+      assert(math.abs(got((i, j)) - naive) < 1e-6, s"cov($i,$j)")
+    }
+    assert(got.size == 6)
+  }
+
+  test("pcaBasis recovers a planted dominant direction; projection is scan-stage") {
+    // points spread along u = (3,4)/5 with small orthogonal jitter
+    val rng = new scala.util.Random(11)
+    val u = Array(0.6, 0.8)
+    val pts = (0 until 200).map { i =>
+      val t = rng.nextGaussian() * 5.0
+      val e = rng.nextGaussian() * 0.05
+      (i.toLong, Array((t * u(0) - e * u(1)).toFloat, (t * u(1) + e * u(0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val basis = graft.ops.Embeddings.pcaBasis(pts, "embedding", dim = 2, k = 2)
+    val cos = math.abs(basis(0)(0) * u(0) + basis(0)(1) * u(1))
+    assert(cos > 0.999, s"top component misaligned: cos=$cos")
+    val dot01 = basis(0)(0) * basis(1)(0) + basis(0)(1) * basis(1)(1)
+    assert(math.abs(dot01) < 1e-9, "components not orthogonal")
+    assert(math.abs(basis(1).map(x => x * x).sum - 1.0) < 1e-9, "not unit norm")
+    // projecting the basis row itself yields ~(1, 0)
+    val proj = pts.limit(1)
+      .withColumn("p", graft.ops.Embeddings.project(
+        org.apache.spark.sql.functions.lit(basis(0).map(_.toFloat)), basis))
+      .select($"p").head().getSeq[Double](0)
+    assert(math.abs(proj(0) - 1.0) < 1e-4 && math.abs(proj(1)) < 1e-4)
+  }
+
   test("int8-quantized ANN: dequantized search recalls the exact neighborhood") {
     // the 4×-compressed storage path end-to-end: quantize → store →
     // dequantize → IVF search; on clustered data the top neighbor must
