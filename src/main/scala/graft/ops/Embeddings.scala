@@ -169,4 +169,32 @@ object Embeddings {
   def pcaReduce(df: DataFrame, vec: String, dim: Int, k: Int,
                 outCol: String = "pca"): DataFrame =
     df.withColumn(outCol, project(col(vec), pcaBasis(df, vec, dim, k)))
+
+  /** deterministic Johnson-Lindenstrauss sign matrix: outDim rows of
+    * ±1/√outDim, signs from a splitmix64 hash of (seed, row, col) — no
+    * RNG state, so every executor (and every re-run) derives the same
+    * matrix from the literal seed. The data-independent alternative to
+    * [[pcaBasis]] when a fit pass is too expensive or the corpus
+    * distribution shifts. */
+  def randomProjectionBasis(dim: Int, outDim: Int,
+                            seed: Long = 42L): Array[Array[Double]] = {
+    require(dim > 0 && outDim > 0, "randomProjectionBasis: positive dims")
+    def mix(z0: Long): Long = {
+      var z = z0 + -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim)((r, c) =>
+      if (mix(seed * 1000003L + r.toLong * 65537L + c) < 0) -inv else inv)
+  }
+
+  /** JL-project a vector column to outDim dims (scan-stage, codegen'd
+    * dots against the literal sign matrix — no shuffle, no fit pass).
+    * E[‖proj(a)−proj(b)‖²] = ‖a−b‖², so downstream cosine/L2 ANN keeps
+    * its neighborhoods in expectation. */
+  def randomProject(vec: Column, dim: Int, outDim: Int,
+                    seed: Long = 42L): Column =
+    project(vec, randomProjectionBasis(dim, outDim, seed))
 }

@@ -248,6 +248,57 @@ object TextAnalysis {
       .select(col(id), col("word"), col("tf"), col("dfreq"), col("tfidf"), col("rk"))
   }
 
+  /** the feature battery for TRAINED quality scoring: the same
+    * scan-stage signals the heuristic filters use, as a fixed-order
+    * vector (stopword ratio, alpha ratio, mean word length, duplicate
+    * word fraction, log1p token count). Pure Column expressions — the
+    * extractor runs inside the parquet scan on both the labeled fit
+    * sample and the full corpus. */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val n = greatest(tokenCount(text), lit(1)).cast("double")
+    Seq(
+      stopwordCount(text).cast("double") / n,
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"),
+      length(regexp_replace(text, " ", "")).cast("double") / n,
+      duplicateWordFraction(text),
+      log1p(tokenCount(text).cast("double")))
+  }
+
+  /** fasttext-style trained quality classifier: logistic regression
+    * over [[qualityFeatures]], fit with Spark ML's distributed L-BFGS
+    * on a LABELED sample (label 1.0 = keep). Returns (weights,
+    * intercept) — a handful of doubles, NOT a model object, so scoring
+    * ships as literals to any session. Fitting is the distributed
+    * aggregation-per-iteration pattern (bounded driver state, like
+    * KMeans); SCORING never touches the ML runtime — see
+    * [[scoreQualityLr]]. */
+  def fitQualityClassifier(df: DataFrame, text: String, label: String,
+                           maxIter: Int = 50): (Array[Double], Double) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    val prepared = df.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        array(qualityFeatures(col(text)): _*)).as("features"),
+      col(label).cast("double").as("label"))
+    val m = new LogisticRegression().setMaxIter(maxIter).setStandardization(true)
+      .fit(prepared)
+    (m.coefficients.toArray, m.intercept)
+  }
+
+  /** score a text column with a fitted (weights, intercept):
+    * sigmoid(w·features + b) in [0,1] — a pure codegen'd Column chain
+    * (the weights are literals), so corpus-scale scoring is scan-stage
+    * work with zero ML-runtime dependency. */
+  def scoreQualityLr(text: Column, weights: Array[Double],
+                     intercept: Double): Column = {
+    val fs = qualityFeatures(text)
+    require(weights.length == fs.length,
+      s"scoreQualityLr: ${fs.length} features, got ${weights.length} weights")
+    val z = fs.zip(weights).map { case (f, w) => f * w }
+      .reduce(_ + _) + lit(intercept)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** engine-PORTABLE word hash: 31-multiplier character polynomial over
     * Unicode code points mod the Mersenne prime 2³¹−1, finished with the
     * portable integer mixer ([[graft.api.Frame.portableMix]]). The same

@@ -190,6 +190,47 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(proj(0) - 1.0) < 1e-4 && math.abs(proj(1)) < 1e-4)
   }
 
+  test("randomProject: deterministic basis, distances preserved in expectation") {
+    val b1 = graft.ops.Embeddings.randomProjectionBasis(16, 8, seed = 7L)
+    val b2 = graft.ops.Embeddings.randomProjectionBasis(16, 8, seed = 7L)
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq) // no RNG state
+    assert(b1.flatten.forall(v => math.abs(math.abs(v) - 1.0 / math.sqrt(8)) < 1e-12))
+    // JL: squared distances survive within a loose factor on average
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("p", graft.ops.Embeddings.randomProject($"embedding", 16, 8, 7L))
+    val proj = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    val orig = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- 0L until 40L; j <- (i + 1) until 40L)
+      yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"mean distortion $mean")
+  }
+
+  test("trained quality classifier separates planted good/junk docs") {
+    val rng = new scala.util.Random(5)
+    val goodWords = Seq("the", "quick", "brown", "fox", "jumps", "over", "a",
+      "lazy", "dog", "and", "it", "is", "that", "kind", "of", "tale")
+    def good = (0 until 30).map(_ => goodWords(rng.nextInt(goodWords.size))).mkString(" ")
+    def junk = (0 until 30).map(_ => "###" + rng.nextInt(99)).mkString(" ")
+    val train = ((0 until 25).map(i => (i.toLong, good, 1.0)) ++
+      (0 until 25).map(i => (100L + i, junk, 0.0))).toDF("id", "text", "label")
+    val (w, b) = TA.fitQualityClassifier(train, "text", "label")
+    assert(w.length == 5)
+    val scored = train.select($"label",
+        TA.scoreQualityLr($"text", w, b).as("score")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+    val goodMin = scored.filter(_._1 == 1.0).map(_._2).min
+    val junkMax = scored.filter(_._1 == 0.0).map(_._2).max
+    assert(goodMin > junkMax,
+      s"classifier failed to separate: goodMin=$goodMin junkMax=$junkMax")
+    assert(goodMin > 0.9 && junkMax < 0.1)
+  }
+
   test("int8-quantized ANN: dequantized search recalls the exact neighborhood") {
     // the 4×-compressed storage path end-to-end: quantize → store →
     // dequantize → IVF search; on clustered data the top neighbor must

@@ -165,4 +165,18 @@ class PlanSpec extends SparkSpec {
       round(avg("z"), 6).as("m"), round(stddev_samp("z"), 6).as("s")).head()
     assert(math.abs(z.getDouble(0)) < 1e-6 && math.abs(z.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("vector moments aggregate is ONE pass: no generator, no join, two agg stages") {
+    import org.apache.spark.sql.functions._
+    val agg = Tables.embeddings(spark, sfSmoke)
+      .agg(graft.expr.MomentsAggregate.vectorMoments(col("embedding"), 64))
+    val physical = agg.queryExecution.executedPlan.toString
+    assert(!physical.contains("Generate"),
+      "covariance must not explode the vectors into n*d rows")
+    assert(!physical.contains("Join"),
+      "covariance must not self-join element rows")
+    // partial + final — the map-side register IS the shuffle payload
+    assert("ObjectHashAggregate|SortAggregate".r
+      .findAllIn(physical).size >= 2, physical.take(400))
+  }
 }

@@ -97,6 +97,28 @@ class PropertySpec extends SparkSpec {
   }
 
   // ---- portable mixer: one bulk frame, reference arithmetic --------------
+  test("micros fast path agrees with the BigDecimal reference everywhere") {
+    def ref(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // adversarial: exact .5-micro boundaries, tiny, negative, large
+    for (v <- Seq(0.0, -0.0, 1.5e-7, -1.5e-7, 0.0000005, -0.0000005,
+        0.0000015, 1.0, -1.0, 123.4567895, -123.4567895, 1e-9, 7e11,
+        0.1 + 0.2, math.Pi, -math.E * 1e6))
+      assert(graft.expr.MomentsAggregate.micros(v) == ref(v), s"v=$v")
+    val gen = Gen.chooseNum(-1e12, 1e12)
+    checkProp(Prop.forAllNoShrink(gen) { v =>
+      graft.expr.MomentsAggregate.micros(v) == ref(v)
+    }, cases = 2000)
+    // products of floats — the aggregate's actual input distribution
+    val fg = Gen.chooseNum(-100f, 100f)
+    checkProp(Prop.forAllNoShrink(Gen.zip(fg, fg)) { case (a, b) =>
+      val v = a.toDouble * b.toDouble
+      graft.expr.MomentsAggregate.micros(v) == ref(v)
+    }, cases = 2000)
+  }
+
   test("portableMix stays in [0, 2^31-1) and matches the documented arithmetic") {
     val M = 2147483647L
     def mixRef(x: Long): Long =
