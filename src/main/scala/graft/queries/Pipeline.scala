@@ -952,10 +952,18 @@ object Pipeline {
       (s, d) => {
         val base = docs(s, d)
         val bench = base.where(col("doc_id") % 20 === 5)
+        // localCheckpoint: the langid + quality expressions are the
+        // expensive scan work and `kept` feeds FOUR plan branches
+        // (dedup's agg + semi join, decontamination's n-gram explode,
+        // the final anti join) — pin the filtered survivors once
+        // instead of re-running the filters per branch. At corpus
+        // scale this is the standard stage boundary a real job writes
+        // to storage between filter and dedup passes.
         val kept = base.where(col("doc_id") % 20 =!= 5)
           .where(TA.predictLang(col("text")) === "en")
           .withColumn("q", TA.qualityScore(col("text")))
           .where(col("q") >= 0.5)
+          .localCheckpoint()
         val deduped = Dedup.exact(kept, "doc_id", "text")
         val flagged = Dedup.decontaminationReport(deduped, bench, "doc_id", "text", n = 8)
         deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
