@@ -91,7 +91,11 @@ object Bench {
     // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
     "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
     "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),
-    "q96_embed_covariance" -> SparkEntry.queries("q96_embed_covariance"))
+    "q96_embed_covariance" -> SparkEntry.queries("q96_embed_covariance"),
+    // round-8: SemDeDup, substring-dedup signal, bigram-LM quality
+    "q97_semantic_dedup" -> SparkEntry.queries("q97_semantic_dedup"),
+    "q98_dup_spans" -> SparkEntry.queries("q98_dup_spans"),
+    "q99_bigram_lm" -> SparkEntry.queries("q99_bigram_lm"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

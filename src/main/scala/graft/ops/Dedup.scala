@@ -171,6 +171,55 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Duplicate-span coverage (the per-document signal behind exact
+    * substring dedup — Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499; public method, no
+    * reference equivalent): for every document, the fraction of its
+    * positional n-token windows whose content also occurs in at least
+    * one OTHER document. High coverage = the document is largely
+    * assembled from corpus-repeated spans (boilerplate, mirrors,
+    * templated text) even when no whole-document near-dup fires.
+    *
+    * Windows keep their multiplicity (a doc that repeats a corpus-wide
+    * span 10 times has 10 duplicated windows) but a span repeated only
+    * WITHIN one document does not count as duplicated — "elsewhere"
+    * means ≥ 2 distinct documents, the substring-dedup reading.
+    *
+    * Plan shape at corpus scale: windows hash in the scan stage
+    * (multi-arg xxhash64 — counts match string n-grams modulo ~n²/2⁶⁵
+    * collisions, the q44 convention); the duplicated-hash vocabulary
+    * derives from one distinct + one hash aggregate on 8-byte keys; the
+    * flag join is a hash equi-join on the same 8-byte key (AQE handles
+    * hot spans); the per-doc rollup is one aggregate keyed by id. The
+    * compact per-doc hash-array frame is localCheckpointed once and
+    * feeds both the vocabulary and the join side (the q45 multi-branch
+    * lesson; `materialize = false` restores pure-lazy). Documents with
+    * fewer than n tokens have no windows and are absent from the
+    * output. Returns (id, n_windows, n_dup, dup_frac). */
+  def duplicateSpanStats(df: DataFrame, id: String, text: String,
+                         n: Int = 5, minDocs: Int = 2,
+                         materialize: Boolean = true): DataFrame = {
+    require(n >= 1, "duplicateSpanStats: n must be >= 1")
+    require(minDocs >= 2, "duplicateSpanStats: minDocs must be >= 2")
+    val w = split(col(text), " ")
+    // positional (NON-distinct) window hashes — multiplicity is signal
+    val arrays0 = df.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id), transform(sequence(lit(0), size(col("w")) - n),
+        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)).as("gs"))
+    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val g = arrays.select(col(id), explode_outer(col("gs")).as("g"))
+    val dup = g.select(col(id), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select(col("g"), lit(1).as("isdup"))
+    g.join(dup, Seq("g"), "left")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_windows"), 6))
+  }
+
   /** MinHash signatures: numPerms independent min-hashes over shingles,
     * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
     * tight loop per document instead of a numPerms-element array

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.Frame
+import graft.ops.{TextAnalysis => TA}
+
+/** Domain-mixture accounting and rebalancing — the corpus-management
+  * pass a training-data pipeline runs after filtering/dedup: measure
+  * each source's token share, derive per-source keep-rates toward a
+  * TARGET mixture (the DoReMi/Pile-style domain-weight bookkeeping —
+  * public convention; the reference has no equivalent), and subsample
+  * reproducibly to realize it.
+  *
+  * Scale shape: the accounting is ONE hash aggregate keyed by the
+  * group column (token counts combine map-side) plus a 1-row broadcast
+  * total (the zScore pattern — no global window, no driver action);
+  * rebalancing joins the (sources-sized — tiny) rate table back via
+  * broadcast and filters on the portable mixer, so the subsample is a
+  * scan-stage decision that any engine, any rerun, and any
+  * partitioning reproduces bit-identically ([[Frame.sampleHash]]'s
+  * property, with DATA-DRIVEN rates instead of
+  * [[Frame.sampleHashStratified]]'s caller-supplied literals).
+  */
+object Mixture {
+
+  /** per-group token accounting against a target mixture. Returns
+    * (group, n_docs, tokens, share, target, rate):
+    *  - share  = tokens_g / total_tokens (rounded 6 dp),
+    *  - target = the requested fraction (groups absent from `targets`
+    *    get 0.0 — they will be dropped entirely by [[rebalance]]),
+    *  - rate   = min(1, target·total/tokens_g) (rounded 6 dp): the
+    *    keep-probability that brings an over-represented group down to
+    *    its target share. Under-represented groups cap at 1 (this pass
+    *    never upsamples; renormalize targets or epoch the corpus if the
+    *    deficit matters). */
+  def tokenMixture(df: DataFrame, group: String, text: String,
+                   targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(t => t >= 0.0 && t <= 1.0),
+      "tokenMixture: target fractions must be in [0,1]")
+    val counts = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TA.tokenCount(col(text))).as("tokens"))
+    val total = counts.agg(sum(col("tokens")).as("total_tokens"))
+    val targetExpr = targets.foldLeft(lit(0.0)) { case (acc, (k, t)) =>
+      when(col(group) === k, lit(t)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("target", targetExpr)
+      .withColumn("rate", round(least(lit(1.0),
+        col("target") * col("total_tokens") / col("tokens")), 6))
+      .select(col(group), col("n_docs"), col("tokens"), col("share"),
+        col("target"), col("rate"))
+  }
+
+  /** subsample `df` so each group's token share moves to (at most) its
+    * target: keep a row iff portableMix(id) < rate_g · M. The rate
+    * table comes from [[tokenMixture]] via broadcast join — no driver
+    * collect, so the pass composes lazily into a bigger pipeline plan.
+    * Deterministic and engine-portable; documents of dropped groups
+    * (target 0) never pass the filter. */
+  def rebalance(df: DataFrame, id: String, group: String, text: String,
+                targets: Map[String, Double]): DataFrame = {
+    val rates = tokenMixture(df, group, text, targets)
+      .select(col(group), round(col("rate") * Frame.MixM).cast("long").as("mix_thresh"))
+    df.join(broadcast(rates), Seq(group))
+      .filter(Frame.portableMix(col(id)) < col("mix_thresh"))
+      .drop("mix_thresh")
+  }
+}

@@ -149,6 +149,73 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Assign every row to its nearest centroid by cosine (ties → smaller
+    * cid). Centroids broadcast; the argmax is ONE hash aggregate with
+    * map-side partial combine (max of a (cos, -cid) struct), NOT a
+    * per-row sort window — at corpus scale the shuffle carries ~one row
+    * per input row, never the corpus × k cross product. The vector rides
+    * the aggregate (first() — constant within its id group) so callers
+    * get (id, v, cell) without a join back to the corpus. */
+  def assignCells(df: DataFrame, centroids: DataFrame, id: String,
+                  vec: String): DataFrame = {
+    val cent = centroids.select(col("cid"),
+      col(vec).cast("array<double>").as("cv"))
+    df.select(col(id), col(vec).cast("array<double>").as("v"))
+      .join(broadcast(cent))
+      .groupBy(col(id))
+      .agg(first(col("v")).as("v"),
+        max(struct(cosine(col("v"), col("cv")).as("cos"),
+          (-col("cid")).as("negcid"))).as("best"))
+      .select(col(id), col("v"), (-col("best.negcid")).as("cell"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method; the reference has no
+    * equivalent): cluster the corpus into cells around `centroids`
+    * (k-means centroids — [[graft.ops.KMeans.lloydProfile]] output — or
+    * any deterministic coarse quantizer), then compare embeddings ONLY
+    * within a cell. Cross-cell near-dups are the documented misses that
+    * buy the pass its scale: pair work is Σ|cell|² instead of n², and
+    * each cell's pairs form inside one shuffle partition group.
+    *
+    * `maxCell` skips cells larger than the cap (a mega-cell is a dense
+    * semantic clump whose pairing is quadratic in clump size — same
+    * guard and same trade as [[Dedup.minhashLsh]]'s maxBucket).
+    * Returns (cell, d1, d2, cos) for within-cell pairs with
+    * cos >= threshold. */
+  def semanticDedupPairs(df: DataFrame, centroids: DataFrame, id: String,
+                         vec: String, threshold: Double,
+                         maxCell: Option[Int] = None): DataFrame = {
+    val assigned0 = assignCells(df, centroids, id, vec)
+    val assigned = maxCell match {
+      case Some(cap) =>
+        val keep = assigned0.groupBy("cell").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") <= cap).select("cell")
+        assigned0.join(keep, Seq("cell"), "left_semi")
+      case None => assigned0
+    }
+    val a = assigned.select(col("cell"), col(id).as("d1"), col("v").as("v1"))
+    val b = assigned.select(col("cell"), col(id).as("d2"), col("v").as("v2"))
+    a.join(b, Seq("cell")).filter(col("d1") < col("d2"))
+      .select(col("cell"), col("d1"), col("d2"),
+        cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup keep-list: drop every row that has a SAME-CELL neighbor
+    * with cosine >= threshold and a smaller id (the deterministic
+    * stand-in for the paper's keep-one-per-tight-group rule — the
+    * minimum id of each duplicate group survives, chains drop with
+    * their smaller-id neighbor). Returns the kept (id, cell) rows. */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, id: String,
+                    vec: String, threshold: Double,
+                    maxCell: Option[Int] = None): DataFrame = {
+    val assigned = assignCells(df, centroids, id, vec)
+    val drop = semanticDedupPairs(df, centroids, id, vec, threshold, maxCell)
+      .select(col("d2").as(id)).distinct()
+    assigned.join(drop, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest of
     * `centroids` (broadcast), search only the `nProbe` cells closest to
     * each query. Approximate: recall < 1 when a true neighbor lives in an

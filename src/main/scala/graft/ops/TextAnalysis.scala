@@ -299,6 +299,60 @@ object TextAnalysis {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Corpus-fit bigram language-model scoring — the KenLM-style
+    * perplexity quality filter of CCNet/LLaMA-era pipelines (Wenzek et
+    * al. 2019, arXiv:1911.00359 — public method; the reference has no
+    * equivalent), self-fit on the corpus: estimate add-one-smoothed
+    * bigram probabilities from the corpus itself, then score every
+    * document by its mean token log-probability
+    * avg over positional bigrams of ln((c(w1,w2)+1)/(c(w1)+V)).
+    * Low avg_logp = improbable word sequences (gibberish, OCR noise,
+    * wrong-language fragments); unusually high = degenerate repetition.
+    * Fitting on a clean reference corpus instead is the same plan with
+    * a different `df` feeding the counts — see `fitOn`.
+    *
+    * Plan shape at 100 TB: bigrams explode in the scan stage; c(w1,w2)
+    * and c(w1) are hash aggregates with map-side partial combine
+    * (bigram-vocabulary-sized, far smaller than the corpus); V is a
+    * 1-row broadcast cross join (the zScore pattern); the score join
+    * keys are (w1,w2) then w1 — plain equi-joins AQE can re-plan. No
+    * window, no driver-side state.
+    *
+    * Engine-portable fp policy: per-bigram ln is rounded to 9 dp (libm
+    * last-ulp guard — q95's policy) and the per-doc mean runs through
+    * the exact decimal sum ([[graft.api.functions.davg]]), so the
+    * result hash-matches across engines. Documents with < 2 tokens
+    * have no bigrams and are absent. Returns
+    * (id, n_bigrams, avg_logp). */
+  def bigramLmScore(df: DataFrame, id: String, text: String,
+                    fitOn: Option[DataFrame] = None): DataFrame = {
+    val corpus = fitOn.getOrElse(df)
+    def bigrams(d: DataFrame) = {
+      val w = tokens(col(text))
+      d.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
+        .select(col(id), explode_outer(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(get(col("w"), i).as("w1"), get(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col(id), col("b.w1"), col("b.w2"))
+    }
+    val c12 = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = corpus.select(explode(tokens(col(text))).as("wd"))
+      .agg(count_distinct(col("wd")).as("v"))
+    // LEFT joins + coalesce-to-0: a bigram / context word absent from
+    // the fit corpus gets the full add-one fallback (0+1)/(0+V) instead
+    // of silently dropping — only reachable when `fitOn` differs.
+    val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
+    bigrams(df)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(id), lnp.as("lnp"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.api.functions.davg(col("lnp")).as("avg_logp"))
+  }
+
   /** engine-PORTABLE word hash: 31-multiplier character polynomial over
     * Unicode code points mod the Mersenne prime 2³¹−1, finished with the
     * portable integer mixer ([[graft.api.Frame.portableMix]]). The same

@@ -1035,6 +1035,126 @@ object Pipeline {
             ORDER BY tfidf DESC, word) AS rk FROM scored)
         WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // --- SemDeDup: embedding-cluster semantic dedup keep-list ---------------
+    // (Similarity.semanticDedup — Abbas et al. 2023. Cells from the
+    // deterministic every-100th-vector quantizer (the q49 IVF pattern,
+    // so the oracle can replay assignment); within-cell pairs with
+    // cosine >= 0.45 drop their larger id. The oracle replays cell
+    // assignment (argmax cosine, tie → smaller cid), the within-cell
+    // pair scan, and the drop rule.)
+    "q97_semantic_dedup" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        Similarity.semanticDedup(e, centroids, "vec_id", "embedding",
+          threshold = 0.45).orderBy("vec_id")
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 0),
+          cass AS (SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, ct.cid AS cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent ct) WHERE rn = 1),
+          drops AS (SELECT DISTINCT b.vec_id FROM cass a JOIN cass b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45)
+          SELECT vec_id, cell FROM cass ANTI JOIN drops USING (vec_id)
+          ORDER BY vec_id"""
+      }),
+
+    // --- duplicate-span coverage (substring-dedup signal) -------------------
+    // (Dedup.duplicateSpanStats — Lee et al. 2021. Spark hashes the
+    // positional 5-token windows (xxhash64); the oracle rebuilds them as
+    // strings — counts match modulo ~n²/2⁶⁵ collisions, the q44
+    // convention.)
+    "q98_dup_spans" -> Q(
+      (s, d) => Dedup.duplicateSpanStats(docs(s, d), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some {
+        val gram = (0 until 5).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+              i -> $gram)) AS g
+            FROM toks WHERE len(w) >= 5),
+          dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+            GROUP BY g HAVING COUNT(*) >= 2)
+          SELECT doc_id, COUNT(*) AS n_windows,
+            CAST(SUM(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            round(CAST(SUM(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS dup_frac
+          FROM g LEFT JOIN dup ON g.g = dup.g
+          GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // --- corpus-fit bigram LM quality scoring --------------------------------
+    // (TextAnalysis.bigramLmScore — the CCNet/KenLM perplexity-filter
+    // analog, self-fit. Per-bigram ln rounded to 9 dp, per-doc mean via
+    // the exact decimal sum — the q95 portability policy.)
+    "q99_bigram_lm" -> Q(
+      (s, d) => TA.bigramLmScore(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM toks WHERE len(w) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT wd) AS v FROM
+          (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)),
+        scored AS (SELECT doc_id,
+            round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + vv.v)), 9) AS lnp
+          FROM bgf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+        SELECT doc_id, COUNT(*) AS n_bigrams, ${davg("lnp")} AS avg_logp
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- domain-mixture rebalance: data-driven rates + portable subsample ---
+    // (Mixture.tokenMixture/rebalance — per-source token shares vs a
+    // target mix, keep-rates min(1, target·total/tokens), then a
+    // portable-mixer subsample through a broadcast rate join. src0/src1
+    // upweighted (rates cap at 1 — never upsamples), src19 absent from
+    // the target map (target 0 — dropped entirely), the rest subsample
+    // to 0.0375 each. The oracle replays the whole derivation: counts,
+    // total, CASE targets, 6-dp rate, threshold, mixer filter.)
+    "q100_mixture_rebalance" -> Q(
+      (s, d) => {
+        val targets = Map("src0" -> 0.15, "src1" -> 0.10) ++
+          (2 to 18).map(i => s"src$i" -> 0.0375)
+        graft.ops.Mixture.rebalance(docs(s, d), "doc_id", "source", "text", targets)
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs_kept"),
+            sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs,
+          ${isum("len(string_split(text, ' '))")} AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT ${isum("tokens")} AS total_tokens FROM counts),
+        rates AS (SELECT source,
+            CAST(round(round(least(1.0,
+              (CASE WHEN source = 'src0' THEN 0.15
+                    WHEN source = 'src1' THEN 0.10
+                    WHEN source = 'src19' THEN 0.0
+                    ELSE 0.0375 END) * total_tokens / tokens), 6)
+              * 2147483647) AS BIGINT) AS mix_thresh
+          FROM counts CROSS JOIN tot),
+        kept AS (SELECT d.source, d.text FROM documents d
+          JOIN rates r ON d.source = r.source
+          WHERE ${Sql.mix("d.doc_id")} < r.mix_thresh)
+        SELECT source, COUNT(*) AS n_docs_kept,
+          ${isum("len(string_split(text, ' '))")} AS tokens_kept
+        FROM kept GROUP BY source ORDER BY source""")),
+
     // --- single-pass covariance matrix over the embedding corpus -----------
     // (Embeddings.covarianceMatrix / graft.expr.VectorMomentsAgg — each
     // map task ships ONE d(d+1)/2-slot exact-sum register; the oracle

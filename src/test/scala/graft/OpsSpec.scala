@@ -993,4 +993,108 @@ class OpsSpec extends SparkSpec {
     val resized = Multimodal.resizePayload(packed, 32)
     assert(resized.select(length($"payload")).as[Int].collect().forall(_ == 32))
   }
+
+  test("semantic dedup: within-cell near-dups drop their larger id, cross-cell survive") {
+    // two well-separated clusters; ids 1/2 near-identical in cluster A,
+    // id 10 a near-copy of 1 but planted in cluster B (cross-cell miss
+    // by design), id 3 in A but dissimilar enough to survive
+    val vs = Seq(
+      (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.9, 0.1, 0.001)),       // near-dup of 1, same cell
+      (3L, Array(0.7, 0.0, 0.7)),         // cell A, cos(1,3) ≈ 0.77 < 0.99
+      (10L, Array(0.1, 0.9, 0.0))         // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0)), (100L, Array(0.0, 1.0, 0.0)))
+      .toDF("cid", "embedding")
+    val assigned = Similarity.assignCells(vs, cents, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(assigned(1L) == 0L && assigned(2L) == 0L && assigned(3L) == 0L)
+    assert(assigned(10L) == 100L)
+    val pairs = Similarity.semanticDedupPairs(vs, cents, "vec_id", "embedding", 0.99)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val kept = Similarity.semanticDedup(vs, cents, "vec_id", "embedding", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 10L))               // 2 drops (larger id of the pair)
+    // maxCell guard: cap below cell A's size suppresses its pairs
+    val capped = Similarity.semanticDedupPairs(vs, cents, "vec_id", "embedding",
+      0.99, maxCell = Some(2)).count()
+    assert(capped == 0L)
+  }
+
+  test("duplicate span coverage: corpus-repeated windows count, within-doc repeats don't") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // shares all with 1
+      (1L, "alpha beta gamma delta epsilon zeta"),   // exact copy: frac 1.0
+      (2L, "one two three four five six seven"),     // unique: frac 0.0
+      (3L, "rep rep rep rep rep rep rep rep rep rep"), // self-repeats ONLY
+      (4L, "too short")                               // < n tokens: absent
+    ).toDF("doc_id", "text")
+    val stats = Dedup.duplicateSpanStats(d, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!stats.contains(4L))
+    assert(stats(0L) == ((2L, 2L, 1.0)))   // 6 tokens → 2 windows, both shared
+    assert(stats(1L) == ((2L, 2L, 1.0)))
+    assert(stats(2L)._2 == 0L && stats(2L)._3 == 0.0)
+    assert(stats(3L) == ((6L, 0L, 0.0)))   // within-doc repetition ≠ duplication
+    // multiplicity: a doc repeating a corpus-shared span twice counts both
+    val d2 = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon and alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val s2 = Dedup.duplicateSpanStats(d2, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s2(1L)._1 == 7L && s2(1L)._2 == 2L) // 11 tokens → 7 windows, 2 dup
+  }
+
+  test("mixture: shares account exactly, rates cap at 1, rebalance honors targets") {
+    import graft.ops.Mixture
+    // web: 8 docs × 10 tokens; books: 2 docs × 10 tokens; junk: 2 docs
+    def mk(src: String, base: Long, n: Int) = (0 until n).map(i =>
+      (base + i, src, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    val d = (mk("web", 0L, 8) ++ mk("books", 100L, 2) ++ mk("junk", 200L, 2))
+      .toDF("doc_id", "source", "text")
+    val targets = Map("web" -> 0.5, "books" -> 0.5) // junk absent → dropped
+    val mix = Mixture.tokenMixture(d, "source", "text", targets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(mix("web") == ((8L, 80L, 0.666667, 0.75)))   // 0.5/(80/120) = 0.75
+    assert(mix("books")._4 == 1.0)                      // under-represented: cap
+    assert(mix("junk")._4 == 0.0)                       // absent from targets
+    val kept = Mixture.rebalance(d, "doc_id", "source", "text", targets)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("junk"))
+    assert(bySrc("books") == 2L)                        // rate 1 keeps all
+    assert(bySrc.getOrElse("web", 0L) < 8L)             // subsampled
+    // deterministic: same rows on a second run
+    val again = Mixture.rebalance(d, "doc_id", "source", "text", targets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("bigram LM score: repetition scores high, gibberish low, smoothing covers unseen") {
+    val d = Seq(
+      (0L, "the cat sat on the mat and the cat sat on the mat again"),
+      (1L, "the cat sat on the mat"),
+      (2L, "zq xv wk jn qp"),   // every bigram unique in corpus
+      (3L, "one")               // < 2 tokens: absent
+    ).toDF("doc_id", "text")
+    val scores = TA.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!scores.contains(3L))
+    assert(scores(1L)._1 == 5L)   // 6 tokens → 5 bigrams
+    // repeated phrases → higher (less negative) mean log-prob than gibberish
+    assert(scores(0L)._2 > scores(2L)._2)
+    // fitOn: scoring a doc of entirely-unseen words against a fit corpus
+    // gets the pure smoothed fallback ln(1/V) for every bigram
+    val fit = d.filter($"doc_id" <= 1L)
+    val novel = Seq((9L, "totally novel words here")).toDF("doc_id", "text")
+    val vocab = fit.select(explode(split($"text", " "))).distinct().count()
+    val got = TA.bigramLmScore(novel, "doc_id", "text", fitOn = Some(fit))
+      .select("avg_logp").as[Double].head()
+    val expected = BigDecimal(math.log(1.0 / vocab.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected (V=$vocab)")
+  }
 }

@@ -166,6 +166,35 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(z.getDouble(0)) < 1e-6 && math.abs(z.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("q97/q98/q99 plan shapes: broadcast-only nested loops, equi-join pair scans") {
+    // q97: the centroid scoring is a cross join — it must BROADCAST the
+    // (tiny) centroid side, never cartesian-shuffle the corpus; the
+    // within-cell pair scan must stay an equi-join on cell. (String
+    // checks: AQE's AdaptiveSparkPlanExec hides children from collect.)
+    val p97 = SparkEntry.queries("q97_semantic_dedup")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p97.contains("CartesianProduct"),
+      "q97 must not plan a cartesian shuffle")
+    val bnlj97 = p97.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj97.nonEmpty && bnlj97.forall(_.contains("BuildRight")),
+      s"q97's only nested loop must broadcast the centroid side:\n${bnlj97.mkString("\n")}")
+    // q98 is a pure equi-join pipeline — no nested loop anywhere
+    val p98 = SparkEntry.queries("q98_dup_spans")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p98.contains("BroadcastNestedLoopJoin") &&
+      !p98.contains("CartesianProduct"), "q98 must stay equi-join only")
+    // q99: equi-joins except the 1-row broadcast V cross join
+    val p99 = SparkEntry.queries("q99_bigram_lm")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p99.contains("CartesianProduct"),
+      "q99 must not plan a cartesian shuffle")
+    val bnlj99 = p99.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj99.forall(_.contains("BuildRight")),
+      s"q99's vocabulary cross join must broadcast the 1-row side:\n${bnlj99.mkString("\n")}")
+  }
+
   test("vector moments aggregate is ONE pass: no generator, no join, two agg stages") {
     import org.apache.spark.sql.functions._
     val agg = Tables.embeddings(spark, sfSmoke)
