@@ -325,17 +325,39 @@ object TextAnalysis {
     * have no bigrams and are absent. Returns
     * (id, n_bigrams, avg_logp). */
   def bigramLmScore(df: DataFrame, id: String, text: String,
-                    fitOn: Option[DataFrame] = None): DataFrame = {
-    val corpus = fitOn.getOrElse(df)
-    def bigrams(d: DataFrame) = {
+                    fitOn: Option[DataFrame] = None,
+                    materialize: Boolean = true): DataFrame = {
+    // Bigrams are keyed by 64-bit hashes (h12 = xxhash64(w1,w2),
+    // h1 = xxhash64(w1)) — the count and score joins shuffle 8-byte
+    // keys instead of word pairs, the term that dominates at corpus
+    // scale; counts match the string formulation modulo ~n²/2⁶⁴
+    // collisions (the q44 convention — q99's string-based DuckDB
+    // oracle hash-matches through it). The compact per-doc hash-array
+    // frame feeds BOTH the count branch and the score branch in the
+    // self-fit case; localCheckpoint pins it once (the q45
+    // multi-branch lesson; `materialize = false` restores pure-lazy).
+    def bigramArrays(d: DataFrame) = {
       val w = tokens(col(text))
       d.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
-        .select(col(id), explode_outer(transform(sequence(lit(0), size(col("w")) - 2),
-          i => struct(get(col("w"), i).as("w1"), get(col("w"), i + 1).as("w2")))).as("b"))
-        .select(col(id), col("b.w1"), col("b.w2"))
+        .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(
+            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+            xxhash64(get(col("w"), i)).as("h1"))).as("bs"))
     }
-    val c12 = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    def expand(arrays: DataFrame) = arrays
+      .select(col(id), explode_outer(col("bs")).as("b"))
+      .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
+    val scoreArrays0 = bigramArrays(df)
+    val scoreArrays =
+      if (materialize) scoreArrays0.localCheckpoint() else scoreArrays0
+    val corpus = fitOn.getOrElse(df)
+    val corpusBigrams = fitOn match {
+      case Some(c) => expand(bigramArrays(c))
+      case None => expand(scoreArrays)
+    }
+    val c12 = corpusBigrams.groupBy("h12")
+      .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1c"))
+    val c1 = c12.groupBy(col("h1c").as("h1")).agg(sum(col("c12")).as("c1"))
     val vocab = corpus.select(explode(tokens(col(text))).as("wd"))
       .agg(count_distinct(col("wd")).as("v"))
     // LEFT joins + coalesce-to-0: a bigram / context word absent from
@@ -343,9 +365,9 @@ object TextAnalysis {
     // of silently dropping — only reachable when `fitOn` differs.
     val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
-    bigrams(df)
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+    expand(scoreArrays)
+      .join(c12.select(col("h12"), col("c12")), Seq("h12"), "left")
+      .join(c1, Seq("h1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(id), lnp.as("lnp"))
       .groupBy(col(id)).agg(
