@@ -72,6 +72,31 @@ object Soak {
     val (nSim, tSim) = time {
       graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count() }
     release()
+    // duplicate-span coverage: every copied window is corpus-repeated,
+    // so the dup-vocabulary join carries ~copies× posting pressure
+    val (nSpan, tSpan) = time {
+      graft.ops.Dedup.duplicateSpanStats(big, "doc_id", "text").count() }
+    release()
+    // bigram-LM self-fit: count + score branches over copies× bigrams
+    val (nLm, tLm) = time {
+      graft.ops.TextAnalysis.bigramLmScore(big, "doc_id", "text").count() }
+    release()
+    // SemDeDup: replicated embeddings are IDENTICAL across copies, so
+    // every base vector becomes a copies-sized cos=1 clique inside one
+    // cell — the hostile shape for within-cell pairing. Centroids come
+    // from the base table (every 20th id), so cells hold ~20×copies
+    // members; the quadratic is bounded per cell, never corpus-wide.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val bigEmb = (0 until copies).map { k =>
+      emb.select((col("vec_id") + lit(k.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _)
+    val centroids = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val (nSem, tSem) = time {
+      graft.ops.Similarity.semanticDedup(bigEmb, centroids, "vec_id",
+        "embedding", threshold = 0.95).count() }
+    release()
 
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -81,6 +106,9 @@ object Soak {
         f""""ngram_jaccard":{"rows":$nJac,"sec":$tJac%.2f},""" +
         f""""minhash_lsh":{"rows":$nLsh,"sec":$tLsh%.2f},""" +
         f""""simhash":{"rows":$nSim,"sec":$tSim%.2f},""" +
+        f""""dup_spans":{"rows":$nSpan,"sec":$tSpan%.2f},""" +
+        f""""bigram_lm":{"rows":$nLm,"sec":$tLm%.2f},""" +
+        f""""semantic_dedup":{"rows":$nSem,"sec":$tSem%.2f},""" +
         s""""heap_used_mb":$heapUsedMb}"""
     println(json)
     java.nio.file.Files.writeString(
