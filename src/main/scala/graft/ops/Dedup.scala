@@ -418,4 +418,44 @@ object Dedup {
         hamming(col("x.sh"), col("y.sh")).as("dist")).distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Repeated-line removal (the Falcon/CCNet boilerplate filter —
+    * public method; no reference equivalent): drop every line that
+    * occurs, byte-identical, in at least `minDocs` DISTINCT documents
+    * (navigation chrome, cookie banners, license footers), then stitch
+    * each document back together in original line order.
+    *
+    * Scale shape: one explode to (id, pos, line), the repeated-line
+    * vocabulary from a distinct + hash aggregate on 8-byte line hashes
+    * (never the line text — the q44 convention; ~n²/2⁶⁴ collision odds),
+    * an equi-join against that vocabulary, and one per-doc aggregate
+    * that sorts each SURVIVING document's own lines in memory
+    * (array_sort over a collect_list — bounded by document size, the
+    * same per-doc bound every text op here carries). No window, no
+    * driver collect.
+    *
+    * A document whose every line is boilerplate vanishes from the
+    * output (nothing left to keep); `keepEmpty` retains it as an empty
+    * string via a left join back to the id set. Lines are whatever
+    * `sep` splits on — empty strings between consecutive separators are
+    * lines too and dedup like any other. */
+  def removeRepeatedLines(df: DataFrame, id: String, text: String,
+                          minDocs: Int = 2, sep: String = "\n",
+                          keepEmpty: Boolean = false): DataFrame = {
+    require(minDocs >= 2, "removeRepeatedLines: minDocs must be >= 2")
+    val lines = df.select(col(id), posexplode(split(col(text),
+      java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val repeated = lines.select(col(id), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("lh")
+    val kept = lines.join(repeated, Seq("lh"), "left_anti")
+      .groupBy(col(id)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as(text))
+    if (!keepEmpty) kept
+    else df.select(col(id)).join(kept, Seq(id), "left")
+      .select(col(id), coalesce(col(text), lit("")).as(text))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data preparation: lay every
+  * document's tokens end-to-end in a deterministic global order (by a
+  * unique sortable id) and cut the concatenated stream into fixed-size
+  * packs of `maxLen` tokens — the standard "concat-and-chunk" batching
+  * used to build training examples (no reference equivalent; public
+  * method, e.g. GPT-style pretraining data loaders).
+  *
+  * The global running token offset is a distributed prefix sum, NOT a
+  * single-partition window (PlanSpec forbids those — an
+  * all-rows-on-one-executor sort dies at corpus scale):
+  *
+  *   1. project the NARROW (id, n_tokens) frame — the shuffled rows are
+  *      ~16 bytes regardless of document size; text never moves;
+  *   2. range-partition by id and sort within partitions — global order
+  *      with each partition holding a contiguous id range;
+  *   3. per-partition token subtotals via one tiny groupBy on
+  *      spark_partition_id() (map-side combine → one row per partition),
+  *      prefix-summed on the DRIVER (bounded: #partitions rows — the
+  *      KMeans/DecisionTree bounded-driver-aggregate pattern) and
+  *      broadcast-joined back;
+  *   4. within-partition running sums via a window PARTITIONED by the
+  *      physical partition id — group size = one data partition, never
+  *      the corpus.
+  *
+  * The ranged frame is pinned once (`localCheckpoint`) because the
+  * subtotal branch and the window branch must see the SAME partition
+  * boundaries — RangePartitioner re-samples per execution, so an
+  * unmaterialized plan could give the two branches different pids (the
+  * q45 multi-branch lesson). Results do not depend on where the
+  * boundaries fall, only on both branches agreeing.
+  *
+  * Output: one row per (document, pack) overlap —
+  * (id, pack_id, tok_start, tok_end): the doc-relative token slice
+  * [tok_start, tok_end) that lands in `pack_id`. A document longer than
+  * `maxLen` spans several packs; a short document shares its pack with
+  * its neighbors. Zero-token documents contribute nothing and are
+  * absent. Offsets are exact up to 2^53 total corpus tokens (floor on
+  * double) — ~9 PB of text before that bound bites.
+  */
+object Packing {
+
+  def packConcat(df: DataFrame, id: String, nTokens: Column, maxLen: Long,
+                 materialize: Boolean = true): DataFrame = {
+    require(maxLen >= 1, "packConcat: maxLen must be >= 1")
+    val L = lit(maxLen)
+    val narrow = df.select(col(id), nTokens.cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .repartitionByRange(col(id))
+      .sortWithinPartitions(id)
+      .withColumn("pid", spark_partition_id())
+    val ranged = if (materialize) narrow.localCheckpoint() else narrow
+    // tiny: one row per partition after map-side combine
+    val partSums = ranged.groupBy("pid").agg(sum(col("ntok")).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = partSums.map { case (p, s) =>
+      val off = acc; acc += s; (p, off)
+    }
+    val offsetsDf = df.sparkSession.createDataFrame(offsets.toIndexedSeq)
+      .toDF("pid", "poff")
+    val w = Window.partitionBy("pid").orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged.join(broadcast(offsetsDf), Seq("pid"))
+      .withColumn("cb", sum(col("ntok")).over(w) - col("ntok") + col("poff"))
+    cum.select(col(id), col("ntok"), col("cb"),
+        explode(sequence(floor(col("cb") / L),
+          floor((col("cb") + col("ntok") - 1) / L))).as("pack_id"))
+      .select(col(id), col("pack_id"),
+        (greatest(col("pack_id") * L, col("cb")) - col("cb")).as("tok_start"),
+        (least((col("pack_id") + 1) * L, col("cb") + col("ntok")) - col("cb"))
+          .as("tok_end"))
+  }
+
+  /** packConcat over whitespace-token counts of a text column. */
+  def packDocuments(df: DataFrame, id: String, text: String,
+                    maxLen: Long): DataFrame =
+    packConcat(df, id, size(split(col(text), " ")), maxLen)
+}

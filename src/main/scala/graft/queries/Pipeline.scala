@@ -1177,6 +1177,85 @@ object Pipeline {
           round(p.pij / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n), 9) AS cov
         FROM prods p CROSS JOIN nn
           JOIN sums sa ON p.i = sa.i JOIN sums sb ON p.j = sb.i
-        ORDER BY i, j"""))
+        ORDER BY i, j""")),
+
+    // --- sequence packing (concat-and-chunk training batches) ----------------
+    // (Packing.packConcat — distributed prefix sum over the NARROW
+    // (id, ntok) frame: range partition + per-partition subtotals
+    // prefix-summed on the driver + partition-local windows. The oracle
+    // replays the same cut points with a global window, which only an
+    // oracle-scale engine can afford.)
+    "q101_pack_sequences" -> Q(
+      (s, d) => graft.ops.Packing
+        .packDocuments(docs(s, d), "doc_id", "text", maxLen = 1000)
+        .orderBy("doc_id", "pack_id"),
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents WHERE len(string_split(text, ' ')) > 0),
+        c AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c)
+        SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+          CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT) AS tok_end
+        FROM e ORDER BY doc_id, pack_id""")),
+
+    // --- repeated-line boilerplate removal (Falcon/CCNet filter) -------------
+    // (Dedup.removeRepeatedLines — planted multi-line VALUES docs: the
+    // sf documents are single-line word soup, so line semantics need a
+    // plant; same q56/q90/q91 convention. Covers order preservation,
+    // empty-line dedup, and the all-lines-dropped → '' case.)
+    "q102_repeated_lines" -> Q(
+      (s, _) => {
+        val df = graft.api.Frame.fromNamedColumns(s, Seq(
+          "id" -> Seq(1, 2, 3, 4),
+          "txt" -> Seq(
+            "hello world\nfollow us on twitter\nunique a",
+            "follow us on twitter\nunique b\n\ncopyright 2026",
+            "copyright 2026\nunique c\n\nfollow us on twitter",
+            "follow us on twitter\ncopyright 2026"))).df
+        graft.ops.Dedup.removeRepeatedLines(df, "id", "txt",
+          minDocs = 2, sep = "\n", keepEmpty = true).orderBy("id")
+      },
+      Some("""WITH t(id, txt) AS (VALUES
+          (1, 'hello world' || chr(10) || 'follow us on twitter'
+            || chr(10) || 'unique a'),
+          (2, 'follow us on twitter' || chr(10) || 'unique b'
+            || chr(10) || chr(10) || 'copyright 2026'),
+          (3, 'copyright 2026' || chr(10) || 'unique c'
+            || chr(10) || chr(10) || 'follow us on twitter'),
+          (4, 'follow us on twitter' || chr(10) || 'copyright 2026')),
+        l AS (SELECT id,
+            generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+            unnest(string_split(txt, chr(10))) AS line FROM t),
+        rep AS (SELECT line FROM
+          (SELECT line, COUNT(DISTINCT id) AS nd FROM l GROUP BY line)
+          WHERE nd >= 2),
+        k AS (SELECT id, pos, line FROM l
+          WHERE line NOT IN (SELECT line FROM rep)),
+        r AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS txt
+          FROM k GROUP BY id)
+        SELECT t.id, COALESCE(r.txt, '') AS txt FROM t
+        LEFT JOIN r ON t.id = r.id ORDER BY t.id""")),
+
+    // --- heavy hitters: Misra-Gries token summary ----------------------------
+    // (graft.expr.MisraGriesAgg — k=128 counters over a 31-word
+    // vocabulary is the exact regime: no eviction anywhere, so the
+    // sketch equals the full GROUP BY it replaces at scale. The
+    // approximation regime is bound-checked in HeavyHittersSpec.)
+    "q103_heavy_hitters" -> Q(
+      (s, d) => docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(graft.expr.HeavyHitters.misraGries(col("w"), 128).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token")),
+      Some("""SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY cnt DESC, token"""))
   )
 }

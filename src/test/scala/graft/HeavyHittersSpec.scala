@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.HeavyHitters.misraGries
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+  initLogs()
+
+  private def summary(items: Seq[String], k: Int, parts: Int): Map[String, Long] =
+    items.toDF("w").repartition(parts)
+      .agg(misraGries(col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toMap
+
+  test("exact regime: distinct < k gives exact GROUP BY counts " +
+    "under any partitioning") {
+    val items = Seq.tabulate(3000)(i => s"tok${i % 13}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 7)) {
+      assert(summary(items, k = 32, parts = parts) == truth,
+        s"parts=$parts")
+    }
+  }
+
+  test("approx regime: n/k error bound holds and every item above " +
+    "n/k frequency is reported") {
+    // zipf-ish: item i appears 2000/(i+1) times, plus a long noise tail
+    val heavy = (0 until 10).flatMap(i => Seq.fill(2000 / (i + 1))(s"hot$i"))
+    val noise = (0 until 3000).map(i => s"cold$i")
+    val items = new scala.util.Random(42).shuffle(heavy ++ noise)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val k = 64
+    val got = summary(items, k, parts = 5)
+    assert(got.size <= k - 1)
+    got.foreach { case (item, c) =>
+      val f = truth(item)
+      assert(c <= f, s"$item overcounted: $c > $f")
+      assert(c >= f - n / k, s"$item undercounted past n/k: $c < $f - ${n / k}")
+    }
+    truth.foreach { case (item, f) =>
+      if (f > n / k) assert(got.contains(item), s"missed heavy item $item ($f > ${n / k})")
+    }
+  }
+
+  test("null inputs are ignored; output is sorted cnt desc, item asc") {
+    val rows = spark.createDataFrame(
+      Seq(Some("b"), Some("a"), None, Some("b"), Some("c"), Some("a"), Some("b"))
+        .map(Tuple1(_))).toDF("w")
+    val arr = rows.agg(misraGries(col("w"), 16).as("hh"))
+      .select(col("hh")).as[Seq[(String, Long)]].collect().head
+    assert(arr == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+}

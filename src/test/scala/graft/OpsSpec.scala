@@ -1097,4 +1097,28 @@ class OpsSpec extends SparkSpec {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected (V=$vocab)")
   }
+
+  test("repeated-line removal: boilerplate drops, order survives, " +
+    "empty docs vanish unless keepEmpty") {
+    val d = Seq(
+      (1L, "keep me\nfooter text\nme too"),
+      (2L, "footer text\nonly mine"),
+      (3L, "footer text"), // nothing survives
+      (4L, "solo doc untouched\nfooter text\nlast line")
+    ).toDF("id", "txt")
+    val got = Dedup.removeRepeatedLines(d, "id", "txt", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "keep me\nme too",
+      2L -> "only mine",
+      4L -> "solo doc untouched\nlast line")) // id 3 absent
+    val kept = Dedup.removeRepeatedLines(d, "id", "txt", minDocs = 2,
+      keepEmpty = true).as[(Long, String)].collect().toMap
+    assert(kept(3L) == "" && kept.size == 4)
+    // minDocs counts DISTINCT docs: a line repeated within ONE doc stays
+    val within = Seq((1L, "dup\nmid\ndup"), (2L, "other")).toDF("id", "txt")
+    val w = Dedup.removeRepeatedLines(within, "id", "txt", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(w(1L) == "dup\nmid\ndup")
+  }
 }
