@@ -383,6 +383,32 @@ object TextAnalysis {
     * [[Dedup.simhashPortable]] — hash-match across engines; the xxhash64
     * variants remain the production fast path. Every intermediate stays
     * below 2³¹·31 + 2²¹ < 2³⁶ — no overflow under ANSI mode. */
+  /** Per-group quantile pruning (the per-domain quality filter of a
+    * corpus-prep pipeline — keep each source's best (1−q) fraction by
+    * `score`): one hash aggregate computes each group's q-quantile of
+    * the score, the (group, threshold) table — one row per group —
+    * broadcasts back, and rows below their group's threshold drop in
+    * the scan stage. The zScore agg-broadcast pattern, never a global
+    * sort or a per-group window over the corpus.
+    *
+    * `approx = true` swaps the exact sort-based percentile for the
+    * Greenwald-Khanna sketch (`err ≤ 1/accuracy`) — the 100 TB path
+    * when even the per-group exact percentile shuffle is too heavy;
+    * thresholds then sit within the sketch error of the true quantile
+    * (set sensitivity accordingly). Keeps score == threshold rows. */
+  def keepTopQuantile(df: DataFrame, group: String, score: Column,
+                      q: Double, approx: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q < 1.0, "keepTopQuantile: q must be in (0, 1)")
+    val scored = df.withColumn("__ktq_score", score)
+    val thr = scored.groupBy(col(group)).agg(
+      (if (approx) percentile_approx(col("__ktq_score"), lit(q), lit(accuracy))
+       else percentile(col("__ktq_score"), lit(q))).as("__ktq_thr"))
+    scored.join(broadcast(thr), Seq(group))
+      .filter(col("__ktq_score") >= col("__ktq_thr"))
+      .drop("__ktq_score", "__ktq_thr")
+  }
+
   def portableWordHash(w: Column): Column = {
     val poly = aggregate(split(w, ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)

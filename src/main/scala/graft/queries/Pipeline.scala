@@ -1247,6 +1247,30 @@ object Pipeline {
     // vocabulary is the exact regime: no eviction anywhere, so the
     // sketch equals the full GROUP BY it replaces at scale. The
     // approximation regime is bound-checked in HeavyHittersSpec.)
+    "q104_quantile_filter" -> Q(
+      (s, d) => {
+        val sr = TA.stopwordCount(col("text")).cast("double") /
+          TA.tokenCount(col("text"))
+        TA.keepTopQuantile(docs(s, d).withColumn("sr", sr),
+            "source", col("sr"), q = 0.5)
+          .groupBy("source").agg(
+            count(lit(1)).as("n_kept"),
+            round(min(col("sr")), 9).as("min_sr"))
+          .orderBy("source")
+      },
+      Some("""WITH sc AS (SELECT source, doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w = 'the' OR w = 'a' OR w = 'an' OR w = 'of' OR w = 'to'
+              OR w = 'and' OR w = 'in' OR w = 'is' OR w = 'it' OR w = 'that'))
+            AS DOUBLE) / len(string_split(text, ' ')) AS sr
+          FROM documents),
+        thr AS (SELECT source, quantile_cont(sr, 0.5) AS t
+          FROM sc GROUP BY source)
+        SELECT sc.source, COUNT(*) AS n_kept, round(MIN(sr), 9) AS min_sr
+        FROM sc JOIN thr ON sc.source = thr.source
+        WHERE sc.sr >= thr.t
+        GROUP BY sc.source ORDER BY sc.source""")),
+
     "q103_heavy_hitters" -> Q(
       (s, d) => docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))

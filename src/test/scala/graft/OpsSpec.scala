@@ -1098,6 +1098,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected (V=$vocab)")
   }
 
+  test("keepTopQuantile prunes below each group's own threshold") {
+    val d = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(4)(i => ("b", 100.0 + i))).toDF("g", "v")
+    val kept = TA.keepTopQuantile(d, "g", $"v", q = 0.5)
+      .as[(String, Double)].collect().toSet
+    // group a: median of 0..9 = 4.5 → keep 5..9; group b: median of
+    // 100..103 = 101.5 → keep 102, 103. Thresholds are PER GROUP.
+    assert(kept == (5 to 9).map(i => ("a", i.toDouble)).toSet ++
+      Set(("b", 102.0), ("b", 103.0)))
+    // boundary rows (score == threshold) stay
+    val e = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "v")
+    val keptE = TA.keepTopQuantile(e, "g", $"v", q = 0.5)
+      .as[(String, Double)].collect().toSet
+    assert(keptE == Set(("g", 2.0), ("g", 3.0)))
+    // approx path agrees on well-separated data
+    val keptA = TA.keepTopQuantile(d, "g", $"v", q = 0.5, approx = true)
+      .as[(String, Double)].collect().toSet
+    assert(keptA.map(_._1).toSet == Set("a", "b") && keptA.size >= 6)
+  }
+
   test("repeated-line removal: boilerplate drops, order survives, " +
     "empty docs vanish unless keepEmpty") {
     val d = Seq(
