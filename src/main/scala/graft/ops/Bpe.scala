@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding over a Spark
+  * corpus (Sennrich, Haddow & Birch 2016, arXiv:1508.07909 — public
+  * method; the reference has no tokenizer). The structure exploits the
+  * classic observation that BPE never needs the corpus after one pass:
+  *
+  *  - ONE corpus-scale aggregate builds the (word, count) vocabulary —
+  *    the only job that touches 100 TB;
+  *  - every merge round then runs on the vocabulary table (bounded by
+  *    DISTINCT words, not corpus size): explode adjacent symbol pairs
+  *    weighted by word count, one hash aggregate, one driver-side
+  *    argmax row (the KMeans bounded-driver-collect pattern), and one
+  *    rewrite projection. The vocabulary frame is re-pinned
+  *    (localCheckpoint) each round to keep the plan flat across the
+  *    iteration — the KMeans/connectedComponents lineage-cut pattern;
+  *  - encoding is RELATIONAL at corpus scale: each distinct word is
+  *    encoded once (the merge-loop scan is a per-word JVM function —
+  *    inherently iterative, no Catalyst expression expresses it — but
+  *    it only ever runs on the vocabulary table), then an equi-join
+  *    stamps the token arrays back onto the exploded corpus and a
+  *    per-doc aggregate reassembles them in word order. Documents never
+  *    carry the merge loop; AQE picks broadcast vs shuffle for the
+  *    stamp join by the vocabulary's actual size.
+  *
+  * Symbol model: a word is its characters plus a trailing `</w>`
+  * end-of-word symbol; a merge joins one adjacent symbol pair, all
+  * occurrences left-to-right. Ties in pair frequency break
+  * deterministically (count desc, then pair lexicographic), so fit is
+  * reproducible across partitionings and engines.
+  */
+object Bpe {
+
+  /** one merge applied to a symbol sequence, all occurrences,
+    * left-to-right (a freshly-formed symbol does not re-pair with the
+    * following symbol in the same pass). */
+  private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** greedy BPE encode of one word under trained merge ranks: repeatedly
+    * merge the present pair with the LOWEST rank until none applies —
+    * the standard inference rule that replays training order. */
+  private[graft] def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val (a, b) = (syms(bi), syms(bi + 1))
+        syms = applyMerge(syms, a, b)
+      }
+    }
+    syms
+  }
+
+  val EndOfWord = "</w>"
+
+  /** chars + trailing end-of-word marker, as a Column (array<string>). */
+  private def symbols(w: Column): Column =
+    concat(split(w, ""), array(lit(EndOfWord)))
+
+  private def adjacentPairs(syms: Column): Column =
+    transform(sequence(lit(0), size(syms) - 2),
+      i => struct(get(syms, i).as("p1"), get(syms, i + 1).as("p2")))
+
+  /** the (word, count) vocabulary — the single corpus-scale pass. */
+  def wordCounts(df: DataFrame, text: String): DataFrame =
+    df.select(explode(split(col(text), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** adjacent symbol-pair frequencies of a (word|syms, count) frame —
+    * round 1 of fit, exposed for the q105 oracle. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val withSyms =
+      if (vocab.columns.contains("syms")) vocab
+      else vocab.withColumn("syms", symbols(col("w")))
+    withSyms.select(col("c"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** train `numMerges` merges on the corpus; returns them in merge
+    * order. Stops early when no pair occurs twice. */
+  def fit(df: DataFrame, text: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, "Bpe.fit: numMerges must be >= 1")
+    var vocab = wordCounts(df, text)
+      .withColumn("syms", symbols(col("w"))).drop("w")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
+        vocab = vocab.select(mergeUdf(col("syms")).as("syms"), col("c"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** tokenize a corpus under trained merges: (id, tokens array<string>).
+    * The merge loop runs once per DISTINCT word; the corpus side is an
+    * explode + equi-join + ordered reassembly. Empty-string words (from
+    * repeated separators) contribute no tokens; a document with no
+    * words is absent. */
+  def encodeTokens(df: DataFrame, id: String, text: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val (words, dict) = wordsAndDict(df, id, text, merges)
+    words.join(dict, Seq("w"))
+      .groupBy(col(id)).agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          x => x.getField("toks"))).as("tokens"))
+  }
+
+  /** encoded-token count per document without materializing the per-doc
+    * arrays (the cheap pre-pack statistic): stamps each word's dict
+    * token COUNT instead of its tokens and sums. */
+  def encodedTokenCount(df: DataFrame, id: String, text: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val (words, dict) = wordsAndDict(df, id, text, merges)
+    words.join(dict.select(col("w"), size(col("toks")).as("nt")), Seq("w"))
+      .groupBy(col(id)).agg(sum(col("nt")).as("n_bpe_tokens"))
+  }
+
+  private def wordsAndDict(df: DataFrame, id: String, text: String,
+                           merges: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bRanks = df.sparkSession.sparkContext.broadcast(ranks)
+    val encUdf = udf((w: String) => encodeWord(w, bRanks.value))
+    val words = df.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val dict = words.select("w").distinct()
+      .withColumn("toks", encUdf(col("w")))
+    (words, dict)
+  }
+}

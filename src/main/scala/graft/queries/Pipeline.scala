@@ -1280,6 +1280,39 @@ object Pipeline {
         .orderBy(col("cnt").desc, col("token")),
       Some("""SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        GROUP BY w ORDER BY cnt DESC, token"""))
+        GROUP BY w ORDER BY cnt DESC, token""")),
+
+    // --- BPE tokenizer training: round-1 pair frequencies --------------------
+    // (Bpe.pairCounts over Bpe.wordCounts — the corpus-scale pass of
+    // fit(), replayed exactly in SQL. The iterative merge loop and
+    // greedy encode are SQL-inexpressible; q106 runs them end-to-end as
+    // a rows-only row and BpeSpec pins hand-computed merges/encodings.)
+    "q105_bpe_pair_counts" -> Q(
+      (s, d) => graft.ops.Bpe
+        .pairCounts(graft.ops.Bpe.wordCounts(docs(s, d), "text"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2")),
+      Some("""WITH wc AS (SELECT w, COUNT(*) AS c FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w),
+        s AS (SELECT w, c, list_append(
+            list_transform(range(1, len(w) + 1), i -> w[i]), '</w>') AS syms
+          FROM wc),
+        p AS (SELECT c, unnest(list_transform(range(1, len(syms)),
+            i -> {'p1': syms[i], 'p2': syms[i + 1]})) AS pr FROM s)
+        SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM p GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2""")),
+
+    // --- BPE end-to-end: fit 20 merges, encode, count tokens per doc ---------
+    // (rows-only: the merge loop is data-derived and iterative, so no
+    // SQL oracle exists; exact semantics are pinned in BpeSpec against
+    // hand-computed Sennrich-example merges.)
+    "q106_bpe_encode" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val merges = graft.ops.Bpe.fit(corpus, "text", numMerges = 20)
+        graft.ops.Bpe.encodedTokenCount(corpus, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      None)
   )
 }
