@@ -95,7 +95,13 @@ object Bench {
     // round-8: SemDeDup, substring-dedup signal, bigram-LM quality
     "q97_semantic_dedup" -> SparkEntry.queries("q97_semantic_dedup"),
     "q98_dup_spans" -> SparkEntry.queries("q98_dup_spans"),
-    "q99_bigram_lm" -> SparkEntry.queries("q99_bigram_lm"))
+    "q99_bigram_lm" -> SparkEntry.queries("q99_bigram_lm"),
+    // round-8: sequence packing, MG heavy hitters, quantile pruning, BPE
+    "q101_pack_sequences" -> SparkEntry.queries("q101_pack_sequences"),
+    "q103_heavy_hitters" -> SparkEntry.queries("q103_heavy_hitters"),
+    "q104_quantile_filter" -> SparkEntry.queries("q104_quantile_filter"),
+    "q105_bpe_pair_counts" -> SparkEntry.queries("q105_bpe_pair_counts"),
+    "q106_bpe_encode" -> SparkEntry.queries("q106_bpe_encode"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
