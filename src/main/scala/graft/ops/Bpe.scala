@@ -101,10 +101,76 @@ object Bpe {
   }
 
   /** train `numMerges` merges on the corpus; returns them in merge
-    * order. Stops early when no pair occurs twice. */
-  def fit(df: DataFrame, text: String, numMerges: Int): Seq[(String, String)] = {
+    * order. Stops early when no pair occurs twice.
+    *
+    * After the one corpus-scale word-count pass, the merge loop runs
+    * wherever the vocabulary actually fits: when the distinct-word
+    * table has at most `localVocabCap` rows it collects ONCE and the
+    * rounds run in driver memory (no per-round job — the KMeans
+    * centroids trade, since a natural-language vocabulary is millions
+    * of rows against a corpus of trillions); a larger vocabulary keeps
+    * the rounds distributed over the vocabulary table. Both paths use
+    * the same counts and the same UTF8-binary tie-break, so they
+    * produce IDENTICAL merges (asserted in BpeSpec). */
+  def fit(df: DataFrame, text: String, numMerges: Int,
+          localVocabCap: Int = 1 << 20): Seq[(String, String)] = {
     require(numMerges >= 1, "Bpe.fit: numMerges must be >= 1")
-    var vocab = wordCounts(df, text)
+    val wc = wordCounts(df, text).localCheckpoint()
+    if (wc.count() <= localVocabCap) {
+      val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      fitLocal(rows, numMerges)
+    } else fitDistributed(wc, numMerges)
+  }
+
+  /** Spark's string ordering is UTF8 BYTE order; java.lang.String
+    * compares UTF-16 code units. Identical on ASCII, different around
+    * supplementary planes — the local path must match the distributed
+    * tie-break exactly. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  private[graft] def fitLocal(words: Array[(String, Long)],
+                              numMerges: Int): Seq[(String, String)] = {
+    var vocab: Array[(Seq[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString) :+ EndOfWord, c)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 1L
+      counts.forEach { (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))  {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          (applyMerge(syms, best._1, best._2), c)
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  private[graft] def fitDistributed(wc: DataFrame,
+                                    numMerges: Int): Seq[(String, String)] = {
+    var vocab = wc
       .withColumn("syms", symbols(col("w"))).drop("w")
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]

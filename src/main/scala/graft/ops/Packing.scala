@@ -81,4 +81,26 @@ object Packing {
   def packDocuments(df: DataFrame, id: String, text: String,
                     maxLen: Long): DataFrame =
     packConcat(df, id, size(split(col(text), " ")), maxLen)
+
+  /** Materialized training examples: the actual token content of every
+    * pack. The (id, pack) interval map from [[packConcat]] equi-joins
+    * back to the corpus, each document contributes the token slice
+    * that landed in the pack, and one aggregate per pack reassembles
+    * fragments in document order (in-memory sort bounded by docs-per-
+    * pack ≤ maxLen). Every pack holds exactly `maxLen` tokens except
+    * the final one. Returns (pack_id, n_toks, pack_text). */
+  def packTexts(df: DataFrame, id: String, text: String,
+                maxLen: Long): DataFrame = {
+    val packs = packDocuments(df, id, text, maxLen)
+    packs.join(df.select(col(id), split(col(text), " ").as("__w")), Seq(id))
+      .select(col("pack_id"), col(id),
+        slice(col("__w"), (col("tok_start") + 1).cast("int"),
+          (col("tok_end") - col("tok_start")).cast("int")).as("frag"))
+      .groupBy("pack_id").agg(
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(id), col("frag")))),
+          x => x.getField("frag"))), " ").as("pack_text"))
+      .select(col("pack_id"),
+        size(split(col("pack_text"), " ")).as("n_toks"), col("pack_text"))
+  }
 }

@@ -1302,6 +1302,35 @@ object Pipeline {
         SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(SUM(c) AS BIGINT) AS cnt
         FROM p GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2""")),
 
+    // --- pack contents: the materialized training examples -------------------
+    // (Packing.packTexts — q101's interval map joined back to the
+    // corpus, fragments reassembled in document order; every pack but
+    // the last holds exactly maxLen tokens, which the oracle replays.)
+    "q107_pack_texts" -> Q(
+      (s, d) => graft.ops.Packing
+        .packTexts(docs(s, d), "doc_id", "text", maxLen = 1000)
+        .orderBy("pack_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents WHERE len(string_split(text, ' ')) > 0),
+        c AS (SELECT doc_id, w, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t),
+        e AS (SELECT doc_id, w, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c),
+        f AS (SELECT pack_id, doc_id,
+            array_to_string(w[CAST(greatest(pack_id * 1000, cb) - cb + 1 AS BIGINT):
+              CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)], ' ')
+              AS frag FROM e),
+        g AS (SELECT CAST(pack_id AS BIGINT) AS pack_id,
+            string_agg(frag, ' ' ORDER BY doc_id) AS pack_text
+          FROM f GROUP BY pack_id)
+        SELECT pack_id,
+          CAST(len(string_split(pack_text, ' ')) AS INTEGER) AS n_toks,
+          pack_text FROM g ORDER BY pack_id""")),
+
     // --- BPE end-to-end: fit 20 merges, encode, count tokens per doc ---------
     // (rows-only: the merge loop is data-derived and iterative, so no
     // SQL oracle exists; exact semantics are pinned in BpeSpec against

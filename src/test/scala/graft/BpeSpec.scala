@@ -57,6 +57,15 @@ class BpeSpec extends SparkSpec {
     assert(n == toks.size.toLong)
   }
 
+  test("local and distributed fit paths produce identical merges") {
+    val local = Bpe.fit(sennrich, "text", 8) // vocab 4 << cap → local
+    val dist = Bpe.fitDistributed(
+      Bpe.wordCounts(sennrich, "text").localCheckpoint(), 8)
+    assert(local == dist)
+    // forcing the distributed path through fit's cap gives the same
+    assert(Bpe.fit(sennrich, "text", 8, localVocabCap = 0) == local)
+  }
+
   test("fit and encode are invariant to input partitioning") {
     val rep = sennrich.repartition(7, col("text"))
     assert(Bpe.fit(rep, "text", 5) == Bpe.fit(sennrich, "text", 5))
