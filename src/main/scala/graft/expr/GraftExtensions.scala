@@ -50,5 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }.getOrElse(6)
         Int128SumMicros(args.head, scale)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_misra_gries(item, k) takes a string column and an int literal")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+        MisraGriesAgg(args.head, k).toAggregateExpression()
+      }))
   }
 }

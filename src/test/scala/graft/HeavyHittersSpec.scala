@@ -46,6 +46,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("graft_misra_gries is callable from spark.sql") {
+    Seq("x", "y", "x").toDF("w").createOrReplaceTempView("hh_in")
+    val got = spark.sql(
+      "SELECT explode(graft_misra_gries(w, 8)) AS e FROM hh_in")
+      .select(col("e.item"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 2L), ("y", 1L)))
+  }
+
   test("null inputs are ignored; output is sorted cnt desc, item asc") {
     val rows = spark.createDataFrame(
       Seq(Some("b"), Some("a"), None, Some("b"), Some("c"), Some("a"), Some("b"))
