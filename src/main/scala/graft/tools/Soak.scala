@@ -81,6 +81,29 @@ object Soak {
     val (nLm, tLm) = time {
       graft.ops.TextAnalysis.bigramLmScore(big, "doc_id", "text").count() }
     release()
+    // sequence packing: distributed prefix sum over 200k-row id order
+    val (nPack, tPack) = time {
+      graft.ops.Packing.packDocuments(big, "doc_id", "text", 2048).count() }
+    release()
+    // BPE: the corpus-scale word-count pass + 20 local merge rounds,
+    // then the relational encode (distinct-word dict + stamp join)
+    val (nBpe, tBpe) = time {
+      val merges = graft.ops.Bpe.fit(big, "text", numMerges = 20)
+      graft.ops.Bpe.encodedTokenCount(big, "doc_id", "text", merges).count() }
+    release()
+    // Misra-Gries heavy hitters over every token occurrence
+    val (nHh, tHh) = time {
+      big.select(explode(split(col("text"), " ")).as("w"))
+        .agg(graft.expr.HeavyHitters.misraGries(col("w"), 64).as("hh"))
+        .select(explode(col("hh"))).count() }
+    release()
+    // per-source quantile pruning (exact per-group percentile)
+    val (nKtq, tKtq) = time {
+      graft.ops.TextAnalysis.keepTopQuantile(
+        big.withColumn("ntok", size(split(col("text"), " ")))
+          .withColumn("src", col("doc_id") % 20),
+        "src", col("ntok").cast("double"), q = 0.5).count() }
+    release()
     // SemDeDup: replicated embeddings are IDENTICAL across copies, so
     // every base vector becomes a copies-sized cos=1 clique inside one
     // cell — the hostile shape for within-cell pairing. Centroids come
@@ -109,6 +132,10 @@ object Soak {
         f""""dup_spans":{"rows":$nSpan,"sec":$tSpan%.2f},""" +
         f""""bigram_lm":{"rows":$nLm,"sec":$tLm%.2f},""" +
         f""""semantic_dedup":{"rows":$nSem,"sec":$tSem%.2f},""" +
+        f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
+        f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
+        f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
+        f""""quantile_filter":{"rows":$nKtq,"sec":$tKtq%.2f},""" +
         s""""heap_used_mb":$heapUsedMb}"""
     println(json)
     java.nio.file.Files.writeString(
