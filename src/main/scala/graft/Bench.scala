@@ -88,6 +88,7 @@ object Bench {
     "q72_embed_normalize" -> SparkEntry.queries("q72_embed_normalize"),
     "q73_tpch_q3" -> SparkEntry.queries("q73_tpch_q3"),
     "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"),
+    "q108_tpch_q18" -> SparkEntry.queries("q108_tpch_q18"),
     // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
     "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
     "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),

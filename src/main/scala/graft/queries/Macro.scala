@@ -97,6 +97,42 @@ object Macro {
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // --- Q18 shape: large-volume customers — a HAVING subquery over the
+    // fact table drives everything. The hot-order keyset (sum_qty > 300,
+    // ~0.1% of orders) is computed by ONE fact-table aggregate and then
+    // BROADCASTS up the join chain: orders joins it without a shuffle,
+    // and the tiny result broadcasts again into the customer scan. The
+    // sum is reused from the keyset aggregate instead of re-joining
+    // lineitem (equivalent to the textbook formulation, one fact pass
+    // fewer). l_quantity is integral, so the double sum is exact and
+    // order-independent. Deterministic top-100 via the orderkey
+    // tie-break (TakeOrderedAndProject, never a global sort).
+    "q108_tpch_q18" -> Q(
+      (s, d) => {
+        val hot = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val ordHot = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .join(broadcast(hot), col("o_orderkey") === col("l_orderkey"))
+        Tables.customer(s, d).select("c_custkey", "c_name")
+          .join(broadcast(ordHot), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+          CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+          sum_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 300) h
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
+
     // --- distributed decision-stump fit, oracle-checked ------------------
     // One depth-1 CART fit (exact-percentile candidates, gini, the
     // deterministic tie-breaks documented in ops.DecisionTree) whose

@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
       "star-schema dims should broadcast, not shuffle")
   }
 
+  test("q108: hot-order keyset broadcasts up the chain; top-100 is " +
+    "TakeOrderedAndProject, never a global sort") {
+    val plan = SparkEntry.queries("q108_tpch_q18")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the HAVING keyset and the joined order rows must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT 100 over a sort must plan as TakeOrderedAndProject")
+    assert(!plan.contains("SortMergeJoin"),
+      "no join in Q18 should shuffle both sides")
+  }
+
   test("macro queries: dims broadcast, date filters reach the fact scans") {
     for (q <- Seq("q73_tpch_q3", "q74_tpch_q5")) {
       val plan = SparkEntry.queries(q)(spark, sfSmoke)
