@@ -290,6 +290,61 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Incremental MinHash+LSH near-dup: the standing-ingestion shape —
+    * candidate pairs form ONLY between the new batch and the seen
+    * corpus (band-bucket equi-join of the two sides), never seen×seen
+    * (already deduped) and never new×new (run [[minhashLsh]] on the
+    * batch for that). The seen side ships (id, band, bucket) plus its
+    * shingle-hash arrays for the exact verify — signatures can also be
+    * persisted between ingests, making each increment's cost
+    * O(batch + touched buckets), not O(corpus).
+    *
+    * `maxSeenBucket` skips seen-side mega-buckets (a hot bucket makes
+    * every future ingest pay |newBucket|×|seenBucket| candidates —
+    * same guard and trade as [[minhashLsh]]'s maxBucket). Ids must be
+    * disjoint across the two frames. Returns (d1 ∈ new, d2 ∈ seen,
+    * jac ≥ threshold), exact-verified: no false positives, misses with
+    * the banding probability (1-J^rows)^bands. */
+  def minhashLshIncremental(newDf: DataFrame, seenDf: DataFrame,
+                            id: String, text: String, threshold: Double,
+                            numPerms: Int = 64, bands: Int = 32,
+                            maxSeenBucket: Option[Int] = None,
+                            materialize: Boolean = true): DataFrame = {
+    val rows = numPerms / bands
+    def prep(df: DataFrame) = {
+      val a0 = shingleHashArrays(df, id, text)
+      if (materialize) a0.localCheckpoint() else a0
+    }
+    def band(arrays: DataFrame) = arrays
+      .select(col(id),
+        graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
+      .select(col(id), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val newArrays = prep(newDf)
+    val seenArrays = prep(seenDf)
+    val nb = band(newArrays)
+    val sb0 = band(seenArrays)
+    val sb = maxSeenBucket match {
+      case Some(cap) =>
+        val keep = sb0.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= cap).select("band", "bucket")
+        sb0.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => sb0
+    }
+    val cand = nb.as("x").join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2")).distinct()
+    cand
+      .join(newArrays.select(col(id).as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(seenArrays.select(col(id).as("d2"), col("hs").as("hs2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("i").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   /** SimHash over word hashes: sign-sum each bit of wordHash(word),
     * reassemble. The word-hash array feeds the codegen'd
     * [[graft.expr.SimHashSignature]] kernel — one pass over the array

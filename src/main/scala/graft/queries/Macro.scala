@@ -133,6 +133,57 @@ object Macro {
         JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
 
+    // --- Q21 shape: the lone late supplier in multi-supplier orders.
+    // The textbook formulation is a 4-way self-join with correlated
+    // EXISTS / NOT EXISTS over the fact table (three lineitem reads);
+    // the Spark-first re-expression replaces both correlated
+    // subqueries with TWO hash aggregates — per-(order, supplier)
+    // any-late, then per-order (supplier count, late-supplier count) —
+    // and one equi-join back: a line qualifies iff its order has ≥ 2
+    // suppliers and exactly 1 late one (which, the line being late,
+    // must be this supplier). Two fact reads, no correlated execution,
+    // all joins on the order key. The oracle runs the TEXTBOOK
+    // EXISTS/NOT-EXISTS form — hash-match proves the re-expression.
+    // (testdata has no l_commitdate/l_receiptdate; lateness is
+    // l_shipdate > o_orderdate + 60 days.)
+    "q109_tpch_q21" -> Q(
+      (s, d) => {
+        val lo = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+              .as("late"))
+        val ps = lo.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("any_late"))
+        val os = ps.groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_supp"),
+          sum(col("any_late").cast("int")).as("n_late"))
+        lo.filter(col("late"))
+          .join(os, Seq("l_orderkey"))
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name", "s_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, s_suppkey, COUNT(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name, s_suppkey
+        ORDER BY numwait DESC, s_suppkey LIMIT 20""")),
+
     // --- distributed decision-stump fit, oracle-checked ------------------
     // One depth-1 CART fit (exact-percentile candidates, gini, the
     // deterministic tie-breaks documented in ops.DecisionTree) whose

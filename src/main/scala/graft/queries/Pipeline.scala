@@ -130,6 +130,35 @@ object Pipeline {
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         ORDER BY d1, d2""")),
 
+    // --- incremental MinHash+LSH: new batch (odd ids) vs seen corpus
+    // (even ids) — candidates form only ACROSS the ingest boundary
+    // (band-bucket equi-join of the two sides), never seen×seen. The
+    // oracle is the exact cross-side Jaccard join (q45's convention:
+    // at threshold 0.8 the 32×2 banding misses with p < 1e-14, and the
+    // exact verify removes every false positive).
+    "q110_minhash_incremental" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.minhashLshIncremental(
+          all.filter(col("doc_id") % 2 === 1),
+          all.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 0.8).orderBy("d1", "d2")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s
+            AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id
+          JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ORDER BY d1, d2""")),
+
     // --- skew-capped dedup variants: the paths a 100×-scale corpus should
     // run. q44b drops shingles with document frequency > 5 before the
     // self-join (high-DF shingles contribute quadratic posting-list pairs

@@ -1098,6 +1098,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected (V=$vocab)")
   }
 
+  test("incremental MinHash+LSH equals the full run restricted to " +
+    "cross-boundary pairs") {
+    val d = Tables.documents(spark, sfSmoke)
+    val newB = d.filter($"doc_id" % 2 === 1)
+    val seen = d.filter($"doc_id" % 2 === 0)
+    val inc = Dedup.minhashLshIncremental(newB, seen, "doc_id", "text", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val full = Dedup.minhashLsh(d, "doc_id", "text", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 2 != b % 2 } // cross-parity only
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(inc == full && inc.nonEmpty)
+    // seen-side mega-bucket cap: cap 0 kills every candidate
+    assert(Dedup.minhashLshIncremental(newB, seen, "doc_id", "text", 0.8,
+      maxSeenBucket = Some(0)).count() == 0)
+  }
+
   test("keepTopQuantile prunes below each group's own threshold") {
     val d = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
       Seq.tabulate(4)(i => ("b", 100.0 + i))).toDF("g", "v")
