@@ -89,6 +89,7 @@ object Bench {
     "q73_tpch_q3" -> SparkEntry.queries("q73_tpch_q3"),
     "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"),
     "q108_tpch_q18" -> SparkEntry.queries("q108_tpch_q18"),
+    "q109_tpch_q21" -> SparkEntry.queries("q109_tpch_q21"),
     // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
     "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
     "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),
@@ -102,7 +103,8 @@ object Bench {
     "q103_heavy_hitters" -> SparkEntry.queries("q103_heavy_hitters"),
     "q104_quantile_filter" -> SparkEntry.queries("q104_quantile_filter"),
     "q105_bpe_pair_counts" -> SparkEntry.queries("q105_bpe_pair_counts"),
-    "q106_bpe_encode" -> SparkEntry.queries("q106_bpe_encode"))
+    "q106_bpe_encode" -> SparkEntry.queries("q106_bpe_encode"),
+    "q110_minhash_incremental" -> SparkEntry.queries("q110_minhash_incremental"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,6 +35,22 @@ object Events {
   def withLateData(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
 
+  /** windowed heavy hitters on a stream: the Misra-Gries summary
+    * ([[graft.expr.MisraGriesAgg]]) as a streaming window aggregate —
+    * per-window state is ONE bounded k-counter buffer per partition
+    * (TypedImperativeAggregate update/merge run incrementally in the
+    * state store), so "top items per hour over an unbounded stream"
+    * never holds per-item counts. Same guarantees as batch: exact when
+    * a window's distinct items < k, n/k-bounded otherwise. Input needs
+    * a watermark on `ts` (see [[withLateData]]) for state expiry.
+    * Emits one row per window: (window_start, hh: array<struct<item,
+    * cnt>>). */
+  def topItemsWindowed(events: DataFrame, itemCol: String, k: Int,
+                       windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen))
+      .agg(graft.expr.HeavyHitters.misraGries(col(itemCol), k).as("hh"))
+      .select(col("window").getField("start").as("window_start"), col("hh"))
+
   /** exact dedup on a stream — the streaming analog of `Dedup.exact`:
     * the first arrival of each key emits, later duplicates within the
     * watermark horizon drop, and key state EXPIRES once the watermark

@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topItemsWindowed: incremental MG state across batches equals " +
+    "batch counts in the exact regime") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + min * 60000L)
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Events.topItemsWindowed(
+        src.toDF().toDF("ts", "item").withWatermark("ts", "1 hour"),
+        "item", k = 16)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hh_stream").start()
+    try {
+      src.addData((at(0), "a"), (at(1), "b"), (at(2), "a"))
+      q.processAllAvailable()
+      // second batch updates the SAME window's state-store buffer
+      src.addData((at(30), "a"), (at(31), "c"), (at(59), "b"), (at(5), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .select(col("window_start"), explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.cnt"))
+        .as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("a", 4L), ("b", 2L), ("c", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
