@@ -144,6 +144,61 @@ class PropertySpec extends SparkSpec {
     assert(folds == again)
   }
 
+  // ---- BPE invariants (pure-JVM kernels) ----------------------------------
+  test("BPE: encodeWord losslessly reconstructs the word under any merges") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+    val pair = Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty),
+      Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    val gen = Gen.zip(word, Gen.listOf(pair))
+    checkProp(Prop.forAllNoShrink(gen) { case (w, merges) =>
+      val ranks = merges.zipWithIndex.toMap
+      val toks = graft.ops.Bpe.encodeWord(w, ranks)
+      // concatenating the tokens and stripping the end marker gives the
+      // word back, and every token is non-empty
+      toks.mkString.stripSuffix(graft.ops.Bpe.EndOfWord) == w &&
+        toks.forall(_.nonEmpty)
+    })
+  }
+
+  test("BPE: applyMerge never changes the flattened symbol stream") {
+    val sym = Gen.oneOf("a", "b", "ab", "c")
+    val gen = Gen.zip(Gen.listOf(sym), Gen.zip(sym, sym))
+    checkProp(Prop.forAllNoShrink(gen) { case (syms, (a, b)) =>
+      graft.ops.Bpe.applyMerge(syms, a, b).mkString == syms.mkString
+    })
+  }
+
+  // ---- Misra-Gries invariants (pure-JVM merge/update algebra) -------------
+  test("MG summary: n/k bound and heavy-item recall on random partitioned streams") {
+    val gen = Gen.zip(
+      Gen.listOfN(400, Gen.chooseNum(0, 30).map(i => s"t$i")),
+      Gen.chooseNum(4, 24), Gen.chooseNum(1, 7))
+    checkProp(Prop.forAllNoShrink(gen) { case (items, k, parts) =>
+      // drive the aggregate's REAL update/merge across `parts`
+      // partitions, exactly as Spark would
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+      import org.apache.spark.sql.types.StringType
+      val agg = graft.expr.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), k)
+      val bufs = items.grouped(math.max(1, items.size / parts)).map { part =>
+        val b = agg.createAggregationBuffer()
+        part.foreach { s => agg.update(b,
+          new GenericInternalRow(Array[Any](UTF8String.fromString(s)))) }
+        b
+      }.toSeq
+      val merged = bufs.reduce(agg.merge)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val got = {
+        val m = scala.collection.mutable.Map[String, Long]()
+        merged.forEach { (s, c) => m(s.toString) = c }
+        m.toMap
+      }
+      got.forall { case (s, c) => c <= truth(s) && c >= truth(s) - n / k } &&
+        truth.forall { case (s, f) => f <= n / k || got.contains(s) }
+    }, cases = 100)
+  }
+
   // ---- positional API surface --------------------------------------------
   test("withIndex / topKPerGroup") {
     val f = graft.api.Frame(Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8))
