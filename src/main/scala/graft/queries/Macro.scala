@@ -136,16 +136,26 @@ object Macro {
     // --- Q21 shape: the lone late supplier in multi-supplier orders.
     // The textbook formulation is a 4-way self-join with correlated
     // EXISTS / NOT EXISTS over the fact table (three lineitem reads);
-    // the Spark-first re-expression replaces both correlated
-    // subqueries with TWO hash aggregates — per-(order, supplier)
-    // any-late, then per-order (supplier count, late-supplier count) —
-    // and one equi-join back: a line qualifies iff its order has ≥ 2
-    // suppliers and exactly 1 late one (which, the line being late,
-    // must be this supplier). Two fact reads, no correlated execution,
-    // all joins on the order key. The oracle runs the TEXTBOOK
-    // EXISTS/NOT-EXISTS form — hash-match proves the re-expression.
-    // (testdata has no l_commitdate/l_receiptdate; lateness is
-    // l_shipdate > o_orderdate + 60 days.)
+    // the Spark-first re-expression is ONE fact pass: per-(order,
+    // supplier) aggregate carrying BOTH the any-late flag and the
+    // late-LINE count, then a per-order rollup (supplier count,
+    // late-supplier count), then an order-key join of the two small
+    // frames — a supplier's late lines count iff its order has ≥ 2
+    // suppliers and exactly 1 late one (which must be this supplier).
+    // No correlated execution, the fact table is scanned once, and
+    // everything after the first aggregate is order-keyed and tiny.
+    // The oracle runs the TEXTBOOK EXISTS/NOT-EXISTS form — the
+    // hash-match proves the re-expression. (testdata has no
+    // l_commitdate/l_receiptdate; lateness is l_shipdate >
+    // o_orderdate + 60 days.)
+    //
+    // Measured trade (QBench A/B, sf0.1, 5 iters): a two-pass variant
+    // that re-reads the fact table for the late lines is 1.40 s vs
+    // 1.45-1.6 s here, overlapping spreads — locally `orders`
+    // broadcasts, so its second fact read is nearly free. At cluster
+    // scale orders does NOT broadcast and the second pass becomes a
+    // second fact-scale join; the single-pass shape is kept because
+    // that is the plan that survives the scale-up.
     "q109_tpch_q21" -> Q(
       (s, d) => {
         val lo = Tables.lineitem(s, d)
@@ -155,18 +165,19 @@ object Macro {
           .select(col("l_orderkey"), col("l_suppkey"),
             (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
               .as("late"))
-        val ps = lo.groupBy("l_orderkey", "l_suppkey")
-          .agg(max(col("late")).as("any_late"))
+        val ps = lo.groupBy("l_orderkey", "l_suppkey").agg(
+          max(col("late")).as("any_late"),
+          sum(col("late").cast("long")).as("n_late_lines"))
         val os = ps.groupBy("l_orderkey").agg(
           count(lit(1)).as("n_supp"),
           sum(col("any_late").cast("int")).as("n_late"))
-        lo.filter(col("late"))
+        ps.filter(col("any_late"))
           .join(os, Seq("l_orderkey"))
           .filter(col("n_supp") >= 2 && col("n_late") === 1)
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name", "s_suppkey")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_suppkey"))
           .limit(20)
       },
