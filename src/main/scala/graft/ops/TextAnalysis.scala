@@ -409,6 +409,33 @@ object TextAnalysis {
       .drop("__ktq_score", "__ktq_thr")
   }
 
+  /** Curriculum bucketing: assign every row a quantile bucket of
+    * `score` WITHIN its group (the difficulty/quality tiers a staged
+    * training run samples from). One hash aggregate computes each
+    * group's quantile vector (exact percentile over the probs array),
+    * the one-row-per-group threshold table broadcasts back, and the
+    * bucket index is a scan-stage fold over the thresholds — never an
+    * ntile window over the corpus (a per-group global sort).
+    *
+    * With probs = (p1 < p2 < ... < pm), bucket i ∈ [0, m]: the count
+    * of thresholds at or below the row's score — rows at a threshold
+    * go to the higher bucket, matching `keepTopQuantile`'s >= keep
+    * rule. Returns df + `bucket`. */
+  def bucketByQuantiles(df: DataFrame, group: String, score: Column,
+                        probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0 && p < 1),
+      "bucketByQuantiles: probs must be sorted, in (0, 1)")
+    val scored = df.withColumn("__bq_score", score)
+    val thr = scored.groupBy(col(group)).agg(
+      percentile(col("__bq_score"),
+        array(probs.map(lit(_)): _*)).as("__bq_thr"))
+    scored.join(broadcast(thr), Seq(group))
+      .withColumn("bucket", aggregate(col("__bq_thr"), lit(0),
+        (acc, t) => acc + when(col("__bq_score") >= t, 1).otherwise(0)))
+      .drop("__bq_score", "__bq_thr")
+  }
+
   def portableWordHash(w: Column): Column = {
     val poly = aggregate(split(w, ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)

@@ -1300,6 +1300,38 @@ object Pipeline {
         WHERE sc.sr >= thr.t
         GROUP BY sc.source ORDER BY sc.source""")),
 
+    // --- curriculum buckets: per-source score quartiles ----------------------
+    // (TextAnalysis.bucketByQuantiles — exact per-group quantile vector
+    // broadcast back, scan-stage threshold fold; the oracle replays
+    // the same quartile thresholds and >= boundary rule.)
+    "q111_curriculum_buckets" -> Q(
+      (s, d) => {
+        val ntok = TA.tokenCount(col("text")).cast("double")
+        TA.bucketByQuantiles(docs(s, d).withColumn("ntok", ntok),
+            "source", col("ntok"), Seq(0.25, 0.5, 0.75))
+          .groupBy("source", "bucket").agg(
+            count(lit(1)).as("n"),
+            round(min(col("ntok")), 9).as("min_ntok"),
+            round(max(col("ntok")), 9).as("max_ntok"))
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH sc AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+          FROM documents),
+        thr AS (SELECT source,
+            quantile_cont(ntok, 0.25) AS t1,
+            quantile_cont(ntok, 0.50) AS t2,
+            quantile_cont(ntok, 0.75) AS t3
+          FROM sc GROUP BY source),
+        b AS (SELECT sc.source, ntok,
+            (CASE WHEN ntok >= t1 THEN 1 ELSE 0 END +
+             CASE WHEN ntok >= t2 THEN 1 ELSE 0 END +
+             CASE WHEN ntok >= t3 THEN 1 ELSE 0 END) AS bucket
+          FROM sc JOIN thr ON sc.source = thr.source)
+        SELECT source, bucket, COUNT(*) AS n,
+          round(MIN(ntok), 9) AS min_ntok, round(MAX(ntok), 9) AS max_ntok
+        FROM b GROUP BY source, bucket ORDER BY source, bucket""")),
+
     "q103_heavy_hitters" -> Q(
       (s, d) => docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))

@@ -1136,6 +1136,19 @@ class OpsSpec extends SparkSpec {
     assert(keptA.map(_._1).toSet == Set("a", "b") && keptA.size >= 6)
   }
 
+  test("bucketByQuantiles assigns per-group quartiles with >= boundaries") {
+    val d = (Seq.tabulate(8)(i => ("a", (i + 1).toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0))).toDF("g", "v")
+    val got = TA.bucketByQuantiles(d, "g", $"v", Seq(0.25, 0.5, 0.75))
+      .select("g", "v", "bucket").as[(String, Double, Int)]
+      .collect().toSet
+    // group a: 1..8 → quartile thresholds 2.75 / 4.5 / 6.25
+    val expA = Seq(1 -> 0, 2 -> 0, 3 -> 1, 4 -> 1, 5 -> 2, 6 -> 2, 7 -> 3, 8 -> 3)
+      .map { case (v, b) => ("a", v.toDouble, b) }.toSet
+    // group b: thresholds 125/150/175 → 100 below all, 200 above all
+    assert(got == expA ++ Set(("b", 100.0, 0), ("b", 200.0, 3)))
+  }
+
   test("repeated-line removal: boilerplate drops, order survives, " +
     "empty docs vanish unless keepEmpty") {
     val d = Seq(
