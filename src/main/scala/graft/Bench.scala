@@ -51,6 +51,14 @@ import org.apache.spark.sql.functions._
   * 4× the docs with 4× the clique size (≈16× the pair work) costs ~6×
   * wall — the dfCap/maxBucket guards keep the quadratics bounded, the
   * memory cliff the sf0.1 bench cannot see does not materialize.
+  *
+  * Round-8 continuation extended the soak to the corpus-prep surface
+  * (same 10×/40× replication; full record in SOAK_LOCAL.json):
+  * dup-spans 0.9→2.0 s, bigram-LM 1.2→1.6 s, SemDeDup over
+  * identical-copy embedding cliques 2.9→7.3 s, packing 1.3→1.5 s,
+  * BPE fit+encode 1.8→2.5 s, Misra-Gries 0.4→0.5 s, quantile filter
+  * 0.5→0.7 s — all sublinear in wall-time at 4× docs, 12.3 GB peak
+  * heap, no OOM; the 40× run pushes MG into its eviction regime.
   */
 object Bench {
 
