@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-macro soak at sf1-equivalent scale: the sf fixtures stop
+  * at sf0.1 (~600 k lineitem rows), so this main replicates the TPC-H
+  * tables `SPARK_GRAFT_SOAK_COPIES`× (default 10 → ~6 M lineitem rows)
+  * with consistent KEY OFFSETS (orderkey / custkey / suppkey shift by
+  * copy×10⁹ in every table that carries them, so join cardinalities
+  * scale linearly and no cross-copy edges appear), writes them under
+  * the fixture layout, and re-runs the REGISTRY macro queries
+  * unchanged against the scaled directory. Dimension tables (nation /
+  * region) stay single-copy — exactly how a real scale-up behaves, and
+  * what keeps them broadcastable.
+  *
+  * Proves the macro plans' scale posture the sf0.1 bench can't: the
+  * broadcast dims stay broadcast, the fact-fact joins stay shuffle
+  * equi-joins, and wall-times must scale ~linearly with the fact
+  * tables. One JSON line appends to SOAK_LOCAL.json.
+  *
+  * Run: SPARK_GRAFT_SOAK_COPIES=10 sbt "runMain graft.tools.SoakTpch"
+  */
+object SoakTpch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/soak_tpch")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val K = 1_000_000_000L
+    def replicate(df: DataFrame, keys: String*): DataFrame =
+      (0 until copies).map { k =>
+        keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * K)))
+      }.reduce(_ unionAll _)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+
+    write(replicate(graft.Tables.customer(spark, sfDir), "c_custkey"), "customer")
+    write(replicate(graft.Tables.supplier(spark, sfDir), "s_suppkey"), "supplier")
+    write(replicate(graft.Tables.orders(spark, sfDir), "o_orderkey", "o_custkey"), "orders")
+    write(replicate(graft.Tables.lineitem(spark, sfDir),
+      "l_orderkey", "l_suppkey"), "lineitem")
+    write(graft.Tables.nation(spark, sfDir), "nation")
+    write(graft.Tables.region(spark, sfDir), "region")
+    val nLi = spark.read.parquet(s"$out/lineitem.parquet").count()
+
+    def time(name: String): (String, Double) = {
+      val t0 = System.nanoTime()
+      // noop write, as Bench does — count() would let Catalyst prune
+      graft.SparkEntry.queries(name)(spark, out)
+        .write.mode(SaveMode.Overwrite).format("noop").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val macros = Seq("q01_groupby_agg", "q12_join_star", "q73_tpch_q3",
+      "q74_tpch_q5", "q108_tpch_q18", "q109_tpch_q21")
+    val results = macros.map(time)
+
+    val rt = Runtime.getRuntime
+    val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val json =
+      s"""{"soak":"tpch","copies":$copies,"lineitem_rows":$nLi,""" +
+        results.map { case (n, t) => f""""$n":$t%.2f""" }.mkString(",") +
+        s""","heap_used_mb":$heapUsedMb}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SOAK_LOCAL.json"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}
