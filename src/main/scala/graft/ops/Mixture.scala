@@ -61,6 +61,37 @@ object Mixture {
     * collect, so the pass composes lazily into a bigger pipeline plan.
     * Deterministic and engine-portable; documents of dropped groups
     * (target 0) never pass the filter. */
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random non-self partners per row, reproducible across
+    * engines, reruns, and partitionings (no RNG state — the portable
+    * mixer drives everything).
+    *
+    * Each row gets the 0-based ordinal of its id (parallel
+    * zipWithIndex — one bounded count to the driver for the modulus,
+    * never a global window); negative j of ordinal o sits at ordinal
+    * (o + 1 + mix(o·k + j) mod (n−1)) mod n — the offset lives in
+    * [1, n−1], so a row NEVER draws itself; collisions BETWEEN a
+    * row's k draws are possible (sampling with replacement). The
+    * partner resolves by an ordinal equi-join. Returns
+    * (id, j, neg_<id>), k rows per input row. Requires n ≥ 2. */
+  def negativeSamples(df: DataFrame, id: String, k: Int): DataFrame = {
+    require(k >= 1, "negativeSamples: k must be >= 1")
+    val idx = Frame(df.select(col(id)))
+      .withIndex("ord", graft.api.Asc(col(id))).df
+    val n = idx.count()
+    require(n >= 2, s"negativeSamples: needs at least 2 rows, got $n")
+    val pairs = idx
+      .select(col(id), col("ord"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("nord", pmod(
+        col("ord") + 1 + pmod(
+          Frame.portableMix(col("ord") * k + col("j")), lit(n - 1)),
+        lit(n)))
+    pairs.join(idx.select(col("ord").as("nord"), col(id).as(s"neg_$id")),
+        Seq("nord"))
+      .select(col(id), col("j"), col(s"neg_$id"))
+  }
+
   def rebalance(df: DataFrame, id: String, group: String, text: String,
                 targets: Map[String, Double]): DataFrame = {
     val rates = tokenMixture(df, group, text, targets)

@@ -1300,6 +1300,26 @@ object Pipeline {
         WHERE sc.sr >= thr.t
         GROUP BY sc.source ORDER BY sc.source""")),
 
+    // --- negative sampling: k portable non-self partners per doc -------------
+    // (Mixture.negativeSamples — ordinal zipWithIndex + portable-mix
+    // offset in [1, n-1], resolved by an ordinal equi-join; the oracle
+    // replays the ordinal (row_number) and the mixer arithmetic.)
+    "q112_negative_samples" -> Q(
+      (s, d) => graft.ops.Mixture
+        .negativeSamples(docs(s, d), "doc_id", k = 3)
+        .orderBy("doc_id", "j"),
+      Some(s"""WITH idx AS (SELECT doc_id,
+            row_number() OVER (ORDER BY doc_id) - 1 AS ord FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        pairs AS (SELECT doc_id, ord, j FROM idx
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS j)),
+        cand AS (SELECT doc_id, CAST(j AS INTEGER) AS j,
+            (ord + 1 + (${Sql.mix("ord * 3 + j")} % (nn.n - 1))) % nn.n AS nord
+          FROM pairs CROSS JOIN nn)
+        SELECT c.doc_id, c.j, i.doc_id AS neg_doc_id
+        FROM cand c JOIN idx i ON c.nord = i.ord
+        ORDER BY c.doc_id, c.j""")),
+
     // --- curriculum buckets: per-source score quartiles ----------------------
     // (TextAnalysis.bucketByQuantiles — exact per-group quantile vector
     // broadcast back, scan-stage threshold fold; the oracle replays

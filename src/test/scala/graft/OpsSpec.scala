@@ -1136,6 +1136,19 @@ class OpsSpec extends SparkSpec {
     assert(keptA.map(_._1).toSet == Set("a", "b") && keptA.size >= 6)
   }
 
+  test("negativeSamples: k non-self partners per row, deterministic " +
+    "across partitionings") {
+    val d = (0L until 97L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val neg = graft.ops.Mixture.negativeSamples(d, "doc_id", k = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(neg.size == 97 * 4)
+    assert(neg.forall { case (a, _, b) => a != b }, "drew itself")
+    assert(neg.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0, 1, 2, 3)))
+    val again = graft.ops.Mixture.negativeSamples(d.repartition(7), "doc_id", 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(neg.toSet == again.toSet)
+  }
+
   test("bucketByQuantiles assigns per-group quartiles with >= boundaries") {
     val d = (Seq.tabulate(8)(i => ("a", (i + 1).toDouble)) ++
       Seq(("b", 100.0), ("b", 200.0))).toDF("g", "v")
