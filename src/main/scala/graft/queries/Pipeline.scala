@@ -1125,6 +1125,76 @@ object Pipeline {
           GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // --- corpus-prep v2: the modern pipeline as ONE hash-checked query -------
+    // duplicate-span filter (Lee et al. signal, keep dup_frac ≤ 0.5;
+    // docs too short for windows keep — COALESCE 0) → per-source
+    // quantile pruning (keep top 75% by stop-ratio) → exact dedup →
+    // sequence packing. The per-pack output pins the WHOLE chain: any
+    // upstream filter change shifts every pack boundary downstream.
+    // The filtered survivors pin once (q94's stage-boundary pattern) —
+    // the quantile agg and the threshold join both consume them.
+    "q113_pipeline_v2" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val spans = Dedup.duplicateSpanStats(base, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("dup_frac"))
+        val sr = TA.stopwordCount(col("text")).cast("double") /
+          TA.tokenCount(col("text"))
+        val s1 = base.join(spans, Seq("doc_id"), "left")
+          .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.5)
+          .withColumn("sr", sr)
+          .localCheckpoint()
+        val s2 = TA.keepTopQuantile(s1, "source", col("sr"), q = 0.25)
+        val s3 = Dedup.exact(s2, "doc_id", "text")
+        graft.ops.Packing.packDocuments(s3, "doc_id", "text", 1000)
+          .groupBy("pack_id").agg(
+            count(lit(1)).as("n_frags"),
+            sum(col("tok_end") - col("tok_start")).as("n_toks"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("pack_id")
+      },
+      Some {
+        val gram5 = (0 until 5).map(k => s"w[i+$k]").mkString("||' '||")
+        val stopCnt = s"""len(list_filter(string_split(text, ' '),
+          w -> w = 'the' OR w = 'a' OR w = 'an' OR w = 'of' OR w = 'to'
+            OR w = 'and' OR w = 'in' OR w = 'is' OR w = 'it' OR w = 'that'))"""
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+              i -> $gram5)) AS g FROM toks WHERE len(w) >= 5),
+          dupg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+            GROUP BY g HAVING COUNT(*) >= 2),
+          spans AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN dupg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS f
+            FROM g LEFT JOIN dupg ON g.g = dupg.g GROUP BY doc_id),
+          s1 AS (SELECT d.doc_id, d.source, d.text,
+              CAST($stopCnt AS DOUBLE) / len(string_split(text, ' ')) AS sr
+            FROM documents d LEFT JOIN spans ON d.doc_id = spans.doc_id
+            WHERE COALESCE(spans.f, 0) <= 0.5),
+          thr AS (SELECT source, quantile_cont(sr, 0.25) AS t
+            FROM s1 GROUP BY source),
+          s2 AS (SELECT s1.* FROM s1 JOIN thr ON s1.source = thr.source
+            WHERE s1.sr >= thr.t),
+          s3 AS (SELECT * FROM s2 dn WHERE NOT EXISTS (SELECT 1 FROM s2 d2
+            WHERE d2.text = dn.text AND d2.doc_id < dn.doc_id)),
+          t2 AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+            FROM s3 WHERE len(string_split(text, ' ')) > 0),
+          c AS (SELECT doc_id, ntok,
+              CAST(SUM(ntok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+                AS BIGINT) AS cb FROM t2),
+          e AS (SELECT doc_id, ntok, cb,
+              unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+                AS pack_id FROM c)
+          SELECT CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS n_frags,
+            CAST(SUM(least((pack_id + 1) * 1000, cb + ntok)
+              - greatest(pack_id * 1000, cb)) AS BIGINT) AS n_toks,
+            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM e GROUP BY pack_id ORDER BY pack_id"""
+      }),
+
     // --- corpus-fit bigram LM quality scoring --------------------------------
     // (TextAnalysis.bigramLmScore — the CCNet/KenLM perplexity-filter
     // analog, self-fit. Per-bigram ln rounded to 9 dp, per-doc mean via
