@@ -112,7 +112,9 @@ object Bench {
     "q104_quantile_filter" -> SparkEntry.queries("q104_quantile_filter"),
     "q105_bpe_pair_counts" -> SparkEntry.queries("q105_bpe_pair_counts"),
     "q106_bpe_encode" -> SparkEntry.queries("q106_bpe_encode"),
-    "q110_minhash_incremental" -> SparkEntry.queries("q110_minhash_incremental"))
+    "q110_minhash_incremental" -> SparkEntry.queries("q110_minhash_incremental"),
+    "q112_negative_samples" -> SparkEntry.queries("q112_negative_samples"),
+    "q113_pipeline_v2" -> SparkEntry.queries("q113_pipeline_v2"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
