@@ -98,6 +98,8 @@ object Bench {
     "q74_tpch_q5" -> SparkEntry.queries("q74_tpch_q5"),
     "q108_tpch_q18" -> SparkEntry.queries("q108_tpch_q18"),
     "q109_tpch_q21" -> SparkEntry.queries("q109_tpch_q21"),
+    "q114_tpch_q10" -> SparkEntry.queries("q114_tpch_q10"),
+    "q115_tpch_q7" -> SparkEntry.queries("q115_tpch_q7"),
     // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
     "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
     "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),

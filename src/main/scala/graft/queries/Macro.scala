@@ -195,6 +195,99 @@ object Macro {
         GROUP BY s_name, s_suppkey
         ORDER BY numwait DESC, s_suppkey LIMIT 20""")),
 
+    // --- Q10 shape: returned-item revenue top-20. The Spark-first plan
+    // aggregates EARLY and joins attributes LATE: revenue per custkey
+    // from the fact join alone, top-20 via TakeOrderedAndProject (with
+    // a custkey tie-break so the cut is deterministic), and only those
+    // 20 rows join customer/nation for display attributes — the
+    // attribute tables never enter the aggregate, and at scale the
+    // 20-row side broadcasts. The textbook groups by all display
+    // columns; custkey determines them, so the results are identical.
+    "q114_tpch_q10" -> Q(
+      (s, d) => {
+        val lo = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+        val rev = lo.groupBy("o_custkey")
+          .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_custkey")).limit(20)
+        broadcast(rev)
+          .join(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          c_acctbal, n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // --- Q7 shape: volume shipping between two nations. Both nation
+    // dims broadcast; the disjunctive nation-pair predicate sits on the
+    // joined pair (it can't push below the join), the year extraction
+    // is scan-stage, and the revenue rollup is one hash aggregate over
+    // (supp_nation, cust_nation, year).
+    "q115_tpch_q7" -> Q(
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS l_year,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // --- distributed decision-stump fit, oracle-checked ------------------
     // One depth-1 CART fit (exact-percentile candidates, gini, the
     // deterministic tie-breaks documented in ops.DecisionTree) whose

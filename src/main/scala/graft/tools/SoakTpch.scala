@@ -62,7 +62,8 @@ object SoakTpch {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val macros = Seq("q01_groupby_agg", "q12_join_star", "q73_tpch_q3",
-      "q74_tpch_q5", "q108_tpch_q18", "q109_tpch_q21")
+      "q74_tpch_q5", "q108_tpch_q18", "q109_tpch_q21", "q114_tpch_q10",
+      "q115_tpch_q7")
     val results = macros.map(time)
 
     val rt = Runtime.getRuntime
