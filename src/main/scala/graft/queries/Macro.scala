@@ -264,10 +264,10 @@ object Macro {
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("sk"))
           .join(broadcast(n2), col("c_nationkey") === col("ck"))
-          .filter((col("supp_nation") === "NATION_1" &&
-              col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" &&
-              col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_18" &&
+              col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" &&
+              col("cust_nation") === "NATION_18"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
           .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -284,8 +284,8 @@ object Macro {
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
-          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // --- distributed decision-stump fit, oracle-checked ------------------
