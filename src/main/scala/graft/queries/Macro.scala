@@ -288,6 +288,71 @@ object Macro {
             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // --- Q14 shape: promoted-part revenue share over one ship window.
+    // lineitem date-pruned at the scan, part rides a broadcast, ONE
+    // aggregate row carries both decimal-exact sums; the share derives
+    // per-row from exact values (no reorderable fp).
+    "q116_tpch_q14" -> Q(
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            gf.dsumD(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+              .as("promo_rev"),
+            gf.dsumD(rev).as("total_rev"))
+          .select(col("promo_rev"), col("total_rev"),
+            round(col("promo_rev") * 100.0 / col("total_rev"), 9)
+              .as("promo_pct"))
+      },
+      Some(s"""SELECT
+          ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_rev,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS total_rev,
+          round(${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} * 100.0
+            / ${dsum("l_extendedprice * (1 - l_discount)")}, 9) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'""")),
+
+    // --- Q19 shape: disjunctive bracket revenue — the classic
+    // partial-pushdown predicate: each OR arm constrains BOTH join
+    // sides (brand/size on part, quantity on lineitem), so the full
+    // predicate can only apply on the joined pair; part broadcasts and
+    // the single aggregate row is decimal-exact.
+    "q117_tpch_q19" -> Q(
+      (s, d) => {
+        val bracket =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50))
+        Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(Tables.part(s, d)
+            .select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(bracket)
+          .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+            gf.countAll.as("n_lines"))
+      },
+      Some(s"""SELECT
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 10 AND 35)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 20 AND 50)""")),
+
     // --- distributed decision-stump fit, oracle-checked ------------------
     // One depth-1 CART fit (exact-percentile candidates, gini, the
     // deterministic tie-breaks documented in ops.DecisionTree) whose
