@@ -100,6 +100,8 @@ object Bench {
     "q109_tpch_q21" -> SparkEntry.queries("q109_tpch_q21"),
     "q114_tpch_q10" -> SparkEntry.queries("q114_tpch_q10"),
     "q115_tpch_q7" -> SparkEntry.queries("q115_tpch_q7"),
+    "q116_tpch_q14" -> SparkEntry.queries("q116_tpch_q14"),
+    "q117_tpch_q19" -> SparkEntry.queries("q117_tpch_q19"),
     // round-8: composed corpus-prep pipeline, tf-idf, single-pass covariance
     "q94_pipeline_e2e" -> SparkEntry.queries("q94_pipeline_e2e"),
     "q95_tfidf" -> SparkEntry.queries("q95_tfidf"),

@@ -52,6 +52,7 @@ object SoakTpch {
       "l_orderkey", "l_suppkey"), "lineitem")
     write(graft.Tables.nation(spark, sfDir), "nation")
     write(graft.Tables.region(spark, sfDir), "region")
+    write(graft.Tables.part(spark, sfDir), "part")
     val nLi = spark.read.parquet(s"$out/lineitem.parquet").count()
 
     def time(name: String): (String, Double) = {
@@ -63,7 +64,7 @@ object SoakTpch {
     }
     val macros = Seq("q01_groupby_agg", "q12_join_star", "q73_tpch_q3",
       "q74_tpch_q5", "q108_tpch_q18", "q109_tpch_q21", "q114_tpch_q10",
-      "q115_tpch_q7")
+      "q115_tpch_q7", "q116_tpch_q14", "q117_tpch_q19")
     val results = macros.map(time)
 
     val rt = Runtime.getRuntime
