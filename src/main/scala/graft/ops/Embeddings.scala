@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
 import graft.expr.VectorExpressions
 
 /** Embedding-column utilities a corpus pipeline runs before/after
@@ -197,4 +199,110 @@ object Embeddings {
   def randomProject(vec: Column, dim: Int, outDim: Int,
                     seed: Long = 42L): Column =
     project(vec, randomProjectionBasis(dim, outDim, seed))
+
+  // ---- product quantization (Jégou, Douze & Schmid 2011, IEEE TPAMI —
+  // public method; the FAISS-style compress-and-search path) -------------
+
+  /** Raw PQ codebooks from the corpus itself: subspace s's centroids
+    * are the s-th subvectors of every `every`-th id (the lloydProfile
+    * init convention — deterministic, SQL-replayable: q118's oracle
+    * re-derives them with a WHERE clause). Returns codebooks(s)(j) =
+    * j-th centroid of subspace s, j ordered by the source id. Refine
+    * with [[pqTrainCodebooks]] when reconstruction error matters. */
+  def pqInitCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
+                      m: Int, every: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pqInitCodebooks: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val rows = df.filter(col(id) % every === 0)
+      .select(col(id), col(vec).cast("array<double>").as("v"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "pqInitCodebooks: no centroid rows selected")
+    Array.tabulate(m) { s =>
+      rows.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray)
+    }
+  }
+
+  /** Lloyd-refined PQ codebooks: one [[KMeans.lloydProfile]] run per
+    * subspace over the sliced vectors (exact-integer means, bit-stable
+    * across partitionings). Centroid count = rows with id % every == 0;
+    * cells that lose every member drop (standard Lloyd), so subspaces
+    * may end with fewer codes. */
+  def pqTrainCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
+                       m: Int, every: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pqTrainCodebooks: m=$m must divide dim=$dim")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val sliced = df.select(col(id),
+        slice(col(vec).cast("array<double>"), s * sub + 1, sub).as("sv"))
+      KMeans.lloydProfile(sliced, id, "sv", every, iters)
+        .collect().groupBy(_.getLong(0)).toSeq
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }.sortBy(_._1).map(_._2).toArray
+    }
+  }
+
+  /** PQ encode: per subspace, the index of the nearest centroid by
+    * squared L2 (d = ||c||² − 2·x·c — the lloydProfile formula; ties →
+    * smaller index). ||c||² folds sequentially on the driver and rides
+    * as a literal, the dot is the codegen kernel — both replayable in
+    * SQL (the q66 parity convention). Returns array<int>, one code per
+    * subspace: dim doubles compress to m small ints. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dvec = vec.cast("array<double>")
+    array((0 until m).map { s =>
+      val sv = slice(dvec, s * sub + 1, sub)
+      val scored = codebooks(s).zipWithIndex.map { case (c, j) =>
+        var c2 = 0.0
+        c.foreach(x => c2 += x * x) // sequential — oracle parity
+        struct((lit(c2) - lit(2.0) * Similarity.dot(sv, typedLit(c.toSeq)))
+          .as("d"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }: _*)
+  }
+
+  /** approximate reconstruction: concatenate the coded centroids. */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq), get(codes, lit(s)) + 1)
+    }: _*)
+
+  /** Asymmetric-distance top-k: each query builds an m×K lookup table
+    * of exact subvector distances to every centroid (driver-side —
+    * queries are a bounded set, the [[Similarity.topK]] convention) and
+    * a corpus row's approximate distance is the SUM of m LUT entries
+    * picked by its codes — the corpus is scanned once per batch with
+    * only the m-byte codes read, never the raw vectors. Returns
+    * (qid, rank, id, adist), rank 1..k by ascending approximate
+    * squared-L2 (ties → smaller id). */
+  def pqTopK(queries: Array[(Long, Array[Double])], corpus: DataFrame,
+             id: String, codes: String,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val perQuery = queries.map { case (qid, q) =>
+      val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val diff = q(s * sub + i) - c(i); d += diff * diff; i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+      val adist = (0 until m).map(s =>
+        element_at(element_at(typedLit(lut), s + 1),
+          get(col(codes), lit(s)) + 1)).reduce(_ + _)
+      corpus.select(lit(qid).as("qid"), col(id), adist.as("adist"))
+        .orderBy(col("adist"), col(id)).limit(k)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(id))
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col(id), col("adist"))
+  }
 }

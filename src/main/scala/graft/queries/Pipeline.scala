@@ -1278,6 +1278,49 @@ object Pipeline {
           JOIN sums sa ON p.i = sa.i JOIN sums sb ON p.j = sb.i
         ORDER BY i, j""")),
 
+    // --- product quantization: encode the embedding corpus -------------------
+    // (Embeddings.pqEncode over pqInitCodebooks — 64 doubles compress
+    // to 8 codes. Codebooks derive from every 100th id's subvectors
+    // (the lloydProfile init convention), so the oracle re-derives
+    // them with a WHERE clause and replays the argmin: d = ||c||² −
+    // 2·x·c with sequential folds on both engines — the q66 parity
+    // convention. Lloyd-refined codebooks and ADC search are
+    // spec-covered in PqSpec; encode is the hash-gated kernel.)
+    "q118_pq_encode" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val cbs = graft.ops.Embeddings.pqInitCodebooks(
+          e, "vec_id", "embedding", dim = 64, m = 8, every = 100)
+        val codes = graft.ops.Embeddings.pqEncode(col("embedding"), cbs)
+        e.select(col("vec_id") +:
+          (0 until 8).map(i => get(codes, lit(i)).as(s"c$i")): _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        def sq(s: Int) = {
+          val off = s * 8
+          s"""a$s AS (SELECT e.vec_id, c.cid,
+              list_sum(list_transform(range(1, 9),
+                i -> CAST(c.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE)))
+              - 2 * list_sum(list_transform(range(1, 9),
+                i -> CAST(e.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE))) AS d
+            FROM e CROSS JOIN cent c),
+          b$s AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM a$s) WHERE rn = 1)"""
+        }
+        s"""WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              AS cid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          ${(0 until 8).map(sq).mkString(",\n")}
+          SELECT e.vec_id,
+            ${(0 until 8).map(i => s"CAST(b$i.cid AS INTEGER) AS c$i").mkString(", ")}
+          FROM e ${(0 until 8).map(i => s"JOIN b$i ON e.vec_id = b$i.vec_id").mkString(" ")}
+          ORDER BY e.vec_id"""
+      }),
+
     // --- sequence packing (concat-and-chunk training batches) ----------------
     // (Packing.packConcat — distributed prefix sum over the NARROW
     // (id, ntok) frame: range partition + per-partition subtotals
