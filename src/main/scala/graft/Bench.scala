@@ -118,7 +118,8 @@ object Bench {
     "q106_bpe_encode" -> SparkEntry.queries("q106_bpe_encode"),
     "q110_minhash_incremental" -> SparkEntry.queries("q110_minhash_incremental"),
     "q112_negative_samples" -> SparkEntry.queries("q112_negative_samples"),
-    "q113_pipeline_v2" -> SparkEntry.queries("q113_pipeline_v2"))
+    "q113_pipeline_v2" -> SparkEntry.queries("q113_pipeline_v2"),
+    "q118_pq_encode" -> SparkEntry.queries("q118_pq_encode"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
