@@ -120,6 +120,15 @@ object Soak {
       graft.ops.Similarity.semanticDedup(bigEmb, centroids, "vec_id",
         "embedding", threshold = 0.95).count() }
     release()
+    // PQ encode the replicated embedding corpus (scan-stage argmin over
+    // 8 subspaces x base/20 centroids — no shuffle, bounded by the scan)
+    val (nPq, tPq) = time {
+      val cbs = graft.ops.Embeddings.pqInitCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 8, every = 100)
+      bigEmb.select(col("vec_id"),
+        graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+        .count() }
+    release()
 
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -132,6 +141,7 @@ object Soak {
         f""""dup_spans":{"rows":$nSpan,"sec":$tSpan%.2f},""" +
         f""""bigram_lm":{"rows":$nLm,"sec":$tLm%.2f},""" +
         f""""semantic_dedup":{"rows":$nSem,"sec":$tSem%.2f},""" +
+        f""""pq_encode":{"rows":$nPq,"sec":$tPq%.2f},""" +
         f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
         f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
         f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
