@@ -247,6 +247,10 @@ object Dedup {
                  threshold: Double, numPerms: Int = 64,
                  bands: Int = 32, maxBucket: Option[Int] = None,
                  materialize: Boolean = true): DataFrame = {
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"minhashLsh: bands=$bands must divide numPerms=$numPerms " +
+        "(bands > numPerms collapses every doc into one bucket per band; " +
+        "a non-dividing bands silently drops the remainder permutations)")
     val rows = numPerms / bands
     // The shingle-hash arrays feed FOUR plan branches (signature scan +
     // both sides of each verify join); without materialization Spark
@@ -310,6 +314,10 @@ object Dedup {
                             numPerms: Int = 64, bands: Int = 32,
                             maxSeenBucket: Option[Int] = None,
                             materialize: Boolean = true): DataFrame = {
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"minhashLshIncremental: bands=$bands must divide numPerms=$numPerms " +
+        "(bands > numPerms collapses every doc into one bucket per band; " +
+        "a non-dividing bands silently drops the remainder permutations)")
     val rows = numPerms / bands
     def prep(df: DataFrame) = {
       val a0 = shingleHashArrays(df, id, text)

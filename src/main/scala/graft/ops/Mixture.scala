@@ -55,12 +55,6 @@ object Mixture {
         col("target"), col("rate"))
   }
 
-  /** subsample `df` so each group's token share moves to (at most) its
-    * target: keep a row iff portableMix(id) < rate_g · M. The rate
-    * table comes from [[tokenMixture]] via broadcast join — no driver
-    * collect, so the pass composes lazily into a bigger pipeline plan.
-    * Deterministic and engine-portable; documents of dropped groups
-    * (target 0) never pass the filter. */
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random non-self partners per row, reproducible across
     * engines, reruns, and partitionings (no RNG state — the portable
@@ -92,6 +86,12 @@ object Mixture {
       .select(col(id), col("j"), col(s"neg_$id"))
   }
 
+  /** subsample `df` so each group's token share moves to (at most) its
+    * target: keep a row iff portableMix(id) < rate_g · M. The rate
+    * table comes from [[tokenMixture]] via broadcast join — no driver
+    * collect, so the pass composes lazily into a bigger pipeline plan.
+    * Deterministic and engine-portable; documents of dropped groups
+    * (target 0) never pass the filter. */
   def rebalance(df: DataFrame, id: String, group: String, text: String,
                 targets: Map[String, Double]): DataFrame = {
     val rates = tokenMixture(df, group, text, targets)

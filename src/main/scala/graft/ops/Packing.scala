@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   * The ranged frame is pinned once (`localCheckpoint`) because the
   * subtotal branch and the window branch must see the SAME partition
   * boundaries — RangePartitioner re-samples per execution, so an
-  * unmaterialized plan could give the two branches different pids (the
-  * q45 multi-branch lesson). Results do not depend on where the
+  * unmaterialized plan could give the two branches different pids and
+  * join mismatched (pid, offset) rows (the q45 multi-branch lesson).
+  * Unlike the other ops' materialize flags (pure recompute cost), a
+  * lazy mode here would trade CORRECTNESS — so there is no flag: the
+  * checkpoint is unconditional. Results do not depend on where the
   * boundaries fall, only on both branches agreeing.
   *
   * Output: one row per (document, pack) overlap —
@@ -45,16 +48,16 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  def packConcat(df: DataFrame, id: String, nTokens: Column, maxLen: Long,
-                 materialize: Boolean = true): DataFrame = {
+  def packConcat(df: DataFrame, id: String, nTokens: Column,
+                 maxLen: Long): DataFrame = {
     require(maxLen >= 1, "packConcat: maxLen must be >= 1")
     val L = lit(maxLen)
-    val narrow = df.select(col(id), nTokens.cast("long").as("ntok"))
+    val ranged = df.select(col(id), nTokens.cast("long").as("ntok"))
       .filter(col("ntok") > 0)
       .repartitionByRange(col(id))
       .sortWithinPartitions(id)
       .withColumn("pid", spark_partition_id())
-    val ranged = if (materialize) narrow.localCheckpoint() else narrow
+      .localCheckpoint()
     // tiny: one row per partition after map-side combine
     val partSums = ranged.groupBy("pid").agg(sum(col("ntok")).as("psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

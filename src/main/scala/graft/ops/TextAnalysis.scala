@@ -375,14 +375,6 @@ object TextAnalysis {
         graft.api.functions.davg(col("lnp")).as("avg_logp"))
   }
 
-  /** engine-PORTABLE word hash: 31-multiplier character polynomial over
-    * Unicode code points mod the Mersenne prime 2³¹−1, finished with the
-    * portable integer mixer ([[graft.api.Frame.portableMix]]). The same
-    * arithmetic is expressible in ANSI SQL (queries.Sql.wordHash), so
-    * operators built on it — [[fingerprintPortable]],
-    * [[Dedup.simhashPortable]] — hash-match across engines; the xxhash64
-    * variants remain the production fast path. Every intermediate stays
-    * below 2³¹·31 + 2²¹ < 2³⁶ — no overflow under ANSI mode. */
   /** Per-group quantile pruning (the per-domain quality filter of a
     * corpus-prep pipeline — keep each source's best (1−q) fraction by
     * `score`): one hash aggregate computes each group's q-quantile of
@@ -436,6 +428,14 @@ object TextAnalysis {
       .drop("__bq_score", "__bq_thr")
   }
 
+  /** engine-PORTABLE word hash: 31-multiplier character polynomial over
+    * Unicode code points mod the Mersenne prime 2³¹−1, finished with the
+    * portable integer mixer ([[graft.api.Frame.portableMix]]). The same
+    * arithmetic is expressible in ANSI SQL (queries.Sql.wordHash), so
+    * operators built on it — [[fingerprintPortable]],
+    * [[Dedup.simhashPortable]] — hash-match across engines; the xxhash64
+    * variants remain the production fast path. Every intermediate stays
+    * below 2³¹·31 + 2²¹ < 2³⁶ — no overflow under ANSI mode. */
   def portableWordHash(w: Column): Column = {
     val poly = aggregate(split(w, ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)

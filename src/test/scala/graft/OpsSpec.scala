@@ -1114,6 +1114,16 @@ class OpsSpec extends SparkSpec {
     // seen-side mega-bucket cap: cap 0 kills every candidate
     assert(Dedup.minhashLshIncremental(newB, seen, "doc_id", "text", 0.8,
       maxSeenBucket = Some(0)).count() == 0)
+    // banding parameters must divide: bands > numPerms would collapse
+    // every doc into one bucket per band; a non-dividing bands silently
+    // weakens recall — both fail fast.
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(d, "doc_id", "text", 0.8, numPerms = 64, bands = 96)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshIncremental(newB, seen, "doc_id", "text", 0.8,
+        numPerms = 64, bands = 24)
+    }
   }
 
   test("keepTopQuantile prunes below each group's own threshold") {
