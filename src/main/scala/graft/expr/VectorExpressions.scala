@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd double-precision dot product over two array columns.
   *
@@ -641,6 +641,106 @@ object SignSketch {
   }
 }
 
+/** Product-quantization encode: for each subspace s, the index of the
+  * nearest centroid to the vector's s-th subvector by squared L2, via
+  * d = ‖c‖² − 2·x·c (the lloydProfile formula; ties → smaller index).
+  *
+  * The Column formulation built a K-element array of (d, j) structs per
+  * subspace and took `array_min` — CreateArray/CreateStruct of 2·K
+  * expression children per row evaluated INTERPRETED, a measured ~1.4 s
+  * fixed overhead at sf0.1 regardless of data size. This computes all
+  * m codes in one tight pass inside whole-stage codegen, with the SAME
+  * arithmetic: ‖c‖² pre-folded sequentially per centroid (the driver
+  * fold the oracle replays), the dot accumulated in element order, and
+  * the argmin comparing doubles exactly as Spark's struct ordering did
+  * (NaN greatest, −0.0 == 0.0, first index wins ties) — so codes, and
+  * therefore q118's hash, cannot move.
+  *
+  * A vector shorter than (s+1)·sub truncates the dot to the available
+  * elements — identical to the previous `slice` + min-length dot.
+  * Codebooks are compared structurally (Vector), keeping canonical
+  * equality for plan reuse; centroid counts may differ per subspace
+  * (Lloyd cell drop) but every centroid must have the same length.
+  */
+case class PqEncode(child: Expression, codebooks: Vector[Vector[Vector[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "graft_pq_encode: every subspace needs at least one centroid")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "graft_pq_encode: all centroids must share one subvector length")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val c2Arr: Array[Array[Double]] =
+    cbArr.map(_.map { c =>
+      var s = 0.0; c.foreach(x => s += x * x) // sequential — oracle parity
+      s
+    })
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode needs array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], cbArr, c2Arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cbArr, "double[][][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2Arr, "double[][]")
+    val cls = classOf[PqEncode].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.compute($c, $cbRef, $c2Ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** a < b under Spark's SQL double ordering (NaN greatest, −0.0 == 0.0)
+    * — the comparison the struct array_min performed. */
+  def lt(a: Double, b: Double): Boolean =
+    if (a < b) true
+    else if (a > b) false
+    else if (a == b) false // covers -0.0 vs 0.0
+    else !java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)
+
+  /** all m codes in one pass — callable from generated code. */
+  def compute(v: ArrayData, cb: Array[Array[Array[Double]]],
+              c2: Array[Array[Double]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      val lim = math.max(0, math.min(sub, n - base))
+      val cents = cb(s)
+      var bestJ = 0
+      var best = Double.NaN
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var acc = 0.0
+        var i = 0
+        while (i < lim) { acc += v.getDouble(base + i) * c(i); i += 1 }
+        val d = c2(s)(j) - 2.0 * acc
+        if (j == 0 || lt(d, best)) { best = d; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -700,4 +800,11 @@ object VectorExpressions {
   def dotInt8(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductInt8(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ codes of a vector against literal codebooks (array<int>, one
+    * nearest-centroid index per subspace). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      codebooks.map(_.map(_.toVector).toVector).toVector))
 }

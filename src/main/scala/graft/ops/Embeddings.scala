@@ -208,19 +208,30 @@ object Embeddings {
     * init convention — deterministic, SQL-replayable: q118's oracle
     * re-derives them with a WHERE clause). Returns codebooks(s)(j) =
     * j-th centroid of subspace s, j ordered by the source id. Refine
-    * with [[pqTrainCodebooks]] when reconstruction error matters. */
+    * with [[pqTrainCodebooks]] when reconstruction error matters.
+    *
+    * K (= #selected ids) is capped at 256 — the byte-code regime that
+    * also bounds this driver collect and the m×K ADC LUTs; a too-small
+    * `every` at corpus scale fails fast (LIMIT K+1 scan, never an
+    * unbounded collect) instead of OOMing the driver. */
   def pqInitCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
                       m: Int, every: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"pqInitCodebooks: m=$m must divide dim=$dim")
     val sub = dim / m
     val rows = df.filter(col(id) % every === 0)
       .select(col(id), col(vec).cast("array<double>").as("v"))
-      .collect().sortBy(_.getLong(0))
+      .limit(maxCodes + 1).collect().sortBy(_.getLong(0))
     require(rows.nonEmpty, "pqInitCodebooks: no centroid rows selected")
+    require(rows.length <= maxCodes,
+      s"pqInitCodebooks: id % $every selects > $maxCodes centroids — " +
+        "PQ codes are byte-sized (K <= 256); raise `every`")
     Array.tabulate(m) { s =>
       rows.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray)
     }
   }
+
+  /** byte-code regime: at most 256 centroids per subspace. */
+  val maxCodes = 256
 
   /** Lloyd-refined PQ codebooks: one [[KMeans.lloydProfile]] run per
     * subspace over the sliced vectors (exact-integer means, bit-stable
@@ -230,6 +241,12 @@ object Embeddings {
   def pqTrainCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
                        m: Int, every: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"pqTrainCodebooks: m=$m must divide dim=$dim")
+    // same K <= 256 byte-code cap as pqInitCodebooks, checked BEFORE the
+    // per-subspace Lloyd runs (each of which collects K init centroids).
+    val kSel = df.filter(col(id) % every === 0).limit(maxCodes + 1).count()
+    require(kSel >= 1 && kSel <= maxCodes,
+      s"pqTrainCodebooks: id % $every selects $kSel centroids — " +
+        s"need 1 <= K <= $maxCodes (byte-code regime); adjust `every`")
     val sub = dim / m
     Array.tabulate(m) { s =>
       val sliced = df.select(col(id),
@@ -244,25 +261,16 @@ object Embeddings {
 
   /** PQ encode: per subspace, the index of the nearest centroid by
     * squared L2 (d = ||c||² − 2·x·c — the lloydProfile formula; ties →
-    * smaller index). ||c||² folds sequentially on the driver and rides
-    * as a literal, the dot is the codegen kernel — both replayable in
-    * SQL (the q66 parity convention). Returns array<int>, one code per
-    * subspace: dim doubles compress to m small ints. */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val dvec = vec.cast("array<double>")
-    array((0 until m).map { s =>
-      val sv = slice(dvec, s * sub + 1, sub)
-      val scored = codebooks(s).zipWithIndex.map { case (c, j) =>
-        var c2 = 0.0
-        c.foreach(x => c2 += x * x) // sequential — oracle parity
-        struct((lit(c2) - lit(2.0) * Similarity.dot(sv, typedLit(c.toSeq)))
-          .as("d"), lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j")
-    }: _*)
-  }
+    * smaller index). One codegen'd [[graft.expr.PqEncode]] kernel per
+    * row — ||c||² pre-folds sequentially (the oracle-replayed driver
+    * fold), the dot accumulates in element order, so codes are
+    * bit-identical to the SQL replay (the q66 parity convention) AND to
+    * the interpreted struct-argmin formulation this replaced (which
+    * cost ~1.4 s of fixed expression-eval overhead at sf0.1). Returns
+    * array<int>, one code per subspace: dim doubles compress to m
+    * small ints. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    VectorExpressions.pqEncode(vec, codebooks)
 
   /** approximate reconstruction: concatenate the coded centroids. */
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
@@ -304,5 +312,42 @@ object Embeddings {
     perQuery.reduce(_ unionAll _)
       .withColumn("rank", row_number().over(w))
       .select(col("qid"), col("rank"), col(id), col("adist"))
+  }
+
+  /** Compressed-search completion (the standard two-stage pattern of
+    * public PQ systems, e.g. FAISS's IVFPQ + refine): [[pqTopK]]'s ADC
+    * pass shortlists `rerank`·k candidates per query reading ONLY the
+    * m-byte codes, then the shortlist — |queries|·rerank·k rows, never
+    * the corpus — joins back to the full vectors for an EXACT squared-L2
+    * re-rank. Recall@k can only improve over ADC-only (the exact metric
+    * re-orders the shortlist; differential-asserted in PqSpec).
+    *
+    * The exact distance is the sequential Σ(qᵢ−vᵢ)² fold via
+    * aggregate(zip_with(...)) — interpreted, but only over the bounded
+    * shortlist, and bit-identical to the oracle's list_sum replay (the
+    * DotProduct parity convention). The per-query rank window's group
+    * is rerank·k rows — bounded, never a corpus sort. Returns
+    * (qid, rank, id, dist), rank 1..k ascending exact squared-L2
+    * (ties → smaller id). */
+  def pqTopKRerank(queries: Array[(Long, Array[Double])], corpus: DataFrame,
+                   id: String, codes: String, vec: String,
+                   codebooks: Array[Array[Array[Double]]], k: Int,
+                   rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1, "pqTopKRerank: k and rerank must be >= 1")
+    val short = pqTopK(queries, corpus, id, codes, codebooks, k * rerank)
+      .select(col("qid"), col(id))
+    val full = corpus.select(col(id), col(vec).cast("array<double>").as("__v"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = queries.toIndexedSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("qid", "__q")
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col(id))
+    short.join(full, Seq(id)).join(broadcast(qdf), Seq("qid"))
+      .withColumn("dist", aggregate(
+        zip_with(col("__v"), col("__q"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(id), col("dist"))
   }
 }

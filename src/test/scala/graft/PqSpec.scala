@@ -62,6 +62,65 @@ class PqSpec extends SparkSpec {
     assert(e1 <= e0 + 1e-9, s"training regressed reconstruction: $e1 > $e0")
   }
 
+  test("pqTopKRerank: recall@k never drops below ADC-only; ranks are " +
+    "ascending exact distance") {
+    val cbs = Embeddings.pqTrainCodebooks(planted, "vec_id", "embedding",
+      dim, m, every = 10, iters = 3)
+    val coded = planted.select(col("vec_id"), col("embedding"),
+      Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+    val all = planted.as[(Long, Seq[Double])].collect()
+    val queries = Seq(5L, 17L, 40L).map(q =>
+      q -> all.find(_._1 == q).get._2.toArray).toArray
+    val k = 5
+    def exactTop(qv: Array[Double]): Set[Long] = all.sortBy { case (i, v) =>
+      (v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.take(k).map(_._1).toSet
+    def bySet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = bySet(Embeddings.pqTopK(queries, coded, "vec_id", "codes", cbs, k))
+    val rr = Embeddings.pqTopKRerank(queries, coded, "vec_id", "codes",
+      "embedding", cbs, k, rerank = 4)
+    val rrSet = bySet(rr)
+    queries.foreach { case (qid, qv) =>
+      val ex = exactTop(qv)
+      assert((rrSet(qid) & ex).size >= (adc(qid) & ex).size,
+        s"query $qid: rerank recall below ADC-only")
+    }
+    // ranks 1..k per query, dist nondecreasing in rank
+    val rows = rr.select("qid", "rank", "dist")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to k))
+      assert(sorted.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    }
+  }
+
+  test("pqEncode ties break to the smaller centroid index") {
+    // two identical centroids per subspace: every vector must code 0.
+    val cb = Array.fill(m)(Array(Array(1.0, 1.0), Array(1.0, 1.0)))
+    val codes = planted
+      .select(Embeddings.pqEncode(col("embedding"), cb).as("codes"))
+      .as[Seq[Int]].collect()
+    assert(codes.nonEmpty && codes.forall(_.forall(_ == 0)))
+  }
+
+  test("pq codebook fits reject K > 256 (byte-code regime) without " +
+    "an unbounded collect") {
+    val big = (0L until 300L).map(i => (i, Seq.fill(8)(i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Embeddings.pqInitCodebooks(big, "vec_id", "embedding", dim, m, every = 1)
+    }
+    assert(e1.getMessage.contains("256"))
+    val e2 = intercept[IllegalArgumentException] {
+      Embeddings.pqTrainCodebooks(big, "vec_id", "embedding", dim, m,
+        every = 1, iters = 1)
+    }
+    assert(e2.getMessage.contains("256"))
+  }
+
   test("pqTopK: ADC top-1 equals the exact nearest neighbor on " +
     "separated clusters") {
     val cbs = Embeddings.pqTrainCodebooks(planted, "vec_id", "embedding",
