@@ -1321,6 +1321,83 @@ object Pipeline {
           ORDER BY e.vec_id"""
       }),
 
+    // --- PQ two-stage search: ADC shortlist → exact re-rank ------------------
+    // (Embeddings.pqTopKRerank — the codes-only ADC scan shortlists
+    // rerank·k = 20 candidates per query, then ONLY the shortlist joins
+    // back to full vectors for the exact Σ(q−v)² re-rank. The oracle
+    // replays the whole chain: q118's codebook + code derivation, the
+    // LUT distance as Σ over subspaces of the sequential squared-diff
+    // fold, the shortlist window, and the exact re-rank — every fp step
+    // the same fold both engines.)
+    "q120_pq_rerank" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val cbs = graft.ops.Embeddings.pqInitCodebooks(
+          e, "vec_id", "embedding", dim = 64, m = 8, every = 100)
+        val coded = e.select(col("vec_id"), col("embedding"),
+          graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1)
+        graft.ops.Embeddings.pqTopKRerank(qs, coded, "vec_id", "codes",
+            "embedding", cbs, k = 5, rerank = 4)
+          .withColumn("dist", round(col("dist"), 9))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def sq(s: Int) = {
+          val off = s * 8
+          s"""a$s AS (SELECT e.vec_id, c.cid,
+              list_sum(list_transform(range(1, 9),
+                i -> CAST(c.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE)))
+              - 2 * list_sum(list_transform(range(1, 9),
+                i -> CAST(e.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE))) AS d
+            FROM e CROSS JOIN cent c),
+          b$s AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM a$s) WHERE rn = 1)"""
+        }
+        def lut(s: Int) = {
+          val off = s * 8
+          s"""list_sum(list_transform(range(1, 9),
+            i -> (CAST(q.qv[$off + i] AS DOUBLE)
+                - CAST(c$s.embedding[$off + i] AS DOUBLE))
+              * (CAST(q.qv[$off + i] AS DOUBLE)
+                - CAST(c$s.embedding[$off + i] AS DOUBLE))))"""
+        }
+        s"""WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              AS cid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 3),
+          ${(0 until 8).map(sq).mkString(",\n")},
+          sd AS (SELECT q.qid, e.vec_id,
+              ${(0 until 8).map(lut).mkString(" + ")} AS adist
+            FROM e ${(0 until 8).map(i =>
+              s"JOIN b$i ON e.vec_id = b$i.vec_id").mkString(" ")}
+              ${(0 until 8).map(i =>
+              s"JOIN cent c$i ON c$i.cid = b$i.cid").mkString(" ")}
+              CROSS JOIN q),
+          short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+                AS rn FROM sd) WHERE rn <= 20),
+          ex AS (SELECT s.qid, s.vec_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.qv[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+                  * (CAST(q.qv[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))))
+                AS dist
+            FROM short s JOIN q ON s.qid = q.qid
+              JOIN e v ON s.vec_id = v.vec_id),
+          ranked AS (SELECT qid, vec_id, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS rank FROM ex)
+          SELECT qid, rank, vec_id, round(dist, 9) AS dist FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank"""
+      }),
+
     // --- sequence packing (concat-and-chunk training batches) ----------------
     // (Packing.packConcat — distributed prefix sum over the NARROW
     // (id, ntok) frame: range partition + per-partition subtotals
@@ -1384,11 +1461,12 @@ object Pipeline {
         SELECT t.id, COALESCE(r.txt, '') AS txt FROM t
         LEFT JOIN r ON t.id = r.id ORDER BY t.id""")),
 
-    // --- heavy hitters: Misra-Gries token summary ----------------------------
-    // (graft.expr.MisraGriesAgg — k=128 counters over a 31-word
-    // vocabulary is the exact regime: no eviction anywhere, so the
-    // sketch equals the full GROUP BY it replaces at scale. The
-    // approximation regime is bound-checked in HeavyHittersSpec.)
+    // --- per-group quantile pruning: keep each source's best half ------------
+    // (TextAnalysis.keepTopQuantile — one hash aggregate computes each
+    // group's exact median threshold, the one-row-per-group table
+    // broadcasts back, and below-threshold rows drop in the scan stage;
+    // never a global sort or per-group corpus window. The oracle
+    // replays the same quantile and the >= keep rule.)
     "q104_quantile_filter" -> Q(
       (s, d) => {
         val sr = TA.stopwordCount(col("text")).cast("double") /
@@ -1465,6 +1543,11 @@ object Pipeline {
           round(MIN(ntok), 9) AS min_ntok, round(MAX(ntok), 9) AS max_ntok
         FROM b GROUP BY source, bucket ORDER BY source, bucket""")),
 
+    // --- heavy hitters: Misra-Gries token summary ----------------------------
+    // (graft.expr.MisraGriesAgg — k=128 counters over a 31-word
+    // vocabulary is the exact regime: no eviction anywhere, so the
+    // sketch equals the full GROUP BY it replaces at scale. The
+    // approximation regime is bound-checked in HeavyHittersSpec.)
     "q103_heavy_hitters" -> Q(
       (s, d) => docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1525,17 +1608,67 @@ object Pipeline {
           CAST(len(string_split(pack_text, ' ')) AS INTEGER) AS n_toks,
           pack_text FROM g ORDER BY pack_id""")),
 
-    // --- BPE end-to-end: fit 20 merges, encode, count tokens per doc ---------
-    // (rows-only: the merge loop is data-derived and iterative, so no
-    // SQL oracle exists; exact semantics are pinned in BpeSpec against
-    // hand-computed Sennrich-example merges.)
+    // --- BPE end-to-end: fit 20 merges, encode, reconstruct ------------------
+    // (The 20-round merge loop is data-derived and iterative — no SQL
+    // can replay the learned merges — but BPE is LOSSLESS: every doc's
+    // encoded symbols concatenate back to exactly its words. The query
+    // runs fit + relational encode end-to-end and emits the
+    // reconstruction, which the oracle predicts straight from the
+    // table — any content lost, duplicated, or misordered by the
+    // merge/encode/reassembly machinery breaks the hash. Merge-choice
+    // correctness is pinned by q105 (round-1 argmax), q119 (1-merge
+    // encode replay), and BpeSpec's hand-computed Sennrich merges.)
     "q106_bpe_encode" -> Q(
       (s, d) => {
         val corpus = docs(s, d)
         val merges = graft.ops.Bpe.fit(corpus, "text", numMerges = 20)
+        graft.ops.Bpe.encodeTokens(corpus, "doc_id", "text", merges)
+          .select(col("doc_id"),
+            rtrim(regexp_replace(concat_ws("", col("tokens")),
+              "</w>", " ")).as("recon_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id""")),
+
+    // --- BPE 1-merge encode: the token-count path, fully replayed ------------
+    // (With exactly ONE trained merge, greedy encode degenerates to a
+    // single left-to-right non-overlapping pass — which IS SQL: the
+    // oracle re-derives the merge via q105's argmax and counts merged
+    // occurrences per distinct word with a separator-joined string
+    // replace (each replacement deletes exactly one chr(1) separator;
+    // words never contain chr(1), '<', '/' or '>', so symbol
+    // boundaries cannot false-match). This hash-gates fit's round-1
+    // argmax + encodeWord + the explode/join/sum corpus plumbing of
+    // encodedTokenCount end-to-end.)
+    "q119_bpe_encode1" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val merges = graft.ops.Bpe.fit(corpus, "text", numMerges = 1)
         graft.ops.Bpe.encodedTokenCount(corpus, "doc_id", "text", merges)
           .orderBy("doc_id")
       },
-      None)
+      Some("""WITH wds AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w),
+        s AS (SELECT w, c, list_append(string_split(w, ''), '</w>') AS syms
+          FROM wc),
+        p AS (SELECT c, unnest(list_transform(range(1, len(syms)),
+            i -> {'p1': syms[i], 'p2': syms[i + 1]})) AS pr FROM s),
+        top1 AS (SELECT pr.p1 AS p1, pr.p2 AS p2 FROM p GROUP BY 1, 2
+          HAVING SUM(c) >= 2 ORDER BY SUM(c) DESC, p1, p2 LIMIT 1),
+        enc AS (SELECT s.w, CAST(len(syms) - COALESCE(
+            len(array_to_string(syms, chr(1))) -
+            len(replace(array_to_string(syms, chr(1)),
+              t.p1 || chr(1) || t.p2, t.p1 || t.p2)), 0) AS INTEGER) AS nt
+          FROM s LEFT JOIN top1 t ON 1 = 1)
+        SELECT wds.doc_id, CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+        FROM wds JOIN enc ON wds.w = enc.w
+        GROUP BY wds.doc_id ORDER BY wds.doc_id"""))
   )
 }
