@@ -119,7 +119,9 @@ object Bench {
     "q110_minhash_incremental" -> SparkEntry.queries("q110_minhash_incremental"),
     "q112_negative_samples" -> SparkEntry.queries("q112_negative_samples"),
     "q113_pipeline_v2" -> SparkEntry.queries("q113_pipeline_v2"),
-    "q118_pq_encode" -> SparkEntry.queries("q118_pq_encode"))
+    "q118_pq_encode" -> SparkEntry.queries("q118_pq_encode"),
+    // round-9: codegen PqEncode kernel + two-stage ADC → exact re-rank
+    "q120_pq_rerank" -> SparkEntry.queries("q120_pq_rerank"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,9 +158,15 @@ object Bench {
       releaseCheckpoints()
       if (ok) dt else -1.0
     }
-    /** warm-up + `iters` measured runs → (median, min, max). */
+    /** warm-up + discard-first + `iters` measured runs → (median, min,
+      * max). The codegen/JIT warm-up alone left the FIRST measured
+      * iteration of the composed pipelines (q94/q113) up to 2.7× their
+      * median in BENCH_r08 — shuffle-file/page-cache warmup the noop
+      * re-run does not share — so one more untimed run absorbs it and
+      * the reported spread measures steady-state noise only. */
     def run(fn: (SparkSession, String) => DataFrame): (Double, Double, Double) = {
       if (once(fn) < 0) return (-1.0, -1.0, -1.0) // warm-up (codegen + JIT)
+      if (once(fn) < 0) return (-1.0, -1.0, -1.0) // discard-first (shuffle warmup)
       val ts = Seq.fill(iters)(once(fn))
       if (ts.exists(_ < 0)) return (-1.0, -1.0, -1.0)
       val s = ts.sorted
