@@ -511,6 +511,146 @@ object Macro {
       Some("""SELECT * FROM (VALUES
           ('0', CAST(25 AS BIGINT), CAST(25 AS BIGINT)),
           ('1', CAST(65 AS BIGINT), CAST(45 AS BIGINT)))
-          t(pred, n, correct) ORDER BY pred"""))
+          t(pred, n, correct) ORDER BY pred""")),
+
+    // --- Q4 shape: order-priority checking — EXISTS over the fact
+    // table as a LEFT SEMI join (equi on orderkey + the non-equi
+    // lateness residual l_shipdate > o_orderdate evaluated inside the
+    // join), never a fact-fact aggregate-then-join. The date window
+    // prunes the orders scan. (The fixture lineitem has no
+    // commit/receipt dates; shipped-after-order-date is the lateness
+    // predicate on the available columns.)
+    "q121_tpch_q4" -> Q(
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1996-04-01").cast("timestamp")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(gf.countAll.as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- Q6 shape: forecasting revenue change — the pure scan-and-
+    // aggregate query: every predicate (date year, discount band,
+    // quantity cap) must push into the parquet scan and the whole plan
+    // is one partial+final aggregate, no join, no shuffle beyond the
+    // 1-row exchange. Decimal-exact product sum.
+    "q122_tpch_q6" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(gf.dsumD(col("l_extendedprice") * col("l_discount"))
+          .as("revenue")),
+      Some(s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // --- Q13 shape: customer order-count distribution — LEFT join with
+    // a predicate ON THE JOIN (not a WHERE: customers with no matching
+    // orders must survive with count 0), then a double aggregate
+    // (orders per customer → customers per count). The second aggregate
+    // runs on one row per customer — a shrinking cascade, never a
+    // re-scan. (The fixture has no o_comment; the excluded-orders
+    // predicate is priority <> 1-URGENT.)
+    "q123_tpch_q13" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        Tables.customer(s, d).select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(gf.countAll.as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist FROM co
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // --- Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average as an AGG-BROADCAST (one hash aggregate over the
+    // brand-filtered fact rows, threshold table broadcast back), never
+    // a per-row correlated rescan. avg(l_quantity) divides an exact
+    // integral sum by an exact count, so the threshold is bit-identical
+    // across engines; the final sum is decimal-exact before the one
+    // fp division, rounded (the multiply-divide parity rule).
+    "q124_tpch_q17" -> Q(
+      (s, d) => {
+        val brandParts = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        val thr = li.groupBy("l_partkey")
+          .agg((avg(col("l_quantity")) * 0.2).as("qty_thr"))
+        li.join(broadcast(thr), Seq("l_partkey"))
+          .filter(col("l_quantity") < col("qty_thr"))
+          .agg(round(gf.dsumD(col("l_extendedprice")) / 7.0, 2)
+            .as("avg_yearly"))
+      },
+      Some(s"""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'),
+        thr AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thr
+          FROM li GROUP BY l_partkey)
+        SELECT round(${dsum("l_extendedprice")} / 7.0, 2) AS avg_yearly
+        FROM li JOIN thr USING (l_partkey)
+        WHERE l_quantity < qty_thr""")),
+
+    // --- Q22 shape: global sales opportunity — rich-but-inactive
+    // customers: the positive-balance average is ONE 1-row aggregate
+    // broadcast into the scan (decimal-exact sum / exact count — the
+    // threshold cannot drift an ulp between engines), inactivity is a
+    // LEFT ANTI join against the date-pruned orders scan (every fixture
+    // customer has SOME order, so "no orders at all" is vacuous —
+    // "no orders since 2000" is the non-empty analog and prunes the
+    // anti-join build side), and the output groups by nation (the
+    // fixture's country-code analog; it has no c_phone).
+    "q125_tpch_q22" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val thr = cust.filter(col("c_acctbal") > 0.0)
+          .agg(gf.davg(col("c_acctbal")).as("bal_thr"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        cust.join(broadcast(thr))
+          .filter(col("c_acctbal") > col("bal_thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(gf.countAll.as("numcust"),
+            round(gf.dsumD(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH thr AS (SELECT ${Sql.davg("c_acctbal")} AS bal_thr
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+          round(${dsum("c_acctbal")}, 2) AS totacctbal
+        FROM customer CROSS JOIN thr
+        WHERE c_acctbal > bal_thr
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

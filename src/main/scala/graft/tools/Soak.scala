@@ -122,12 +122,39 @@ object Soak {
     release()
     // PQ encode the replicated embedding corpus (scan-stage argmin over
     // 8 subspaces x base/20 centroids — no shuffle, bounded by the scan)
+    val cbs = graft.ops.Embeddings.pqInitCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, every = 100)
     val (nPq, tPq) = time {
-      val cbs = graft.ops.Embeddings.pqInitCodebooks(
-        emb, "vec_id", "embedding", dim = 64, m = 8, every = 100)
       bigEmb.select(col("vec_id"),
         graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
         .count() }
+    release()
+    // ADC top-k + exact re-rank over the coded corpus: the codes-only
+    // scan is one pass per query batch (8 queries here); the re-rank
+    // joins ONLY the 8 x k x rerank shortlist back to full vectors —
+    // corpus-size-independent beyond the scan, the bound under test
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val coded = bigEmb.select(col("vec_id"), col("embedding"),
+      graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+      .localCheckpoint()
+    val (nAdc, tAdc) = time {
+      graft.ops.Embeddings.pqTopK(queries, coded, "vec_id", "codes",
+        cbs, k = 10).count() }
+    release()
+    val (nRr, tRr) = time {
+      graft.ops.Embeddings.pqTopKRerank(queries, coded, "vec_id", "codes",
+        "embedding", cbs, k = 10, rerank = 4).count() }
+    release()
+    // incremental MinHash+LSH: odd-id half ingests against the even-id
+    // seen corpus — every new doc hits a (copies/2)-sized seen clique
+    // per band, the hostile shape maxSeenBucket bounds
+    val (nInc, tInc) = time {
+      graft.ops.Dedup.minhashLshIncremental(
+        big.filter(col("doc_id") % 2 === 1), big.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 0.8, maxSeenBucket = Some(2 * copies)).count() }
     release()
 
     val rt = Runtime.getRuntime
@@ -142,6 +169,9 @@ object Soak {
         f""""bigram_lm":{"rows":$nLm,"sec":$tLm%.2f},""" +
         f""""semantic_dedup":{"rows":$nSem,"sec":$tSem%.2f},""" +
         f""""pq_encode":{"rows":$nPq,"sec":$tPq%.2f},""" +
+        f""""pq_topk":{"rows":$nAdc,"sec":$tAdc%.2f},""" +
+        f""""pq_rerank":{"rows":$nRr,"sec":$tRr%.2f},""" +
+        f""""minhash_incremental":{"rows":$nInc,"sec":$tInc%.2f},""" +
         f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
         f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
         f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +

@@ -126,6 +126,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topItemsWindowed state is bounded by open WINDOWS, not item " +
+    "cardinality, across many micro-batches") {
+    // 10 batches x 500 distinct items each — 5 000 items total, all into
+    // a handful of 1-hour windows. A per-item-count design would hold
+    // 5 000 state rows; the MG window aggregate holds ONE buffer row per
+    // window, and the watermark expires closed windows. The state-store
+    // row count is read from the query's progress metrics.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Events.topItemsWindowed(
+        src.toDF().toDF("ts", "item").withWatermark("ts", "30 minutes"),
+        "item", k = 16)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hh_state_scale").start()
+    try {
+      for (b <- 0 until 10) {
+        // batch b sits in window b/2 (two batches per hour window)
+        src.addData((0 until 500).map(i =>
+          (at(b * 30 + i % 30), s"item_${b}_$i")): _*)
+        q.processAllAvailable()
+      }
+      val maxStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      // bound: open windows within the watermark horizon (~2) plus one
+      // in-flight — NEVER the 5 000 distinct items
+      assert(maxStateRows <= 4,
+        s"state rows $maxStateRows — grows with item cardinality")
+    } finally q.stop()
+  }
+
+  test("dedupStream state expires with the watermark under high key " +
+    "cardinality (rows bounded by the horizon, not the stream)") {
+    // 10 batches x 400 NEW keys each, event time advancing one hour per
+    // batch with a 30-minute watermark delay: every key is unique (all
+    // 4 000 emit), but expired keys must leave the store — total state
+    // stays around the last horizon's worth, never the full key history.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long) = Events.Event(
+      id, new java.sql.Timestamp(minute * 60000L), 1L, "click", 1.0)
+    val src = MemoryStream[Events.Event]
+    val q = Events.dedupStream(src.toDS().toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_state_scale").start()
+    try {
+      // base offset: batch 0 at epoch would sit exactly ON the initial
+      // watermark (0) and dropDuplicatesWithinWatermark discards it
+      for (b <- 0 until 10) {
+        src.addData((0 until 400).map(i =>
+          ev(b * 1000L + i, 100000L + b * 60L)): _*)
+        q.processAllAvailable()
+      }
+      val out = spark.table("dedup_state_scale").count()
+      assert(out == 4000L, s"every unique key must emit, got $out")
+      val finalStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).last
+      // horizon = 30 min at one 400-key batch/hour: at most the last
+      // batch plus one not-yet-cleaned batch may remain
+      assert(finalStateRows <= 800,
+        s"state rows $finalStateRows — watermark expiry not bounding state")
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
