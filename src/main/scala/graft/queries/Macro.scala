@@ -156,6 +156,14 @@ object Macro {
     // scale orders does NOT broadcast and the second pass becomes a
     // second fact-scale join; the single-pass shape is kept because
     // that is the plan that survives the scale-up.
+    //
+    // Soak-variance adjudication (round 9): the 14.3-37.3 s band across
+    // identical single-iteration 24 M-row SoakTpch runs was ITERATION
+    // noise, not plan instability — two fresh-session median-of-4 runs
+    // (SPARK_GRAFT_SOAK_ITERS=4, SOAK_LOCAL.json) land at 13.7 s
+    // [7.8, 16.6] and 10.7 s [5.2, 15.3]: medians 1.28x apart (≤ 1.5x),
+    // later iterations FASTER (shuffle-file/page-cache warmup + GC
+    // phase dominate the first), plan identical throughout.
     "q109_tpch_q21" -> Q(
       (s, d) => {
         val lo = Tables.lineitem(s, d)

@@ -143,7 +143,10 @@ object Soak {
     val (nAdc, tAdc) = time {
       graft.ops.Embeddings.pqTopK(queries, coded, "vec_id", "codes",
         cbs, k = 10).count() }
-    release()
+    // NO release between the two timed ops: both read the `coded`
+    // localCheckpoint, whose lineage is truncated — unpersisting it
+    // here leaves the rerank with unrecomputable blocks
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     val (nRr, tRr) = time {
       graft.ops.Embeddings.pqTopKRerank(queries, coded, "vec_id", "codes",
         "embedding", cbs, k = 10, rerank = 4).count() }

@@ -80,12 +80,56 @@ class PlanSpec extends SparkSpec {
     assert(p3.contains("LessThan(o_orderdate"), "o_orderdate filter not pushed")
   }
 
+  test("round-9 macros: Q4 semi join stays hash, Q6 predicates reach " +
+    "the scan, Q17/Q22 thresholds broadcast, nothing nested-loops") {
+    for (q <- Seq("q121_tpch_q4", "q123_tpch_q13", "q124_tpch_q17")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q: no nested loops")
+    }
+    // Q4: the EXISTS is a SEMI hash join (equi key + lateness residual)
+    val p4 = SparkEntry.queries("q121_tpch_q4")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), "Q4 EXISTS must plan as a semi join")
+    // Q6: the predicates reach the parquet scan (the toString truncates
+    // PushedFilters, so assert on the scan node's DataFilters) and the
+    // plan has no join at all
+    val p6 = SparkEntry.queries("q122_tpch_q6")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    val scan6 = p6.linesIterator.find(_.contains("FileScan")).get
+    assert(scan6.contains("GreaterThanOrEqual(l_shipda"),
+      s"Q6 predicates not pushed to the scan: $scan6")
+    assert(!p6.contains("Join"), "Q6 is scan+agg only")
+    // Q17: the per-part threshold joins back as a BROADCAST
+    val p17 = SparkEntry.queries("q124_tpch_q17")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"),
+      "Q17 agg-broadcast threshold must broadcast")
+    // Q22: the 1-row balance threshold broadcasts; inactivity is an
+    // ANTI hash join, and the orders side scan is date-pruned
+    val p22 = SparkEntry.queries("q125_tpch_q22")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p22.contains("LeftAnti"), "Q22 NOT EXISTS must plan anti join")
+    assert(p22.contains("GreaterThanOrEqual(o_orderdate"),
+      "Q22 orders date filter not pushed")
+  }
+
   test("q72 normalize plans the codegen kernel, not interpreted HOFs") {
     val plan = SparkEntry.queries("q72_embed_normalize")(spark, sfSmoke)
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_vec_div"), "VectorDivide kernel missing")
     assert(!plan.contains("transform(") && !plan.contains("aggregate("),
       "interpreted higher-order functions on the normalize hot path")
+  }
+
+  test("q118 encodes through the codegen PqEncode kernel, not the " +
+    "interpreted struct-array argmin") {
+    val plan = SparkEntry.queries("q118_pq_encode")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_encode"), "PqEncode kernel missing")
+    assert(!plan.contains("array_min"),
+      "interpreted struct-argmin back on the encode hot path")
   }
 
   test("partitioned write → filtered read prunes to one partition directory") {
