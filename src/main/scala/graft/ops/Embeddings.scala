@@ -286,26 +286,85 @@ object Embeddings {
     * only the m-byte codes read, never the raw vectors. Returns
     * (qid, rank, id, adist), rank 1..k by ascending approximate
     * squared-L2 (ties → smaller id). */
+  /** per-query ADC lookup table: lut(s)(j) = exact squared L2 between
+    * the query's s-th subvector and centroid j of subspace s
+    * (sequential diff² fold — the SQL-replayable order). */
+  private def adcLut(q: Array[Double],
+                     codebooks: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
+    val sub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = q(s * sub + i) - c(i); d += diff * diff; i += 1
+        }
+        d
+      }.toSeq
+    }.toSeq
+  }
+
+  /** ADC distance column: sum of the m LUT entries the row's codes pick. */
+  private def adistCol(lut: Seq[Seq[Double]], codes: Column): Column =
+    lut.indices.map(s =>
+      element_at(element_at(typedLit(lut), s + 1),
+        get(codes, lit(s)) + 1)).reduce(_ + _)
+
   def pqTopK(queries: Array[(Long, Array[Double])], corpus: DataFrame,
              id: String, codes: String,
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val perQuery = queries.map { case (qid, q) =>
-      val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
-        cb.map { c =>
-          var d = 0.0
-          var i = 0
-          while (i < sub) {
-            val diff = q(s * sub + i) - c(i); d += diff * diff; i += 1
-          }
-          d
-        }.toSeq
-      }.toSeq
-      val adist = (0 until m).map(s =>
-        element_at(element_at(typedLit(lut), s + 1),
-          get(col(codes), lit(s)) + 1)).reduce(_ + _)
-      corpus.select(lit(qid).as("qid"), col(id), adist.as("adist"))
+      corpus.select(lit(qid).as("qid"), col(id),
+          adistCol(adcLut(q, codebooks), col(codes)).as("adist"))
+        .orderBy(col("adist"), col(id)).limit(k)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(id))
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col(id), col("adist"))
+  }
+
+  /** IVF + PQ composed search (the public IVFPQ shape, e.g. FAISS's
+    * IVF,PQ index — here WITHOUT residual encoding, so the same global
+    * codebooks and codes serve both the flat ADC scan and this one;
+    * documented trade: slightly worse quantization than per-cell
+    * residuals, one code table instead of |cells| of them, and the
+    * whole chain stays SQL-replayable).
+    *
+    * Corpus rows are assigned to their nearest coarse centroid by the
+    * SAME ‖c‖²−2xc argmin the PQ encode uses — literally one
+    * [[graft.expr.PqEncode]] kernel call whose single "subspace" spans
+    * the full vector — so assignment is a scan-stage codegen'd column.
+    * Each query probes its `nProbe` nearest cells (driver-side: the
+    * coarse set is small by construction) and the ADC scan reads ONLY
+    * probed-cell rows: at corpus scale the table would be written
+    * partitioned/bucketed by cell, turning the probe into partition
+    * pruning — locally the filter prunes at the scan. Ties everywhere
+    * break toward the smaller index/id. Returns (qid, rank, id, adist),
+    * rank 1..k by ascending ADC distance. */
+  def pqIvfTopK(queries: Array[(Long, Array[Double])], corpus: DataFrame,
+                coarse: Array[Array[Double]], id: String, codes: String,
+                vec: String, codebooks: Array[Array[Array[Double]]],
+                k: Int, nProbe: Int): DataFrame = {
+    require(coarse.nonEmpty, "pqIvfTopK: need at least one coarse centroid")
+    require(k >= 1 && nProbe >= 1, "pqIvfTopK: k and nProbe must be >= 1")
+    val assigned = corpus.withColumn("__cell",
+      get(VectorExpressions.pqEncode(col(vec), Array(coarse)), lit(0)))
+    val perQuery = queries.map { case (qid, q) =>
+      // probe order: same distance formula and fold order as the
+      // kernel's assignment (c² fold, then element-order dot)
+      val probed = coarse.zipWithIndex.map { case (c, j) =>
+        var c2 = 0.0
+        c.foreach(x => c2 += x * x)
+        var dot = 0.0
+        var i = 0
+        val lim = math.min(c.length, q.length)
+        while (i < lim) { dot += q(i) * c(i); i += 1 }
+        (c2 - 2.0 * dot, j)
+      }.sortBy { case (d, j) => (d, j) }.take(nProbe).map(_._2)
+      assigned.filter(col("__cell").isin(probed: _*))
+        .select(lit(qid).as("qid"), col(id),
+          adistCol(adcLut(q, codebooks), col(codes)).as("adist"))
         .orderBy(col("adist"), col(id)).limit(k)
     }
     val w = Window.partitionBy("qid").orderBy(col("adist"), col(id))

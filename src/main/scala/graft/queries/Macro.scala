@@ -659,6 +659,44 @@ object Macro {
           AND NOT EXISTS (SELECT 1 FROM orders
             WHERE o_custkey = c_custkey
               AND o_orderdate >= TIMESTAMP '2000-01-01')
-        GROUP BY c_nationkey ORDER BY c_nationkey"""))
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // --- Q15 shape: top revenue supplier — the classic view + MAX
+    // subquery. ONE fact aggregate builds the per-supplier quarterly
+    // revenue, its 1-row MAX broadcasts back over the aggregate's own
+    // (tiny) output — the fact table is scanned once, and the equality
+    // join against the max cannot drift because both sides come from
+    // the SAME decimal-exact sums (one double per supplier, compared
+    // to the max of those exact doubles). Supplier display attributes
+    // broadcast onto the winner rows.
+    "q127_tpch_q15" -> Q(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.join(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("total_revenue"), 2).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey,
+            ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey),
+        mx AS (SELECT MAX(total_revenue) AS mx FROM rev)
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        FROM rev CROSS JOIN mx
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = mx
+        ORDER BY s_suppkey"""))
   )
 }

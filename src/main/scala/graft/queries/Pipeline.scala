@@ -1398,6 +1398,96 @@ object Pipeline {
           WHERE rank <= 5 ORDER BY qid, rank"""
       }),
 
+    // --- IVF+PQ composed search (the FAISS-style IVFPQ shape) ----------------
+    // (Embeddings.pqIvfTopK — corpus rows assigned to their nearest
+    // coarse centroid by ONE PqEncode kernel call whose single
+    // "subspace" spans the full vector; each query probes its 2
+    // nearest cells and the ADC scan reads only probed-cell rows. No
+    // residual encoding, so q118's global codebooks/codes serve
+    // unchanged and the oracle replays the whole chain: coarse
+    // assignment, query probes, cell-filtered LUT distances, rank.)
+    "q126_ivfpq_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val cbs = graft.ops.Embeddings.pqInitCodebooks(
+          e, "vec_id", "embedding", dim = 64, m = 8, every = 100)
+        val coarseRows = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray)
+        val coded = e.select(col("vec_id"), col("embedding"),
+          graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1)
+        graft.ops.Embeddings.pqIvfTopK(qs, coded, coarseRows, "vec_id",
+            "codes", "embedding", cbs, k = 5, nProbe = 2)
+          .withColumn("adist", round(col("adist"), 9))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def sq(s: Int) = {
+          val off = s * 8
+          s"""a$s AS (SELECT e.vec_id, c.cid,
+              list_sum(list_transform(range(1, 9),
+                i -> CAST(c.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE)))
+              - 2 * list_sum(list_transform(range(1, 9),
+                i -> CAST(e.embedding[$off + i] AS DOUBLE)
+                  * CAST(c.embedding[$off + i] AS DOUBLE))) AS d
+            FROM e CROSS JOIN cent c),
+          b$s AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM a$s) WHERE rn = 1)"""
+        }
+        def lut(s: Int) = {
+          val off = s * 8
+          s"""list_sum(list_transform(range(1, 9),
+            i -> (CAST(q.qv[$off + i] AS DOUBLE)
+                - CAST(c$s.embedding[$off + i] AS DOUBLE))
+              * (CAST(q.qv[$off + i] AS DOUBLE)
+                - CAST(c$s.embedding[$off + i] AS DOUBLE))))"""
+        }
+        def coarseDist(v: String) =
+          s"""list_sum(list_transform(range(1, 65),
+            i -> CAST(g.embedding[i] AS DOUBLE)
+              * CAST(g.embedding[i] AS DOUBLE)))
+          - 2 * list_sum(list_transform(range(1, 65),
+            i -> CAST($v[i] AS DOUBLE) * CAST(g.embedding[i] AS DOUBLE)))"""
+        s"""WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              AS cid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          grs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              AS ccid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 3),
+          ${(0 until 8).map(sq).mkString(",\n")},
+          cellassign AS (SELECT vec_id, ccid AS cell FROM (
+            SELECT e.vec_id, g.ccid, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY ${coarseDist("e.embedding")}, g.ccid) AS rn
+            FROM e CROSS JOIN grs g) WHERE rn = 1),
+          probes AS (SELECT qid, ccid FROM (
+            SELECT q.qid, g.ccid, row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${coarseDist("q.qv")}, g.ccid) AS rn
+            FROM q CROSS JOIN grs g) WHERE rn <= 2),
+          sd AS (SELECT q.qid, e.vec_id,
+              ${(0 until 8).map(lut).mkString(" + ")} AS adist
+            FROM e ${(0 until 8).map(i =>
+              s"JOIN b$i ON e.vec_id = b$i.vec_id").mkString(" ")}
+              ${(0 until 8).map(i =>
+              s"JOIN cent c$i ON c$i.cid = b$i.cid").mkString(" ")}
+              JOIN cellassign ca ON ca.vec_id = e.vec_id
+              JOIN probes p ON p.ccid = ca.cell
+              JOIN q ON q.qid = p.qid),
+          ranked AS (SELECT qid, vec_id, adist,
+              row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+                AS rank FROM sd)
+          SELECT qid, rank, vec_id, round(adist, 9) AS adist FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank"""
+      }),
+
     // --- sequence packing (concat-and-chunk training batches) ----------------
     // (Packing.packConcat — distributed prefix sum over the NARROW
     // (id, ntok) frame: range partition + per-partition subtotals

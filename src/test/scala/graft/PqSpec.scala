@@ -97,6 +97,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqIvfTopK: probing every cell reproduces flat ADC exactly; " +
+    "nProbe=1 still finds the planted nearest neighbor") {
+    val cbs = Embeddings.pqTrainCodebooks(planted, "vec_id", "embedding",
+      dim, m, every = 10, iters = 3)
+    val coded = planted.select(col("vec_id"), col("embedding"),
+      Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+    val all = planted.as[(Long, Seq[Double])].collect()
+    // ids 0/32/64 land in the three distinct planted clusters (i % 3)
+    val coarse = Seq(0L, 32L, 64L).map(i =>
+      all.find(_._1 == i).get._2.toArray).toArray
+    val queries = Seq(5L, 17L, 40L).map(q =>
+      q -> all.find(_._1 == q).get._2.toArray).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val flat = rows(Embeddings.pqTopK(queries, coded, "vec_id", "codes",
+      cbs, k = 5))
+    val ivfAll = rows(Embeddings.pqIvfTopK(queries, coded, coarse,
+      "vec_id", "codes", "embedding", cbs, k = 5, nProbe = 3))
+    assert(ivfAll == flat, "probing all cells must equal the flat ADC scan")
+    val ivf1 = Embeddings.pqIvfTopK(queries, coded, coarse,
+        "vec_id", "codes", "embedding", cbs, k = 1, nProbe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    queries.foreach { case (qid, qv) =>
+      val exact = all.minBy { case (i, v) =>
+        (v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._1
+      assert(ivf1(qid) == exact,
+        s"query $qid: ivfpq top-1 ${ivf1(qid)} vs exact $exact")
+    }
+  }
+
   test("pqEncode ties break to the smaller centroid index") {
     // two identical centroids per subspace: every vector must code 0.
     val cb = Array.fill(m)(Array(Array(1.0, 1.0), Array(1.0, 1.0)))
