@@ -482,6 +482,58 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Incremental SimHash near-dup — the standing-ingestion shape that
+    * completes the incremental family ([[exactIncremental]] /
+    * [[minhashLshIncremental]]): candidate pairs form ONLY across the
+    * new/seen boundary via the same pigeonhole chunk blocking (a pair
+    * within hamming ≤ maxDist shares at least one of the maxDist+1
+    * chunks), never seen×seen (already deduped) and never new×new (run
+    * [[simhashPairs]] on the batch for that). Both sides' signatures
+    * are 8-byte columns; seen-side signatures can be persisted between
+    * ingests, making each increment O(batch + touched buckets). FULL
+    * recall by construction (pigeonhole, not probabilistic banding);
+    * ids must be disjoint across the frames. Returns (d1 ∈ new,
+    * d2 ∈ seen, dist ≤ maxDist). */
+  def simhashPairsIncremental(newDf: DataFrame, seenDf: DataFrame,
+                              id: String, text: String, maxDist: Int = 3,
+                              materialize: Boolean = true): DataFrame =
+    simhashIncImpl(newDf, seenDf, id, simhash(col(text)), maxDist,
+      bits = 64, materialize)
+
+  /** [[simhashPairsIncremental]] on the portable 31-bit simhash —
+    * DuckDB-replicable (the q46 convention), so the cross-boundary
+    * pair set is oracle-checkable. */
+  def simhashPairsIncrementalPortable(newDf: DataFrame, seenDf: DataFrame,
+                                      id: String, text: String,
+                                      maxDist: Int = 3,
+                                      materialize: Boolean = true): DataFrame =
+    simhashIncImpl(newDf, seenDf, id, simhashPortable(col(text)), maxDist,
+      bits = 31, materialize)
+
+  private def simhashIncImpl(newDf: DataFrame, seenDf: DataFrame,
+                             id: String, sim: Column, maxDist: Int,
+                             bits: Int, materialize: Boolean): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist must be in [0, ${bits - 1}]")
+    val numChunks = maxDist + 1
+    val base = bits / numChunks; val rem = bits % numChunks
+    val widths = Seq.tabulate(numChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkCols = offsets.zip(widths).map { case (off, w) =>
+      shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
+    }
+    def chunked(df: DataFrame) = {
+      val withSim0 = df.select(col(id), sim.as("sh"))
+      val withSim = if (materialize) withSim0.localCheckpoint() else withSim0
+      withSim.select(col(id), col("sh"), posexplode(array(chunkCols: _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    }
+    chunked(newDf).as("x").join(chunked(seenDf).as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2"),
+        hamming(col("x.sh"), col("y.sh")).as("dist")).distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Repeated-line removal (the Falcon/CCNet boilerplate filter —
     * public method; no reference equivalent): drop every line that
     * occurs, byte-identical, in at least `minDocs` DISTINCT documents

@@ -100,4 +100,26 @@ object Mixture {
       .filter(Frame.portableMix(col(id)) < col("mix_thresh"))
       .drop("mix_thresh")
   }
+
+  /** Exact per-group document cap (the per-domain cap of a corpus prep
+    * pipeline: no single source contributes more than `n` docs): keep
+    * each group's `n` rows with the smallest (portableMix(id), id) — a
+    * deterministic pseudo-uniform pick, engine-portable, NOT a prefix
+    * of ingestion order (a prefix would bias toward old crawls).
+    *
+    * The rank is a window partitioned by GROUP: its working set is one
+    * domain's rows on one executor — the sort spills rather than OOMs,
+    * and no group ever means "the whole corpus" (contrast the global
+    * windows PlanSpec forbids). For a corpus where one domain is
+    * itself shuffle-hostile, [[rebalance]] is the scan-stage
+    * alternative: exact expected counts at a rate threshold, no
+    * per-group sort at all — the standard exactness/shape trade. */
+  def capPerGroup(df: DataFrame, id: String, group: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, "capPerGroup: n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(group))
+      .orderBy(Frame.portableMix(col(id)), col(id))
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= n).drop("__cap_rn")
+  }
 }

@@ -1759,6 +1759,63 @@ object Pipeline {
           FROM s LEFT JOIN top1 t ON 1 = 1)
         SELECT wds.doc_id, CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
         FROM wds JOIN enc ON wds.w = enc.w
-        GROUP BY wds.doc_id ORDER BY wds.doc_id"""))
+        GROUP BY wds.doc_id ORDER BY wds.doc_id""")),
+
+    // --- incremental SimHash near-dup (standing ingestion) -------------------
+    // (Dedup.simhashPairsIncrementalPortable — candidate pairs form
+    // ONLY across the new/seen boundary via the pigeonhole chunk
+    // blocking; full recall by construction. The oracle computes both
+    // sides' portable signatures with the q46 bit-vote replay and
+    // takes exactly the cross-parity pairs — q110's boundary
+    // convention.)
+    "q128_simhash_incremental" -> Q(
+      (s, d) => {
+        val docsDf = docs(s, d)
+        Dedup.simhashPairsIncrementalPortable(
+            docsDf.filter(col("doc_id") % 2 === 1),
+            docsDf.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", maxDist = 3)
+          .orderBy("d1", "d2")
+      },
+      Some {
+        val votes = (0 until 31).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val sim = (0 until 31).map(b =>
+          s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          whs AS (SELECT doc_id, ${Sql.wordHash("w")} AS h FROM words),
+          bits AS (SELECT doc_id, $votes FROM whs GROUP BY doc_id),
+          sims AS (SELECT doc_id, $sim AS sim FROM bits)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+            bit_count(xor(a.sim, b.sim)) AS dist
+          FROM sims a JOIN sims b
+            ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          ORDER BY d1, d2"""
+      }),
+
+    // --- per-domain document cap ----------------------------------------------
+    // (Mixture.capPerGroup — each source keeps its n=20 rows with the
+    // smallest (portableMix(doc_id), doc_id): deterministic
+    // pseudo-uniform, not an ingestion-order prefix. The rank window
+    // partitions by SOURCE (one domain's rows, never the corpus); the
+    // oracle replays the mixer arithmetic and the row_number.)
+    "q129_domain_cap" -> Q(
+      (s, d) => graft.ops.Mixture.capPerGroup(docs(s, d), "doc_id",
+          "source", n = 20)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+      Some(s"""WITH ranked AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY ${Sql.mix("doc_id")}, doc_id) AS rn
+          FROM documents)
+        SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM ranked WHERE rn <= 20
+        GROUP BY source ORDER BY source"""))
   )
 }

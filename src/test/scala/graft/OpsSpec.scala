@@ -1126,6 +1126,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental SimHash equals the full run restricted to " +
+    "cross-boundary pairs (pigeonhole: exact, not probabilistic)") {
+    val d = Tables.documents(spark, sfSmoke)
+    val newB = d.filter($"doc_id" % 2 === 1)
+    val seen = d.filter($"doc_id" % 2 === 0)
+    val inc = Dedup.simhashPairsIncremental(newB, seen, "doc_id", "text", 3)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val full = Dedup.simhashPairs(d, "doc_id", "text", 3)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
+  test("capPerGroup keeps exactly n per group, deterministically, and " +
+    "is invariant to input partitioning") {
+    val d = Tables.documents(spark, sfSmoke)
+    val capped = graft.ops.Mixture.capPerGroup(d, "doc_id", "source", 5)
+    val counts = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, tot) =>
+      assert(counts.getOrElse(src, 0L) == math.min(5L, tot),
+        s"$src: got ${counts.get(src)} of $tot")
+    }
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = graft.ops.Mixture.capPerGroup(
+        d.repartition(7, $"text"), "doc_id", "source", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "cap selection must not depend on partitioning")
+  }
+
   test("keepTopQuantile prunes below each group's own threshold") {
     val d = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
       Seq.tabulate(4)(i => ("b", 100.0 + i))).toDF("g", "v")
