@@ -121,7 +121,19 @@ object Bench {
     "q113_pipeline_v2" -> SparkEntry.queries("q113_pipeline_v2"),
     "q118_pq_encode" -> SparkEntry.queries("q118_pq_encode"),
     // round-9: codegen PqEncode kernel + two-stage ADC → exact re-rank
-    "q120_pq_rerank" -> SparkEntry.queries("q120_pq_rerank"))
+    "q120_pq_rerank" -> SparkEntry.queries("q120_pq_rerank"),
+    // round-9: TPC-H Q4/Q6/Q13/Q15/Q17/Q22, IVFPQ, BPE e2e replay,
+    // incremental SimHash, per-domain cap
+    "q119_bpe_encode1" -> SparkEntry.queries("q119_bpe_encode1"),
+    "q121_tpch_q4" -> SparkEntry.queries("q121_tpch_q4"),
+    "q122_tpch_q6" -> SparkEntry.queries("q122_tpch_q6"),
+    "q123_tpch_q13" -> SparkEntry.queries("q123_tpch_q13"),
+    "q124_tpch_q17" -> SparkEntry.queries("q124_tpch_q17"),
+    "q125_tpch_q22" -> SparkEntry.queries("q125_tpch_q22"),
+    "q126_ivfpq_topk" -> SparkEntry.queries("q126_ivfpq_topk"),
+    "q127_tpch_q15" -> SparkEntry.queries("q127_tpch_q15"),
+    "q128_simhash_incremental" -> SparkEntry.queries("q128_simhash_incremental"),
+    "q129_domain_cap" -> SparkEntry.queries("q129_domain_cap"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -159,6 +159,21 @@ object Soak {
         big.filter(col("doc_id") % 2 === 1), big.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", 0.8, maxSeenBucket = Some(2 * copies)).count() }
     release()
+    // incremental SimHash: same boundary split; the replicated copies
+    // are hamming-0 cliques, so every chunk bucket carries the full
+    // clique pressure (the pigeonhole analog of the LSH mega-bucket)
+    val (nSInc, tSInc) = time {
+      graft.ops.Dedup.simhashPairsIncremental(
+        big.filter(col("doc_id") % 2 === 1), big.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", maxDist = 3).count() }
+    release()
+    // per-domain cap: the group-partitioned rank window over 20 synthetic
+    // domains of 10k docs each — the per-group sort is the surface under test
+    val (nCap, tCap) = time {
+      graft.ops.Mixture.capPerGroup(
+        big.withColumn("src", col("doc_id") % 20), "doc_id", "src", 1000)
+        .count() }
+    release()
 
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -175,6 +190,8 @@ object Soak {
         f""""pq_topk":{"rows":$nAdc,"sec":$tAdc%.2f},""" +
         f""""pq_rerank":{"rows":$nRr,"sec":$tRr%.2f},""" +
         f""""minhash_incremental":{"rows":$nInc,"sec":$tInc%.2f},""" +
+        f""""simhash_incremental":{"rows":$nSInc,"sec":$tSInc%.2f},""" +
+        f""""domain_cap":{"rows":$nCap,"sec":$tCap%.2f},""" +
         f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
         f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
         f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
