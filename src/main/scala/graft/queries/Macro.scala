@@ -697,6 +697,339 @@ object Macro {
         FROM rev CROSS JOIN mx
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = mx
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // --- Q2 shape: min-cost supplier per part. The fixture has no
+    // partsupp, so the part-supplier cost relation is DERIVED from
+    // lineitem (min observed unit price per (part, supplier) pair) —
+    // one fact aggregate, after which everything is small: the
+    // region-filtered supplier dim broadcasts into the pair table, the
+    // per-part minimum is an agg-broadcast back over the pairs (the
+    // correlated-MIN-subquery shape), and part attributes broadcast on
+    // top. Unit cost is a per-row double division (identical across
+    // engines), MIN is exact, and the equality join back compares the
+    // same doubles — no fp drift possible.
+    "q130_tpch_q2" -> Q(
+      (s, d) => {
+        val eu = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val parts = Tables.part(s, d)
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+          .select("p_partkey")
+        val ps = Tables.lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val cand = ps
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        val mc = cand.groupBy(col("l_partkey").as("mc_partkey"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        cand.join(broadcast(mc), col("l_partkey") === col("mc_partkey") &&
+            col("unit_cost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("l_partkey").as("p_partkey"), col("unit_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+            MIN(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        cand AS (SELECT ps.*, s_name, s_acctbal, n_name
+          FROM ps
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 25),
+        mc AS (SELECT l_partkey AS mc_partkey, MIN(unit_cost) AS min_cost
+          FROM cand GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+        FROM cand JOIN mc ON l_partkey = mc_partkey AND unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // --- Q8 shape: national market share — the deepest join graph in
+    // the battery (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈
+    // region on the demand side, supplier ⋈ nation on the supply side).
+    // Part/supplier/nation/region broadcast; orders⋈customer stays a
+    // shuffle pair (customer is NOT broadcast — at corpus scale it is a
+    // fact-sized table, and AQE may still elect broadcast at small SF).
+    // The share is a quotient of two decimal-exact sums over the same
+    // groups — order-independent, no rounding needed.
+    "q131_tpch_q8" -> Q(
+      (s, d) => {
+        val amer = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val supN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation")
+        val econ = Tables.part(s, d)
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate").between(
+            lit("1995-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(econ), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(amer, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("vol",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((gf.dsumD(when(col("supp_nation") === "NATION_6", col("vol"))
+              .otherwise(0.0)) / gf.dsumD(col("vol"))).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          (${dsum("CASE WHEN n2.n_name = 'NATION_6' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / ${dsum("l_extendedprice * (1 - l_discount)")}) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+            AND TIMESTAMP '1996-12-31'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // --- Q9 shape: product-type profit by nation and year. The fixture
+    // has no ps_supplycost, so cost is the retail-derived proxy
+    // 0.6 · p_retailprice · l_quantity (comes from the broadcast part
+    // dim, preserving Q9's defining trait: the profit expression mixes
+    // columns of THREE tables). Part-name suffix filter prunes the
+    // part broadcast; lineitem ⋈ orders is the one fact-fact shuffle;
+    // supplier→nation broadcasts. Decimal-exact sum, rounded at output.
+    "q132_tpch_q9" -> Q(
+      (s, d) => {
+        val bolts = Tables.part(s, d)
+          .filter(col("p_name").endsWith("bolt"))
+          .select("p_partkey", "p_retailprice")
+        val supN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "nation")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("amount",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+              col("p_retailprice") * col("l_quantity") * lit(0.6))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(round(gf.dsumD(col("amount")), 2).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT n_name AS nation,
+          CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          round(${dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6")}, 2)
+            AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // --- Q11 shape: important part values — per-part revenue from one
+    // nation group's suppliers, kept only when it exceeds a fraction of
+    // the GLOBAL total (the correlated scalar subquery). The supplier
+    // keyset semi-joins into the fact scan (broadcast), value and total
+    // come from the SAME decimal-exact pass shape (per-part aggregate +
+    // 1-row aggregate broadcast back), so the HAVING comparison cannot
+    // drift an ulp between engines.
+    "q133_tpch_q11" -> Q(
+      (s, d) => {
+        val eu = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .withColumn("rev",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        val value = li.groupBy("l_partkey")
+          .agg(gf.dsumD(col("rev")).as("value"))
+        val thr = li.agg((gf.dsumD(col("rev")) * lit(0.001)).as("thr"))
+        value.join(broadcast(thr))
+          .filter(col("value") > col("thr"))
+          .select(col("l_partkey"), round(col("value"), 2).as("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some(s"""WITH li AS (SELECT l_partkey,
+            l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')),
+        v AS (SELECT l_partkey, ${dsum("rev")} AS value
+          FROM li GROUP BY l_partkey),
+        t AS (SELECT ${dsum("rev")} * 0.001 AS thr FROM li)
+        SELECT l_partkey, round(value, 2) AS value
+        FROM v CROSS JOIN t WHERE value > thr
+        ORDER BY value DESC, l_partkey""")),
+
+    // --- Q12 shape: late-shipment priority split. The fixture has no
+    // l_shipmode/commitdate, so the mode analog is l_returnflag and
+    // lateness is shipped-after-order-date (the q121 convention). The
+    // defining plan trait survives: a fact-fact equi join (lineitem ⋈
+    // orders on orderkey — both sides shuffle) feeding conditional
+    // CASE aggregates, with the ship-year window pruning the lineitem
+    // scan.
+    "q134_tpch_q12" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_shipdate", "l_returnflag")
+        val ord = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+          ${Sql.isum("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END")}
+            AS high_line_count,
+          ${Sql.isum("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END")}
+            AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- Q16 shape: supplier count by part attribute. The part-supplier
+    // relation is again lineitem-derived (DISTINCT pair projection — one
+    // fact shuffle that then shrinks to ≤ |part|·|supplier|); the
+    // excluded-supplier set (negative balance, the fixture's complaint
+    // analog) is a broadcast ANTI join; part attributes broadcast in and
+    // COUNT(DISTINCT) runs on the already-distinct pair table.
+    "q135_tpch_q16" -> Q(
+      (s, d) => {
+        val bad = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+        val parts = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < 0.0)
+          AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // --- Q20 shape: dominant suppliers of a part family. Without
+    // ps_availqty the "excess stock" test becomes share-of-part-volume:
+    // a supplier qualifies when its 1996 shipped quantity of some
+    // 'small %' part exceeds 30% of that part's total — the same nested
+    // aggregate-threshold + semi-join-chain plan as spec Q20. The pair
+    // aggregate shrinks the fact scan once; the per-part total is a
+    // window sum over that pair table (NOT a groupBy-and-join-back,
+    // which would recompute the subplan and scan the fact twice);
+    // qualifying suppliers semi-join into the region-filtered dim.
+    "q136_tpch_q20" -> Q(
+      (s, d) => {
+        val smallParts = Tables.part(s, d)
+          .filter(col("p_name").startsWith("small ")).select("p_partkey")
+        val pair = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity")).as("pair_qty"))
+        val dom = pair
+          .withColumn("qty_thr",
+            sum(col("pair_qty")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_partkey"))) * lit(0.3))
+          .filter(col("pair_qty") > col("qty_thr"))
+          .select("l_suppkey").distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "n_name")
+          .orderBy("s_name")
+      },
+      Some("""WITH pair AS (SELECT l_partkey, l_suppkey,
+            CAST(SUM(l_quantity) AS BIGINT) AS pair_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small %'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey),
+        tot AS (SELECT l_partkey AS t_partkey,
+            CAST(SUM(pair_qty) AS BIGINT) * 0.3 AS qty_thr
+          FROM pair GROUP BY 1),
+        dom AS (SELECT DISTINCT l_suppkey
+          FROM pair JOIN tot ON l_partkey = t_partkey
+          WHERE pair_qty > qty_thr)
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        ORDER BY s_name"""))
   )
 }

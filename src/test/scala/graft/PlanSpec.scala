@@ -115,6 +115,49 @@ class PlanSpec extends SparkSpec {
       "Q22 orders date filter not pushed")
   }
 
+  test("battery-completing macros (Q2/Q8/Q9/Q11/Q12/Q16/Q20): hash joins " +
+    "only, anti/semi shapes survive, filters reach the scans") {
+    // q133's 1-row global-total threshold is a broadcast nested loop BY
+    // DESIGN (the agg-broadcast crossJoin idiom); every other macro must
+    // plan pure hash joins.
+    for (q <- Seq("q130_tpch_q2", "q131_tpch_q8", "q132_tpch_q9",
+        "q134_tpch_q12", "q135_tpch_q16", "q136_tpch_q20")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q: no nested loops")
+      assert(plan.contains("BroadcastHashJoin"), s"$q: dims must broadcast")
+    }
+    // Q2: the correlated per-part MIN joins back as a broadcast over the
+    // (partkey, mincost) pair — equality on identically-computed doubles
+    val p2 = SparkEntry.queries("q130_tpch_q2")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("TakeOrderedAndProject"),
+      "Q2 LIMIT 100 must plan TakeOrderedAndProject, not a global sort")
+    // Q8: the customer region restriction is a SEMI join (no customer
+    // payload columns ride up the join tree)
+    val p8 = SparkEntry.queries("q131_tpch_q8")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p8.contains("LeftSemi"), "Q8 customer filter must stay semi")
+    // Q12: the ship-year window prunes the lineitem scan
+    val p12 = SparkEntry.queries("q134_tpch_q12")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate"),
+      "Q12 lineitem date filter not pushed")
+    // Q16: negative-balance suppliers leave via a broadcast ANTI join
+    val p16 = SparkEntry.queries("q135_tpch_q16")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p16.contains("LeftAnti"), "Q16 exclusion must plan anti join")
+    // Q20: qualifying suppliers enter via a SEMI join; the pair → total
+    // cascade never rescans the fact table (exactly one lineitem scan)
+    val p20 = SparkEntry.queries("q136_tpch_q20")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p20.contains("LeftSemi"), "Q20 must keep the semi-join chain")
+    assert(p20.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      "Q20 must scan lineitem exactly once")
+  }
+
   test("q72 normalize plans the codegen kernel, not interpreted HOFs") {
     val plan = SparkEntry.queries("q72_embed_normalize")(spark, sfSmoke)
       .queryExecution.executedPlan.toString
