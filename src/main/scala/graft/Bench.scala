@@ -133,7 +133,17 @@ object Bench {
     "q126_ivfpq_topk" -> SparkEntry.queries("q126_ivfpq_topk"),
     "q127_tpch_q15" -> SparkEntry.queries("q127_tpch_q15"),
     "q128_simhash_incremental" -> SparkEntry.queries("q128_simhash_incremental"),
-    "q129_domain_cap" -> SparkEntry.queries("q129_domain_cap"))
+    "q129_domain_cap" -> SparkEntry.queries("q129_domain_cap"),
+    // round-9: battery-completing TPC-H macros (Q2/Q8/Q9/Q11/Q12/Q16/Q20)
+    // + the full Q1 pricing summary
+    "q130_tpch_q2" -> SparkEntry.queries("q130_tpch_q2"),
+    "q131_tpch_q8" -> SparkEntry.queries("q131_tpch_q8"),
+    "q132_tpch_q9" -> SparkEntry.queries("q132_tpch_q9"),
+    "q133_tpch_q11" -> SparkEntry.queries("q133_tpch_q11"),
+    "q134_tpch_q12" -> SparkEntry.queries("q134_tpch_q12"),
+    "q135_tpch_q16" -> SparkEntry.queries("q135_tpch_q16"),
+    "q136_tpch_q20" -> SparkEntry.queries("q136_tpch_q20"),
+    "q137_tpch_q1" -> SparkEntry.queries("q137_tpch_q1"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1030,6 +1030,46 @@ object Macro {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'EUROPE'
           AND s_suppkey IN (SELECT l_suppkey FROM dom)
-        ORDER BY s_name"""))
+        ORDER BY s_name""")),
+
+    // --- Q1 proper: the pricing-summary report — the canonical
+    // scan-heavy single-pass aggregate (q01 is the reference's own
+    // 2-measure flavor; this is the full 8-measure spec shape). One
+    // fact scan, map-side partial agg over a 6-group key, no joins.
+    // All four sums are decimal-exact (Int128 accumulate, the fp-parity
+    // policy in Q.scala); the averages are quotients of those exact
+    // sums by the exact count, so both engines divide identical
+    // doubles. Cutoff = fixture max shipdate minus 90 days, mirroring
+    // the spec's DATE '1998-12-01' - 90.
+    "q137_tpch_q1" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          gf.dsumD(col("l_quantity")).as("sum_qty"),
+          gf.dsumD(col("l_extendedprice")).as("sum_base_price"),
+          gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (gf.dsumD(col("l_quantity")) / gf.countAll).as("avg_qty"),
+          (gf.dsumD(col("l_extendedprice")) / gf.countAll).as("avg_price"),
+          (gf.dsumD(col("l_discount")) / gf.countAll).as("avg_disc"),
+          gf.countAll.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty,
+          ${dsum("l_extendedprice")} AS sum_base_price,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+          ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+            AS sum_charge,
+          ${dsum("l_quantity")} / COUNT(*) AS avg_qty,
+          ${dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+          ${dsum("l_discount")} / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }

@@ -72,9 +72,19 @@ object SoakTpch {
       val ts = Seq.fill(iters)(once(name)).sorted
       (name, ts(ts.length / 2), ts.head, ts.last)
     }
-    val macros = Seq("q01_groupby_agg", "q12_join_star", "q73_tpch_q3",
-      "q74_tpch_q5", "q108_tpch_q18", "q109_tpch_q21", "q114_tpch_q10",
-      "q115_tpch_q7", "q116_tpch_q14", "q117_tpch_q19")
+    // Full TPC-H battery + the two reference-flavor macros. Override
+    // with a comma-separated SPARK_GRAFT_SOAK_QUERIES for targeted
+    // adjudication runs (the ITERS>1 A/B protocol).
+    val defaultMacros = Seq("q01_groupby_agg", "q12_join_star",
+      "q137_tpch_q1", "q130_tpch_q2", "q73_tpch_q3", "q121_tpch_q4",
+      "q74_tpch_q5", "q122_tpch_q6", "q115_tpch_q7", "q131_tpch_q8",
+      "q132_tpch_q9", "q114_tpch_q10", "q133_tpch_q11", "q134_tpch_q12",
+      "q123_tpch_q13", "q116_tpch_q14", "q127_tpch_q15", "q135_tpch_q16",
+      "q124_tpch_q17", "q108_tpch_q18", "q117_tpch_q19", "q136_tpch_q20",
+      "q109_tpch_q21", "q125_tpch_q22")
+    val macros = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultMacros)
     val results = macros.map(time)
 
     val rt = Runtime.getRuntime

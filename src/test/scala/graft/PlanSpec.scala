@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
       "Q22 orders date filter not pushed")
   }
 
+  test("q137 TPC-H Q1: one scan, pushed date filter, partial agg, no join") {
+    val plan = SparkEntry.queries("q137_tpch_q1")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      "Q1 shipdate cutoff not pushed to the scan")
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      "Q1 must be a single fact scan")
+    assert(!plan.contains("Join"), "Q1 has no joins")
+    assert(plan.contains("HashAggregate"),
+      "Q1 must plan hash aggregation (map-side partials)")
+  }
+
   test("battery-completing macros (Q2/Q8/Q9/Q11/Q12/Q16/Q20): hash joins " +
     "only, anti/semi shapes survive, filters reach the scans") {
     // q133's 1-row global-total threshold is a broadcast nested loop BY
