@@ -143,7 +143,10 @@ object Bench {
     "q134_tpch_q12" -> SparkEntry.queries("q134_tpch_q12"),
     "q135_tpch_q16" -> SparkEntry.queries("q135_tpch_q16"),
     "q136_tpch_q20" -> SparkEntry.queries("q136_tpch_q20"),
-    "q137_tpch_q1" -> SparkEntry.queries("q137_tpch_q1"))
+    "q137_tpch_q1" -> SparkEntry.queries("q137_tpch_q1"),
+    // round-9: explicit Bloom runtime-filter handles
+    "q138_decontam_bloom" -> SparkEntry.queries("q138_decontam_bloom"),
+    "q139_bloom_join" -> SparkEntry.queries("q139_bloom_join"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

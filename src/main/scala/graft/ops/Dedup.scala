@@ -79,6 +79,48 @@ object Dedup {
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** `decontaminationReport` with a Bloom pre-filter on the corpus
+    * side — the corpus-scale form. The plain report shuffles EVERY
+    * corpus n-gram hash into the semi join; at 100 TB that shuffle is
+    * the whole job, even though almost no gram matches a benchmark.
+    * Here the benchmark grams additionally build a Bloom filter
+    * (lazily, a `BloomFilterAggregate` in an uncorrelated scalar
+    * subquery — nothing collects at call time; same machinery as
+    * `Skew.bloomPrunedJoin`), and the corpus gram stream is probed with
+    * the codegen `BloomFilterMightContain` BEFORE the shuffle: only
+    * grams that might match (true leaks + ~fpp false positives) ever
+    * leave the scan stage. The exact semi join then discards the false
+    * positives, so the output is IDENTICAL to `decontaminationReport`
+    * — fpp trades shuffle volume, never correctness.
+    *
+    * `expectedGrams` sizes the filter for the benchmark's distinct
+    * gram count (~9.6 bits/item at fpp 0.01 → 10⁸ grams ≈ 120 MB,
+    * broadcastable; benchmarks are small by definition). */
+  def decontaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
+                                 id: String, text: String, n: Int = 8,
+                                 expectedGrams: Long = 1L << 22,
+                                 fpp: Double = 0.01): DataFrame = {
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1,
+      "decontaminationReportBloom: need expectedGrams > 0, 0 < fpp < 1")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, InternalBridge}
+    val bg = ngramHashArrays(benchmark, id, text, n)
+      .select(explode_outer(col("hs")).as("g")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, fpp)
+    val build = new BloomFilterAggregate(ColumnBridge.expression(col("g")),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val bfFrame = bg.select(ColumnBridge.column(build).as("__graft_bf"))
+    val cg = ngramHashArrays(corpus, id, text, n)
+      .select(col(id), explode_outer(col("hs")).as("g"))
+      .filter(ColumnBridge.column(BloomFilterMightContain(
+        InternalBridge.scalarSubquery(bfFrame),
+        ColumnBridge.expression(col("g")))))
+    cg.join(bg, Seq("g"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** exploded (idCol, "s") shingle-hash rows.
     *
     * explode_OUTER, deliberately: the array is never empty (the

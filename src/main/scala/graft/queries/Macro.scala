@@ -704,10 +704,10 @@ object Macro {
     // lineitem (min observed unit price per (part, supplier) pair) —
     // one fact aggregate, after which everything is small: the
     // region-filtered supplier dim broadcasts into the pair table, the
-    // per-part minimum is an agg-broadcast back over the pairs (the
-    // correlated-MIN-subquery shape), and part attributes broadcast on
+    // per-part minimum (the correlated-MIN-subquery shape) is a window
+    // over the joined pair table, and part attributes broadcast on
     // top. Unit cost is a per-row double division (identical across
-    // engines), MIN is exact, and the equality join back compares the
+    // engines), MIN is exact, and the window-min equality compares the
     // same doubles — no fp drift possible.
     "q130_tpch_q2" -> Q(
       (s, d) => {
@@ -728,10 +728,13 @@ object Macro {
         val cand = ps
           .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        val mc = cand.groupBy(col("l_partkey").as("mc_partkey"))
-          .agg(min(col("unit_cost")).as("min_cost"))
-        cand.join(broadcast(mc), col("l_partkey") === col("mc_partkey") &&
-            col("unit_cost") === col("min_cost"))
+        // correlated per-part MIN as a window over cand — NOT a
+        // groupBy-and-join-back, which recomputes the cand subplan
+        // (incl. the fact aggregate) twice: 39 s → 11 s at the 40× soak
+        cand.withColumn("min_cost",
+            min(col("unit_cost")).over(org.apache.spark.sql.expressions
+              .Window.partitionBy(col("l_partkey"))))
+          .filter(col("unit_cost") === col("min_cost"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("l_partkey").as("p_partkey"), col("unit_cost"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -1070,6 +1073,37 @@ object Macro {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-08-06'
         GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // --- Bloom-pruned fact-fact join (Skew.bloomPrunedJoin, the
+    // explicit runtime-filter handle): revenue of line items belonging
+    // to the top ~1% most expensive orders. Neither side broadcasts at
+    // corpus scale; the selective side builds a lazy Bloom filter
+    // (scalar-subquery stage, nothing collected) that prunes the fact
+    // scan BEFORE the shuffle, and the inner join discards the ~fpp
+    // false positives — so the oracle is the PLAIN join: hash-matching
+    // it proves the pruning is invisible in the result.
+    "q139_bloom_join" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev"))
+        val small = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.ops.Skew.bloomPrunedJoin(big, small, "okey",
+            expectedItems = 1L << 16, fpp = 0.01)
+          .groupBy("o_orderpriority")
+          .agg(gf.dsumD(col("rev")).as("revenue"),
+            gf.countAll.as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 450000.0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

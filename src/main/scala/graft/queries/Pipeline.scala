@@ -1816,6 +1816,40 @@ object Pipeline {
         SELECT source, COUNT(*) AS n_kept,
           CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM ranked WHERE rn <= 20
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // --- Bloom-prefiltered decontamination: same contract as q69 (the
+    // benchmark here is the doc_id % 20 == 7 slice) but the corpus
+    // n-gram stream is probed against a lazily-built benchmark Bloom
+    // filter BEFORE the semi-join shuffle — the corpus-scale plan. The
+    // oracle is the PLAIN overlap on n-gram strings: Bloom false
+    // positives must vanish in the exact verify, so hash-matching the
+    // exact answer is precisely what proves fpp traded shuffle volume,
+    // not correctness.
+    "q138_decontam_bloom" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.decontaminationReportBloom(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7),
+          "doc_id", "text", n = 8, expectedGrams = 1L << 18)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH bench AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 = 7),
+          corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 <> 7),
+          bg AS (SELECT DISTINCT unnest(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram)) AS g
+            FROM bench WHERE len(w) >= 8),
+          cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram))) AS g
+            FROM corpus WHERE len(w) >= 8)
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM cg SEMI JOIN bg USING (g)
+          GROUP BY doc_id ORDER BY doc_id"""
+      })
   )
 }

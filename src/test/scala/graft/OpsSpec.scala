@@ -607,6 +607,26 @@ class OpsSpec extends SparkSpec {
     assert(survivors < 500, s"bloom filter passed $survivors of 20000")
   }
 
+  test("bloom decontamination equals the exact report; probe is codegen") {
+    val mk = (i: Long, t: String) => (i, t)
+    val corpus = Seq(
+      mk(1, "the quick brown fox jumps over the lazy dog today ok"),
+      mk(2, "completely unrelated words with no benchmark overlap at all whatsoever"),
+      mk(3, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(4, "short text")).toDF("doc_id", "text")
+    val bench = Seq(
+      mk(100, "the quick brown fox jumps over the lazy dog today and more"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminationReport(corpus, bench, "doc_id", "text",
+      n = 8).collect().map(_.toSeq).toSet
+    val bloom = Dedup.decontaminationReportBloom(corpus, bench, "doc_id",
+      "text", n = 8, expectedGrams = 64)
+    assert(bloom.collect().map(_.toSeq).toSet == exact && exact.nonEmpty)
+    val planStr = bloom.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(2000))
+    assert(!planStr.contains("UDF"), "bloom probe must not be a UDF")
+  }
+
   test("incremental dedup: batch-unique AND unseen survive") {
     val seen = Seq("alpha", "beta").toDF("text")
     val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),

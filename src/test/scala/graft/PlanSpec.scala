@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
       "Q22 orders date filter not pushed")
   }
 
+  test("q139 bloom join: codegen might_contain probe below the join") {
+    val plan = SparkEntry.queries("q139_bloom_join")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom probe must be the codegen BloomFilterMightContain")
+    assert(!plan.contains("UDF"), "bloom probe must not be a UDF")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "no nested loops")
+  }
+
   test("q137 TPC-H Q1: one scan, pushed date filter, partial agg, no join") {
     val plan = SparkEntry.queries("q137_tpch_q1")(spark, sfSmoke)
       .queryExecution.executedPlan.toString
