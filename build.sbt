@@ -26,10 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g (was 8g): the dedup/self-join benchmarks thrash G1 at 8g —
-  // q44 measured 3.59 s median [2.16, 8.22] at 8g vs 1.98 s [1.69, 3.44]
-  // at 24g on the same commit (QBench, 8 iters, sf0.1). The container
-  // has 128 GiB; a single local[32] JVM standing in for a cluster
-  // should not be the memory-starved component.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 32g (was 8g, then 24g): the dedup/self-join benchmarks thrash G1
+  // at 8g — q44 measured 3.59 s median [2.16, 8.22] at 8g vs 1.98 s
+  // [1.69, 3.44] at 24g on the same commit (QBench, 8 iters, sf0.1);
+  // the round-9 63-query Bench run then showed broad late-query
+  // inflation at 24g (paired with the between-queries System.gc in
+  // Bench.scala). The container has 128 GiB; a single local[32] JVM
+  // standing in for a cluster should not be the memory-starved
+  // component.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

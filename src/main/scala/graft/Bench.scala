@@ -198,7 +198,18 @@ object Bench {
       (s(s.length / 2), s.head, s.last)
     }
 
-    val results = headline.map { case (name, fn) => name -> run(fn) }
+    val results = headline.map { case (name, fn) =>
+      val r = run(fn)
+      // Full GC between queries: Spark's ContextCleaner reclaims
+      // broadcast/shuffle/accumulator state only when driver GC runs,
+      // and with a large heap GC is rare — so a 60+-query run otherwise
+      // accumulates earlier queries' state and inflates later medians
+      // (observed broadly at 63 queries: untouched scan-aggs 1.3-2×
+      // their fresh-session QBench numbers). GC time sits between
+      // queries, never inside a measured iteration.
+      System.gc()
+      name -> r
+    }
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, lo, hi)) =>

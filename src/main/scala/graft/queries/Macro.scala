@@ -608,9 +608,15 @@ object Macro {
         val li = Tables.lineitem(s, d)
           .select("l_partkey", "l_quantity", "l_extendedprice")
           .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-        val thr = li.groupBy("l_partkey")
-          .agg((avg(col("l_quantity")) * 0.2).as("qty_thr"))
-        li.join(broadcast(thr), Seq("l_partkey"))
+        // correlated per-part AVG as a window — the groupBy-and-join-
+        // back form recomputes the li subplan (scan + broadcast join)
+        // twice; no exchange is shared between the two branches, so
+        // ReuseExchange cannot save it. avg is exact here (integral
+        // quantities sum exactly in double), so the window result is
+        // bit-identical to the joined aggregate.
+        li.withColumn("qty_thr",
+            avg(col("l_quantity")).over(org.apache.spark.sql.expressions
+              .Window.partitionBy(col("l_partkey"))) * 0.2)
           .filter(col("l_quantity") < col("qty_thr"))
           .agg(round(gf.dsumD(col("l_extendedprice")) / 7.0, 2)
             .as("avg_yearly"))
@@ -671,9 +677,16 @@ object Macro {
     // broadcast onto the winner rows.
     "q127_tpch_q15" -> Q(
       (s, d) => {
+        // The explicit isNotNull matters: the supplier join infers
+        // isnotnull(l_suppkey) and pushes it into ONLY the join
+        // branch's scan, making the two rev subtrees canonically
+        // different — ReuseExchange then re-scans the fact for the MAX
+        // branch. Stating the (vacuously true) filter up front keeps
+        // both branches identical: one lineitem scan, exchange reused.
         val rev = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+            col("l_suppkey").isNotNull)
           .groupBy("l_suppkey")
           .agg(gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("total_revenue"))
@@ -887,7 +900,13 @@ object Macro {
             col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         val value = li.groupBy("l_partkey")
           .agg(gf.dsumD(col("rev")).as("value"))
-        val thr = li.agg((gf.dsumD(col("rev")) * lit(0.001)).as("thr"))
+        // The global total re-aggregates VALUE's own output, not li:
+        // aggregating li directly would be a second full fact pass
+        // (different aggregate → no shared exchange), while here both
+        // branches sit on value's exchange and ReuseExchange scans the
+        // fact once. The oracle mirrors the same two-level sum, so the
+        // threshold is the identical double in both engines.
+        val thr = value.agg((gf.dsumD(col("value")) * lit(0.001)).as("thr"))
         value.join(broadcast(thr))
           .filter(col("value") > col("thr"))
           .select(col("l_partkey"), round(col("value"), 2).as("value"))
@@ -902,7 +921,7 @@ object Macro {
             WHERE r_name = 'EUROPE')),
         v AS (SELECT l_partkey, ${dsum("rev")} AS value
           FROM li GROUP BY l_partkey),
-        t AS (SELECT ${dsum("rev")} * 0.001 AS thr FROM li)
+        t AS (SELECT ${dsum("value")} * 0.001 AS thr FROM v)
         SELECT l_partkey, round(value, 2) AS value
         FROM v CROSS JOIN t WHERE value > thr
         ORDER BY value DESC, l_partkey""")),

@@ -174,6 +174,21 @@ object Soak {
         big.withColumn("src", col("doc_id") % 20), "doc_id", "src", 1000)
         .count() }
     release()
+    // decontamination, exact vs Bloom-prefiltered: SAME output by
+    // construction; replicated copies make every benchmark gram
+    // corpus-frequent, so the exact variant shuffles all ~copies×
+    // corpus grams while the bloom variant prunes non-benchmark grams
+    // scan-side — the pair measures the shuffle saving at scale
+    val bench = docs.filter(col("doc_id") % 20 === 7)
+    val (nDecE, tDecE) = time {
+      graft.ops.Dedup.decontaminationReport(
+        big, bench, "doc_id", "text", n = 8).count() }
+    release()
+    val (nDecB, tDecB) = time {
+      graft.ops.Dedup.decontaminationReportBloom(
+        big, bench, "doc_id", "text", n = 8,
+        expectedGrams = 1L << 20).count() }
+    release()
 
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -196,6 +211,8 @@ object Soak {
         f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
         f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
         f""""quantile_filter":{"rows":$nKtq,"sec":$tKtq%.2f},""" +
+        f""""decontam_exact":{"rows":$nDecE,"sec":$tDecE%.2f},""" +
+        f""""decontam_bloom":{"rows":$nDecB,"sec":$tDecB%.2f},""" +
         s""""heap_used_mb":$heapUsedMb}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -101,11 +101,16 @@ class PlanSpec extends SparkSpec {
     assert(scan6.contains("GreaterThanOrEqual(l_shipda"),
       s"Q6 predicates not pushed to the scan: $scan6")
     assert(!p6.contains("Join"), "Q6 is scan+agg only")
-    // Q17: the per-part threshold joins back as a BROADCAST
+    // Q17: the part filter broadcasts and the correlated per-part AVG
+    // is a window over the filtered fact — exactly ONE lineitem scan
+    // (the groupBy-join-back form recomputed the scan+join twice)
     val p17 = SparkEntry.queries("q124_tpch_q17")(spark, sfSmoke)
       .queryExecution.executedPlan.toString
     assert(p17.contains("BroadcastHashJoin"),
-      "Q17 agg-broadcast threshold must broadcast")
+      "Q17 part filter must broadcast")
+    assert(p17.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      "Q17 must scan lineitem exactly once")
     // Q22: the 1-row balance threshold broadcasts; inactivity is an
     // ANTI hash join, and the orders side scan is date-pruned
     val p22 = SparkEntry.queries("q125_tpch_q22")(spark, sfSmoke)
@@ -139,6 +144,16 @@ class PlanSpec extends SparkSpec {
 
   test("battery-completing macros (Q2/Q8/Q9/Q11/Q12/Q16/Q20): hash joins " +
     "only, anti/semi shapes survive, filters reach the scans") {
+    // Planned with AQE OFF: the single-fact-scan pins below rely on
+    // ReuseExchange, which AQE only applies at execution time (the
+    // unexecuted adaptive plan prints both branches). Without AQE the
+    // reuse is visible at planning time as a ReusedExchange node.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try batteryAssertions()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def batteryAssertions(): Unit = {
     // q133's 1-row global-total threshold is a broadcast nested loop BY
     // DESIGN (the agg-broadcast crossJoin idiom); every other macro must
     // plan pure hash joins.
@@ -178,6 +193,23 @@ class PlanSpec extends SparkSpec {
     assert(p20.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("lineitem")) == 1,
       "Q20 must scan lineitem exactly once")
+    // Q11: the global total re-aggregates the per-part aggregate's own
+    // exchange (ReuseExchange), so the fact scans once; the 1-row
+    // threshold then broadcasts (that nested loop is the designed
+    // agg-broadcast idiom, excluded from the loop above)
+    val p11 = SparkEntry.queries("q133_tpch_q11")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p11.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      "Q11 must scan lineitem exactly once (ReusedExchange)")
+    // Q15: the MAX branch re-aggregates rev's reused exchange — the
+    // explicit isNotNull on the grouping key keeps both branches
+    // canonically identical (see the q127 comment in Macro.scala)
+    val p15 = SparkEntry.queries("q127_tpch_q15")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p15.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      "Q15 must scan lineitem exactly once (ReusedExchange)")
   }
 
   test("q72 normalize plans the codegen kernel, not interpreted HOFs") {
