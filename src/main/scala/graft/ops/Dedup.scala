@@ -95,7 +95,17 @@ object Dedup {
     *
     * `expectedGrams` sizes the filter for the benchmark's distinct
     * gram count (~9.6 bits/item at fpp 0.01 → 10⁸ grams ≈ 120 MB,
-    * broadcastable; benchmarks are small by definition). */
+    * broadcastable; benchmarks are small by definition).
+    *
+    * When it pays: the pre-filter wins exactly when the corpus-gram
+    * hit rate is LOW (the realistic case — almost no training text
+    * overlaps a benchmark), because the saved shuffle dwarfs the
+    * probe. On the soak fixture, where every doc family overlaps the
+    * sampled "benchmark", measured cost was ~1.26× the exact path
+    * (SOAK_LOCAL.json decontam_bloom 1.71 s vs decontam_exact 1.36 s
+    * at 40×): high overlap means the bloom prunes little and the probe
+    * is pure overhead. Use the plain report when the corpus is known
+    * to be benchmark-derived; use this one for real corpora. */
   def decontaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
                                  id: String, text: String, n: Int = 8,
                                  expectedGrams: Long = 1L << 22,

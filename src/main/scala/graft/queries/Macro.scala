@@ -136,14 +136,24 @@ object Macro {
     // --- Q21 shape: the lone late supplier in multi-supplier orders.
     // The textbook formulation is a 4-way self-join with correlated
     // EXISTS / NOT EXISTS over the fact table (three lineitem reads);
-    // the Spark-first re-expression is ONE fact pass: per-(order,
-    // supplier) aggregate carrying BOTH the any-late flag and the
-    // late-LINE count, then a per-order rollup (supplier count,
-    // late-supplier count), then an order-key join of the two small
-    // frames — a supplier's late lines count iff its order has ≥ 2
-    // suppliers and exactly 1 late one (which must be this supplier).
-    // No correlated execution, the fact table is scanned once, and
-    // everything after the first aggregate is order-keyed and tiny.
+    // the Spark-first re-expression is ONE fact pass and ONE aggregate:
+    // a supplier's late lines count iff its order has ≥ 2 suppliers and
+    // exactly 1 late one (which must be this supplier), and both
+    // conditions are plain min/max facts of the order — ≥ 2 suppliers
+    // ⟺ min(suppkey) ≠ max(suppkey); exactly one late supplier ⟺
+    // min and max over late-line suppkeys agree (non-null), and that
+    // value IS the waiting supplier, owning every late line in the
+    // order. So a single groupBy(l_orderkey) with five simple
+    // min/max/sum aggregates replaces the textbook's correlated
+    // rescans; map-side partials collapse the ~7 lines/order before
+    // the shuffle, and no per-(order,supplier) intermediate exists at
+    // all. (Earlier shapes — a (order,supplier) aggregate rolled up
+    // via join-back or window — carried ~20 M-group hash state and a
+    // fact-scale sort at 24 M-row soak scale, with 5× iteration
+    // variance from the memory pressure; this form's QBench A/B is
+    // both faster and tight. Join-back also double-scanned the fact:
+    // column pruning gives the rollup branch a narrower aggregate, so
+    // the exchanges differ canonically and ReuseExchange can't help.)
     // The oracle runs the TEXTBOOK EXISTS/NOT-EXISTS form — the
     // hash-match proves the re-expression. (testdata has no
     // l_commitdate/l_receiptdate; lateness is l_shipdate >
@@ -166,24 +176,29 @@ object Macro {
     // phase dominate the first), plan identical throughout.
     "q109_tpch_q21" -> Q(
       (s, d) => {
+        // NULL suppkeys never satisfy the oracle's EXISTS `<>` or the
+        // supplier join, and min/max skip nulls while the line count
+        // would not — filter them at the source so all five aggregates
+        // see the same row set.
         val lo = Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .filter(col("l_suppkey").isNotNull)
           .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_suppkey"),
             (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
               .as("late"))
-        val ps = lo.groupBy("l_orderkey", "l_suppkey").agg(
-          max(col("late")).as("any_late"),
-          sum(col("late").cast("long")).as("n_late_lines"))
-        val os = ps.groupBy("l_orderkey").agg(
-          count(lit(1)).as("n_supp"),
-          sum(col("any_late").cast("int")).as("n_late"))
-        ps.filter(col("any_late"))
-          .join(os, Seq("l_orderkey"))
-          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        val lateKey = when(col("late"), col("l_suppkey"))
+        lo.groupBy("l_orderkey").agg(
+            min(col("l_suppkey")).as("supp_mn"),
+            max(col("l_suppkey")).as("supp_mx"),
+            min(lateKey).as("late_mn"),
+            max(lateKey).as("late_mx"),
+            sum(col("late").cast("long")).as("n_late_lines"))
+          .filter(col("supp_mn") =!= col("supp_mx") &&
+            col("late_mn").isNotNull && col("late_mn") === col("late_mx"))
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
-            col("l_suppkey") === col("s_suppkey"))
+            col("late_mn") === col("s_suppkey"))
           .groupBy("s_name", "s_suppkey")
           .agg(sum(col("n_late_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_suppkey"))

@@ -45,14 +45,22 @@ object SoakTpch {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
 
-    write(replicate(graft.Tables.customer(spark, sfDir), "c_custkey"), "customer")
-    write(replicate(graft.Tables.supplier(spark, sfDir), "s_suppkey"), "supplier")
-    write(replicate(graft.Tables.orders(spark, sfDir), "o_orderkey", "o_custkey"), "orders")
-    write(replicate(graft.Tables.lineitem(spark, sfDir),
-      "l_orderkey", "l_suppkey"), "lineitem")
-    write(graft.Tables.nation(spark, sfDir), "nation")
-    write(graft.Tables.region(spark, sfDir), "region")
-    write(graft.Tables.part(spark, sfDir), "part")
+    // SPARK_GRAFT_SOAK_REUSE=1 skips the table rewrite when the scaled
+    // dir already exists — replication is deterministic (same copies →
+    // same bytes), so adjudication re-runs (the ITERS protocol) can
+    // re-time queries without paying the ~2 min write each time.
+    val reuse = sys.env.get("SPARK_GRAFT_SOAK_REUSE").contains("1") &&
+      new java.io.File(s"$out/lineitem.parquet").exists()
+    if (!reuse) {
+      write(replicate(graft.Tables.customer(spark, sfDir), "c_custkey"), "customer")
+      write(replicate(graft.Tables.supplier(spark, sfDir), "s_suppkey"), "supplier")
+      write(replicate(graft.Tables.orders(spark, sfDir), "o_orderkey", "o_custkey"), "orders")
+      write(replicate(graft.Tables.lineitem(spark, sfDir),
+        "l_orderkey", "l_suppkey"), "lineitem")
+      write(graft.Tables.nation(spark, sfDir), "nation")
+      write(graft.Tables.region(spark, sfDir), "region")
+      write(graft.Tables.part(spark, sfDir), "part")
+    }
     val nLi = spark.read.parquet(s"$out/lineitem.parquet").count()
 
     // SPARK_GRAFT_SOAK_ITERS > 1 switches from single-shot timings
@@ -69,7 +77,14 @@ object SoakTpch {
       (System.nanoTime() - t0) / 1e9
     }
     def time(name: String): (String, Double, Double, Double) = {
-      val ts = Seq.fill(iters)(once(name)).sorted
+      // Adjudication mode only: GC between iterations (the Bench
+      // inter-query protocol) so a previous iteration's garbage can't
+      // charge its collection pause to the next timing — single-shot
+      // soaks keep the raw ambient-pressure number.
+      val ts = Seq.fill(iters) {
+        if (iters > 1) { System.gc(); Thread.sleep(200) }
+        once(name)
+      }.sorted
       (name, ts(ts.length / 2), ts.head, ts.last)
     }
     // Full TPC-H battery + the two reference-flavor macros. Override

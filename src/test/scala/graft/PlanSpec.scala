@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
     assert(p15.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("lineitem")) == 1,
       "Q15 must scan lineitem exactly once (ReusedExchange)")
+    // Q21: ps feeds both the per-order rollup and the late-supplier
+    // filter; the source-level isNotNull(l_suppkey) keeps the two
+    // subtrees canonical so ps's aggregate exchange is reused — one
+    // fact scan (see the q109 comment in Macro.scala)
+    val p21 = SparkEntry.queries("q109_tpch_q21")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(p21.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      "Q21 must scan lineitem exactly once (ReusedExchange)")
   }
 
   test("q72 normalize plans the codegen kernel, not interpreted HOFs") {
