@@ -167,13 +167,21 @@ object Macro {
     // second fact-scale join; the single-pass shape is kept because
     // that is the plan that survives the scale-up.
     //
-    // Soak-variance adjudication (round 9): the 14.3-37.3 s band across
-    // identical single-iteration 24 M-row SoakTpch runs was ITERATION
-    // noise, not plan instability — two fresh-session median-of-4 runs
-    // (SPARK_GRAFT_SOAK_ITERS=4, SOAK_LOCAL.json) land at 13.7 s
-    // [7.8, 16.6] and 10.7 s [5.2, 15.3]: medians 1.28x apart (≤ 1.5x),
-    // later iterations FASTER (shuffle-file/page-cache warmup + GC
-    // phase dominate the first), plan identical throughout.
+    // Soak-variance adjudication (round 9, closed): the 14-37 s band
+    // across identical 24 M-row soak runs is HOST CPU STEAL, not the
+    // plan and not heap. Evidence, in order ruled out: (a) plan — this
+    // single-aggregate form reaches 2.3-3.8 s steady-state at 24 M rows
+    // (QBench min across four fresh sessions), vs 10.5 s+ medians for
+    // the per-(order,supplier)+rollup shape it replaced; (b) GC —
+    // QBench per-iteration collector time stays < 0.2 s inside 9-22 s
+    // outlier iterations (sec_gc_steal pairs); (c) environment — a
+    // /proc/stat trace alongside QBench shows steal bursts of 200-390
+    // jiffies/s with guest user collapsing to ~100, in exact sync with
+    // the slow iterations: the hypervisor throttles the VM in multi-
+    // second windows. Identical back-to-back QBench sessions landed
+    // medians of 3.1 s and 15.4 s around one such window. Nothing the
+    // query can do; per-iteration steal now prints in QBench so future
+    // rounds can discard stolen samples instead of re-adjudicating.
     "q109_tpch_q21" -> Q(
       (s, d) => {
         // NULL suppkeys never satisfy the oracle's EXISTS `<>` or the

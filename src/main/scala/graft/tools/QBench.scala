@@ -28,7 +28,24 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(): Double = {
+    // per-iteration attribution: an outlier whose extra wall time ≈ its
+    // extra collector time is heap pressure; one whose guest-visible
+    // steal jiffies spike is the HYPERVISOR throttling the VM (measured
+    // round 9: /proc/stat steal bursts of 200-390 jiffies/s while guest
+    // user collapsed, in exact sync with 3-6x slow iterations of an
+    // unchanged plan with <0.2 s GC). The three causes need different
+    // responses — plan fix / heap fix / discard-the-sample — so QBench
+    // reports wall, GC, and steal per iteration.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def stealJiffies(): Long = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toLong else 0L   // field 8 = steal
+    } catch { case _: Throwable => 0L }           // non-Linux: report 0
+    def once(): (Double, Double, Long) = {
+      val g0 = gcMillis(); val s0 = stealJiffies()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -36,12 +53,15 @@ object QBench {
       // iteration's localCheckpoint blocks are pure storage carryover
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      dt
+      (dt, (gcMillis() - g0) / 1e3, stealJiffies() - s0)
     }
     once() // warm-up: codegen + JIT
-    val ts = Seq.fill(iters)(once()).sorted
+    val raw = Seq.fill(iters)(once())
+    val ts = raw.map(_._1).sorted
     val med = ts(ts.length / 2)
-    println(f"""QBENCH {"query":"$name","median":$med%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f,"iters":$iters,"sf":"$sfDir"}""")
+    val itersStr = raw.map { case (t, g, st) => f"[$t%.2f,$g%.2f,$st%d]" }
+      .mkString("[", ",", "]")
+    println(f"""QBENCH {"query":"$name","median":$med%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f,"iters":$iters,"sec_gc_steal":$itersStr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
