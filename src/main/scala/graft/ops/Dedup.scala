@@ -625,4 +625,115 @@ object Dedup {
     else df.select(col(id)).join(kept, Seq(id), "left")
       .select(col(id), coalesce(col(text), lit("")).as(text))
   }
+
+  /** Exact edit-distance similarity join over a string key: every pair
+    * of rows whose keys are within `maxDist` Levenshtein edits, as
+    * (d1, d2, dist) with d1 < d2 by id. The distance itself is Spark's
+    * codegen'd `levenshtein` kernel; candidate generation never goes
+    * all-pairs:
+    *
+    *  - length filter — |len(a)−len(b)| <= maxDist is necessary for
+    *    lev <= maxDist, and sits in the gram-join condition so no
+    *    out-of-range pair ever materializes;
+    *  - character q-gram blocking (the count-filter family of Gravano
+    *    et al. 2001, "Approximate String Joins in a Database (Almost)
+    *    for Free", VLDB — public method): one edit destroys at most q
+    *    of a string's len−q+1 overlapping q-grams, so lev(a,b) <= d
+    *    with max(len(a),len(b)) >= q·(d+1) forces at least one intact
+    *    SHARED q-gram — every such pair is found by an equi-join on
+    *    hashed distinct q-grams. (The stronger multiset count bound is
+    *    deliberately NOT applied to these distinct-hash posting lists:
+    *    repeated grams would over-prune — "aaaa" carries one distinct
+    *    gram but three positional ones.)
+    *  - short–short block — pairs where BOTH keys have len < q·(d+1)
+    *    can evade the gram join ("ab" vs "cd" at d=2 share nothing), so
+    *    short keys pair through their bounded DISTINCT values: at most
+    *    Σ_{l<q(d+1)} |Σ|^l exist, in practice a handful; a LIMIT probe
+    *    fails fast past `maxShortDistinct` (the pqInitCodebooks
+    *    convention — never an unbounded driver collect). No short–long
+    *    pair needs this block: the long side's count bound already
+    *    guarantees a shared gram whenever the short side has any
+    *    (len >= q), and keys with len < q can only match keys of
+    *    len < q + maxDist <= q·(maxDist+1), i.e. other short keys.
+    *
+    * Hot q-grams are the skew term (every key pair sharing "er" meets
+    * in one posting list). Exact mode keeps them — dropping grams loses
+    * recall; `dfCap` opts into the capped regime for production corpora
+    * (ngramJaccard's documented trade), changing results only by
+    * dropping candidates that ONLY met in hot grams.
+    *
+    * Scale shape: posting lists carry (8-byte gram hash, id, len) —
+    * key strings never ride the self-join; candidate ids come back to
+    * the strings via two equi-joins for one codegen'd verify pass.
+    * NULL keys match nothing (SQL null semantics throughout). Intended
+    * for short keys (names, titles, URLs — the fuzzy-dedup use case):
+    * levenshtein itself is O(len²) per surviving candidate pair. */
+  def editDistancePairs(df: DataFrame, id: String, key: String,
+                        maxDist: Int, q: Int = 2,
+                        dfCap: Option[Int] = None,
+                        maxShortDistinct: Int = 2048): DataFrame = {
+    require(maxDist >= 1, "editDistancePairs: maxDist must be >= 1")
+    require(q >= 1, "editDistancePairs: q must be >= 1")
+    val base = df.select(col(id).as("__id"), col(key).as("__k"),
+      length(col(key)).as("__len"))
+    val shortLim = q * (maxDist + 1)
+    // long-side candidates: distinct-gram hash equi-join. The __len >= q
+    // guard keeps sequence() ascending (start <= stop) besides being the
+    // no-grams cutoff.
+    val grams0 = base.filter(col("__len") >= q)
+      .select(col("__id"), col("__len"),
+        explode(array_distinct(transform(
+          sequence(lit(1), col("__len") - lit(q - 1)),
+          i => xxhash64(col("__k").substr(i, lit(q)))))).as("g"))
+    val grams = dfCap match {
+      case None => grams0
+      case Some(cap) =>
+        val keep = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        grams0.join(keep, Seq("g"), "left_semi")
+    }
+    val ga = grams.select(col("__id").as("d1"), col("__len").as("la"), col("g"))
+    val gb = grams.select(col("__id").as("d2"), col("__len").as("lb"), col("g"))
+    val gramCand = ga.join(gb,
+        ga("g") === gb("g") && col("d1") < col("d2") &&
+          abs(col("la") - col("lb")) <= maxDist)
+      .select("d1", "d2").distinct()
+    // short-short block via bounded distinct values
+    val shortProbe = base.filter(col("__len") < shortLim)
+      .select("__k").distinct().limit(maxShortDistinct + 1).collect()
+    require(shortProbe.length <= maxShortDistinct,
+      s"editDistancePairs: > $maxShortDistinct distinct keys shorter than " +
+        s"q*(maxDist+1) = $shortLim — raise maxShortDistinct (or q)")
+    val cand =
+      if (shortProbe.isEmpty) gramCand
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val vals = shortProbe.map(_.getString(0)).toIndexedSeq.toDF("__k")
+        val va = vals.select(col("__k").as("ka"))
+        val vb = vals.select(col("__k").as("kb"))
+        // value-level prefilter: <= maxShortDistinct² broadcast pairs,
+        // so the id expansion below is output-bounded
+        val vPairs = broadcast(va).join(broadcast(vb),
+            levenshtein(col("ka"), col("kb")) <= maxDist &&
+              col("ka") <= col("kb"))
+          .select("ka", "kb")
+        val ia = base.select(col("__id").as("ia"), col("__k").as("ka"))
+        val ib = base.select(col("__id").as("ib"), col("__k").as("kb"))
+        // expansion yields each unordered id pair once per matching value
+        // pair, in value order not id order — normalize and dedupe (the
+        // ka == kb diagonal also lands here as both orientations)
+        val shortCand = vPairs.join(ia, "ka").join(ib, "kb")
+          .filter(col("ia") =!= col("ib"))
+          .select(least(col("ia"), col("ib")).as("d1"),
+            greatest(col("ia"), col("ib")).as("d2"))
+        gramCand.unionByName(shortCand).distinct()
+      }
+    val ka = base.select(col("__id").as("d1"), col("__k").as("__ka"))
+    val kb = base.select(col("__id").as("d2"), col("__k").as("__kb"))
+    cand.join(ka, Seq("d1")).join(kb, Seq("d2"))
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
 }

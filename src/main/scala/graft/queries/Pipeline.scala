@@ -1850,6 +1850,29 @@ object Pipeline {
           SELECT doc_id, COUNT(*) AS n_shared
           FROM cg SEMI JOIN bg USING (g)
           GROUP BY doc_id ORDER BY doc_id"""
-      })
+      }),
+
+    // --- edit-distance fuzzy dedup ------------------------------------------
+    // (Dedup.editDistancePairs — q-gram blocking with length filter,
+    // never all-pairs; the oracle IS the naive all-pairs definition, so
+    // the hash match proves the blocking lossless on this data. Runs on
+    // the DISTINCT name vocabulary — the realistic fuzzy-dedup shape:
+    // dedupe keys once, not every row carrying them.)
+    "q140_edit_distance" -> Q(
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .groupBy(col("p_name").as("name"))
+          .agg(min("p_partkey").as("nid"))
+        Dedup.editDistancePairs(names, "nid", "name", maxDist = 2)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH names AS (
+          SELECT p_name AS name, min(p_partkey) AS nid
+          FROM part GROUP BY p_name)
+        SELECT a.nid AS d1, b.nid AS d2,
+          CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        FROM names a JOIN names b ON a.nid < b.nid
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY d1, d2"""))
   )
 }

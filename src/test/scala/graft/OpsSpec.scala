@@ -1248,4 +1248,54 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(w(1L) == "dup\nmid\ndup")
   }
+
+  /** reference Levenshtein for the differential below. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: blocked join equals brute-force all-pairs, " +
+    "short strings and duplicates included") {
+    // lengths straddle the q·(d+1)=6 short cutoff: "", "ab", "abc" are
+    // short-block; words are gram-block; "ab"/"ax" share no 2-gram and
+    // MUST come from the short block
+    val keys = Seq("", "ab", "ax", "abc", "abd", "abcd",
+      "red bolt", "hot bolt", "old bolt", "red gear", "red  bolt",
+      "small ring", "small ringo", "smallring", "completely different",
+      "red bolt") // duplicate value on distinct ids
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "k", maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      val exp = (for {
+        i <- keys.indices; j <- keys.indices if i < j
+        dist = lev(keys(i), keys(j)) if dist <= d
+      } yield (i.toLong, j.toLong, dist)).toSet
+      assert(got == exp, s"maxDist=$d")
+      assert(exp.exists { case (a, b, _) => keys(a.toInt).length < 6 &&
+        keys(b.toInt).length < 6 }, "planted short-short pair missing from oracle")
+    }
+    // null keys match nothing
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "k"))
+    val gn = Dedup.editDistancePairs(withNull, "id", "k", maxDist = 2)
+      .filter($"d1" === 99L || $"d2" === 99L).count()
+    assert(gn == 0)
+    // capped mode only ever drops pairs (recall trade, documented)
+    val exact = Dedup.editDistancePairs(df, "id", "k", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Dedup.editDistancePairs(df, "id", "k", maxDist = 2,
+      dfCap = Some(2)).as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(exact))
+    // bounded short-vocabulary probe fails fast
+    val err = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "k", maxDist = 2, maxShortDistinct = 2)
+    }
+    assert(err.getMessage.contains("distinct keys shorter"))
+  }
 }

@@ -370,4 +370,21 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate|SortAggregate".r
       .findAllIn(physical).size >= 2, physical.take(400))
   }
+
+  test("edit-distance join: gram candidates via hash equi-join, never all-pairs") {
+    import org.apache.spark.sql.functions._
+    val names = Tables.part(spark, sfSmoke)
+      .groupBy(col("p_name").as("name")).agg(min("p_partkey").as("nid"))
+    val plan = graft.ops.Dedup.editDistancePairs(names, "nid", "name", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"edit-distance blocking degraded to all-pairs:\n${plan.take(600)}")
+    // the gram join must be an equi-join ON THE GRAM HASH with the
+    // length filter riding its condition (no out-of-range pair forms)
+    val gramJoin = plan.linesIterator.find(l =>
+      l.contains("Join [g#") || (l.contains("Join") && l.contains("[g#")))
+    assert(gramJoin.exists(l => l.contains("abs(") && l.contains("<= 2")),
+      s"gram join missing or lost its length-filter condition: $gramJoin")
+  }
 }
