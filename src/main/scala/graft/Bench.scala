@@ -147,8 +147,9 @@ object Bench {
     // round-9: explicit Bloom runtime-filter handles
     "q138_decontam_bloom" -> SparkEntry.queries("q138_decontam_bloom"),
     "q139_bloom_join" -> SparkEntry.queries("q139_bloom_join"),
-    // round-9: q-gram-blocked edit-distance fuzzy dedup
-    "q140_edit_distance" -> SparkEntry.queries("q140_edit_distance"))
+    // round-9: q-gram-blocked edit-distance fuzzy dedup + heap top-k
+    "q140_edit_distance" -> SparkEntry.queries("q140_edit_distance"),
+    "q141_topk_per_group" -> SparkEntry.queries("q141_topk_per_group"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

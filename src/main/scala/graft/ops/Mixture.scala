@@ -122,4 +122,29 @@ object Mixture {
     df.withColumn("__cap_rn", row_number().over(w))
       .filter(col("__cap_rn") <= n).drop("__cap_rn")
   }
+
+  /** Exact per-group top-k WITHOUT the rank window: "the k best
+    * documents of every domain" via the bounded-heap
+    * [[graft.expr.TopKAgg]] aggregate. The window formulation
+    * ([[capPerGroup]]'s shape) shuffles every row of every group and
+    * sorts whole partitions before dropping any; here each map task
+    * ships at most k (score, id) pairs per group and partials merge up
+    * the aggregation tree — at corpus scale the shuffle carries
+    * |groups|·k·#partitions rows instead of n, and nothing ever sorts
+    * more than k entries. Same exactness: (score desc, id asc) is a
+    * strict total order when ids are unique, so the result is
+    * deterministic, partitioning-independent, and replayable as a
+    * row_number window in SQL (q141's oracle does exactly that).
+    *
+    * Returns (group, rank, id, score), rank 1..k best-first. Rows with
+    * a null score or id are skipped (SQL aggregate convention). */
+  def topKPerGroup(df: DataFrame, group: String, score: Column,
+                   id: String, k: Int): DataFrame = {
+    require(k >= 1, "topKPerGroup: k must be >= 1")
+    df.groupBy(col(group))
+      .agg(graft.expr.TopK.topK(score, col(id), k).as("__tk"))
+      .select(col(group), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(group), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as(id), col("__e.score").as("score"))
+  }
 }

@@ -1873,6 +1873,23 @@ object Pipeline {
           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         FROM names a JOIN names b ON a.nid < b.nid
         WHERE levenshtein(a.name, b.name) <= 2
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // --- bounded-heap per-group top-k ---------------------------------------
+    // (Mixture.topKPerGroup / expr.TopKAgg — k-entry heap per group per
+    // map task, mergeable partials, never a whole-partition sort; the
+    // oracle replays it as the rank window it replaces, proving the
+    // aggregate exact under the (score desc, id asc) total order.)
+    "q141_topk_per_group" -> Q(
+      (s, d) => graft.ops.Mixture.topKPerGroup(
+          docs(s, d), "source", col("n_chars").cast("double"), "doc_id", k = 3)
+        .orderBy("source", "rank"),
+      Some("""SELECT source, CAST(rn AS INTEGER) AS rank, doc_id,
+          CAST(n_chars AS DOUBLE) AS score
+        FROM (SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 3 ORDER BY source, rank"""))
   )
 }

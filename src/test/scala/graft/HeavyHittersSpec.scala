@@ -63,4 +63,40 @@ class HeavyHittersSpec extends SparkSpec {
       .select(col("hh")).as[Seq[(String, Long)]].collect().head
     assert(arr == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
+
+  test("top-k aggregate: equals the rank window, ties to smaller id, " +
+    "partitioning-independent, k > group size, nulls skipped") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random scores with planted ties
+    val rows = (0L until 500L).map { i =>
+      val g = s"g${i % 7}"
+      val s = ((i * 2654435761L) % 97L).toDouble // 97 buckets → many ties
+      (g, i, s)
+    }
+    val df = rows.toDF("g", "id", "s")
+    def windowTopK(k: Int) = {
+      val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("id"), col("s").as("score"))
+        .as[(String, Int, Long, Double)].collect().toSet
+    }
+    for (k <- Seq(1, 5, 1000)) { // 1000 > any group: whole group, ordered
+      val exp = windowTopK(k)
+      val got = graft.ops.Mixture.topKPerGroup(df, "g", col("s"), "id", k)
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(got == exp, s"k=$k")
+      // force different partial-merge trees: result must not move
+      val re = graft.ops.Mixture.topKPerGroup(
+        df.repartition(13, col("id")), "g", col("s"), "id", k)
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(re == exp, s"k=$k repartitioned")
+    }
+    // null score / null id rows are skipped, not ranked
+    val withNulls = Seq(("a", Some(1L), Some(5.0)), ("a", Some(2L), None),
+      ("a", None, Some(9.0)), ("a", Some(3L), Some(4.0)))
+      .toDF("g", "id", "s")
+    val got = graft.ops.Mixture.topKPerGroup(withNulls, "g", col("s"), "id", 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == Set(("a", 1, 1L, 5.0), ("a", 2, 3L, 4.0)))
+  }
 }

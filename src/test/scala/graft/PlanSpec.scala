@@ -387,4 +387,17 @@ class PlanSpec extends SparkSpec {
     assert(gramJoin.exists(l => l.contains("abs(") && l.contains("<= 2")),
       s"gram join missing or lost its length-filter condition: $gramJoin")
   }
+
+  test("top-k per group: mergeable bounded aggregate, no rank window") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.ops.Mixture.topKPerGroup(
+        Tables.documents(spark, sfSmoke), "source",
+        col("n_chars").cast("double"), "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "top-k must not fall back to a rank window")
+    // partial + final: the k-entry heap IS the shuffle payload
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      plan.take(400))
+  }
 }
