@@ -148,8 +148,10 @@ object Bench {
     "q138_decontam_bloom" -> SparkEntry.queries("q138_decontam_bloom"),
     "q139_bloom_join" -> SparkEntry.queries("q139_bloom_join"),
     // round-9: q-gram-blocked edit-distance fuzzy dedup + heap top-k
+    // + A-Res weighted sampling
     "q140_edit_distance" -> SparkEntry.queries("q140_edit_distance"),
-    "q141_topk_per_group" -> SparkEntry.queries("q141_topk_per_group"))
+    "q141_topk_per_group" -> SparkEntry.queries("q141_topk_per_group"),
+    "q142_weighted_sample" -> SparkEntry.queries("q142_weighted_sample"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -147,4 +147,34 @@ object Mixture {
       .select(col(group), (col("__pos") + 1).cast("int").as("rank"),
         col("__e.id").as(id), col("__e.score").as("score"))
   }
+
+  /** Deterministic weighted sampling without replacement — the A-Res
+    * exponential-key scheme (Efraimidis & Spirakis 2006, "Weighted
+    * random sampling with a reservoir", IPL — public method) with the
+    * portable mixer as the uniform source instead of RNG state: each
+    * row draws u = (portableMix(id)+1)/M ∈ (0,1], ranks by
+    * key = ln(u)/w (the monotone log of the paper's u^(1/w)), and the
+    * n LARGEST keys are the sample — inclusion odds scale with weight,
+    * and the same ids win on every engine, rerun, and partitioning.
+    *
+    * The key is rounded to 12 dp before ranking (ln differs in the
+    * last ulp across libms — the q77 policy; key magnitudes are ≤ ~22
+    * so the quantum is far below any honest gap) with ties broken by
+    * id, making the order strict and the oracle replayable. Selection
+    * rides [[topKPerGroup]]'s bounded heap over one global group —
+    * a map-side n-entry heap per partition, never a corpus sort.
+    *
+    * Rows with null or non-positive weight carry no sampling mass and
+    * are excluded. Returns (rank, id, skey), rank 1..n. */
+  def weightedSample(df: DataFrame, id: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, "weightedSample: n must be >= 1")
+    val u = (Frame.portableMix(col(id)) + 1).cast("double") /
+      lit(Frame.MixM.toDouble)
+    val keyed = df.filter(weight > 0)
+      .withColumn("__g", lit(1))
+      .withColumn("__skey", round(log(u) / weight.cast("double"), 12))
+    topKPerGroup(keyed, "__g", col("__skey"), id, n)
+      .select(col("rank"), col(id), col("score").as("skey"))
+  }
 }

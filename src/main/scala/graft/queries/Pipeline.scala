@@ -1890,6 +1890,25 @@ object Pipeline {
                 row_number() OVER (PARTITION BY source
                   ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents)
-        WHERE rn <= 3 ORDER BY source, rank"""))
+        WHERE rn <= 3 ORDER BY source, rank""")),
+
+    // --- deterministic weighted sampling (A-Res) ----------------------------
+    // (Mixture.weightedSample — Efraimidis-Spirakis exp-key scheme on
+    // the portable mixer; the oracle replays mixer, ln-key, rounding,
+    // and the rank window the heap aggregate replaces.)
+    "q142_weighted_sample" -> Q(
+      (s, d) => graft.ops.Mixture.weightedSample(
+          docs(s, d), "doc_id", col("n_chars"), n = 50)
+        .orderBy("rank"),
+      Some(s"""WITH keyed AS (
+          SELECT doc_id,
+            round(ln((${Sql.mix("doc_id")} + 1) / 2147483647.0)
+              / n_chars, 12) AS skey
+          FROM documents WHERE n_chars > 0)
+        SELECT CAST(rn AS INTEGER) AS rank, doc_id, skey
+        FROM (SELECT doc_id, skey,
+                row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
+              FROM keyed)
+        WHERE rn <= 50 ORDER BY rank"""))
   )
 }

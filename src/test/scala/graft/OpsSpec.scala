@@ -1298,4 +1298,23 @@ class OpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("distinct keys shorter"))
   }
+
+  test("weightedSample: matches the local A-Res replay; " +
+    "non-positive/null weights carry no mass") {
+    val rows = (0L until 300L).map(i => (i, ((i * 37) % 100 + 1).toDouble))
+    val df = (rows ++ Seq((900L, 0.0), (901L, -5.0))).toDF("id", "w")
+    def mixL(x: Long): Long =
+      (((x % 2147483647L) * 2654435761L + 2246822519L) % 2147483647L) *
+        2246822519L % 2147483647L
+    val exp = rows.map { case (i, w) =>
+      val u = (mixL(i) + 1).toDouble / 2147483647.0
+      (i, BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (i, k) => (-k, i) }.take(20)
+      .zipWithIndex.map { case ((i, k), r) => (r + 1, i, k) }.toSet
+    val got = graft.ops.Mixture.weightedSample(df, "id", col("w"), 20)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(!got.exists { case (_, i, _) => i >= 900L })
+  }
 }
