@@ -660,7 +660,13 @@ object Dedup {
     * in one posting list). Exact mode keeps them — dropping grams loses
     * recall; `dfCap` opts into the capped regime for production corpora
     * (ngramJaccard's documented trade), changing results only by
-    * dropping candidates that ONLY met in hot grams.
+    * dropping candidates that ONLY met in hot grams. For low-entropy
+    * alphabets (hex ids, digit keys) RAISE q instead so the |Σ|^q gram
+    * space outgrows the corpus and posting lists stay match-sized —
+    * blocking is lossless for ANY q (the count bound holds per-q; only
+    * the short cutoff grows as q·(maxDist+1)), whereas a dfCap tight
+    * enough to tame 2-grams there would silently empty the join
+    * (measured in the Soak harness — its hex-key battery runs q=4).
     *
     * Scale shape: posting lists carry (8-byte gram hash, id, len) —
     * key strings never ride the self-join; candidate ids come back to

@@ -174,6 +174,34 @@ object Soak {
         big.withColumn("src", col("doc_id") % 20), "doc_id", "src", 1000)
         .count() }
     release()
+    // bounded-heap top-k at the SAME n as the cap window above — the
+    // direct A/B of shuffle-everything-then-rank vs k-entry partials
+    val (nTk, tTk) = time {
+      graft.ops.Mixture.topKPerGroup(
+        big.withColumn("src", col("doc_id") % 20), "src",
+        length(col("text")).cast("double"), "doc_id", 1000).count() }
+    release()
+    // A-Res weighted sample: one global group, n-entry heap per partition
+    val (nWs, tWs) = time {
+      graft.ops.Mixture.weightedSample(
+        big, "doc_id", length(col("text")).cast("double"), 1000).count() }
+    release()
+    // edit-distance near-dup in its intended regime — DIVERSE short keys
+    // (names/URLs/hashes): every base doc's 16-hex md5 stem + 2-digit
+    // copy suffix puts each 40-key clique within 2 substitutions, while
+    // q=4 grams over the 16^4 space keep posting lists clique-sized
+    // (~copies docs per gram; a 2-gram key on this corpus would be
+    // all-hot and dfCap would rightly empty it — measured, which is why
+    // the soak uses the 4-gram regime the scaladoc prescribes for
+    // low-entropy alphabets). Expected rows ≈ 5000 cliques × C(40,2).
+    val (nEd, tEd) = time {
+      graft.ops.Dedup.editDistancePairs(
+        big.select(col("doc_id"),
+          concat(
+            substring(md5(expr("CAST(doc_id % 10000000 AS STRING)")), 1, 16),
+            lpad(expr("CAST(doc_id DIV 10000000 AS STRING)"), 2, "0")).as("k")),
+        "doc_id", "k", maxDist = 2, q = 4, dfCap = Some(5 * copies)).count() }
+    release()
     // decontamination, exact vs Bloom-prefiltered: SAME output by
     // construction; replicated copies make every benchmark gram
     // corpus-frequent, so the exact variant shuffles all ~copies×
@@ -207,6 +235,9 @@ object Soak {
         f""""minhash_incremental":{"rows":$nInc,"sec":$tInc%.2f},""" +
         f""""simhash_incremental":{"rows":$nSInc,"sec":$tSInc%.2f},""" +
         f""""domain_cap":{"rows":$nCap,"sec":$tCap%.2f},""" +
+        f""""topk_per_group":{"rows":$nTk,"sec":$tTk%.2f},""" +
+        f""""weighted_sample":{"rows":$nWs,"sec":$tWs%.2f},""" +
+        f""""edit_distance":{"rows":$nEd,"sec":$tEd%.2f},""" +
         f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
         f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
         f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
