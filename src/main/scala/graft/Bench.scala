@@ -151,7 +151,8 @@ object Bench {
     // + A-Res weighted sampling
     "q140_edit_distance" -> SparkEntry.queries("q140_edit_distance"),
     "q141_topk_per_group" -> SparkEntry.queries("q141_topk_per_group"),
-    "q142_weighted_sample" -> SparkEntry.queries("q142_weighted_sample"))
+    "q142_weighted_sample" -> SparkEntry.queries("q142_weighted_sample"),
+    "q143_html_strip" -> SparkEntry.queries("q143_html_strip"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

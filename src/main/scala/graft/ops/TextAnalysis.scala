@@ -22,6 +22,48 @@ object TextAnalysis {
   def tokenCountBpeIsh(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Strip HTML markup from crawled text — the first cleaning pass of a
+    * web-corpus pipeline: script/style/comment blocks drop WHOLESALE
+    * (their content is code, not prose), remaining tags become spaces,
+    * the six ubiquitous entities decode (&amp; deliberately last, so
+    * double-escaped text un-escapes one level, not two), whitespace
+    * collapses and trims. A pure regexp_replace chain — scan-stage,
+    * codegen'd, no UDF — and every pattern is RE2-safe (no
+    * backreferences: script and style get separate patterns instead of
+    * a <(script|style)>…</\1> backref), so q143's DuckDB oracle replays
+    * the chain verbatim. NOT a parser: pathological nesting (a script
+    * tag inside a comment) degrades to plain tag-stripping, identically
+    * in both engines. */
+  def stripHtml(text: Column): Column = {
+    val blocks = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val stripped = blocks.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
+  /** [[stripHtml]]'s regexp chain as DuckDB SQL over expression `e` —
+    * the q143 oracle builder (same patterns, 'g' flag, same order). */
+  def stripHtmlSql(e: String): String = {
+    val steps = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+    val inner = steps.foldLeft(e) { case (c, (pat, rep)) =>
+      s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+    s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 

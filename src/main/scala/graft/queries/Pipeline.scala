@@ -1909,6 +1909,30 @@ object Pipeline {
         FROM (SELECT doc_id, skey,
                 row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
               FROM keyed)
-        WHERE rn <= 50 ORDER BY rank"""))
+        WHERE rn <= 50 ORDER BY rank""")),
+
+    // --- HTML stripping ------------------------------------------------------
+    // (TextAnalysis.stripHtml — the web-crawl cleaning pass; the corpus
+    // is plain text, so the query wraps each doc in markup INSIDE the
+    // query and both engines strip the same bytes. The oracle replays
+    // the RE2-safe regexp chain verbatim via stripHtmlSql.)
+    "q143_html_strip" -> Q(
+      (s, d) => {
+        val pre = "<html><body class=\"m\"><p>"
+        val post = "</p><script>var a=1; if(a<2){b=3;}</script>" +
+          "<style>.x{color:red}</style><!-- c -->" +
+          "<p>tail&nbsp;&amp;&#39;s &lt;ok&gt;</p></body></html>"
+        docs(s, d).select(col("doc_id"),
+          TA.stripHtml(concat(lit(pre), col("text"), lit(post))).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pre = "<html><body class=\"m\"><p>"
+        val post = "</p><script>var a=1; if(a<2){b=3;}</script>" +
+          "<style>.x{color:red}</style><!-- c -->" +
+          "<p>tail&nbsp;&amp;&#39;s &lt;ok&gt;</p></body></html>"
+        val expr = TA.stripHtmlSql(s"'$pre' || text || '$post'")
+        s"SELECT doc_id, $expr AS clean FROM documents ORDER BY doc_id"
+      })
   )
 }

@@ -1317,4 +1317,20 @@ class OpsSpec extends SparkSpec {
     assert(got == exp)
     assert(!got.exists { case (_, i, _) => i >= 900L })
   }
+
+  test("stripHtml: blocks drop wholesale, tags strip, entities decode " +
+    "once, whitespace collapses") {
+    val html = "<html><body class=\"m\"><p>Hello &amp; <b>world</b></p>" +
+      "<script type=\"x\">var a=1; if(a<2){a=3;}</script>" +
+      "<style>.x{color:red}</style><!-- note -->" +
+      "<p>bye&nbsp;now &lt;tag&gt; it&#39;s &quot;q&quot; &amp;lt;</p></body></html>"
+    val got = Seq(Tuple1(html)).toDF("t")
+      .select(TA.stripHtml($"t").as("c")).as[String].collect().head
+    // &amp;lt; un-escapes ONE level (to the literal "&lt;"), not two
+    assert(got == "Hello & world bye now <tag> it's \"q\" &lt;")
+    // unclosed script degrades to tag stripping, not data loss
+    val got2 = Seq(Tuple1("a <script>x b")).toDF("t")
+      .select(TA.stripHtml($"t").as("c")).as[String].collect().head
+    assert(got2 == "a x b")
+  }
 }
