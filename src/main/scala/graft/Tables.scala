@@ -24,14 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default; read nanos as long and truncate to microseconds (same
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP). */
+  /** events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+    * generations (Spark 4 refuses it by default — read nanos as long,
+    * truncate to microseconds, the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS → TIMESTAMP) and as plain TIMESTAMP(MICROS)
+    * NTZ in others. Normalize both to session-TZ TimestampType (UTC
+    * everywhere in this engine), so every downstream query and oracle
+    * sees identical instants regardless of generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

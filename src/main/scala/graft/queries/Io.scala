@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.{functions => gf}
-import graft.sources.{Csv, Json, Orc}
+import graft.sources.{Avro, Csv, Json, Orc, Xml}
 import Sql.dsum
 
 /** I/O-surface coverage: CSV round-trip + null-token semantics.
@@ -154,6 +154,68 @@ object Io {
       },
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
         n_name AS name, CAST(n_regionkey AS BIGINT) AS regionkey
-        FROM nation ORDER BY nationkey"""))
+        FROM nation ORDER BY nationkey""")),
+
+    // --- Avro write → read round trip ---------------------------------------
+    // Row-format parity for the ingest edge (Kafka/log-shipper hand-offs):
+    // long / double / string / date all survive through Avro's logical-type
+    // mapping (date = int days, both directions). The oracle recomputes from
+    // parquet, so any Avro serializer/deserializer drift fails the hash
+    // match — the q70 ORC pattern with the date kept as DATE through the
+    // file to exercise the logical type, surfaced as timestamp only for
+    // the driver's pandas-level compare.
+    "q144_avro_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmp("q144_avro")
+        val slice = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderdate").cast("date").as("o_orderdate"))
+        Avro.writeAvro(slice, out)
+        val back = Avro.readAvro(s, out)
+        assert(back.schema("o_orderdate").dataType ==
+          org.apache.spark.sql.types.DateType, "avro date logical type regressed")
+        back.groupBy("o_orderstatus")
+          .agg(gf.countAll.as("n"),
+            gf.dsumD(col("o_totalprice")).as("total"),
+            max(col("o_orderdate")).cast("timestamp").as("last_date"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsum("o_totalprice")} AS total,
+        CAST(MAX(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS last_date,
+        MAX(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey % 5 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- XML write → schema-inferred read round trip ------------------------
+    // Enterprise-feed parity (filings/dump archives): each row an element,
+    // inference must restore long / double / string exactly — an escaping
+    // bug (& < > in text) or element-inference drift fails the hash match.
+    // The oracle recomputes from parquet and never touches the XML files.
+    "q145_xml_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmp("q145_xml")
+        val slice = Tables.customer(s, d)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+        Xml.writeXml(slice, out)
+        val back = Xml.readXml(s, out)
+        assert(back.schema("c_custkey").dataType ==
+          org.apache.spark.sql.types.LongType, "xml long inference regressed")
+        back.groupBy("c_mktsegment")
+          .agg(gf.countAll.as("n"),
+            gf.dsumD(col("c_acctbal")).as("total_bal"),
+            max(col("c_name")).as("max_name"),
+            max(col("c_custkey")).as("max_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+        ${dsum("c_acctbal")} AS total_bal,
+        MAX(c_name) AS max_name, MAX(c_custkey) AS max_key
+        FROM customer WHERE c_custkey % 3 = 0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

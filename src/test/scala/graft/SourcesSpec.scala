@@ -60,6 +60,118 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("id"))
   }
 
+  test("Avro round trip preserves values, types, nulls, and logical types") {
+    val dir = Files.createTempDirectory("graft_avro").resolve("out").toString
+    val src = Seq(
+      (1L, Some("a&<b>"), Some(1.5), Some(java.sql.Date.valueOf("2024-01-31")),
+        Some(java.sql.Timestamp.valueOf("2024-01-31 23:59:59.123456"))),
+      (2L, None, Some(-2.25), None, None),
+      (3L, Some("c"), None, Some(java.sql.Date.valueOf("1999-12-31")),
+        Some(java.sql.Timestamp.valueOf("1970-01-01 00:00:00.000001"))))
+      .toDF("id", "s", "v", "d", "t")
+    graft.sources.Avro.writeAvro(src, dir)
+    val back = graft.sources.Avro.readAvro(spark, dir)
+    // Avro's logical types restore date / timestamp-micros exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+  }
+
+  test("Avro round trip: decimal, binary, array, map, nested struct") {
+    val dir = Files.createTempDirectory("graft_avro_nested").resolve("out").toString
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, new java.math.BigDecimal("12345.67"),
+          Array[Byte](1, 2, -3), Seq(1.5, -2.5), Map("a" -> 1L, "b" -> 2L),
+          org.apache.spark.sql.Row("inner", Some(9).map(_.toLong).get)),
+        org.apache.spark.sql.Row(2L, new java.math.BigDecimal("-0.01"),
+          null, Seq.empty[Double], Map.empty[String, Long], null)),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("dec", DecimalType(9, 2)),
+        StructField("bin", BinaryType),
+        StructField("arr", ArrayType(DoubleType, containsNull = false)),
+        StructField("m", MapType(StringType, LongType, valueContainsNull = false)),
+        StructField("st", StructType(Seq(
+          StructField("s", StringType), StructField("n", LongType)))))))
+    graft.sources.Avro.writeAvro(src, dir)
+    val back = graft.sources.Avro.readAvro(spark, dir)
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("dec") == DecimalType(9, 2))
+    assert(types("bin") == BinaryType)
+    assert(types("arr") == ArrayType(DoubleType, containsNull = false))
+    assert(types("m") == MapType(StringType, LongType, valueContainsNull = false))
+    assert(types("st") == StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType))))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getDecimal(1) == new java.math.BigDecimal("12345.67"))
+    assert(rows(0).getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2, -3))
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("arr").toSeq ==
+      Seq(1.5, -2.5))
+    assert(rows(0).getAs[scala.collection.Map[String, Long]]("m").toMap ==
+      Map("a" -> 1L, "b" -> 2L))
+    assert(rows(0).getStruct(5).getString(0) == "inner"
+      && rows(0).getStruct(5).getLong(1) == 9L)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(5)
+      && rows(1).getAs[scala.collection.Seq[Double]]("arr").isEmpty)
+  }
+
+  test("Avro read resolves mixed-generation directories via schema evolution") {
+    // Two files written at different times: the second adds a column.
+    // The reader schema (sniffed from the first data file, lexicographic)
+    // must still read both — Avro fills the missing field from the
+    // union-null default.
+    val root = Files.createTempDirectory("graft_avro_evolve")
+    val dirA = root.resolve("gen").toString
+    val old = Seq((1L, "a")).toDF("id", "s")
+    val neu = Seq((2L, "b", 3.5)).toDF("id", "s", "extra")
+    graft.sources.Avro.writeAvro(old, dirA)
+    // drop the new-generation file alongside the old one
+    val dirB = root.resolve("tmp").toString
+    graft.sources.Avro.writeAvro(neu, dirB)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(dirB))
+      .map(_.getPath).filter(p => !p.getName.startsWith("_"))
+      .find(_.getName.endsWith(".avro")).get
+    fs.rename(newFile, new org.apache.hadoop.fs.Path(dirA, "zzz-gen2.avro"))
+    val back = graft.sources.Avro.readAvro(spark, dirA)
+    // reader schema comes from the OLD file: (id, s) — extra is projected away
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("XML round trip: inference restores long/double/string, escapes survive") {
+    val dir = Files.createTempDirectory("graft_xml").resolve("out").toString
+    val src = Seq(
+      (1L, "a&<b>\"quoted\"", 1.5),
+      (2L, "plain", -2.25),
+      (3L, "tail", 100.0))
+      .toDF("id", "s", "v")
+    graft.sources.Xml.writeXml(src, dir)
+    val back = graft.sources.Xml.readXml(spark, dir)
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == LongType && types("v") == DoubleType
+      && types("s") == StringType)
+    assert(back.orderBy("id").select("id", "s", "v").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+  }
+
+  test("XML reader restores omitted null fields as nulls") {
+    val dir = Files.createTempDirectory("graft_xml_null").resolve("out").toString
+    val src = Seq((1L, Some("a"), Some(1.5)), (2L, None, Some(2.5)),
+      (3L, Some("c"), None)).toDF("id", "s", "v")
+    graft.sources.Xml.writeXml(src, dir)
+    val back = graft.sources.Xml.readXml(spark, dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("s").isNull).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(back.filter(col("v").isNull).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("JDBC round trip through embedded Derby") {
     val url = s"jdbc:derby:memory:graftdb;create=true"
     val src = Seq((1L, "x", 10.5), (2L, "y", 20.25), (3L, "z", -1.0))
