@@ -83,6 +83,22 @@ object functions {
     * `posexplode(c).as(Seq("pos", "value"))`. */
   def posexplode(c: Column): Column = F.posexplode(c)
 
+  // ---- semi-structured (net-new: JSON payload columns) --------------------
+  // Event logs and crawl metadata carry JSON-string payload columns;
+  // parse them at the scan stage with an explicit schema — never a UDF —
+  // so extraction pipelines into whole-stage codegen's surrounding
+  // operators and only the requested fields materialize.
+  /** schema-on-read: parse a JSON string column with a DDL schema
+    * ("k BIGINT, tags ARRAY<STRING>") → struct column. Malformed
+    * payloads yield null (permissive), missing keys yield null fields. */
+  def parseJson(c: Column, ddl: String): Column =
+    F.from_json(c, ddl, Map.empty[String, String])
+  /** single-path extraction without a schema: JSONPath → string or null
+    * (missing path / malformed payload). Cast at the call site. */
+  def jsonGet(c: Column, path: String): Column = F.get_json_object(c, path)
+  /** inverse of [[parseJson]]: struct/array/map column → JSON string. */
+  def toJsonString(c: Column): Column = F.to_json(c)
+
   // ---- date (Functions.hs:323-338) ---------------------------------------
   def parseDate(c: Column, fmt: String): Column = F.to_date(c, fmt)
   def daysBetween(start: Column, end: Column): Column = F.datediff(end, start)

@@ -1933,6 +1933,37 @@ object Pipeline {
           "<p>tail&nbsp;&amp;&#39;s &lt;ok&gt;</p></body></html>"
         val expr = TA.stripHtmlSql(s"'$pre' || text || '$post'")
         s"SELECT doc_id, $expr AS clean FROM documents ORDER BY doc_id"
-      })
+      }),
+
+    // --- semi-structured JSON payload extraction (schema-on-read) -----------
+    // Event logs carry JSON-string payloads (events.props = {"k": N});
+    // parse at the scan stage with an explicit DDL schema (from_json —
+    // never a UDF), aggregate the typed field. Malformed payloads and
+    // missing keys are null (permissive mode), matching DuckDB's ->> on
+    // absent keys — n_bad pins that policy in the hash. At 100 TB the
+    // parse runs in the scan stage with no shuffle beyond the final
+    // hash-aggregate; only the requested field materializes.
+    "q146_json_extract" -> Q(
+      (s, d) => {
+        val k = graft.api.functions.parseJson(col("props"), "k BIGINT")
+          .getField("k")
+        ev(s, d).select(col("event_type"), k.as("k"),
+            graft.api.functions.jsonGet(col("props"), "$.missing").as("miss"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"),
+            count(when(col("k").isNull, 1)).as("n_bad"),
+            count(col("miss")).as("n_miss"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        ${isum("CAST(props->>'k' AS BIGINT)")} AS k_sum,
+        MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+        MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+        ${isum("CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END")} AS n_bad,
+        COUNT(props->>'missing') AS n_miss
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

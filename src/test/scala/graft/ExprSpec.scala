@@ -227,4 +227,37 @@ class ExprSpec extends SparkSpec {
       .head().getDouble(0)
     assert(got == want)
   }
+
+  test("parseJson/jsonGet: schema-on-read, malformed → null, missing → null") {
+    val df = Seq(
+      (1L, """{"k": 7, "s": "a", "tags": ["x","y"]}"""),
+      (2L, """{"s": "b"}"""),          // k missing
+      (3L, """not json at all"""),     // malformed
+      (4L, null.asInstanceOf[String])) // null payload
+      .toDF("id", "js")
+    val parsed = df.select($"id",
+      gf.parseJson($"js", "k BIGINT, s STRING, tags ARRAY<STRING>").as("p"),
+      gf.jsonGet($"js", "$.k").as("raw_k"))
+    val rows = parsed.orderBy("id").collect()
+    assert(rows(0).getStruct(1).getLong(0) == 7L
+      && rows(0).getStruct(1).getString(1) == "a"
+      && rows(0).getStruct(1).getAs[scala.collection.Seq[String]](2).toSeq ==
+        Seq("x", "y"))
+    assert(rows(0).getString(2) == "7")
+    assert(rows(1).getStruct(1).isNullAt(0)
+      && rows(1).getStruct(1).getString(1) == "b")
+    // permissive mode: malformed payload → all-null struct, not an error
+    assert(rows(2).getStruct(1).isNullAt(0) && rows(2).getStruct(1).isNullAt(1))
+    assert(rows(2).isNullAt(2))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+
+  test("toJsonString inverts parseJson on present fields") {
+    val df = Seq((1L, """{"k":7,"s":"a"}"""), (2L, """{"k":-3,"s":"b"}"""))
+      .toDF("id", "js")
+    val round = df.select($"id",
+      gf.toJsonString(gf.parseJson($"js", "k BIGINT, s STRING")).as("out"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(round.toSeq == Seq("""{"k":7,"s":"a"}""", """{"k":-3,"s":"b"}"""))
+  }
 }
