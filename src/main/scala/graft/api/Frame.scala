@@ -712,6 +712,13 @@ final class GroupedFrame(df: DataFrame, keys: Seq[Column]) {
     Frame(df.rollup(keys: _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, e) => e.as(n) }: _*))
+  /** arbitrary GROUPING SETS over the groupBy keys (each set a subset of
+    * the keys, by Column) — the general form of cube/rollup; one
+    * aggregation pass, Catalyst Expand feeds each set. */
+  def groupingSets(sets: Seq[Seq[Column]], aggs: (String, Column)*): Frame =
+    Frame(df.groupingSets(sets, keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, e) => e.as(n) }: _*))
   /** grouped collect — the reference's `UnAggregated` vector-of-vectors
     * (Interpreter.hs:701-731) is Spark's collect_list. */
   def collectGroups(c: Column, as: String): Frame =

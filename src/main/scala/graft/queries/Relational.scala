@@ -382,6 +382,35 @@ object Relational {
            / (COUNT(*) OVER () - 1)), 10) AS z
         FROM orders ORDER BY o_orderkey""")),
 
+    // --- explicit GROUPING SETS (general form; cube/rollup are sugar) --------
+    // One aggregation pass: Catalyst Expand replicates each input row
+    // once per set, the hash-aggregate runs once — no union-of-aggs
+    // re-scan. GROUPING() pins which output rows are subtotals so the
+    // hash check can't confuse a subtotal with a real null group.
+    "q147_grouping_sets" -> Q(
+      (s, d) => Frame(ord(s, d)).groupBy("o_orderstatus", "o_orderpriority")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          "n" -> gf.countAll,
+          "total" -> gf.dsumD(col("o_totalprice")),
+          "g_status" -> grouping(col("o_orderstatus")).cast("int"),
+          "g_prio" -> grouping(col("o_orderpriority")).cast("int"))
+        .derive("status", coalesce(col("o_orderstatus"), lit("ALL")))
+        .derive("prio", coalesce(col("o_orderpriority"), lit("ALL")))
+        .select("status", "prio", "g_status", "g_prio", "n", "total")
+        .sortBy(Asc(col("g_status")), Asc(col("g_prio")),
+          Asc(col("status")), Asc(col("prio"))).df,
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS prio,
+        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), ())
+        ORDER BY g_status, g_prio, status, prio""")),
+
     // --- CUBE grouping sets ---------------------------------------------------
     "q22_cube" -> Q(
       (s, d) => Frame(li(s, d)).groupBy("l_returnflag", "l_linestatus")
