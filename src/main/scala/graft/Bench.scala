@@ -152,7 +152,12 @@ object Bench {
     "q140_edit_distance" -> SparkEntry.queries("q140_edit_distance"),
     "q141_topk_per_group" -> SparkEntry.queries("q141_topk_per_group"),
     "q142_weighted_sample" -> SparkEntry.queries("q142_weighted_sample"),
-    "q143_html_strip" -> SparkEntry.queries("q143_html_strip"))
+    "q143_html_strip" -> SparkEntry.queries("q143_html_strip"),
+    // round-9 late adds: scan-stage JSON payload parse (from_json is
+    // CodegenFallback — worth tracking its per-row cost) + the
+    // Expand-fed single-pass GROUPING SETS aggregation
+    "q146_json_extract" -> SparkEntry.queries("q146_json_extract"),
+    "q147_grouping_sets" -> SparkEntry.queries("q147_grouping_sets"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

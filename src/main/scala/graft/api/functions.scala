@@ -83,6 +83,24 @@ object functions {
     * `posexplode(c).as(Seq("pos", "value"))`. */
   def posexplode(c: Column): Column = F.posexplode(c)
 
+  // ---- mergeable distinct sketches (net-new: 100 TB posture) --------------
+  // approx_count_distinct (q30) answers one query; at corpus scale the
+  // operational shape is different: build a compact HLL sketch per
+  // partition/day/source ONCE, persist it as bytes, and answer any
+  // later union-of-slices distinct-count by merging sketches — no
+  // rescan of the 100 TB. Spark's DataSketches-backed trio
+  // (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) is exactly
+  // that; estimates are deterministic for a given input multiset, and
+  // union-then-estimate equals whole-data-estimate (spec-pinned).
+  /** aggregate a column into an HLL sketch (binary, persistable);
+    * lgK = log2 of the sketch size (12 → ~2.5 KB, ~1.6% rel. error). */
+  def hllSketch(c: Column, lgK: Int = 12): Column =
+    F.hll_sketch_agg(c, F.lit(lgK))
+  /** merge previously-built sketches (binary column) into one. */
+  def hllUnion(c: Column): Column = F.hll_union_agg(c)
+  /** distinct-count estimate from a sketch. */
+  def hllEstimate(c: Column): Column = F.hll_sketch_estimate(c)
+
   // ---- semi-structured (net-new: JSON payload columns) --------------------
   // Event logs and crawl metadata carry JSON-string payload columns;
   // parse them at the scan stage with an explicit schema — never a UDF —

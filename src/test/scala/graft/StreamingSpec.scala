@@ -233,6 +233,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parseJson composes with streaming: payload fields feed a windowed agg") {
+    // the log-ingest shape: JSON payload parsed schema-on-read INSIDE the
+    // stream (scan-stage from_json, no UDF), typed field aggregated under
+    // a watermark — malformed payloads flow through as nulls, not errors
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val parsed = src.toDS().toDF("ts", "props")
+      .withColumn("k",
+        graft.api.functions.parseJson(col("props"), "k BIGINT").getField("k"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 minutes"))
+      .agg(sum("k").as("k_sum"), count(when(col("k").isNull, 1)).as("n_bad"))
+      .select(col("window.start").as("w"), col("k_sum"), col("n_bad"))
+    val q = parsed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("json_stream").start()
+    try {
+      src.addData((ts(10), """{"k": 5}"""), (ts(20), """{"k": 7}"""),
+        (ts(30), """broken""")) // malformed → null k, counted not crashed
+      q.processAllAvailable()
+      src.addData((ts(200), """{"k": 1}""")) // advances watermark, closes w0
+      q.processAllAvailable()
+      val rows = spark.table("json_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, 12L, 1L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream join within a time bound matches across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
