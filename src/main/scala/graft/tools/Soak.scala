@@ -218,6 +218,18 @@ object Soak {
         expectedGrams = 1L << 20).count() }
     release()
 
+    // Avro format path at corpus scale: committer-backed write of the
+    // replicated docs corpus (one container file per partition, zstd),
+    // then a splittable AvroKeyInputFormat scan back — measures the
+    // Row↔GenericRecord conversion overhead per side, which the tiny
+    // sf0.01 round-trip oracle (q144) cannot see
+    val avroDir = s"$out/avro_docs"
+    val (nAvW, tAvW) = time {
+      graft.sources.Avro.writeAvro(big, avroDir); nDocs }
+    val (nAvR, tAvR) = time {
+      graft.sources.Avro.readAvro(spark, avroDir).count() }
+    release()
+
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     val json =
@@ -244,6 +256,8 @@ object Soak {
         f""""quantile_filter":{"rows":$nKtq,"sec":$tKtq%.2f},""" +
         f""""decontam_exact":{"rows":$nDecE,"sec":$tDecE%.2f},""" +
         f""""decontam_bloom":{"rows":$nDecB,"sec":$tDecB%.2f},""" +
+        f""""avro_write":{"rows":$nAvW,"sec":$tAvW%.2f},""" +
+        f""""avro_read":{"rows":$nAvR,"sec":$tAvR%.2f},""" +
         s""""heap_used_mb":$heapUsedMb}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -31,6 +31,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q147 grouping sets plan one Expand feeding one aggregation, not a union of re-scans") {
+    val qe = SparkEntry.queries("q147_grouping_sets")(spark, sfSmoke)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "grouping sets must plan via Expand (row replication per set)")
+    // one fact scan — a union-of-aggregates shape would scan orders once
+    // per grouping set
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(scans == 1, s"expected one orders scan, got $scans")
+  }
+
   test("filters and projections push down to the parquet scan") {
     // q03: filter must reach the scan as PushedFilters, and the scan
     // must read only the referenced columns (ReadSchema pruning)
