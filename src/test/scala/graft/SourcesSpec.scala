@@ -117,6 +117,38 @@ class SourcesSpec extends SparkSpec {
       && rows(1).getAs[scala.collection.Seq[Double]]("arr").isEmpty)
   }
 
+  test("Avro write rejects unsupported field types with a clear error") {
+    // map keys must be strings in Avro; fail fast at schema conversion,
+    // not row-by-row inside tasks
+    val src = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("m",
+        MapType(LongType, StringType, valueContainsNull = false)))))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Avro.writeAvro(src,
+        Files.createTempDirectory("graft_avro_bad").resolve("out").toString)
+    }
+    assert(e.getMessage.contains("unsupported Avro field type"))
+  }
+
+  test("XML reader surfaces element attributes with the _ prefix convention") {
+    val dir = Files.createTempDirectory("graft_xml_attr")
+    val p = dir.resolve("a.xml")
+    Files.writeString(p,
+      """<rows>
+        |  <row id="1" kind="a"><v>1.5</v></row>
+        |  <row id="2"><v>2.5</v></row>
+        |</rows>""".stripMargin)
+    val df = graft.sources.Xml.readXml(spark, p.toString)
+    // attributes land as _id/_kind columns; missing attribute → null
+    assert(df.columns.toSet == Set("_id", "_kind", "v"))
+    val rows = df.orderBy("_id").collect()
+    assert(rows(0).getAs[Long]("_id") == 1L
+      && rows(0).getAs[String]("_kind") == "a" && rows(0).getAs[Double]("v") == 1.5)
+    assert(rows(1).getAs[Long]("_id") == 2L && rows(1).isNullAt(
+      rows(1).fieldIndex("_kind")))
+  }
+
   test("Avro read resolves mixed-generation directories via schema evolution") {
     // Two files written at different times: the second adds a column.
     // The reader schema (sniffed from the first data file, lexicographic)
