@@ -160,7 +160,9 @@ object Bench {
     // [0.65, 0.95], no outlier) + the Expand-fed single-pass
     // GROUPING SETS aggregation
     "q146_json_extract" -> SparkEntry.queries("q146_json_extract"),
-    "q147_grouping_sets" -> SparkEntry.queries("q147_grouping_sets"))
+    "q147_grouping_sets" -> SparkEntry.queries("q147_grouping_sets"),
+    // round-10: exact-substring-dedup cut step (Lee et al. span removal)
+    "q148_remove_dup_spans" -> SparkEntry.queries("q148_remove_dup_spans"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -272,6 +272,97 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_windows"), 6))
   }
 
+  /** Duplicate-span REMOVAL (the cut step of exact substring dedup —
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499; public method, no reference
+    * equivalent): [[duplicateSpanStats]] measures how much of a
+    * document is corpus-repeated; this operator actually CUTS the
+    * repeated n-token windows and emits cleaned text — the pass a
+    * 100 TB pretraining-prep job runs after scoring.
+    *
+    * Semantics (min-occurrence keep policy): a window CONTENT is
+    * duplicated when it occurs in at least `minDocs` DISTINCT
+    * documents (the [[duplicateSpanStats]] reading — intra-doc-only
+    * repetition is repetition, not corpus boilerplate, and stays).
+    * For each duplicated content exactly ONE occurrence survives —
+    * the lexicographically minimum (doc id, position) — and every
+    * other occurrence is cut: each of its n token positions drops,
+    * including extra occurrences inside the canonical document
+    * itself. Overlapping duplicated windows union their coverage, so
+    * a long repeated span is removed wholesale outside its canonical
+    * document (consecutive windows of the span each keep their own
+    * canonical, which is the span's first corpus occurrence).
+    * Surviving tokens reassemble in original order ([[removeRepeatedLines]]'s
+    * stitcher); split/join on `" "` is lossless (empty tokens are
+    * tokens), so an untouched document round-trips byte-identical.
+    *
+    * Scale shape: window hashes are computed in the scan stage
+    * (multi-arg xxhash64, the q44/q98 convention — content equality
+    * modulo ~n²/2⁶⁵ collisions) and the compact (id, pos, hash) frame
+    * is localCheckpointed once, feeding the vocabulary aggregate and
+    * the occurrence joins (`materialize = false` restores pure-lazy).
+    * The duplicated vocabulary is a distinct + hash aggregate on
+    * 8-byte keys; canonical picking is one min(struct) aggregate per
+    * content; coverage explodes each REMOVED occurrence into its n
+    * token positions (linear in removed volume, never corpus-wide).
+    * Documents with nothing to cut NEVER shuffle their text: an
+    * anti-join against the affected-id set passes them through
+    * verbatim, so at corpus scale the token explode + reassembly pays
+    * only for documents that actually contain removable spans.
+    *
+    * A document entirely assembled from non-canonical duplicated
+    * spans ends up with zero tokens and vanishes from the output;
+    * `keepEmpty` retains it as an empty string. Documents shorter
+    * than n tokens have no windows and pass through untouched.
+    * Returns (id, text) with the same column names as the input. */
+  def removeDuplicateSpans(df: DataFrame, id: String, text: String,
+                           n: Int = 5, minDocs: Int = 2,
+                           keepEmpty: Boolean = false,
+                           materialize: Boolean = true): DataFrame = {
+    require(n >= 1, "removeDuplicateSpans: n must be >= 1")
+    require(minDocs >= 2, "removeDuplicateSpans: minDocs must be >= 2")
+    val w = split(col(text), " ")
+    // positional window hashes: (id, pos, h), pos 0-based
+    val wins0 = df.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
+        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
+    val wins = if (materialize) wins0.localCheckpoint() else wins0
+    val dup = wins.select(col(id), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val occ = wins.join(dup, Seq("h"), "left_semi")
+    // canonical occurrence per duplicated content: min (doc, pos)
+    val canon = occ.groupBy("h")
+      .agg(min(struct(col(id), col("pos"))).as("c"))
+      .select(col("h"), col("c").getField(id).as("__kd"),
+        col("c").getField("pos").as("__kp"))
+    val removed = occ.join(canon, Seq("h"))
+      .filter(!(col(id) === col("__kd") && col("pos") === col("__kp")))
+      .select(col(id), col("pos"))
+    // token positions covered by any removed occurrence
+    val dropPos = removed
+      .select(col(id), explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+      .distinct()
+    val affected = dropPos.select(col(id)).distinct()
+    // untouched docs pass through without ever exploding their text
+    val untouched = df.select(col(id), col(text))
+      .join(affected, Seq(id), "left_anti")
+    val toks = df.select(col(id),
+        posexplode(split(col(text), " ")).as(Seq("t", "tok")))
+      .join(affected, Seq(id), "left_semi")
+    val rebuilt = toks.join(dropPos, Seq(id, "t"), "left_anti")
+      .groupBy(col(id)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ").as(text))
+    val out = untouched.unionByName(rebuilt)
+    if (!keepEmpty) out
+    else df.select(col(id)).join(out, Seq(id), "left")
+      .select(col(id), coalesce(col(text), lit("")).as(text))
+  }
+
   /** MinHash signatures: numPerms independent min-hashes over shingles,
     * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
     * tight loop per document instead of a numPerms-element array

@@ -1939,10 +1939,17 @@ object Pipeline {
     // Event logs carry JSON-string payloads (events.props = {"k": N});
     // parse at the scan stage with an explicit DDL schema (from_json —
     // never a UDF), aggregate the typed field. Malformed payloads and
-    // missing keys are null (permissive mode), matching DuckDB's ->> on
-    // absent keys — n_bad pins that policy in the hash. At 100 TB the
-    // parse runs in the scan stage with no shuffle beyond the final
-    // hash-aggregate; only the requested field materializes.
+    // missing keys are null (Spark permissive mode) — n_bad pins that
+    // policy in the hash. The oracle replays null-for-ABSENT-keys with
+    // DuckDB's ->> directly; for MALFORMED payloads DuckDB's ->> raises
+    // instead of returning null, so every extraction is guarded with
+    // json_valid() to express the same permissive policy (the sf
+    // fixtures happen to be all-well-formed, but the guard keeps the
+    // gate honest if a fixture generation ever plants bad payloads —
+    // Spark-side malformed behavior is additionally unit-pinned in
+    // ExprSpec). At 100 TB the parse runs in the scan stage with no
+    // shuffle beyond the final hash-aggregate; only the requested
+    // field materializes.
     "q146_json_extract" -> Q(
       (s, d) => {
         val k = graft.api.functions.parseJson(col("props"), "k BIGINT")
@@ -1958,12 +1965,54 @@ object Pipeline {
             count(col("miss")).as("n_miss"))
           .orderBy("event_type")
       },
-      Some(s"""SELECT event_type, COUNT(*) AS n,
-        ${isum("CAST(props->>'k' AS BIGINT)")} AS k_sum,
-        MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
-        MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
-        ${isum("CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END")} AS n_bad,
-        COUNT(props->>'missing') AS n_miss
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+      Some {
+        val jk = "CASE WHEN json_valid(props) THEN CAST(props->>'k' AS BIGINT) END"
+        s"""SELECT event_type, COUNT(*) AS n,
+        ${isum(jk)} AS k_sum,
+        MIN($jk) AS k_min,
+        MAX($jk) AS k_max,
+        ${isum(s"CASE WHEN ($jk) IS NULL THEN 1 ELSE 0 END")} AS n_bad,
+        COUNT(CASE WHEN json_valid(props) THEN props->>'missing' END) AS n_miss
+        FROM events GROUP BY event_type ORDER BY event_type"""
+      }),
+
+    // --- duplicate-span REMOVAL (exact substring dedup, cut step) -----------
+    // (Dedup.removeDuplicateSpans — Lee et al. 2022. The oracle replays
+    // the ENTIRE chain on window STRINGS (the q98 convention vs Spark's
+    // xxhash64 — equality modulo ~n²/2⁶⁵ collisions): duplicated
+    // vocabulary (≥2 distinct docs) → canonical min-(doc,pos)
+    // occurrence per content → union of removed-occurrence coverage →
+    // in-order reassembly of surviving tokens. The emitted cleaned
+    // text pins the keep rule, the overlap union, and the stitcher in
+    // one hash; keepEmpty keeps fully-cut docs as '' so the row count
+    // is the doc count.)
+    "q148_remove_dup_spans" -> Q(
+      (s, d) => Dedup.removeDuplicateSpans(docs(s, d), "doc_id", "text",
+        n = 5, minDocs = 2, keepEmpty = true).orderBy("doc_id"),
+      Some {
+        val gram = (0 until 5).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          wi AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+            FROM toks WHERE len(w) >= 5),
+          wins AS (SELECT doc_id, i, $gram AS g FROM wi),
+          dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM wins)
+            GROUP BY g HAVING COUNT(*) >= 2),
+          occ AS (SELECT doc_id, i, g FROM wins SEMI JOIN dup USING (g)),
+          kd AS (SELECT g, MIN(doc_id) AS kd FROM occ GROUP BY g),
+          canon AS (SELECT o.g, k.kd, MIN(o.i) AS kp FROM occ o JOIN kd k
+            ON o.g = k.g AND o.doc_id = k.kd GROUP BY o.g, k.kd),
+          rem AS (SELECT o.doc_id, o.i FROM occ o JOIN canon c ON o.g = c.g
+            WHERE NOT (o.doc_id = c.kd AND o.i = c.kp)),
+          dp AS (SELECT DISTINCT doc_id, t FROM
+            (SELECT doc_id, unnest(range(i, i + 5)) AS t FROM rem)),
+          alltok AS (SELECT doc_id, generate_subscripts(w, 1) AS t,
+            unnest(w) AS tok FROM toks),
+          kept AS (SELECT doc_id, t, tok FROM alltok
+            ANTI JOIN dp USING (doc_id, t)),
+          r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS text
+            FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(r.text, '') AS text
+          FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id"""
+      })
   )
 }

@@ -28,10 +28,12 @@ import org.apache.spark.sql.types._
   *  - '''read''': `AvroKeyInputFormat` via `newAPIHadoopFile` — the
   *    standard splittable Hadoop input format (Avro container files
   *    carry sync markers every block, so a 100 TB landing zone splits
-  *    into HDFS-block-sized tasks exactly like parquet). The file
-  *    schema is sniffed once on the driver from the first data file and
-  *    set as the reader schema, so mixed-generation directories resolve
-  *    through Avro's own schema-evolution rules. Records are converted
+  *    into HDFS-block-sized tasks exactly like parquet). The reader
+  *    schema is ELECTED on the driver from a bounded sample of file
+  *    headers — the distinct schema that resolves every other sniffed
+  *    generation under Avro's compatibility rules — so mixed-generation
+  *    directories read correctly in both naming orders (see
+  *    electReaderSchema). Records are converted
   *    to Spark rows inside the reading task, before the (reused) Avro
   *    object is advanced — no record object ever crosses a stage
   *    boundary.
@@ -63,7 +65,7 @@ object Avro {
 
   def readAvro(spark: SparkSession, path: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val avroSchema = firstFileSchema(path, hconf)
+    val avroSchema = electReaderSchema(path, hconf)
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
     val schemaJson = avroSchema.toString
     val job = Job.getInstance(hconf)
@@ -86,9 +88,18 @@ object Avro {
   /** Distributed Avro sink through the Hadoop output committer.
     * `compression`: zstandard | snappy | deflate | null. One file per
     * partition — size files by repartitioning upstream (the committer,
-    * not this sink, owns file placement). */
+    * not this sink, owns file placement).
+    *
+    * `mode`: "overwrite" (default, parity with the other sinks) or
+    * "error"/"errorifexists". Unlike the committer-managed sinks,
+    * overwrite here is OUR recursive delete — so it carries a
+    * foreign-content guard: the existing target must look like a prior
+    * Avro output (a directory of part-* / _SUCCESS / hidden files).
+    * A mistyped path pointing at arbitrary data refuses instead of
+    * silently wiping it. */
   def writeAvro(df: DataFrame, path: String,
-                compression: String = "zstandard"): Unit = {
+                compression: String = "zstandard",
+                mode: String = "overwrite"): Unit = {
     val sparkSchema = df.schema
     val avroSchema = toAvroSchema(sparkSchema)
     val schemaJson = avroSchema.toString
@@ -96,7 +107,30 @@ object Avro {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
-    if (fs.exists(target)) fs.delete(target, true) // overwrite semantics
+    if (fs.exists(target)) mode.toLowerCase match {
+      case "overwrite" =>
+        val foreign: Seq[String] =
+          if (!fs.getFileStatus(target).isDirectory) Seq(path)
+          else fs.listStatus(target).collect {
+            case s if {
+              val n = s.getPath.getName
+              !(n.startsWith("_") || n.startsWith(".") ||
+                (s.isFile && n.startsWith("part-")))
+            } => s.getPath.getName
+          }.toSeq
+        require(foreign.isEmpty,
+          s"writeAvro: refusing to overwrite $path — existing target does " +
+            s"not look like a prior Avro output (found: " +
+            s"${foreign.take(5).mkString(", ")}). Delete it explicitly if " +
+            "intended.")
+        fs.delete(target, true)
+      case "error" | "errorifexists" =>
+        throw new IllegalArgumentException(
+          s"writeAvro: target $path already exists (mode=$mode)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"writeAvro: unknown mode '$other' (overwrite | errorifexists)")
+    }
     val job = Job.getInstance(hconf)
     AvroJob.setOutputKeySchema(job, avroSchema)
     FileOutputFormat.setCompressOutput(job, true)
@@ -112,26 +146,70 @@ object Avro {
         job.getConfiguration)
   }
 
-  /** Driver-side schema sniff: first non-hidden file's embedded writer
-    * schema (every Avro container file carries its schema in the
-    * header — one open + header read, no data scan). */
-  private def firstFileSchema(path: String,
-                              hconf: org.apache.hadoop.conf.Configuration): Schema = {
+  /** Driver-side reader-schema ELECTION (round-10; closes the ADVICE r9
+    * mixed-generation gap): every Avro container file carries its writer
+    * schema in the header, so up to `maxProbe` evenly-spaced file
+    * headers are sniffed (header read only — no data scan) and the
+    * reader schema is the distinct schema that can resolve EVERY other
+    * sniffed schema under Avro's own compatibility rules
+    * (SchemaCompatibility). That makes mixed-generation directories
+    * read correctly regardless of file NAMING: an added-nullable-field
+    * generation is elected whether its files sort first or last
+    * (previously the lexicographically-first file dictated the reader,
+    * and a new-generation file sorting first broke reads of older
+    * files). If no sniffed schema resolves all others (e.g. an added
+    * field with no default in both directions), the read fails fast on
+    * the driver with the conflicting schemas named — not at task
+    * runtime with a missing-field error. A generation living ONLY in
+    * un-probed files past `maxProbe` still resolves through whichever
+    * schema was elected, or fails at task runtime as before — the
+    * probe bound keeps driver cost O(maxProbe) on a 100 TB landing
+    * zone. */
+  private def electReaderSchema(path: String,
+                                hconf: org.apache.hadoop.conf.Configuration,
+                                maxProbe: Int = 64): Schema = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
-    val stat =
-      if (fs.getFileStatus(p).isFile) fs.getFileStatus(p)
+    val stats =
+      if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p))
       else fs.listStatus(p).filter { s =>
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.sortBy(_.getPath.getName).headOption.getOrElse(
-        throw new IllegalArgumentException(s"no Avro data files under $path"))
-    val in = fs.open(stat.getPath)
-    try {
-      val stream = new DataFileStream[GenericRecord](
-        in, new GenericDatumReader[GenericRecord]())
-      try stream.getSchema finally stream.close()
-    } finally in.close()
+      }.sortBy(_.getPath.getName).toSeq
+    if (stats.isEmpty)
+      throw new IllegalArgumentException(s"no Avro data files under $path")
+    val probed =
+      if (stats.length <= maxProbe) stats
+      else {
+        val stride = stats.length.toDouble / maxProbe
+        (0 until maxProbe).map(i => stats((i * stride).toInt)).distinct
+      }
+    def headerSchema(stat: org.apache.hadoop.fs.FileStatus): Schema = {
+      val in = fs.open(stat.getPath)
+      try {
+        val stream = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        try stream.getSchema finally stream.close()
+      } finally in.close()
+    }
+    val distinct = probed.map(headerSchema).distinct
+    if (distinct.size == 1) distinct.head
+    else {
+      import org.apache.avro.SchemaCompatibility
+      def readsAll(reader: Schema): Boolean = distinct.forall { writer =>
+        SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+          .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+      }
+      // most fields first (the widest generation), toString tie-break
+      // for determinism across listings
+      distinct.sortBy(s => (-s.getFields.size, s.toString))
+        .find(readsAll).getOrElse(throw new IllegalArgumentException(
+          s"readAvro: no sniffed schema under $path can resolve all " +
+            s"generations (Avro schema resolution failed between: " +
+            s"${distinct.map(_.toString).mkString(" | ")}). Added fields " +
+            "must carry defaults (nullable fields do) for mixed-generation " +
+            "reads."))
+    }
   }
 
   // ---- schema conversion --------------------------------------------------

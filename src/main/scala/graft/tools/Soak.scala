@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   * OOM; results go to one JSON line (appended to SOAK_LOCAL.json).
   *
   * Run: SPARK_GRAFT_SOAK_COPIES=10 sbt "runMain graft.tools.Soak"
+  *
+  * Adjudication mode (the SoakTpch protocol, round-10): a
+  * comma-separated `SPARK_GRAFT_SOAK_OPS` runs only those ops, and
+  * `SPARK_GRAFT_SOAK_ITERS` > 1 switches from single-shot timing
+  * (cliff/OOM bounding) to median-of-N with min/max spread plus
+  * inter-iteration GC — the mode that separates a real per-op
+  * regression from ambient host pressure. Every persisted /
+  * localCheckpointed block is released between ops AND between
+  * iterations (the Bench.releaseCheckpoints rationale: each run
+  * re-checkpoints its own frames, so carried blocks are pure storage
+  * contamination); ops that internally share a checkpoint (the PQ
+  * family) build their own inside the timed thunk.
   */
 object Soak {
   def main(args: Array[String]): Unit = {
@@ -34,231 +46,229 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- build the expanded table once per run ---------------------------
+    // (SPARK_GRAFT_SOAK_REUSE=1 skips the rewrite when the scaled dir
+    // exists — replication is deterministic, so adjudication re-runs
+    // re-time ops without paying the write.)
     val docs = graft.Tables.documents(spark, sfDir)
-    val expanded = (0 until copies).map { k =>
-      docs.select(
-        (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
-        (if (k == 0) col("text")
-         else concat(lit(s"soakmark$k "), col("text"))).as("text"))
-    }.reduce(_ unionAll _)
-    expanded.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val reuse = sys.env.get("SPARK_GRAFT_SOAK_REUSE").contains("1") &&
+      new java.io.File(s"$out/documents.parquet").exists()
+    if (!reuse) {
+      val expanded = (0 until copies).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
+          (if (k == 0) col("text")
+           else concat(lit(s"soakmark$k "), col("text"))).as("text"))
+      }.reduce(_ unionAll _)
+      expanded.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
     val big = spark.read.parquet(s"$out/documents.parquet")
     val nDocs = big.count()
 
-    def time[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
     def release(): Unit = spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
 
-    // exact dedup: one hash-agg + semi join — linear
-    val (nExact, tExact) = time {
-      graft.ops.Dedup.exact(big, "doc_id", "text").count() }
-    release()
-    // q44b shape: dfCap scaled to pass organic shingles (DF ≈ copies)
-    // while pruning stop-shingles whose posting lists went quadratic
-    val (nJac, tJac) = time {
-      graft.ops.Dedup.ngramJaccard(big, "doc_id", "text", 0.2,
-        dfCap = Some(5 * copies)).count() }
-    release()
-    // q45b shape: band-bucket cap slightly above the planted clique size
-    val (nLsh, tLsh) = time {
-      graft.ops.Dedup.minhashLsh(big, "doc_id", "text", 0.8,
-        maxBucket = Some(2 * copies)).count() }
-    release()
-    // simhash near-dup (pigeonhole blocking), same clique pressure
-    val (nSim, tSim) = time {
-      graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count() }
-    release()
-    // duplicate-span coverage: every copied window is corpus-repeated,
-    // so the dup-vocabulary join carries ~copies× posting pressure
-    val (nSpan, tSpan) = time {
-      graft.ops.Dedup.duplicateSpanStats(big, "doc_id", "text").count() }
-    release()
-    // bigram-LM self-fit: count + score branches over copies× bigrams
-    val (nLm, tLm) = time {
-      graft.ops.TextAnalysis.bigramLmScore(big, "doc_id", "text").count() }
-    release()
-    // sequence packing: distributed prefix sum over 200k-row id order
-    val (nPack, tPack) = time {
-      graft.ops.Packing.packDocuments(big, "doc_id", "text", 2048).count() }
-    release()
-    // BPE: the corpus-scale word-count pass + 20 local merge rounds,
-    // then the relational encode (distinct-word dict + stamp join)
-    val (nBpe, tBpe) = time {
-      val merges = graft.ops.Bpe.fit(big, "text", numMerges = 20)
-      graft.ops.Bpe.encodedTokenCount(big, "doc_id", "text", merges).count() }
-    release()
-    // Misra-Gries heavy hitters over every token occurrence
-    val (nHh, tHh) = time {
-      big.select(explode(split(col("text"), " ")).as("w"))
-        .agg(graft.expr.HeavyHitters.misraGries(col("w"), 64).as("hh"))
-        .select(explode(col("hh"))).count() }
-    release()
-    // per-source quantile pruning (exact per-group percentile)
-    val (nKtq, tKtq) = time {
-      graft.ops.TextAnalysis.keepTopQuantile(
-        big.withColumn("ntok", size(split(col("text"), " ")))
-          .withColumn("src", col("doc_id") % 20),
-        "src", col("ntok").cast("double"), q = 0.5).count() }
-    release()
-    // SemDeDup: replicated embeddings are IDENTICAL across copies, so
-    // every base vector becomes a copies-sized cos=1 clique inside one
-    // cell — the hostile shape for within-cell pairing. Centroids come
-    // from the base table (every 20th id), so cells hold ~20×copies
-    // members; the quadratic is bounded per cell, never corpus-wide.
+    // ---- shared lazy state (built on first use by an op that needs it) ---
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val bigEmb = (0 until copies).map { k =>
+    lazy val bigEmb = (0 until copies).map { k =>
       emb.select((col("vec_id") + lit(k.toLong * 10_000_000L)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionAll _)
-    val centroids = emb.filter(col("vec_id") % 20 === 0)
+    lazy val centroids = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("cid"), col("embedding"))
-    val (nSem, tSem) = time {
-      graft.ops.Similarity.semanticDedup(bigEmb, centroids, "vec_id",
-        "embedding", threshold = 0.95).count() }
-    release()
-    // PQ encode the replicated embedding corpus (scan-stage argmin over
-    // 8 subspaces x base/20 centroids — no shuffle, bounded by the scan)
-    val cbs = graft.ops.Embeddings.pqInitCodebooks(
+    lazy val cbs = graft.ops.Embeddings.pqInitCodebooks(
       emb, "vec_id", "embedding", dim = 64, m = 8, every = 100)
-    val (nPq, tPq) = time {
-      bigEmb.select(col("vec_id"),
-        graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
-        .count() }
-    release()
-    // ADC top-k + exact re-rank over the coded corpus: the codes-only
-    // scan is one pass per query batch (8 queries here); the re-rank
-    // joins ONLY the 8 x k x rerank shortlist back to full vectors —
-    // corpus-size-independent beyond the scan, the bound under test
-    val queries = emb.filter(col("vec_id") < 8)
+    lazy val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    val coded = bigEmb.select(col("vec_id"), col("embedding"),
+    // the coded corpus is a localCheckpoint; release() between ops
+    // unpersists it, so each PQ op builds its own INSIDE its thunk
+    def mkCoded() = bigEmb.select(col("vec_id"), col("embedding"),
       graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
       .localCheckpoint()
-    val (nAdc, tAdc) = time {
-      graft.ops.Embeddings.pqTopK(queries, coded, "vec_id", "codes",
-        cbs, k = 10).count() }
-    // NO release between the two timed ops: both read the `coded`
-    // localCheckpoint, whose lineage is truncated — unpersisting it
-    // here leaves the rerank with unrecomputable blocks
-    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
-    val (nRr, tRr) = time {
-      graft.ops.Embeddings.pqTopKRerank(queries, coded, "vec_id", "codes",
-        "embedding", cbs, k = 10, rerank = 4).count() }
-    release()
-    // incremental MinHash+LSH: odd-id half ingests against the even-id
-    // seen corpus — every new doc hits a (copies/2)-sized seen clique
-    // per band, the hostile shape maxSeenBucket bounds
-    val (nInc, tInc) = time {
-      graft.ops.Dedup.minhashLshIncremental(
-        big.filter(col("doc_id") % 2 === 1), big.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", 0.8, maxSeenBucket = Some(2 * copies)).count() }
-    release()
-    // incremental SimHash: same boundary split; the replicated copies
-    // are hamming-0 cliques, so every chunk bucket carries the full
-    // clique pressure (the pigeonhole analog of the LSH mega-bucket)
-    val (nSInc, tSInc) = time {
-      graft.ops.Dedup.simhashPairsIncremental(
-        big.filter(col("doc_id") % 2 === 1), big.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", maxDist = 3).count() }
-    release()
-    // per-domain cap: the group-partitioned rank window over 20 synthetic
-    // domains of 10k docs each — the per-group sort is the surface under test
-    val (nCap, tCap) = time {
-      graft.ops.Mixture.capPerGroup(
-        big.withColumn("src", col("doc_id") % 20), "doc_id", "src", 1000)
-        .count() }
-    release()
-    // bounded-heap top-k at the SAME n as the cap window above — the
-    // direct A/B of shuffle-everything-then-rank vs k-entry partials
-    val (nTk, tTk) = time {
-      graft.ops.Mixture.topKPerGroup(
-        big.withColumn("src", col("doc_id") % 20), "src",
-        length(col("text")).cast("double"), "doc_id", 1000).count() }
-    release()
-    // A-Res weighted sample: one global group, n-entry heap per partition
-    val (nWs, tWs) = time {
-      graft.ops.Mixture.weightedSample(
-        big, "doc_id", length(col("text")).cast("double"), 1000).count() }
-    release()
-    // edit-distance near-dup in its intended regime — DIVERSE short keys
-    // (names/URLs/hashes): every base doc's 16-hex md5 stem + 2-digit
-    // copy suffix puts each 40-key clique within 2 substitutions, while
-    // q=4 grams over the 16^4 space keep posting lists clique-sized
-    // (~copies docs per gram; a 2-gram key on this corpus would be
-    // all-hot and dfCap would rightly empty it — measured, which is why
-    // the soak uses the 4-gram regime the scaladoc prescribes for
-    // low-entropy alphabets). Expected rows ≈ 5000 cliques × C(40,2).
-    val (nEd, tEd) = time {
-      graft.ops.Dedup.editDistancePairs(
-        big.select(col("doc_id"),
-          concat(
-            substring(md5(expr("CAST(doc_id % 10000000 AS STRING)")), 1, 16),
-            lpad(expr("CAST(doc_id DIV 10000000 AS STRING)"), 2, "0")).as("k")),
-        "doc_id", "k", maxDist = 2, q = 4, dfCap = Some(5 * copies)).count() }
-    release()
-    // decontamination, exact vs Bloom-prefiltered: SAME output by
-    // construction; replicated copies make every benchmark gram
-    // corpus-frequent, so the exact variant shuffles all ~copies×
-    // corpus grams while the bloom variant prunes non-benchmark grams
-    // scan-side — the pair measures the shuffle saving at scale
-    val bench = docs.filter(col("doc_id") % 20 === 7)
-    val (nDecE, tDecE) = time {
-      graft.ops.Dedup.decontaminationReport(
-        big, bench, "doc_id", "text", n = 8).count() }
-    release()
-    val (nDecB, tDecB) = time {
-      graft.ops.Dedup.decontaminationReportBloom(
-        big, bench, "doc_id", "text", n = 8,
-        expectedGrams = 1L << 20).count() }
-    release()
+    lazy val bench = docs.filter(col("doc_id") % 20 === 7)
 
-    // Avro format path at corpus scale: committer-backed write of the
-    // replicated docs corpus (one container file per partition, zstd),
-    // then a splittable AvroKeyInputFormat scan back — measures the
-    // Row↔GenericRecord conversion overhead per side, which the tiny
-    // sf0.01 round-trip oracle (q144) cannot see
-    val avroDir = s"$out/avro_docs"
-    val (nAvW, tAvW) = time {
-      graft.sources.Avro.writeAvro(big, avroDir); nDocs }
-    val (nAvR, tAvR) = time {
-      graft.sources.Avro.readAvro(spark, avroDir).count() }
-    release()
+    // ---- op registry (name → thunk returning the row count) --------------
+    val ops: Seq[(String, () => Long)] = Seq(
+      // exact dedup: one hash-agg + semi join — linear
+      "exact" -> (() =>
+        graft.ops.Dedup.exact(big, "doc_id", "text").count()),
+      // q44b shape: dfCap scaled to pass organic shingles (DF ≈ copies)
+      // while pruning stop-shingles whose posting lists went quadratic
+      "ngram_jaccard" -> (() =>
+        graft.ops.Dedup.ngramJaccard(big, "doc_id", "text", 0.2,
+          dfCap = Some(5 * copies)).count()),
+      // q45b shape: band-bucket cap slightly above the planted clique size
+      "minhash_lsh" -> (() =>
+        graft.ops.Dedup.minhashLsh(big, "doc_id", "text", 0.8,
+          maxBucket = Some(2 * copies)).count()),
+      // simhash near-dup (pigeonhole blocking), same clique pressure
+      "simhash" -> (() =>
+        graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count()),
+      // duplicate-span coverage: every copied window is corpus-repeated,
+      // so the dup-vocabulary join carries ~copies× posting pressure
+      "dup_spans" -> (() =>
+        graft.ops.Dedup.duplicateSpanStats(big, "doc_id", "text").count()),
+      // duplicate-span REMOVAL: ~(copies-1)/copies of all windows are
+      // removable — near-worst-case coverage explode, and EVERY doc is
+      // affected so the untouched-docs fast path cannot help: this
+      // measures the full cut + reassembly path
+      "dup_span_removal" -> (() =>
+        graft.ops.Dedup.removeDuplicateSpans(big, "doc_id", "text").count()),
+      // bigram-LM self-fit: count + score branches over copies× bigrams
+      "bigram_lm" -> (() =>
+        graft.ops.TextAnalysis.bigramLmScore(big, "doc_id", "text").count()),
+      // SemDeDup: replicated embeddings are IDENTICAL across copies, so
+      // every base vector becomes a copies-sized cos=1 clique inside one
+      // cell — the hostile shape for within-cell pairing. Centroids come
+      // from the base table (every 20th id), so cells hold ~20×copies
+      // members; the quadratic is bounded per cell, never corpus-wide.
+      "semantic_dedup" -> (() =>
+        graft.ops.Similarity.semanticDedup(bigEmb, centroids, "vec_id",
+          "embedding", threshold = 0.95).count()),
+      // PQ encode the replicated embedding corpus (scan-stage argmin over
+      // 8 subspaces x base/20 centroids — no shuffle, bounded by the scan)
+      "pq_encode" -> (() =>
+        bigEmb.select(col("vec_id"),
+          graft.ops.Embeddings.pqEncode(col("embedding"), cbs).as("codes"))
+          .count()),
+      // ADC top-k over the coded corpus: the codes-only scan is one pass
+      // per query batch (8 queries here)
+      "pq_topk" -> (() =>
+        graft.ops.Embeddings.pqTopK(queries, mkCoded(), "vec_id", "codes",
+          cbs, k = 10).count()),
+      // two-stage: ADC shortlist, then exact re-rank of ONLY the
+      // 8 × k × rerank shortlist against full vectors — corpus-size-
+      // independent beyond the scan, the bound under test
+      "pq_rerank" -> (() =>
+        graft.ops.Embeddings.pqTopKRerank(queries, mkCoded(), "vec_id",
+          "codes", "embedding", cbs, k = 10, rerank = 4).count()),
+      // incremental MinHash+LSH: odd-id half ingests against the even-id
+      // seen corpus — every new doc hits a (copies/2)-sized seen clique
+      // per band, the hostile shape maxSeenBucket bounds
+      "minhash_incremental" -> (() =>
+        graft.ops.Dedup.minhashLshIncremental(
+          big.filter(col("doc_id") % 2 === 1),
+          big.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 0.8, maxSeenBucket = Some(2 * copies)).count()),
+      // incremental SimHash: same boundary split; the replicated copies
+      // are hamming-0 cliques, so every chunk bucket carries the full
+      // clique pressure (the pigeonhole analog of the LSH mega-bucket)
+      "simhash_incremental" -> (() =>
+        graft.ops.Dedup.simhashPairsIncremental(
+          big.filter(col("doc_id") % 2 === 1),
+          big.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", maxDist = 3).count()),
+      // per-domain cap: the group-partitioned rank window over 20 synthetic
+      // domains of 10k docs each — the per-group sort is the surface under test
+      "domain_cap" -> (() =>
+        graft.ops.Mixture.capPerGroup(
+          big.withColumn("src", col("doc_id") % 20), "doc_id", "src", 1000)
+          .count()),
+      // bounded-heap top-k at the SAME n as the cap window above — the
+      // direct A/B of shuffle-everything-then-rank vs k-entry partials
+      "topk_per_group" -> (() =>
+        graft.ops.Mixture.topKPerGroup(
+          big.withColumn("src", col("doc_id") % 20), "src",
+          length(col("text")).cast("double"), "doc_id", 1000).count()),
+      // A-Res weighted sample: one global group, n-entry heap per partition
+      "weighted_sample" -> (() =>
+        graft.ops.Mixture.weightedSample(
+          big, "doc_id", length(col("text")).cast("double"), 1000).count()),
+      // edit-distance near-dup in its intended regime — DIVERSE short keys
+      // (names/URLs/hashes): every base doc's 16-hex md5 stem + 2-digit
+      // copy suffix puts each 40-key clique within 2 substitutions, while
+      // q=4 grams over the 16^4 space keep posting lists clique-sized
+      // (~copies docs per gram; a 2-gram key on this corpus would be
+      // all-hot and dfCap would rightly empty it — measured, which is why
+      // the soak uses the 4-gram regime the scaladoc prescribes for
+      // low-entropy alphabets). Expected rows ≈ 5000 cliques × C(40,2).
+      "edit_distance" -> (() =>
+        graft.ops.Dedup.editDistancePairs(
+          big.select(col("doc_id"),
+            concat(
+              substring(md5(expr("CAST(doc_id % 10000000 AS STRING)")), 1, 16),
+              lpad(expr("CAST(doc_id DIV 10000000 AS STRING)"), 2, "0")).as("k")),
+          "doc_id", "k", maxDist = 2, q = 4, dfCap = Some(5 * copies)).count()),
+      // sequence packing: distributed prefix sum over 200k-row id order
+      "packing" -> (() =>
+        graft.ops.Packing.packDocuments(big, "doc_id", "text", 2048).count()),
+      // BPE: the corpus-scale word-count pass + 20 local merge rounds,
+      // then the relational encode (distinct-word dict + stamp join)
+      "bpe" -> (() => {
+        val merges = graft.ops.Bpe.fit(big, "text", numMerges = 20)
+        graft.ops.Bpe.encodedTokenCount(big, "doc_id", "text", merges).count()
+      }),
+      // Misra-Gries heavy hitters over every token occurrence
+      "heavy_hitters" -> (() =>
+        big.select(explode(split(col("text"), " ")).as("w"))
+          .agg(graft.expr.HeavyHitters.misraGries(col("w"), 64).as("hh"))
+          .select(explode(col("hh"))).count()),
+      // per-source quantile pruning (exact per-group percentile)
+      "quantile_filter" -> (() =>
+        graft.ops.TextAnalysis.keepTopQuantile(
+          big.withColumn("ntok", size(split(col("text"), " ")))
+            .withColumn("src", col("doc_id") % 20),
+          "src", col("ntok").cast("double"), q = 0.5).count()),
+      // decontamination, exact vs Bloom-prefiltered: SAME output by
+      // construction; replicated copies make every benchmark gram
+      // corpus-frequent, so the exact variant shuffles all ~copies×
+      // corpus grams while the bloom variant prunes non-benchmark grams
+      // scan-side — the pair measures the shuffle saving at scale
+      "decontam_exact" -> (() =>
+        graft.ops.Dedup.decontaminationReport(
+          big, bench, "doc_id", "text", n = 8).count()),
+      "decontam_bloom" -> (() =>
+        graft.ops.Dedup.decontaminationReportBloom(
+          big, bench, "doc_id", "text", n = 8,
+          expectedGrams = 1L << 20).count()),
+      // Avro format path at corpus scale: committer-backed write of the
+      // replicated docs corpus (one container file per partition, zstd),
+      // then a splittable AvroKeyInputFormat scan back — measures the
+      // Row↔GenericRecord conversion overhead per side, which the tiny
+      // sf0.01 round-trip oracle (q144) cannot see
+      "avro_write" -> (() => {
+        graft.sources.Avro.writeAvro(big, s"$out/avro_docs"); nDocs
+      }),
+      "avro_read" -> (() =>
+        graft.sources.Avro.readAvro(spark, s"$out/avro_docs").count())
+    )
+
+    val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SOAK_ITERS", "1").toInt
+    val selected = ops.filter { case (n, _) => only.forall(_(n)) }
+
+    def timeOnce(f: () => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = f()
+      val dt = (System.nanoTime() - t0) / 1e9
+      release() // blocks are per-run; carrying them is contamination
+      (r, dt)
+    }
+    // per-op: single-shot by default; median-of-N + spread with GC
+    // between iterations in adjudication mode (the SoakTpch protocol)
+    val results = selected.map { case (name, f) =>
+      val runs = Seq.fill(iters) {
+        if (iters > 1) { System.gc(); Thread.sleep(200) }
+        timeOnce(f)
+      }
+      val ts = runs.map(_._2).sorted
+      (name, runs.head._1, ts(ts.length / 2), ts.head, ts.last)
+    }
 
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val spread =
+      if (iters > 1)
+        results.map { case (n, _, _, lo, hi) => f""""$n":[$lo%.2f,$hi%.2f]""" }
+          .mkString(""","iters":""" + iters + ""","spread":{""", ",", "}")
+      else ""
     val json =
       s"""{"soak":"dedup","copies":$copies,"docs":$nDocs,""" +
-        f""""exact":{"rows":$nExact,"sec":$tExact%.2f},""" +
-        f""""ngram_jaccard":{"rows":$nJac,"sec":$tJac%.2f},""" +
-        f""""minhash_lsh":{"rows":$nLsh,"sec":$tLsh%.2f},""" +
-        f""""simhash":{"rows":$nSim,"sec":$tSim%.2f},""" +
-        f""""dup_spans":{"rows":$nSpan,"sec":$tSpan%.2f},""" +
-        f""""bigram_lm":{"rows":$nLm,"sec":$tLm%.2f},""" +
-        f""""semantic_dedup":{"rows":$nSem,"sec":$tSem%.2f},""" +
-        f""""pq_encode":{"rows":$nPq,"sec":$tPq%.2f},""" +
-        f""""pq_topk":{"rows":$nAdc,"sec":$tAdc%.2f},""" +
-        f""""pq_rerank":{"rows":$nRr,"sec":$tRr%.2f},""" +
-        f""""minhash_incremental":{"rows":$nInc,"sec":$tInc%.2f},""" +
-        f""""simhash_incremental":{"rows":$nSInc,"sec":$tSInc%.2f},""" +
-        f""""domain_cap":{"rows":$nCap,"sec":$tCap%.2f},""" +
-        f""""topk_per_group":{"rows":$nTk,"sec":$tTk%.2f},""" +
-        f""""weighted_sample":{"rows":$nWs,"sec":$tWs%.2f},""" +
-        f""""edit_distance":{"rows":$nEd,"sec":$tEd%.2f},""" +
-        f""""packing":{"rows":$nPack,"sec":$tPack%.2f},""" +
-        f""""bpe":{"rows":$nBpe,"sec":$tBpe%.2f},""" +
-        f""""heavy_hitters":{"rows":$nHh,"sec":$tHh%.2f},""" +
-        f""""quantile_filter":{"rows":$nKtq,"sec":$tKtq%.2f},""" +
-        f""""decontam_exact":{"rows":$nDecE,"sec":$tDecE%.2f},""" +
-        f""""decontam_bloom":{"rows":$nDecB,"sec":$tDecB%.2f},""" +
-        f""""avro_write":{"rows":$nAvW,"sec":$tAvW%.2f},""" +
-        f""""avro_read":{"rows":$nAvR,"sec":$tAvR%.2f},""" +
-        s""""heap_used_mb":$heapUsedMb}"""
+        results.map { case (n, rows, med, _, _) =>
+          f""""$n":{"rows":$rows,"sec":$med%.2f}""" }.mkString(",") +
+        spread + s""","heap_used_mb":$heapUsedMb}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SOAK_LOCAL.json"), json + "\n",

@@ -1249,6 +1249,50 @@ class OpsSpec extends SparkSpec {
     assert(w(1L) == "dup\nmid\ndup")
   }
 
+  test("duplicate-span removal: canonical keeps, overlap unions, " +
+    "whole-doc dup vanishes unless keepEmpty") {
+    val d = Seq(
+      (1L, "a b c d e"),        // canonical holder of "a b c"
+      (2L, "x a b c y"),        // non-canonical occurrence → cut
+      (3L, "p q r s t z"),      // canonical holder of the long span
+      (4L, "m p q r s t"),      // overlapping dup windows union → keeps "m"
+      (5L, "hi")                // < n tokens: no windows, untouched
+    ).toDF("id", "txt")
+    val got = Dedup.removeDuplicateSpans(d, "id", "txt", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "a b c d e",
+      2L -> "x y",
+      3L -> "p q r s t z",
+      4L -> "m",
+      5L -> "hi"))
+    // whole-doc dup: every window removable → doc vanishes / keepEmpty ''
+    val dup = Seq((1L, "one two three four"), (2L, "one two three four"))
+      .toDF("id", "txt")
+    val cut = Dedup.removeDuplicateSpans(dup, "id", "txt", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(cut == Map(1L -> "one two three four")) // id 2 absent
+    val kept = Dedup.removeDuplicateSpans(dup, "id", "txt", n = 3,
+      keepEmpty = true).as[(Long, String)].collect().toMap
+    assert(kept == Map(1L -> "one two three four", 2L -> ""))
+  }
+
+  test("duplicate-span removal: minDocs counts distinct docs, but a " +
+    "corpus-dup span's extra occurrence inside the canonical doc cuts") {
+    // intra-doc-only repetition is NOT corpus boilerplate → stays whole
+    val within = Seq((1L, "u v w z u v w"), (2L, "other words here"))
+      .toDF("id", "txt")
+    val w = Dedup.removeDuplicateSpans(within, "id", "txt", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(w(1L) == "u v w z u v w")
+    // once "a b c" IS corpus-dup, only its (minDoc, minPos) occurrence
+    // survives — the second occurrence in doc 1 cuts too
+    val d = Seq((1L, "a b c z a b c"), (2L, "q a b c q2")).toDF("id", "txt")
+    val got = Dedup.removeDuplicateSpans(d, "id", "txt", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a b c z", 2L -> "q q2"))
+  }
+
   /** reference Levenshtein for the differential below. */
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>

@@ -149,30 +149,81 @@ class SourcesSpec extends SparkSpec {
       rows(1).fieldIndex("_kind")))
   }
 
-  test("Avro read resolves mixed-generation directories via schema evolution") {
-    // Two files written at different times: the second adds a column.
-    // The reader schema (sniffed from the first data file, lexicographic)
-    // must still read both — Avro fills the missing field from the
-    // union-null default.
-    val root = Files.createTempDirectory("graft_avro_evolve")
-    val dirA = root.resolve("gen").toString
-    val old = Seq((1L, "a")).toDF("id", "s")
-    val neu = Seq((2L, "b", 3.5)).toDF("id", "s", "extra")
-    graft.sources.Avro.writeAvro(old, dirA)
-    // drop the new-generation file alongside the old one
-    val dirB = root.resolve("tmp").toString
-    graft.sources.Avro.writeAvro(neu, dirB)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(dirB))
-      .map(_.getPath).filter(p => !p.getName.startsWith("_"))
-      .find(_.getName.endsWith(".avro")).get
-    fs.rename(newFile, new org.apache.hadoop.fs.Path(dirA, "zzz-gen2.avro"))
-    val back = graft.sources.Avro.readAvro(spark, dirA)
-    // reader schema comes from the OLD file: (id, s) — extra is projected away
-    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
-    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
-      .toSeq == Seq((1L, "a"), (2L, "b")))
+  test("Avro read resolves mixed-generation directories in BOTH naming " +
+    "orders, electing the widest compatible schema") {
+    // Two files written at different times: the second adds a nullable
+    // column. The reader schema is ELECTED across file headers — the
+    // widest schema that resolves every generation — so the added field
+    // survives (null for old rows) and, critically, the result does not
+    // depend on which generation's file name sorts first (the r9 ADVICE
+    // gap: first-file sniffing broke when a new-generation file sorted
+    // first and the old files lacked its field).
+    def mixedDir(newFileName: String, nullableAdd: Boolean): String = {
+      val root = Files.createTempDirectory(s"graft_avro_evolve_$newFileName")
+      val dirA = root.resolve("gen").toString
+      val old = Seq((1L, "a")).toDF("id", "s")
+      val neu =
+        if (nullableAdd) Seq((2L, "b", Option(3.5))).toDF("id", "s", "extra")
+        else Seq((2L, "b", 3.5)).toDF("id", "s", "extra")
+      graft.sources.Avro.writeAvro(old, dirA)
+      val dirB = root.resolve("tmp").toString
+      graft.sources.Avro.writeAvro(neu, dirB)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(dirB))
+        .map(_.getPath).filter(p => !p.getName.startsWith("_"))
+        .find(_.getName.endsWith(".avro")).get
+      fs.rename(newFile, new org.apache.hadoop.fs.Path(dirA, newFileName))
+      dirA
+    }
+    for (name <- Seq("zzz-gen2.avro", "aaa-gen2.avro")) { // old-first / new-first
+      val back = graft.sources.Avro.readAvro(spark,
+        mixedDir(name, nullableAdd = true))
+      assert(back.schema.fieldNames.toSeq == Seq("id", "s", "extra"),
+        s"naming order $name")
+      assert(back.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSeq == Seq((1L, "a", None), (2L, "b", Some(3.5))),
+        s"naming order $name")
+    }
+    // a NON-nullable (defaultless) added field cannot read old files, so
+    // election falls back to the old schema — both generations still
+    // read, the defaultless field is projected away, again in both
+    // naming orders (previously new-file-first failed at task runtime)
+    for (name <- Seq("zzz-gen2.avro", "aaa-gen2.avro")) {
+      val back = graft.sources.Avro.readAvro(spark,
+        mixedDir(name, nullableAdd = false))
+      assert(back.schema.fieldNames.toSeq == Seq("id", "s"),
+        s"naming order $name")
+      assert(back.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSeq == Seq((1L, "a"), (2L, "b")), s"naming order $name")
+    }
+  }
+
+  test("Avro write modes: errorifexists refuses, overwrite refuses a " +
+    "foreign target but replaces a prior Avro output") {
+    val root = Files.createTempDirectory("graft_avro_modes")
+    val dir = root.resolve("out").toString
+    val df = Seq((1L, "a")).toDF("id", "s")
+    graft.sources.Avro.writeAvro(df, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Avro.writeAvro(df, dir, mode = "errorifexists") }
+    assert(e.getMessage.contains("already exists"))
+    // overwrite onto our own prior output: fine (part-*/_SUCCESS only)
+    graft.sources.Avro.writeAvro(Seq((2L, "b")).toDF("id", "s"), dir)
+    assert(graft.sources.Avro.readAvro(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    // overwrite onto a directory holding foreign content: refuse
+    val foreign = root.resolve("data").toString
+    new java.io.File(foreign).mkdirs()
+    Files.writeString(root.resolve("data").resolve("precious.txt"), "keep me")
+    val f = intercept[IllegalArgumentException] {
+      graft.sources.Avro.writeAvro(df, foreign) }
+    assert(f.getMessage.contains("refusing to overwrite")
+      && f.getMessage.contains("precious.txt"))
+    assert(Files.exists(root.resolve("data").resolve("precious.txt")))
   }
 
   test("XML round trip: inference restores long/double/string, escapes survive") {
