@@ -441,10 +441,20 @@ object DecisionTree {
     * are for, not wide ones (guarded at 16). A compound is accepted
     * only on strictly fewer care-point errors than the CURRENT split
     * (axis or compound), with both sides keeping `minLeafSize` rows of
-    * the full reach set — never worse than the input tree. */
+    * the full reach set — never worse than the input tree.
+    *
+    * `disallowed` excludes feature PAIRS from the compound search
+    * (reference `SynthConfig.disallowedCombinations`,
+    * DecisionTree.hs:50-63 — the user's "these two columns must not be
+    * combined" constraint, e.g. leaky or collinear pairs). Order-
+    * insensitive; a skipped pair also skips its per-pair count
+    * aggregate, so exclusions make the pass cheaper, never just
+    * filtered-after. Names not in the tree's feature set are ignored
+    * (the reference is permissive the same way). */
   def taoRefineCompound(df: DataFrame, tree: Tree, label: String,
                         minLeafSize: Int = 1,
-                        percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+                        percentiles: Seq[Int] = 10 to 90 by 10,
+                        disallowed: Seq[(String, String)] = Nil): Tree = {
     require(tree.features.size <= 16,
       "taoRefineCompound: quadratic in features — keep the feature set <= 16")
     val features = tree.features
@@ -537,8 +547,12 @@ object DecisionTree {
               .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
               .toMap
 
+            val blocked = disallowed
+              .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
             val pairs = for { i <- features.indices; j <- features.indices
-                              if i < j } yield (i, j)
+                              if i < j &&
+                                !blocked((features(i), features(j))) }
+              yield (i, j)
             // per node: best (errs, opIdx, i, j, t1, t2) across all pairs
             val best = scala.collection.mutable.Map.empty[Long,
               (Long, Int, Int, Int, Double, Double)]
@@ -644,7 +658,8 @@ object DecisionTree {
                   iterations: Int = 10, tol: Double = 1e-6,
                   minLeafSize: Int = 1,
                   percentiles: Seq[Int] = 10 to 90 by 10,
-                  compound: Boolean = false): Tree = {
+                  compound: Boolean = false,
+                  disallowed: Seq[(String, String)] = Nil): Tree = {
     require(iterations >= 1 && tol >= 0)
     def loss(t: Tree): Double = df
       .select(t.predictColumn.as("__p"), col(label).cast("string").as("__l"))
@@ -658,7 +673,8 @@ object DecisionTree {
     while (i < iterations && !converged) {
       val axis = taoRefine(df, cur, label, minLeafSize, percentiles)
       val next = if (compound)
-        taoRefineCompound(df, axis, label, minLeafSize, percentiles)
+        taoRefineCompound(df, axis, label, minLeafSize, percentiles,
+          disallowed)
       else axis
       val nextLoss = loss(next)
       converged = curLoss - nextLoss < tol
@@ -675,10 +691,12 @@ object DecisionTree {
                        maxDepth: Int = 4, minSamplesSplit: Int = 5,
                        minLeafSize: Int = 1, taoIterations: Int = 10,
                        taoTol: Double = 1e-6,
-                       percentiles: Seq[Int] = 10 to 90 by 10): Tree = {
+                       percentiles: Seq[Int] = 10 to 90 by 10,
+                       compound: Boolean = false,
+                       disallowed: Seq[(String, String)] = Nil): Tree = {
     val greedy = fitClassifier(df, features, label, maxDepth,
       minSamplesSplit, minLeafSize, percentiles)
     taoOptimize(df, greedy, label, taoIterations, taoTol, minLeafSize,
-      percentiles)
+      percentiles, compound, disallowed)
   }
 }

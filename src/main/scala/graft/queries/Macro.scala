@@ -991,6 +991,15 @@ object Macro {
     // excluded-supplier set (negative balance, the fixture's complaint
     // analog) is a broadcast ANTI join; part attributes broadcast in and
     // COUNT(DISTINCT) runs on the already-distinct pair table.
+    //
+    // r10 spread adjudication (the r9 verdict's one unadjudicated bench
+    // band — shared-session spread [0.82, 8.07]): three fresh-session
+    // QBench runs × 8 iters, per-iteration wall/GC/steal attribution.
+    // Quiet iterations (steal ≤ 31 jiffies) run 1.02-1.11 s; walls track
+    // steal monotonically (≥ 1000 jiffies → 3.4-3.8 s) with GC ≤ 0.11 s
+    // everywhere — the host-steal fingerprint, not heap or plan. Quiet
+    // band ≈ [1.0, 1.4] s, in family with the other distinct-heavy
+    // macros; no plan change warranted.
     "q135_tpch_q16" -> Q(
       (s, d) => {
         val bad = Tables.supplier(s, d)

@@ -28,6 +28,38 @@ object Json {
   def readJSONL(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Compressed crawl-dump ingestion (`.jsonl.gz` / `.jsonl.zst` — the
+    * shape web corpora actually land in). Spark reads these through the
+    * Hadoop codecs transparently, BUT gzip/zstd streams are
+    * NON-SPLITTABLE: each file is exactly one task no matter its size,
+    * so a landing zone of ten 10 GB dumps scans with parallelism 10 on
+    * a 1000-core cluster, and every downstream stage inherits those ten
+    * fat partitions. The documented pattern this helper encodes:
+    *
+    *  1. scan the compressed files as they are (one task per file —
+    *     unavoidable; decompression cost is paid exactly once);
+    *  2. `repartition(targetPartitions)` IMMEDIATELY after the scan —
+    *     one round-robin shuffle while rows are still raw, so parsing
+    *     cost beyond the scan, and every later transform, runs at
+    *     cluster parallelism instead of file parallelism;
+    *  3. persist to parquet (splittable, column-pruned) before heavy
+    *     multi-pass work — re-scanning a gzip dump pays the whole
+    *     decompress+parse again on every pass.
+    *
+    * `targetPartitions` defaults to `spark.sql.shuffle.partitions`
+    * (the session's cluster-parallelism setting). At the landing zone
+    * itself, prefer MANY files of ~100 MB-1 GB over few huge ones —
+    * that keeps even step 1 parallel. (zstd dumps additionally need
+    * the Hadoop ZStandardCodec's native library on the executors;
+    * gzip is always available.) */
+  def readJsonlDump(spark: SparkSession, path: String,
+                    targetPartitions: Int = 0): DataFrame = {
+    val n =
+      if (targetPartitions > 0) targetPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.read.json(path).repartition(n)
+  }
+
   def writeJSONL(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 

@@ -392,6 +392,24 @@ class OpsSpec extends SparkSpec {
     val looped = DecisionTree.taoOptimize(df, start, "lab",
       iterations = 3, compound = true)
     assert(acc(looped) >= 0.75)
+    // disallowedCombinations (reference SynthConfig, DecisionTree.hs:
+    // 50-63): blocking the ONLY improving pair forces the pass to skip
+    // it — no compound installs, accuracy stays at the axis fit; order
+    // of the pair doesn't matter, and unknown names are ignored
+    for (block <- Seq(Seq("x" -> "y"), Seq("y" -> "x"))) {
+      val blocked = DecisionTree.taoRefineCompound(df, start, "lab",
+        disallowed = block)
+      assert(blocked.nodes.values.forall(_.split2.isEmpty), s"block=$block")
+      assert(math.abs(acc(blocked) - 50.0 / 90) < 1e-12, s"block=$block")
+    }
+    val unrelated = DecisionTree.taoRefineCompound(df, start, "lab",
+      disallowed = Seq("x" -> "zz", "nope" -> "y"))
+    assert(unrelated.nodes(1L).split2.isDefined) // nothing actually blocked
+    // end-to-end through the fit entry point
+    val fitBlocked = DecisionTree.fitClassifierTao(df, Seq("x", "y"), "lab",
+      maxDepth = 1, taoIterations = 2, compound = true,
+      disallowed = Seq("x" -> "y"))
+    assert(fitBlocked.nodes.values.forall(_.split2.isEmpty))
   }
 
   test("feature synthesis: beam recovers a planted conjunction with F1 = 1") {
@@ -1291,6 +1309,52 @@ class OpsSpec extends SparkSpec {
     val got = Dedup.removeDuplicateSpans(d, "id", "txt", n = 3)
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a b c z", 2L -> "q q2"))
+  }
+
+  test("URL canonicalization: case, userinfo, ports, tracking params, " +
+    "fragments, IDN, non-URLs") {
+    import graft.ops.Urls
+    def canon(u: String): Option[String] =
+      Seq(Tuple1(u)).toDF("u").select(Urls.canonicalizeUrl($"u")).collect()
+        .headOption.flatMap(r => Option(r.getString(0)))
+    assert(canon("HTTP://User@WWW.Ex.COM:80/Path?b=2&utm_source=x&a=1#f")
+      == Some("http://www.ex.com/Path?a=1&b=2"))       // all steps at once
+    assert(canon("https://example.org") == Some("https://example.org/"))
+    assert(canon("https://ex.com:443/x") == Some("https://ex.com/x"))
+    assert(canon("http://ex.com:8080/x") == Some("http://ex.com:8080/x"))
+    assert(canon("http://MÜNCHEN.De/Straße") ==
+      Some("http://münchen.de/Straße"))                // IDN lowercased, path case kept
+    assert(canon("http://ex.com?utm_source=a&&gclid=1") ==
+      Some("http://ex.com/"))                          // emptied query drops '?'
+    assert(canon("not a url").isEmpty)
+    assert(canon("/relative/path").isEmpty)
+    // param sort collapses permuted duplicates to one canonical form
+    assert(canon("http://e.com/p?a=1&b=2") == canon("http://e.com/p?b=2&a=1"))
+  }
+
+  test("registrable domain: eTLD+1, second-level suffixes, IPs, " +
+    "short hosts; feeds per-domain capping") {
+    import graft.ops.Urls
+    val hosts = Seq("www.example.com", "a.b.example.co.uk", "example.co.uk",
+      "co.uk", "192.168.0.1", "localhost", "sub.x.org")
+    val got = hosts.toDF("h").select($"h", Urls.registrableDomain($"h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "www.example.com" -> "example.com",
+      "a.b.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "co.uk",          // the bare suffix is its own label set
+      "192.168.0.1" -> "192.168.0.1",
+      "localhost" -> "localhost",
+      "sub.x.org" -> "x.org"))
+    // the composition the operator exists for: cap documents per domain
+    val crawl = Seq(
+      (1L, "http://a.com/1"), (2L, "http://sub.a.com/2"), (3L, "http://a.com/3"),
+      (4L, "http://b.org/1")).toDF("id", "url")
+      .withColumn("domain", Urls.urlDomain($"url"))
+    val capped = graft.ops.Mixture.capPerGroup(crawl, "id", "domain", 2)
+    assert(capped.count() == 3) // a.com capped to 2 (hash-ordered pick), b.org kept
+    assert(capped.filter($"domain" === "a.com").count() == 2)
   }
 
   /** reference Levenshtein for the differential below. */

@@ -226,6 +226,31 @@ class SourcesSpec extends SparkSpec {
     assert(Files.exists(root.resolve("data").resolve("precious.txt")))
   }
 
+  test("compressed .jsonl.gz dump: reads transparently but one task per " +
+    "file; readJsonlDump restores parallelism") {
+    // a gzip'd JSONL crawl dump — the non-splittable landing-zone shape
+    val dir = Files.createTempDirectory("graft_jsonl_gz")
+    val f = dir.resolve("dump-000.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    val body = (1 to 500)
+      .map(i => s"""{"id": $i, "text": "doc number $i"}""").mkString("\n")
+    out.write(body.getBytes("UTF-8")); out.close()
+    val raw = graft.sources.Json.readJSONL(spark, f.toString)
+    assert(raw.count() == 500 &&
+      raw.agg(sum("id")).head().getLong(0) == 500L * 501 / 2)
+    // gzip is not splittable: the whole file is ONE input partition,
+    // regardless of cluster size — the documented 100 TB trap
+    assert(raw.rdd.getNumPartitions == 1)
+    val spread = graft.sources.Json.readJsonlDump(spark, f.toString, 8)
+    assert(spread.rdd.getNumPartitions == 8)
+    assert(spread.count() == 500)
+    // default target = the session's shuffle parallelism
+    val dflt = graft.sources.Json.readJsonlDump(spark, f.toString)
+    assert(dflt.rdd.getNumPartitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
   test("XML round trip: inference restores long/double/string, escapes survive") {
     val dir = Files.createTempDirectory("graft_xml").resolve("out").toString
     val src = Seq(
