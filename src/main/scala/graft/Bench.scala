@@ -162,7 +162,13 @@ object Bench {
     "q146_json_extract" -> SparkEntry.queries("q146_json_extract"),
     "q147_grouping_sets" -> SparkEntry.queries("q147_grouping_sets"),
     // round-10: exact-substring-dedup cut step (Lee et al. span removal)
-    "q148_remove_dup_spans" -> SparkEntry.queries("q148_remove_dup_spans"))
+    "q148_remove_dup_spans" -> SparkEntry.queries("q148_remove_dup_spans"),
+    // round-10: surgical decontamination (broadcast benchmark vocabulary,
+    // scan-stage window filter) + the incremental-pipeline snapshot diff
+    "q150_remove_contam_spans" -> SparkEntry.queries("q150_remove_contam_spans"),
+    "q151_snapshot_diff" -> SparkEntry.queries("q151_snapshot_diff"),
+    // round-10: json_tuple single-parse fast path (vs q146's from_json)
+    "q152_json_fast" -> SparkEntry.queries("q152_json_fast"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -363,6 +363,102 @@ object Dedup {
       .select(col(id), coalesce(col(text), lit("")).as(text))
   }
 
+  /** Contaminated-span REMOVAL — the surgical form of benchmark
+    * decontamination. [[decontaminationReport]] flags documents that
+    * share n-grams with an eval set; the blunt response drops the whole
+    * document, losing all its clean text. This operator instead CUTS
+    * exactly the benchmark-overlapping n-token windows (plus `margin`
+    * tokens of context on each side, the "remove a window around the
+    * collision" practice from public eval-contamination writeups, e.g.
+    * GPT-3 appendix C / Lee et al. 2022) and keeps the rest — the pass
+    * that rescues a long clean document containing one quoted
+    * benchmark item.
+    *
+    * Semantics: a corpus window is contaminated when its n-token hash
+    * appears in ANY benchmark document's n-gram vocabulary. EVERY
+    * contaminated occurrence is removed — unlike
+    * [[removeDuplicateSpans]] there is no canonical survivor, because
+    * the "canonical" copy lives in the eval set, not the corpus.
+    * Coverage is the union of margin-extended windows (clamped to the
+    * document start; past-the-end positions are vacuous), and
+    * surviving tokens reassemble in original order. Untouched
+    * documents round-trip byte-identical and never shuffle their text.
+    * A fully-contaminated document vanishes unless `keepEmpty` retains
+    * it as an empty string.
+    *
+    * Scale shape: the benchmark vocabulary is distinct 8-byte hashes of
+    * a SMALL frame (eval sets are tiny by definition) and is broadcast,
+    * so corpus windows are filtered in the scan stage — no corpus-wide
+    * shuffle of gram hashes (the [[decontaminationReportBloom]]
+    * motivation, achieved here exactly rather than approximately).
+    * Everything downstream (coverage explode, token reassembly) pays
+    * only for documents that actually contain contaminated spans. */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                              id: String, text: String,
+                              n: Int = 8, margin: Int = 0,
+                              keepEmpty: Boolean = false): DataFrame = {
+    require(n >= 1, "removeContaminatedSpans: n must be >= 1")
+    require(margin >= 0, "removeContaminatedSpans: margin must be >= 0")
+    val bg = ngramHashArrays(benchmark, id, text, n)
+      .select(explode_outer(col("hs")).as("h")).distinct()
+    val w = split(col(text), " ")
+    // positional corpus windows (id, pos, h) — scan stage, hash
+    // convention identical to ngramHashArrays so both sides agree
+    val wins = corpus.select(col(id), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
+        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
+      .withColumnRenamed("col", "h")
+    val hit = wins.join(broadcast(bg), Seq("h"), "left_semi")
+    val dropPos = hit.select(col(id),
+        explode(sequence(greatest(col("pos") - margin, lit(0)),
+          col("pos") + (n - 1 + margin))).as("t"))
+      .distinct()
+    val affected = dropPos.select(col(id)).distinct()
+    val untouched = corpus.select(col(id), col(text))
+      .join(affected, Seq(id), "left_anti")
+    val toks = corpus.select(col(id),
+        posexplode(split(col(text), " ")).as(Seq("t", "tok")))
+      .join(affected, Seq(id), "left_semi")
+    val rebuilt = toks.join(dropPos, Seq(id, "t"), "left_anti")
+      .groupBy(col(id)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ").as(text))
+    val out = untouched.unionByName(rebuilt)
+    if (!keepEmpty) out
+    else corpus.select(col(id)).join(out, Seq(id), "left")
+      .select(col(id), coalesce(col(text), lit("")).as(text))
+  }
+
+  /** Corpus snapshot diff — the incremental-pipeline primitive: given
+    * yesterday's corpus and today's, classify every document id as
+    * `added` (new id), `removed` (id gone), `changed` (id present in
+    * both, content key differs), or `unchanged`. Content comparison is
+    * by a caller-chosen key column (typically a content hash — pair
+    * with `xxhash64(text)` or [[exact]]'s key discipline) so the full
+    * text of unchanged documents never shuffles: the plan projects
+    * (id, key) from both sides, one shuffle on id into a full outer
+    * join, and emits (id, status, key_old, key_new). Downstream,
+    * `added`/`changed` ids drive the incremental re-run of expensive
+    * passes ([[exactIncremental]], [[minhashLshIncremental]],
+    * [[simhashPairsIncremental]]) instead of reprocessing 100 TB. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   id: String, key: String,
+                   includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(id), col(key).as("key_old"))
+    val nw = newDf.select(col(id), col(key).as("key_new"))
+    val joined = o.join(nw, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("key_old").isNull, lit("added"))
+          .when(col("key_new").isNull, lit("removed"))
+          .when(col("key_old") === col("key_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("key_old"), col("key_new"))
+    if (includeUnchanged) joined
+    else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** MinHash signatures: numPerms independent min-hashes over shingles,
     * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
     * tight loop per document instead of a numPerms-element array

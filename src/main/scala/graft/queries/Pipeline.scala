@@ -1950,6 +1950,14 @@ object Pipeline {
     // ExprSpec). At 100 TB the parse runs in the scan stage with no
     // shuffle beyond the final hash-aggregate; only the requested
     // field materializes.
+    //
+    // r10 flat-schema fast-path adjudication (VERDICT r9 item 6,
+    // tools.JsonAb, fresh session, 7 iters, sf0.1, identical results
+    // verified): this from_json+get_json_object shape 0.69 s median /
+    // get_json_object-only chain 0.59 s / json_tuple single-parse
+    // 0.40 s. Kept as-is — this row gates the schema-on-read API
+    // (parseJson/jsonGet); the adopted fast path is
+    // functions.jsonGetMany, gated separately by q152 below.
     "q146_json_extract" -> Q(
       (s, d) => {
         val k = graft.api.functions.parseJson(col("props"), "k BIGINT")
@@ -2100,6 +2108,121 @@ object Pipeline {
               THEN ps[-3] || '.' || ps[-2] || '.' || ps[-1]
             ELSE ps[-2] || '.' || ps[-1] END AS domain
         FROM d ORDER BY id"""
+      }),
+
+    // --- contaminated-span REMOVAL (surgical decontamination) ---------------
+    // (Dedup.removeContaminatedSpans — q69's split convention (benchmark
+    // = doc_id%20=5) over q148's window-string replay: every corpus
+    // window whose 8-gram appears in ANY benchmark doc is cut with
+    // margin-2 context, NO canonical survivor (the canonical lives in
+    // the eval set), coverage unions, in-order reassembly. keepEmpty
+    // keeps fully-contaminated docs as '' so the row count pins the
+    // corpus size. The Spark side filters windows against a BROADCAST
+    // benchmark vocabulary in the scan stage — no corpus-gram shuffle.)
+    "q150_remove_contam_spans" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.removeContaminatedSpans(
+          all.filter(col("doc_id") % 20 =!= 5),
+          all.filter(col("doc_id") % 20 === 5),
+          "doc_id", "text", n = 8, margin = 2, keepEmpty = true)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+        s"""WITH bench AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 = 5),
+          corpus AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id % 20 <> 5),
+          bg AS (SELECT DISTINCT unnest(list_transform(
+              range(1, greatest(len(w) - 6, 1)), i -> $gram)) AS g
+            FROM bench WHERE len(w) >= 8),
+          wi AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM corpus WHERE len(w) >= 8),
+          wins AS (SELECT doc_id, i, $gram AS g FROM wi),
+          hit AS (SELECT doc_id, i FROM wins SEMI JOIN bg USING (g)),
+          dp AS (SELECT DISTINCT doc_id, t FROM
+            (SELECT doc_id, unnest(range(greatest(i - 2, 1), i + 10)) AS t
+             FROM hit)),
+          alltok AS (SELECT doc_id, generate_subscripts(w, 1) AS t,
+            unnest(w) AS tok FROM corpus),
+          kept AS (SELECT doc_id, t, tok FROM alltok
+            ANTI JOIN dp USING (doc_id, t)),
+          r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS text
+            FROM kept GROUP BY doc_id)
+          SELECT c.doc_id, COALESCE(r.text, '') AS text
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 5) c
+          LEFT JOIN r USING (doc_id) ORDER BY doc_id"""
+      }),
+
+    // --- corpus snapshot diff (incremental-pipeline primitive) --------------
+    // (Dedup.snapshotDiff — planted old/new snapshots from documents:
+    // ids %11=3 absent from old (-> added), %11=7 absent from new
+    // (-> removed), %11=5 get different OLD content (-> changed), rest
+    // unchanged and filtered out. Content keys are md5(text) — portable
+    // across both engines — so the diff compares 32-char keys, never
+    // full text; the emitted key pair pins the key discipline in the
+    // hash. One full-outer join on id is the whole plan.)
+    "q151_snapshot_diff" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val old = base.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 11 === 5,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("k"))
+        val nw = base.filter(col("doc_id") % 11 =!= 7)
+          .select(col("doc_id"), md5(col("text")).as("k"))
+        Dedup.snapshotDiff(old, nw, "doc_id", "k").orderBy("doc_id")
+      },
+      Some("""WITH old AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END)
+              AS key_old
+          FROM documents WHERE doc_id % 11 <> 3),
+        nw AS (SELECT doc_id, md5(text) AS key_new
+          FROM documents WHERE doc_id % 11 <> 7),
+        j AS (SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+            CASE WHEN key_old IS NULL THEN 'added'
+              WHEN key_new IS NULL THEN 'removed'
+              WHEN key_old = key_new THEN 'unchanged'
+              ELSE 'changed' END AS status,
+            key_old, key_new
+          FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        SELECT doc_id, status, key_old, key_new FROM j
+        WHERE status <> 'unchanged' ORDER BY doc_id""")),
+
+    // --- flat-schema JSON extraction fast path (json_tuple) -----------------
+    // (functions.jsonGetMany — SAME result as q146 (verified identical
+    // by tools.JsonAb before registration) with ONE streaming parse per
+    // row for all requested fields instead of from_json's
+    // CodegenFallback struct + a second get_json_object parse:
+    // 0.40 s vs 0.69 s median at sf0.1. The oracle is q146's verbatim —
+    // two engine paths, one truth.)
+    "q152_json_fast" -> Q(
+      (s, d) => {
+        val parsed = ev(s, d)
+          .select(col("event_type"),
+            graft.api.functions.jsonGetMany(col("props"), "k", "missing"))
+          .toDF("event_type", "k_s", "miss")
+        parsed.select(col("event_type"),
+            col("k_s").cast("bigint").as("k"), col("miss"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"),
+            count(when(col("k").isNull, 1)).as("n_bad"),
+            count(col("miss")).as("n_miss"))
+          .orderBy("event_type")
+      },
+      Some {
+        val jk = "CASE WHEN json_valid(props) THEN CAST(props->>'k' AS BIGINT) END"
+        s"""SELECT event_type, COUNT(*) AS n,
+        ${isum(jk)} AS k_sum,
+        MIN($jk) AS k_min,
+        MAX($jk) AS k_max,
+        ${isum(s"CASE WHEN ($jk) IS NULL THEN 1 ELSE 0 END")} AS n_bad,
+        COUNT(CASE WHEN json_valid(props) THEN props->>'missing' END) AS n_miss
+        FROM events GROUP BY event_type ORDER BY event_type"""
       })
   )
 }

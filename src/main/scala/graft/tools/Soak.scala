@@ -222,6 +222,13 @@ object Soak {
         graft.ops.Dedup.decontaminationReportBloom(
           big, bench, "doc_id", "text", n = 8,
           expectedGrams = 1L << 20).count()),
+      // surgical decontamination: replication makes every benchmark gram
+      // hit in EVERY copy, so ~all benchmark-family docs pay the cut +
+      // reassembly path while the broadcast vocabulary filter keeps
+      // non-benchmark docs on the untouched fast path
+      "contam_span_removal" -> (() =>
+        graft.ops.Dedup.removeContaminatedSpans(
+          big, bench, "doc_id", "text", n = 8, margin = 2).count()),
       // Avro format path at corpus scale: committer-backed write of the
       // replicated docs corpus (one container file per partition, zstd),
       // then a splittable AvroKeyInputFormat scan back — measures the

@@ -1311,6 +1311,57 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a b c z", 2L -> "q q2"))
   }
 
+  test("contaminated-span removal: every benchmark-overlapping window " +
+    "cuts (no canonical), margin extends and clamps, untouched docs " +
+    "round-trip, keepEmpty") {
+    val bench = Seq((100L, "secret eval item")).toDF("id", "txt")
+    val corpus = Seq(
+      (1L, "intro secret eval item outro end"), // one hit mid-doc
+      (2L, "clean text with no overlap at all"), // untouched
+      (3L, "secret eval item"),                  // whole doc contaminated
+      (4L, "secret eval item tail secret eval item")) // two hits
+      .toDF("id", "txt")
+    // margin 0: exactly the 3-token windows cut
+    val m0 = Dedup.removeContaminatedSpans(corpus, bench, "id", "txt",
+      n = 3, margin = 0).as[(Long, String)].collect().toMap
+    assert(m0 == Map(
+      1L -> "intro outro end",
+      2L -> "clean text with no overlap at all",
+      4L -> "tail")) // id 3 fully cut → absent
+    val m0k = Dedup.removeContaminatedSpans(corpus, bench, "id", "txt",
+      n = 3, margin = 0, keepEmpty = true).as[(Long, String)].collect().toMap
+    assert(m0k(3L) == "" && m0k.size == 4)
+    // margin 1: one context token on each side also cuts, clamped at
+    // the doc start/end
+    val m1 = Dedup.removeContaminatedSpans(corpus, bench, "id", "txt",
+      n = 3, margin = 1, keepEmpty = true).as[(Long, String)].collect().toMap
+    assert(m1 == Map(1L -> "end", 2L -> "clean text with no overlap at all",
+      3L -> "", 4L -> ""))
+    // overlapping benchmark windows union their coverage: a doc made of
+    // a longer quoted span loses the whole span
+    val bench2 = Seq((100L, "a b c d e")).toDF("id", "txt")
+    val c2 = Seq((1L, "x a b c d e y")).toDF("id", "txt")
+    val got2 = Dedup.removeContaminatedSpans(c2, bench2, "id", "txt",
+      n = 3, margin = 0).as[(Long, String)].collect().toMap
+    assert(got2 == Map(1L -> "x y"))
+  }
+
+  test("snapshot diff: added / removed / changed classified by key, " +
+    "unchanged filtered unless requested") {
+    val old = Seq((1L, "h1"), (2L, "h2"), (3L, "h3old")).toDF("id", "k")
+    val nw = Seq((2L, "h2"), (3L, "h3new"), (4L, "h4")).toDF("id", "k")
+    val diff = Dedup.snapshotDiff(old, nw, "id", "k")
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(diff == Map(
+      1L -> (("removed", Some("h1"), None)),
+      3L -> (("changed", Some("h3old"), Some("h3new"))),
+      4L -> (("added", None, Some("h4")))))
+    val all = Dedup.snapshotDiff(old, nw, "id", "k",
+      includeUnchanged = true).collect()
+    assert(all.length == 4)
+  }
+
   test("URL canonicalization: case, userinfo, ports, tracking params, " +
     "fragments, IDN, non-URLs") {
     import graft.ops.Urls
