@@ -101,6 +101,35 @@ object functions {
   /** distinct-count estimate from a sketch. */
   def hllEstimate(c: Column): Column = F.hll_sketch_estimate(c)
 
+  // Count-min sketch: the frequency complement to the HLL trio — a
+  // constant-size depth×width counter grid, point-queryable for ANY
+  // key with one-sided error (estimate ≥ truth), mergeable across
+  // slices with zip_with(+) and persistable as a plain array<long>
+  // column. Portable hash family (charPoly → mix) so a DuckDB oracle
+  // replays the grid and the estimates exactly (q156).
+  /** aggregate a string column into a count-min sketch
+    * (array<long> of depth·width counters, row-major). */
+  def cmsSketch(c: Column, depth: Int = 3, width: Int = 1024): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expr.CountMinAgg(
+      ColumnBridge.expression(c), depth, width).toAggregateExpression())
+  }
+  /** merge slice sketches (same depth/width) element-wise. */
+  def cmsMerge(a: Column, b: Column): Column = F.zip_with(a, b, _ + _)
+  /** frequency estimate of `key` from a sketch column: min over rows of
+    * the key's counter. Pure Column arithmetic (portable mixer), so it
+    * runs in the scan stage and replays in SQL. */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int = 3,
+                  width: Int = 1024): Column = {
+    val h = graft.ops.TextAnalysis.portableWordHash(key)
+    val ests = (0 until depth).map { r =>
+      val bucket = F.pmod(graft.api.Frame.portableMix(
+        h + F.lit(r.toLong * graft.expr.CountMin.P1)), F.lit(width.toLong))
+      F.element_at(sketch, (F.lit(r * width) + bucket + 1).cast("int"))
+    }
+    F.least(ests: _*)
+  }
+
   // ---- semi-structured (net-new: JSON payload columns) --------------------
   // Event logs and crawl metadata carry JSON-string payload columns;
   // parse them at the scan stage with an explicit schema — never a UDF —

@@ -459,6 +459,36 @@ object Dedup {
     else joined.filter(col("status") =!= "unchanged")
   }
 
+  /** Apply a CDC change feed to a base snapshot — the lakehouse MERGE
+    * primitive an incremental 100 TB corpus needs between crawls:
+    * `changes` carries (id, op ∈ upsert|delete, seq, payload…) rows;
+    * the LATEST change per id wins (max (seq, op) — ties at the same
+    * seq resolve upsert-over-delete deterministically, 'u' > 'd');
+    * winning upserts replace/insert their row, winning deletes drop it,
+    * untouched base rows pass through.
+    *
+    * Scale shape: the change feed (≪ base, typically one crawl delta)
+    * reduces to one winner per id via a mergeable max_by aggregate —
+    * partials combine map-side, so a hot id never concentrates rows —
+    * and the TOUCHED-ID SET (ids only, not payloads) broadcasts into a
+    * left-anti probe: the base's payload column (the 100 TB of text)
+    * never shuffles, never even leaves its scan stage. Output is
+    * untouched-base ∪ winning-upserts by name.
+    */
+  def applySnapshotChanges(base: DataFrame, changes: DataFrame,
+                           id: String, opCol: String = "op",
+                           seqCol: String = "seq"): DataFrame = {
+    val payload = base.columns.filterNot(_ == id).toSeq
+    val winners = changes.groupBy(col(id))
+      .agg(max_by(struct((opCol +: payload).map(col): _*),
+        struct(col(seqCol), col(opCol))).as("w"))
+      .select(col(id) +: (opCol +: payload).map(c => col(s"w.$c").as(c)): _*)
+    val upserts = winners.filter(col(opCol) === "upsert").drop(opCol)
+    val untouched = base.join(
+      broadcast(winners.select(col(id))), Seq(id), "left_anti")
+    untouched.unionByName(upserts.select(base.columns.map(col).toSeq: _*))
+  }
+
   /** MinHash signatures: numPerms independent min-hashes over shingles,
     * via the codegen'd [[graft.expr.MinHashSignature]] expression — one
     * tight loop per document instead of a numPerms-element array

@@ -64,6 +64,57 @@ object TextAnalysis {
     s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
   }
 
+  /** Unicode/typography cleanup steps shared VERBATIM by
+    * [[normalizeText]] and its oracle builder [[normalizeTextSql]] —
+    * one constant, two engines, so the chains cannot drift. RE2-safe
+    * (`\x{...}` code points, no backreferences). Order matters:
+    * compose first (NFC), then strip invisibles, then map exotica. */
+  private val normalizeSteps: Seq[(String, String)] = Seq(
+    // C0 controls (except \t \n \r) + DEL + C1 controls: encoding debris
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}]" -> "",
+    // zero-width space/joiners, BOM, soft hyphen: invisible, break tokenization
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
+    // exotic horizontal spaces (NBSP, ogham, en/em/thin..., ideographic) -> space
+    "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]" -> " ",
+    // horizontal ellipsis -> three dots (1:3, so not in the translate map)
+    "\\x{2026}" -> "...")
+
+  /** 1:1 typographic-punctuation folds for `translate`: curly/low-9
+    * quotes -> ASCII quotes, en/em/figure/horizontal-bar/minus -> '-'. */
+  private val punctFrom = "‘’‚“”„‒–—―−"
+  private val punctTo = "'''\"\"\"-----"
+
+  /** Canonicalize crawled text before any hashing/dedup/tokenize pass —
+    * the standard first normalization step of a pretraining pipeline
+    * (without it, `café` composed and decomposed hash as different
+    * shingles and near-dup recall silently drops). NFC composition via
+    * the codegen'd [[graft.expr.UnicodeNormalize]] (no UDF), then a
+    * scan-stage regexp/translate chain: control chars and zero-width
+    * marks drop, exotic spaces fold to ' ', curly quotes/dashes fold to
+    * ASCII, space runs collapse (newlines survive — line-level ops
+    * downstream need them). Every step replays verbatim in DuckDB via
+    * [[normalizeTextSql]] (q153). */
+  def normalizeText(text: Column): Column = {
+    val composed = graft.expr.StringExpressions.unicodeNormalize(text)
+    val cleaned = normalizeSteps.foldLeft(composed) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val punct = translate(cleaned, punctFrom, punctTo)
+    trim(regexp_replace(regexp_replace(punct, "[ \\t]+", " "), " ?\\n ?", "\n"))
+  }
+
+  /** [[normalizeText]]'s chain as DuckDB SQL over expression `e` — the
+    * q153 oracle builder (same constants, 'g' flag, same order; DuckDB's
+    * `nfc_normalize` is the same UAX #15 canonical composition the JDK
+    * implements). */
+  def normalizeTextSql(e: String): String = {
+    val inner = normalizeSteps.foldLeft(s"nfc_normalize($e)") { case (c, (p, r)) =>
+      s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+    val punct = s"translate($inner, '${punctFrom.replace("'", "''")}', '${punctTo.replace("'", "''")}')"
+    s"trim(regexp_replace(regexp_replace($punct, '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'))"
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 

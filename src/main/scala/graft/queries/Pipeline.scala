@@ -2223,6 +2223,199 @@ object Pipeline {
         ${isum(s"CASE WHEN ($jk) IS NULL THEN 1 ELSE 0 END")} AS n_bad,
         COUNT(CASE WHEN json_valid(props) THEN props->>'missing' END) AS n_miss
         FROM events GROUP BY event_type ORDER BY event_type"""
-      })
+      }),
+
+    // --- Unicode text normalization ------------------------------------------
+    // (TextAnalysis.normalizeText — the canonicalization pass that runs
+    // BEFORE any hashing/dedup/tokenize step of a pretraining pipeline;
+    // composed-vs-decomposed accents, NBSP, zero-width marks and curly
+    // quotes otherwise split shingle vocabularies and silently cost
+    // near-dup recall. The corpus is ASCII, so the query appends a
+    // hostile Unicode suffix INSIDE the query (the q143 convention):
+    // decomposed e+◌́ and A+◌̊ (NFC must compose), NBSP/thin-space folds,
+    // curly quotes/en-dash/ellipsis folds, zero-width-space and BEL
+    // control removal, tab+space-run collapse. Both engines normalize
+    // the same bytes; the oracle replays the chain verbatim via
+    // normalizeTextSql over DuckDB's nfc_normalize (same UAX #15
+    // composition the JDK implements). Scan-stage codegen end to end —
+    // the UnicodeNormalize expression inlines the JDK call with an
+    // isNormalized fast path, so the pass adds no shuffle and ASCII
+    // rows pay one quick-check scan.)
+    "q153_normalize_text" -> Q(
+      (s, d) => {
+        docs(s, d).select(col("doc_id"),
+            TA.normalizeText(concat(col("text"), lit(Hostile.suffix))).as("clean"))
+          .select(col("doc_id"), col("clean"), length(col("clean")).as("n_clean"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val e = TA.normalizeTextSql(
+          s"text || '${Hostile.suffix.replace("'", "''")}'")
+        s"""SELECT doc_id, $e AS clean, length($e) AS n_clean
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // --- CDC apply (lakehouse MERGE between crawls) --------------------------
+    // (Dedup.applySnapshotChanges — latest change per id wins by
+    // (seq, op), winning upserts replace/insert, winning deletes drop,
+    // untouched base text NEVER shuffles (touched-id set broadcasts
+    // into a left-anti probe; the change feed alone reduces via a
+    // mergeable max_by). Planted feed from orders: keys %3=0 get a
+    // gen-1 change (delete when %6=0, else a repriced upsert — keys
+    // %5=0 are absent from base, so their upserts are pure inserts);
+    // keys %9=0 get a LATE gen-2 upsert that must override gen-1 —
+    // including %18=0 keys whose gen-1 was a delete. The oracle
+    // replays winner election with a row_number window and the same
+    // union. Full merged snapshot emitted, so the keep/replace/drop
+    // rule for every key class is in the hash.)
+    "q154_cdc_apply" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val base = ord.filter(col("o_orderkey") % 5 =!= 0)
+        val g1 = ord.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 6 === 0, lit("delete"))
+              .otherwise(lit("upsert")).as("op"),
+            lit(1L).as("seq"),
+            (col("o_totalprice") + 1000.5).as("o_totalprice"),
+            lit("G1").as("o_orderstatus"))
+        val g2 = ord.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"), lit("upsert").as("op"), lit(2L).as("seq"),
+            (col("o_totalprice") + 2000.25).as("o_totalprice"),
+            lit("G2").as("o_orderstatus"))
+        Dedup.applySnapshotChanges(base, g1.unionByName(g2), "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 5 <> 0),
+        feed AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 6 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+            1 AS seq, o_totalprice + 1000.5 AS o_totalprice,
+            'G1' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, 'upsert', 2, o_totalprice + 2000.25, 'G2'
+          FROM orders WHERE o_orderkey % 9 = 0),
+        winners AS (
+          SELECT * FROM (SELECT feed.*,
+              row_number() OVER (PARTITION BY o_orderkey
+                ORDER BY seq DESC, op DESC) AS rn
+            FROM feed) WHERE rn = 1)
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM winners)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM winners
+        WHERE op = 'upsert'
+        ORDER BY o_orderkey"""))
+  ,
+
+    // --- data-quality expectations audit -------------------------------------
+    // (Expectations.audit — the pre-flight gate of a 100 TB ingest: six
+    // declared rules fold into ONE aggregation pass (one corpus scan no
+    // matter how many rules; countDistinct shares it via Catalyst's
+    // Expand rewrite), emitting a tiny (rule, observed, threshold,
+    // pass) frame. The deliberately-failing length-band rule pins the
+    // pass=false path in the hash. The oracle recomputes every metric
+    // as plain SQL aggregates and replays the comparisons.)
+    "q155_expectations" -> Q(
+      (s, d) => {
+        import graft.ops.Expectations._
+        audit(docs(s, d), Seq(
+          Expectation("doc_id_unique", uniqueRate(col("doc_id")), 1.0, "=="),
+          Expectation("lang_iso2", matchRate(col("lang"), "^[a-z]{2}$"), 0.9),
+          Expectation("n_chars_band", betweenRate(col("n_chars"), 1, 100000), 0.99),
+          Expectation("n_chars_long", betweenRate(col("n_chars"), 1000, 1e9), 0.9),
+          Expectation("source_known", inSetRate(col("source"),
+            Seq("web", "books", "code", "wiki", "news")), 0.5),
+          Expectation("text_not_null", notNullRate(col("text")), 1.0)))
+          .orderBy("rule")
+      },
+      Some("""WITH m AS (SELECT
+          CAST(count(DISTINCT doc_id) AS DOUBLE) / count(doc_id) AS doc_id_unique,
+          avg(CASE WHEN regexp_matches(lang, '^[a-z]{2}$')
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS lang_iso2,
+          avg(CASE WHEN n_chars BETWEEN 1 AND 100000
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS n_chars_band,
+          avg(CASE WHEN n_chars BETWEEN 1000 AND 1e9
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS n_chars_long,
+          avg(CASE WHEN source IN ('web', 'books', 'code', 'wiki', 'news')
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS source_known,
+          avg(CASE WHEN text IS NOT NULL
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS text_not_null
+        FROM documents)
+        SELECT * FROM (
+          SELECT 'doc_id_unique' AS rule, doc_id_unique AS observed,
+            CAST(1.0 AS DOUBLE) AS threshold, doc_id_unique = 1.0 AS pass FROM m
+          UNION ALL SELECT 'lang_iso2', lang_iso2,
+            CAST(0.9 AS DOUBLE), lang_iso2 >= 0.9 FROM m
+          UNION ALL SELECT 'n_chars_band', n_chars_band,
+            CAST(0.99 AS DOUBLE), n_chars_band >= 0.99 FROM m
+          UNION ALL SELECT 'n_chars_long', n_chars_long,
+            CAST(0.9 AS DOUBLE), n_chars_long >= 0.9 FROM m
+          UNION ALL SELECT 'source_known', source_known,
+            CAST(0.5 AS DOUBLE), source_known >= 0.5 FROM m
+          UNION ALL SELECT 'text_not_null', text_not_null,
+            CAST(1.0 AS DOUBLE), text_not_null >= 1.0 FROM m)
+        ORDER BY rule"""))
+  ,
+
+    // --- count-min sketch (mergeable frequency grid) -------------------------
+    // (functions.cmsSketch/cmsEstimate — expr.CountMinAgg. depth 3 ×
+    // width 512 over ~40-word corpus vocabulary at 600 k tokens:
+    // genuine collision pressure, so some probes OVERSHOOT their true
+    // count — the one-sided error the oracle pins (overshoot ≥ 0 by
+    // construction; its exact value pins the whole grid). The sketch is
+    // a constant-size per-map-task long array (no corpus-vocabulary
+    // groupBy), merges element-wise up the agg tree, and the portable
+    // charPoly→mix hash family lets DuckDB recompute the grid and the
+    // min-over-rows estimates RELATIONALLY — Spark's own
+    // count_min_sketch binary could never be replayed. The absent-word
+    // probe pins the all-rows-empty → 0 path.)
+    "q156_count_min" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val depth = 3; val width = 512
+        val toks = docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+        val sk = toks.agg(
+          graft.api.functions.cmsSketch(col("w"), depth, width).as("sk"))
+        val probes = Seq("join", "hash", "row", "vector", "zzz_absent").toDF("w")
+        val est = probes.crossJoin(sk).select(col("w"),
+          graft.api.functions.cmsEstimate(col("sk"), col("w"), depth, width)
+            .as("est"))
+        est.join(toks.groupBy("w").count(), Seq("w"), "left")
+          .select(col("w"), col("est"),
+            coalesce(col("count"), lit(0L)).as("true_cnt"),
+            (col("est") - coalesce(col("count"), lit(0L))).as("overshoot"))
+          .orderBy("w")
+      },
+      Some(s"""WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        hashed AS (SELECT ${Sql.wordHash("w")} AS h FROM toks),
+        rws AS (SELECT r FROM range(3) t(r)),
+        counters AS (
+          SELECT r, ${Sql.mix("h + r * 2654435761")} % 512 AS bucket,
+            count(*) AS cnt
+          FROM hashed CROSS JOIN rws GROUP BY 1, 2),
+        probes(w) AS (VALUES ('join'), ('hash'), ('row'), ('vector'),
+          ('zzz_absent')),
+        pb AS (SELECT w, r,
+            ${Sql.mix(s"${Sql.wordHash("w")} + r * 2654435761")} % 512 AS bucket
+          FROM probes CROSS JOIN rws),
+        est AS (SELECT w, min(COALESCE(cnt, 0)) AS est
+          FROM pb LEFT JOIN counters USING (r, bucket) GROUP BY w),
+        truth AS (SELECT w, count(*) AS true_cnt FROM toks GROUP BY w)
+        SELECT est.w, est, COALESCE(true_cnt, 0) AS true_cnt,
+          est - COALESCE(true_cnt, 0) AS overshoot
+        FROM est LEFT JOIN truth ON est.w = truth.w ORDER BY est.w"""))
   )
+
+  /** q153's planted hostile-Unicode suffix — one Scala constant embedded
+    * byte-identically in the Spark plan and the DuckDB SQL literal. */
+  private object Hostile {
+    val suffix: String =
+      " Café  x’s “q” – y… ​z Å\tb  c"
+  }
 }

@@ -99,4 +99,54 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Int, Long, Double)].collect().toSet
     assert(got == Set(("a", 1, 1L, 5.0), ("a", 2, 3L, 4.0)))
   }
+
+  import graft.api.functions.{cmsSketch, cmsEstimate, cmsMerge}
+
+  test("count-min: JVM hash matches the Column-side portable word hash") {
+    val words = Seq("join", "a", "", "Grüße", "東京", "x y")
+    val colSide = words.toDF("w")
+      .select(col("w"), graft.ops.TextAnalysis.portableWordHash(col("w")))
+      .as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(graft.expr.CountMin.wordHash(w) == colSide(w), s"word=$w")
+    }
+  }
+
+  test("count-min: exact when wide, one-sided when narrow, nulls skipped, " +
+    "partitioning-independent") {
+    val items = (0 until 40).flatMap(i => Seq.fill(i + 1)(s"tok$i"))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def estimates(width: Int, parts: Int): Map[String, Long] = {
+      val df = (items.map(Option(_)) ++ Seq(None)).toDF("w").repartition(parts)
+      val sk = df.agg(cmsSketch(col("w"), 3, width).as("sk"))
+      truth.keys.toSeq.toDF("p").crossJoin(sk)
+        .select(col("p"), cmsEstimate(col("sk"), col("p"), 3, width).as("e"))
+        .as[(String, Long)].collect().toMap
+    }
+    // wide grid: every estimate is exact, under any partial-merge tree
+    for (parts <- Seq(1, 7)) {
+      assert(estimates(width = 4096, parts = parts) == truth, s"parts=$parts")
+    }
+    // narrow grid: collisions overestimate, NEVER underestimate
+    val narrow = estimates(width = 8, parts = 5)
+    truth.foreach { case (w, t) =>
+      assert(narrow(w) >= t, s"underestimate for $w")
+    }
+    assert(narrow.exists { case (w, e) => e > truth(w) },
+      "width 8 with 40 keys must collide somewhere")
+  }
+
+  test("count-min: union of per-slice sketches equals the whole-corpus " +
+    "sketch, estimates included") {
+    val df = (0 until 500)
+      .map(i => (s"slice${i % 4}", s"tok${i % 23}")).toDF("g", "w")
+    val whole = df.agg(cmsSketch(col("w"), 3, 64).as("sk"))
+      .as[Array[Long]].collect().head
+    val merged = df.groupBy("g").agg(cmsSketch(col("w"), 3, 64).as("sk"))
+      .agg(org.apache.spark.sql.functions.reduce(
+        collect_list(col("sk")),
+        typedLit(Array.fill(3 * 64)(0L)), (acc, x) => cmsMerge(acc, x)).as("m"))
+      .as[Array[Long]].collect().head
+    assert(merged.toSeq == whole.toSeq)
+  }
 }

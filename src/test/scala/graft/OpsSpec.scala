@@ -1362,6 +1362,50 @@ class OpsSpec extends SparkSpec {
     assert(all.length == 4)
   }
 
+  test("applySnapshotChanges: latest change wins, upsert inserts/replaces, " +
+    "delete drops, same-seq tie resolves upsert-over-delete") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "upsert", 1L, "b2"),   // update
+      (3L, "delete", 1L, "x"),    // delete
+      (4L, "upsert", 1L, "d"),    // insert
+      (5L, "upsert", 1L, "e1"),   // insert, then...
+      (5L, "delete", 2L, "x"),    // ...late delete wins by seq
+      (6L, "delete", 3L, "x"),    // same-seq tie:
+      (6L, "upsert", 3L, "f")     // upsert wins ('u' > 'd')
+    ).toDF("id", "op", "seq", "v")
+    val got = Dedup.applySnapshotChanges(base, changes, "id")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d", 6L -> "f"))
+    // column order follows the base frame
+    assert(Dedup.applySnapshotChanges(base, changes, "id").columns.toSeq
+      == Seq("id", "v"))
+  }
+
+  test("expectations audit: one agg pass, declaration order, pass/fail " +
+    "per rule, nulls fail value rules") {
+    import graft.ops.Expectations._
+    val df = Seq(
+      (1L, Some("aa"), 10.0), (2L, Some("bb"), 20.0),
+      (3L, None, 500.0), (3L, Some("zz"), 30.0)
+    ).toDF("id", "code", "x")
+    val got = audit(df, Seq(
+      Expectation("code_set", inSetRate($"code", Seq("aa", "bb", "zz")), 0.8),
+      Expectation("code_present", notNullRate($"code"), 1.0),
+      Expectation("id_unique", uniqueRate($"id"), 1.0, "=="),
+      Expectation("x_band", betweenRate($"x", 0, 100), 0.7),
+      Expectation("x_small", betweenRate($"x", 0, 25), 0.9, "<=")
+    )).as[(String, Double, Double, Boolean)].collect()
+    assert(got.map(_._1).toSeq == Seq(
+      "code_set", "code_present", "id_unique", "x_band", "x_small"))
+    val m = got.map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(m("code_set") == ((0.75, false)))     // null fails the set test
+    assert(m("code_present") == ((0.75, false)))
+    assert(m("id_unique") == ((0.75, false)))    // 3 distinct / 4 rows
+    assert(m("x_band") == ((0.75, true)))
+    assert(m("x_small") == ((0.5, true)))        // <= direction
+  }
+
   test("URL canonicalization: case, userinfo, ports, tracking params, " +
     "fragments, IDN, non-URLs") {
     import graft.ops.Urls
@@ -1491,5 +1535,30 @@ class OpsSpec extends SparkSpec {
     val got2 = Seq(Tuple1("a <script>x b")).toDF("t")
       .select(TA.stripHtml($"t").as("c")).as[String].collect().head
     assert(got2 == "a x b")
+  }
+
+  test("normalizeText: NFC composes, invisibles drop, typography folds, " +
+    "space runs collapse, newlines survive") {
+    def norm(s: String): String = Seq(Tuple1(s)).toDF("t")
+      .select(TA.normalizeText($"t").as("c")).as[String].collect().head
+    // decomposed e+combining-acute and A+combining-ring compose (NFC)
+    assert(norm("Café Å") == "Café Å")
+    // NBSP/thin space -> space; ZWSP/BOM/soft hyphen and BEL drop;
+    // curly quotes, en/em dash, ellipsis fold to ASCII
+    assert(norm("a b c ​d﻿e­fg") == "a b c defg")
+    assert(norm("‘x’ “y” – — z…") ==
+      "'x' \"y\" - - z...")
+    // tab + space runs collapse to one space; spaces hugging a newline
+    // strip but the newline itself survives (line-level ops need it)
+    assert(norm("a\t  b  \n  c") == "a b\nc")
+    // ASCII fixed point: already-clean text is untouched, and the pass
+    // is idempotent on anything
+    assert(norm("plain ascii text.") == "plain ascii text.")
+    val once = norm("Café ‘ok’…")
+    assert(norm(once) == once)
+    // null propagates
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(TA.normalizeText($"t").as("c")).collect().head
+    assert(n.isNullAt(0))
   }
 }
