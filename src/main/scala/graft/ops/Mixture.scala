@@ -101,6 +101,27 @@ object Mixture {
       .drop("mix_thresh")
   }
 
+  /** Leakage-safe GROUP-level holdout split: every row of a group
+    * (domain, author, near-dup cluster id) lands entirely in 'train' or
+    * entirely in 'eval'. A row-level split leaks near-duplicate content
+    * across the boundary and silently inflates eval scores — the
+    * classic contamination bug group holdout exists to prevent. The
+    * group key (cast to string) hashes through the portable
+    * charPoly→mix family, so assignment is engine-portable (DuckDB
+    * oracle q158), rerun-stable, partitioning-independent, and pure
+    * scan-stage — no shuffle, no group table, no driver state; a new
+    * crawl's rows join the same side their group always had.
+    * `testFrac` of groups land in 'eval' in expectation. */
+  def groupHoldout(df: DataFrame, group: Column, testFrac: Double,
+                   splitCol: String = "split"): DataFrame = {
+    require(testFrac > 0.0 && testFrac < 1.0,
+      "groupHoldout: testFrac must be in (0, 1)")
+    val h = graft.ops.TextAnalysis.portableWordHash(group.cast("string"))
+    df.withColumn(splitCol,
+      when(h < math.round(testFrac * Frame.MixM), lit("eval"))
+        .otherwise(lit("train")))
+  }
+
   /** Exact per-group document cap (the per-domain cap of a corpus prep
     * pipeline: no single source contributes more than `n` docs): keep
     * each group's `n` rows with the smallest (portableMix(id), id) — a

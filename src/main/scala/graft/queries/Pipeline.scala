@@ -2410,6 +2410,83 @@ object Pipeline {
         SELECT est.w, est, COALESCE(true_cnt, 0) AS true_cnt,
           est - COALESCE(true_cnt, 0) AS overshoot
         FROM est LEFT JOIN truth ON est.w = truth.w ORDER BY est.w"""))
+  ,
+
+    // --- Z-order (Morton) clustering -----------------------------------------
+    // (ops/ZOrder — multi-dim data-skipping layout: cells on a FIXED
+    // 2^6 grid per dim (deterministic, append-stable — no sampled
+    // boundaries), LSB-first bit interleave into a 12-bit Morton code,
+    // deterministic top-4-bits bucketing. The per-bucket (n, z-range,
+    // per-dim bbox) output pins every shift/mask term AND demonstrates
+    // the skipping property the layout exists for: each bucket's bbox
+    // covers at most a quarter of each dimension, so a reader pruning
+    // on EITHER key skips ~3/4 of the files. The oracle replays the
+    // identical shift/mask arithmetic via the zCellSql/zValueSql
+    // builders — one Scala term list, two engines.)
+    "q157_zorder" -> Q(
+      (s, d) => {
+        import graft.ops.ZOrder
+        val bits = 6; val bucketBits = 4
+        val li = Tables.lineitem(s, d).select(
+          pmod(col("l_orderkey"), lit(4096L)).as("a"),
+          pmod(col("l_partkey"), lit(4096L)).as("b"))
+        val z = ZOrder.zValue(Seq(
+          ZOrder.zCell(col("a"), 0, 4096, bits),
+          ZOrder.zCell(col("b"), 0, 4096, bits)), bits)
+        li.select(col("a"), col("b"), z.as("z"))
+          .groupBy(ZOrder.zBucket(col("z"), 2 * bits, bucketBits).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("z").as("z_min"), max("z").as("z_max"),
+            min("a").as("a_min"), max("a").as("a_max"),
+            min("b").as("b_min"), max("b").as("b_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        import graft.ops.ZOrder
+        val bits = 6
+        val z = ZOrder.zValueSql(Seq(
+          ZOrder.zCellSql("a", 0, 4096, bits),
+          ZOrder.zCellSql("b", 0, 4096, bits)), bits)
+        s"""WITH pts AS (SELECT l_orderkey % 4096 AS a,
+            l_partkey % 4096 AS b FROM lineitem),
+          zed AS (SELECT a, b, $z AS z FROM pts)
+          SELECT (z >> 8) AS bucket, count(*) AS n,
+            min(z) AS z_min, max(z) AS z_max,
+            min(a) AS a_min, max(a) AS a_max,
+            min(b) AS b_min, max(b) AS b_max
+          FROM zed GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // --- leakage-safe group holdout ------------------------------------------
+    // (Mixture.groupHoldout — whole GROUPS land in train or eval, the
+    // split that keeps near-duplicate content from straddling the
+    // boundary. Scan-stage portable hash of the group key: no shuffle,
+    // no group table, rerun- and partitioning-stable. n_splits pins
+    // atomicity (every source sits in exactly one side); the per-side
+    // doc counts pin the hash and threshold; both replay in DuckDB via
+    // the same wordHash arithmetic.)
+    "q158_group_holdout" -> Q(
+      (s, d) => {
+        val split = graft.ops.Mixture.groupHoldout(
+          docs(s, d), col("source"), testFrac = 0.3)
+        split.groupBy("source", "split")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .join(split.groupBy("source")
+            .agg(countDistinct(col("split")).as("n_splits")), Seq("source"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH assigned AS (SELECT source, n_chars,
+          CASE WHEN ${Sql.wordHash("source")} < ${math.round(0.3 * 2147483647L)}
+            THEN 'eval' ELSE 'train' END AS split
+        FROM documents),
+        per AS (SELECT source, split, count(*) AS n,
+            ${Sql.isum("n_chars")} AS chars
+          FROM assigned GROUP BY 1, 2),
+        atomic AS (SELECT source, count(DISTINCT split) AS n_splits
+          FROM assigned GROUP BY 1)
+        SELECT per.source, split, n, chars, n_splits
+        FROM per JOIN atomic ON per.source = atomic.source
+        ORDER BY per.source, split"""))
   )
 
   /** q153's planted hostile-Unicode suffix — one Scala constant embedded

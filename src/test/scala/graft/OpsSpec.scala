@@ -1406,6 +1406,72 @@ class OpsSpec extends SparkSpec {
     assert(m("x_small") == ((0.5, true)))        // <= direction
   }
 
+  test("z-order: hand-computed interleave, cell clamping, and tighter " +
+    "cross-dimension locality than a single-key sort") {
+    import graft.ops.ZOrder
+    // cells (3, 5) at 3 bits: dim0 bits 1,1,0 / dim1 bits 1,0,1 →
+    // positions (b·2+j): 1,1,1,0,0,1 LSB-first = 0b100111 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq($"x", $"y"), 3).as("z"))
+      .as[Long].collect().head
+    assert(z == 39L)
+    // clamping: below-lo → cell 0, above-hi → top cell
+    val cells = Seq((-5.0, 999.0, 31.9)).toDF("lo", "hi", "mid")
+      .select(ZOrder.zCell($"lo", 0, 64, 3).as("c1"),
+        ZOrder.zCell($"hi", 0, 64, 3).as("c2"),
+        ZOrder.zCell($"mid", 0, 64, 3).as("c3"))
+      .as[(Long, Long, Long)].collect().head
+    assert(cells == ((0L, 7L, 3L)))
+    // locality: on a 64×64 uniform grid, z-order buckets bound BOTH
+    // dims' spans; sorting by x alone leaves y's span at full width
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val spans = grid.select($"x", $"y",
+        ZOrder.zBucket(ZOrder.zValue(Seq(
+          ZOrder.zCell($"x", 0, 64, 6), ZOrder.zCell($"y", 0, 64, 6)), 6),
+          12, 4).as("bucket"))
+      .groupBy("bucket")
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .as[(Long, Long, Long)].collect()
+    assert(spans.length == 16)
+    // every bucket's bbox is a 16×16 quadrant (span 15), vs 63 for a
+    // single-key sort's secondary dimension
+    spans.foreach { case (b, xs, ys) =>
+      assert(xs == 15L && ys == 15L, s"bucket $b bbox $xs x $ys")
+    }
+    // clusterByZOrder: 16 physical partitions, z-sorted within
+    val parts = ZOrder.clusterByZOrder(grid,
+      Seq(($"x", 0, 64), ($"y", 0, 64)), bits = 6, bucketBits = 4)
+      .rdd.getNumPartitions
+    assert(parts == 16)
+  }
+
+  test("groupHoldout: group-atomic assignment, partitioning-stable, " +
+    "expectation tracks the fraction") {
+    import graft.ops.Mixture
+    val df = (0 until 2000).map(i => (s"domain${i % 200}", i.toLong))
+      .toDF("g", "id")
+    val split = Mixture.groupHoldout(df, $"g", 0.3)
+    // every group lands on exactly one side
+    val sides = split.groupBy("g")
+      .agg(countDistinct($"split").as("k")).as[(String, Long)].collect()
+    assert(sides.forall(_._2 == 1L))
+    // same assignment under a different partitioning
+    val a = split.select("g", "split").distinct().as[(String, String)]
+      .collect().toMap
+    val b = Mixture.groupHoldout(df.repartition(13), $"g", 0.3)
+      .select("g", "split").distinct().as[(String, String)].collect().toMap
+    assert(a == b)
+    // ~30% of the 200 groups in eval (portable hash, loose band)
+    val evalGroups = a.count(_._2 == "eval")
+    assert(evalGroups > 200 * 0.15 && evalGroups < 200 * 0.45,
+      s"evalGroups=$evalGroups")
+    // numeric group keys hash via their string form — deterministic
+    val num = Mixture.groupHoldout(Seq(Tuple1(42L)).toDF("g"), $"g", 0.3)
+      .select("split").as[String].collect().head
+    assert(num == "eval" || num == "train")
+  }
+
   test("URL canonicalization: case, userinfo, ports, tracking params, " +
     "fragments, IDN, non-URLs") {
     import graft.ops.Urls
