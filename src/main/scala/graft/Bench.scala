@@ -168,7 +168,16 @@ object Bench {
     "q150_remove_contam_spans" -> SparkEntry.queries("q150_remove_contam_spans"),
     "q151_snapshot_diff" -> SparkEntry.queries("q151_snapshot_diff"),
     // round-10: json_tuple single-parse fast path (vs q146's from_json)
-    "q152_json_fast" -> SparkEntry.queries("q152_json_fast"))
+    "q152_json_fast" -> SparkEntry.queries("q152_json_fast"),
+    // round-10: Unicode normalization chain (UnicodeNormalize codegen +
+    // regexp/translate — the pre-hash canonicalization pass), CDC merge,
+    // count-min over the token stream, z-order bucket stats, group holdout
+    "q153_normalize_text" -> SparkEntry.queries("q153_normalize_text"),
+    "q154_cdc_apply" -> SparkEntry.queries("q154_cdc_apply"),
+    "q156_count_min" -> SparkEntry.queries("q156_count_min"),
+    "q157_zorder" -> SparkEntry.queries("q157_zorder"),
+    "q158_group_holdout" -> SparkEntry.queries("q158_group_holdout"),
+    "q159_ivfpq_residual" -> SparkEntry.queries("q159_ivfpq_residual"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -388,6 +388,79 @@ object Embeddings {
     * is rerank·k rows — bounded, never a corpus sort. Returns
     * (qid, rank, id, dist), rank 1..k ascending exact squared-L2
     * (ties → smaller id). */
+  /** Coarse-cell id and RESIDUAL (v − centroid[cell]) of every row, as
+    * Columns — the residual-IVFPQ building block. Cell assignment is
+    * one PqEncode kernel call whose single "subspace" spans the full
+    * vector (same as [[pqIvfTopK]]); the residual is a scan-stage
+    * zip_with against the broadcast centroid literal. */
+  def residualParts(vec: Column,
+                    coarse: Array[Array[Double]]): (Column, Column) = {
+    val cell = get(VectorExpressions.pqEncode(vec, Array(coarse)), lit(0))
+    val cent = element_at(typedLit(coarse.map(_.toSeq).toSeq), cell + 1)
+    (cell, zip_with(vec.cast("array<double>"), cent, _ - _))
+  }
+
+  /** PQ codebooks over RESIDUALS: [[pqInitCodebooks]]'s sampling, but
+    * each sampled row contributes its residual vs its own coarse cell.
+    * Residual distributions are centered and much tighter than raw
+    * vectors, so the same K buys a finer quantization — the reason
+    * FAISS's IVFPQ encodes residuals by default. */
+  def pqResidualCodebooks(df: DataFrame, id: String, vec: String,
+                          coarse: Array[Array[Double]], dim: Int,
+                          m: Int, every: Int): Array[Array[Array[Double]]] = {
+    val (_, res) = residualParts(col(vec), coarse)
+    pqInitCodebooks(df.select(col(id), res.as(vec)), id, vec, dim, m, every)
+  }
+
+  /** Residual IVF+PQ search (the full FAISS IVFPQ shape): rows carry
+    * (cell, residual codes); each query probes its nProbe nearest
+    * cells, and for every probed cell the ADC LUT is built from the
+    * RESIDUAL query (q − centroid[cell]) — so one query contributes
+    * nProbe small LUTs, and the scan still reads only probed-cell rows
+    * and only their m-byte codes. Distance fold order matches the
+    * PqEncode kernel and the DuckDB oracle (q159) exactly. */
+  def pqIvfResidualTopK(queries: Array[(Long, Array[Double])],
+                        corpus: DataFrame, coarse: Array[Array[Double]],
+                        id: String, vec: String,
+                        codebooks: Array[Array[Array[Double]]],
+                        k: Int, nProbe: Int): DataFrame = {
+    require(coarse.nonEmpty, "pqIvfResidualTopK: need a coarse centroid")
+    require(k >= 1 && nProbe >= 1, "pqIvfResidualTopK: k, nProbe >= 1")
+    val (cell, res) = residualParts(col(vec), coarse)
+    val assigned = corpus.withColumn("__cell", cell)
+      .withColumn("__codes", VectorExpressions.pqEncode(res, codebooks))
+    val perQueryCell = for {
+      (qid, q) <- queries.toSeq
+      j <- probeOrder(q, coarse).take(nProbe)
+    } yield {
+      val resQ = q.indices.map(i =>
+        q(i) - (if (i < coarse(j).length) coarse(j)(i) else 0.0)).toArray
+      assigned.filter(col("__cell") === j)
+        .select(lit(qid).as("qid"), col(id),
+          adistCol(adcLut(resQ, codebooks), col("__codes")).as("adist"))
+        .orderBy(col("adist"), col(id)).limit(k)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(id))
+    perQueryCell.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(id), col("adist"))
+  }
+
+  /** probe order: cells by ascending (c² − 2 q·c), the kernel's own
+    * assignment formula and fold order. */
+  private def probeOrder(q: Array[Double],
+                         coarse: Array[Array[Double]]): Seq[Int] =
+    coarse.zipWithIndex.map { case (c, j) =>
+      var c2 = 0.0
+      c.foreach(x => c2 += x * x)
+      var dot = 0.0
+      var i = 0
+      val lim = math.min(c.length, q.length)
+      while (i < lim) { dot += q(i) * c(i); i += 1 }
+      (c2 - 2.0 * dot, j)
+    }.sortBy { case (d, j) => (d, j) }.map(_._2).toSeq
+
   def pqTopKRerank(queries: Array[(Long, Array[Double])], corpus: DataFrame,
                    id: String, codes: String, vec: String,
                    codebooks: Array[Array[Array[Double]]], k: Int,

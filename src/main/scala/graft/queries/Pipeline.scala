@@ -2487,6 +2487,106 @@ object Pipeline {
         SELECT per.source, split, n, chars, n_splits
         FROM per JOIN atomic ON per.source = atomic.source
         ORDER BY per.source, split"""))
+  ,
+
+    // --- residual IVF+PQ (the full FAISS IVFPQ shape) ------------------------
+    // (Embeddings.pqResidualCodebooks + pqIvfResidualTopK — q126's
+    // composition plus RESIDUAL encoding: rows code (v − centroid[cell])
+    // instead of v, so the same K quantizes a centered, tighter
+    // distribution; each query builds one small LUT per probed cell
+    // from its residual (q − centroid[cell]). Codebooks sample id%70
+    // (disjoint from the id%100 coarse set, so residual entries are
+    // non-degenerate). The oracle replays EVERYTHING relationally:
+    // coarse assignment, per-row residuals, residual codebook
+    // derivation, per-subspace argmin code assignment, query probes,
+    // per-cell residual LUT distances, rank — same fold orders as the
+    // PqEncode kernel, round(·,9) pinned.)
+    "q159_ivfpq_residual" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val coarseRows = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray)
+        val cbs = graft.ops.Embeddings.pqResidualCodebooks(
+          e, "vec_id", "embedding", coarseRows, dim = 64, m = 8, every = 70)
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1)
+        graft.ops.Embeddings.pqIvfResidualTopK(qs, e, coarseRows,
+            "vec_id", "embedding", cbs, k = 5, nProbe = 2)
+          .withColumn("adist", round(col("adist"), 9))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def coarseDist(v: String) =
+          s"""list_sum(list_transform(range(1, 65),
+            i -> CAST(g.embedding[i] AS DOUBLE)
+              * CAST(g.embedding[i] AS DOUBLE)))
+          - 2 * list_sum(list_transform(range(1, 65),
+            i -> CAST($v[i] AS DOUBLE) * CAST(g.embedding[i] AS DOUBLE)))"""
+        def sq(sub: Int) = {
+          val off = sub * 8
+          s"""a$sub AS (SELECT er.vec_id, sr.cid,
+              list_sum(list_transform(range(1, 9),
+                i -> sr.res[$off + i] * sr.res[$off + i]))
+              - 2 * list_sum(list_transform(range(1, 9),
+                i -> er.res[$off + i] * sr.res[$off + i])) AS d
+            FROM eres er CROSS JOIN sampres sr),
+          b$sub AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM a$sub) WHERE rn = 1)"""
+        }
+        def lut(sub: Int) = {
+          val off = sub * 8
+          s"""list_sum(list_transform(range(1, 9),
+            i -> ((CAST(q.qv[$off + i] AS DOUBLE)
+                 - CAST(g2.embedding[$off + i] AS DOUBLE)) - c$sub.res[$off + i])
+              * ((CAST(q.qv[$off + i] AS DOUBLE)
+                 - CAST(g2.embedding[$off + i] AS DOUBLE)) - c$sub.res[$off + i])))"""
+        }
+        s"""WITH grs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              AS ccid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 3),
+          cellassign AS (SELECT vec_id, ccid AS cell FROM (
+            SELECT e.vec_id, g.ccid, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY ${coarseDist("e.embedding")}, g.ccid) AS rn
+            FROM e CROSS JOIN grs g) WHERE rn = 1),
+          eres AS (SELECT e.vec_id, ca.cell,
+              list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE)
+                  - CAST(g.embedding[i] AS DOUBLE)) AS res
+            FROM e JOIN cellassign ca ON ca.vec_id = e.vec_id
+              JOIN grs g ON g.ccid = ca.cell),
+          samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              vec_id FROM embeddings WHERE vec_id % 70 = 0),
+          sampres AS (SELECT s.cid, er.res
+            FROM samp s JOIN eres er ON er.vec_id = s.vec_id),
+          ${(0 until 8).map(sq).mkString(",\n")},
+          probes AS (SELECT qid, ccid FROM (
+            SELECT q.qid, g.ccid, row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${coarseDist("q.qv")}, g.ccid) AS rn
+            FROM q CROSS JOIN grs g) WHERE rn <= 2),
+          sd AS (SELECT q.qid, er.vec_id,
+              ${(0 until 8).map(lut).mkString(" + ")} AS adist
+            FROM eres er
+              ${(0 until 8).map(i =>
+                s"JOIN b$i ON er.vec_id = b$i.vec_id").mkString(" ")}
+              ${(0 until 8).map(i =>
+                s"JOIN sampres c$i ON c$i.cid = b$i.cid").mkString(" ")}
+              JOIN grs g2 ON g2.ccid = er.cell
+              JOIN probes p ON p.ccid = er.cell
+              JOIN q ON q.qid = p.qid),
+          ranked AS (SELECT qid, vec_id, adist,
+              row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+                AS rank FROM sd)
+          SELECT qid, rank, vec_id, round(adist, 9) AS adist FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank"""
+      })
   )
 
   /** q153's planted hostile-Unicode suffix — one Scala constant embedded

@@ -238,7 +238,31 @@ object Soak {
         graft.sources.Avro.writeAvro(big, s"$out/avro_docs"); nDocs
       }),
       "avro_read" -> (() =>
-        graft.sources.Avro.readAvro(spark, s"$out/avro_docs").count())
+        graft.sources.Avro.readAvro(spark, s"$out/avro_docs").count()),
+      // Unicode normalization chain over every copied doc — scan-stage
+      // only; measures the UnicodeNormalize fast path + regexp chain
+      // per-row cost at corpus scale (no shuffle at all)
+      "normalize_text" -> (() =>
+        big.select(graft.ops.TextAnalysis.normalizeText(col("text")).as("t"))
+          .filter(length(col("t")) > 0).count()),
+      // count-min over the full token stream: copies× update pressure on
+      // the constant-size grids, one partial per map task, merge tree
+      "count_min" -> (() => {
+        val toks = big.select(explode(split(col("text"), " ")).as("w"))
+        toks.agg(graft.api.functions.cmsSketch(col("w"), 3, 1024).as("sk"))
+          .select(size(col("sk")).cast("long").as("n")).first().getLong(0)
+      }),
+      // CDC merge at corpus scale: 10% of docs carry a change; the
+      // untouched 90% must pass through without their text shuffling
+      "cdc_apply" -> (() => {
+        val changes = big.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 3, lit("delete"))
+              .otherwise(lit("upsert")).as("op"),
+            lit(1L).as("seq"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        graft.ops.Dedup.applySnapshotChanges(big, changes, "doc_id").count()
+      })
     )
 
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")

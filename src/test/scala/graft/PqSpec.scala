@@ -169,4 +169,58 @@ class PqSpec extends SparkSpec {
       assert(got(qid) == exact, s"query $qid: adc ${got(qid)} vs exact $exact")
     }
   }
+
+  test("residual IVFPQ: a single zero centroid degenerates to flat ADC; " +
+    "residual codes beat raw codes on reconstruction; top-1 is exact " +
+    "on separated clusters") {
+    val all = planted.as[(Long, Seq[Double])].collect()
+    val queries = Seq(5L, 17L, 40L).map(q =>
+      q -> all.find(_._1 == q).get._2.toArray).toArray
+    // one all-zero coarse centroid: residual == raw vector, so the
+    // residual path must reproduce the flat ADC ranking exactly
+    val zero = Array(Array.fill(dim)(0.0))
+    val cbsRaw = Embeddings.pqInitCodebooks(planted, "vec_id", "embedding",
+      dim, m, every = 10)
+    val cbsZero = Embeddings.pqResidualCodebooks(planted, "vec_id",
+      "embedding", zero, dim, m, every = 10)
+    assert(cbsZero.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbsRaw.map(_.map(_.toSeq).toSeq).toSeq)
+    val coded = planted.select(col("vec_id"),
+      Embeddings.pqEncode(col("embedding"), cbsRaw).as("codes"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val flat = rows(Embeddings.pqTopK(queries, coded, "vec_id", "codes",
+      cbsRaw, k = 5))
+    val resZero = rows(Embeddings.pqIvfResidualTopK(queries, planted, zero,
+      "vec_id", "embedding", cbsRaw, k = 5, nProbe = 1))
+    assert(resZero == flat, "zero-centroid residual path must equal flat ADC")
+    // real coarse centroids (the three planted cluster seeds): residual
+    // reconstruction error must undercut raw-codebook reconstruction
+    val coarse = Seq(0L, 32L, 64L).map(i =>
+      all.find(_._1 == i).get._2.toArray).toArray
+    val cbsRes = Embeddings.pqResidualCodebooks(planted, "vec_id",
+      "embedding", coarse, dim, m, every = 10)
+    def mse(recon: org.apache.spark.sql.Column) = planted
+      .select(aggregate(zip_with(col("embedding").cast("array<double>"),
+        recon, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("e"))
+      .agg(avg("e")).as[Double].collect().head
+    val (cell, res) = Embeddings.residualParts(col("embedding"), coarse)
+    val centArr = element_at(typedLit(coarse.map(_.toSeq).toSeq), cell + 1)
+    val rawRecon = Embeddings.pqDecode(
+      Embeddings.pqEncode(col("embedding"), cbsRaw), cbsRaw)
+    val resRecon = zip_with(centArr,
+      Embeddings.pqDecode(Embeddings.pqEncode(res, cbsRes), cbsRes), _ + _)
+    assert(mse(resRecon) < mse(rawRecon),
+      s"residual mse ${mse(resRecon)} !< raw mse ${mse(rawRecon)}")
+    // and the search itself: top-1 with nProbe=1 is the exact NN
+    val top1 = Embeddings.pqIvfResidualTopK(queries, planted, coarse,
+        "vec_id", "embedding", cbsRes, k = 1, nProbe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    queries.foreach { case (qid, qv) =>
+      val exact = all.minBy { case (i, v) =>
+        (v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._1
+      assert(top1(qid) == exact,
+        s"query $qid: residual ivfpq top-1 ${top1(qid)} vs exact $exact")
+    }
+  }
 }
