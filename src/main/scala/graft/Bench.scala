@@ -177,7 +177,11 @@ object Bench {
     "q156_count_min" -> SparkEntry.queries("q156_count_min"),
     "q157_zorder" -> SparkEntry.queries("q157_zorder"),
     "q158_group_holdout" -> SparkEntry.queries("q158_group_holdout"),
-    "q159_ivfpq_residual" -> SparkEntry.queries("q159_ivfpq_residual"))
+    "q159_ivfpq_residual" -> SparkEntry.queries("q159_ivfpq_residual"),
+    // round-10: corpus-prep v3 composing the round's cleaning ops
+    // (stripHtml → normalizeText → tokenCount → per-source quantile
+    // keep → leakage-safe group holdout)
+    "q160_pipeline_v3" -> SparkEntry.queries("q160_pipeline_v3"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

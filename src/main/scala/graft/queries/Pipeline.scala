@@ -2586,6 +2586,58 @@ object Pipeline {
                 AS rank FROM sd)
           SELECT qid, rank, vec_id, round(adist, 9) AS adist FROM ranked
           WHERE rank <= 5 ORDER BY qid, rank"""
+      }),
+
+    // --- corpus-prep v3: the round-10 operators composed ---------------------
+    // (stripHtml → normalizeText → token count → per-source quantile
+    // keep → leakage-safe group holdout, per-(source, split) stats.
+    // Markup and a hostile decomposed-Unicode suffix are planted
+    // INSIDE the query (q143/q153 conventions), so the two cleaning
+    // passes do real work on every row; the oracle replays the entire
+    // chain — both builders, quantile_cont, the holdout hash, and the
+    // final aggregate — in one SQL statement. Pins that the new ops
+    // compose: normalization feeds the tokenizer, the quantile filter
+    // sees normalized counts, the split sees the filtered corpus.)
+    "q160_pipeline_v3" -> Q(
+      (s, d) => {
+        val pre = "<p class=\"x\">"
+        val post = "</p><script>drop()</script>"
+        val cleaned = docs(s, d).select(col("doc_id"), col("source"),
+          TA.normalizeText(TA.stripHtml(concat(
+            lit(pre), col("text"), lit(post), lit(Hostile.suffix)))).as("ct"))
+        val toked = cleaned.withColumn("nt",
+          TA.tokenCount(col("ct")).cast("double"))
+        val kept = TA.keepTopQuantile(toked, "source", col("nt"), q = 0.25)
+        graft.ops.Mixture.groupHoldout(kept, col("source"), 0.3)
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n"),
+            sum(col("nt").cast("long")).as("tokens"),
+            sum(length(col("ct"))).as("chars"))
+          .orderBy("source", "split")
+      },
+      Some {
+        val pre = "<p class=\"x\">"
+        val post = "</p><script>drop()</script>"
+        val hostile = Hostile.suffix.replace("'", "''")
+        val ct = TA.normalizeTextSql(
+          TA.stripHtmlSql(s"'$pre' || text || '$post$hostile'"))
+        s"""WITH cleaned AS (SELECT doc_id, source, $ct AS ct
+            FROM documents),
+          tok AS (SELECT source, ct,
+              CAST(len(string_split(ct, ' ')) AS DOUBLE) AS nt
+            FROM cleaned),
+          thr AS (SELECT source, quantile_cont(nt, 0.25) AS t
+            FROM tok GROUP BY source),
+          kept AS (SELECT tok.source, ct, nt
+            FROM tok JOIN thr ON tok.source = thr.source WHERE nt >= t),
+          sp AS (SELECT source, ct, nt,
+              CASE WHEN ${Sql.wordHash("source")} < ${math.round(0.3 * 2147483647L)}
+                THEN 'eval' ELSE 'train' END AS split
+            FROM kept)
+          SELECT source, split, COUNT(*) AS n,
+            ${Sql.isum("CAST(nt AS BIGINT)")} AS tokens,
+            ${Sql.isum("length(ct)")} AS chars
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
       })
   )
 
