@@ -181,7 +181,12 @@ object Bench {
     // round-10: corpus-prep v3 composing the round's cleaning ops
     // (stripHtml → normalizeText → tokenCount → per-source quantile
     // keep → leakage-safe group holdout)
-    "q160_pipeline_v3" -> SparkEntry.queries("q160_pipeline_v3"))
+    "q160_pipeline_v3" -> SparkEntry.queries("q160_pipeline_v3"),
+    // round-10: DSIR importance weights (hashed-ngram target/raw
+    // log-ratio), BM25 ranked retrieval, BM25⊕ANN RRF hybrid fusion
+    "q161_dsir_weights" -> SparkEntry.queries("q161_dsir_weights"),
+    "q162_bm25" -> SparkEntry.queries("q162_bm25"),
+    "q163_hybrid_rrf" -> SparkEntry.queries("q163_hybrid_rrf"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

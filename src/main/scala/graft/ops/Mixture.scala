@@ -198,4 +198,103 @@ object Mixture {
     topKPerGroup(keyed, "__g", col("__skey"), id, n)
       .select(col("rank"), col(id), col("score").as("skey"))
   }
+
+  /** Hashed n-gram feature stream for [[dsirLogWeights]]: every
+    * unigram and adjacent bigram of the whitespace tokens, bucketed by
+    * the PORTABLE word hash mod `buckets` — one (id, bucket) row per
+    * feature OCCURRENCE. Empty tokens drop (the q95 convention), so a
+    * document with no tokens contributes no features. Bucketing is
+    * charPoly → mix (not xxhash64) because the bucket COLLISIONS are
+    * part of the model here — both engines must agree on them exactly,
+    * not merely with high probability. */
+  private def hashedNgramFeatures(d: DataFrame, id: String, text: String,
+                                  buckets: Int): DataFrame = {
+    val ws = filter(TA.tokens(col(text)), w => length(w) > 0)
+    val uni = transform(col("__ws"),
+      w => pmod(TA.portableWordHash(w), lit(buckets.toLong)))
+    val bi = when(size(col("__ws")) >= 2,
+      transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => pmod(TA.portableWordHash(concat(
+          get(col("__ws"), i), lit(" "), get(col("__ws"), i + 1))),
+          lit(buckets.toLong))))
+      .otherwise(array().cast("array<bigint>"))
+    d.select(col(id), ws.as("__ws"))
+      .select(col(id), explode(concat(uni, bi)).as("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS — public
+    * method): fit two bag-of-hashed-ngrams multinomials — p̂ on a small
+    * TARGET corpus (the high-quality exemplar set) and q̂ on the RAW
+    * corpus — and score each raw document by its log importance weight
+    *   logw(x) = Σ_features [ ln p̂(bucket) − ln q̂(bucket) ],
+    * summed over unigram+bigram occurrences hashed into `buckets`
+    * buckets with add-α smoothing (p̂_b = (ct_b+α)/(Nt+αB)). High logw
+    * = looks like the target distribution; resampling by logw shifts
+    * the corpus mixture toward the target domain.
+    *
+    * Scale shape: features explode in the scan stage; the two bucket
+    * histograms are hash aggregates with map-side combine, each at
+    * most `buckets` rows (a constant — NOT vocabulary-sized; that is
+    * the point of hashing), so the λ_b = ln p̂_b − ln q̂_b table always
+    * broadcasts; totals are 1-row broadcast cross joins (the zScore
+    * pattern); the per-doc sum is one id-keyed aggregate. No window,
+    * no driver state, nothing proportional to the vocabulary.
+    *
+    * Engine-portable fp policy: each ln is rounded to 9 dp (libm
+    * last-ulp guard) and the per-doc sum runs through the exact
+    * decimal sum, so the scores hash-match across engines. Buckets
+    * never seen in the target get the full smoothing mass (0+α);
+    * buckets absent from BOTH corpora don't arise (features come from
+    * the raw side). Raw documents with no tokens have no features and
+    * are absent — give them no mass rather than an arbitrary score.
+    * Returns (id, n_feats, logw). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, id: String,
+                     text: String, buckets: Int = 4096,
+                     alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 1, "dsirLogWeights: buckets must be >= 1")
+    require(alpha > 0, "dsirLogWeights: alpha must be > 0 (unsmoothed " +
+      "target zeros would send logw to -inf)")
+    val rawF = hashedNgramFeatures(raw, id, text, buckets)
+    val tgtF = hashedNgramFeatures(target, id, text, buckets)
+    val cr = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val nr = cr.agg(sum(col("cr")).as("nr"))
+    val nt = ct.agg(sum(coalesce(col("ct"), lit(0L))).as("nt"))
+    // Left join: raw-side buckets the target never emits keep ct = 0.
+    // nt coalesces to 0 for the empty-target edge (all mass smoothing).
+    val lam = cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("bucket"),
+        (round(log((coalesce(col("ct"), lit(0L)) + alpha) /
+          (coalesce(col("nt"), lit(0L)) + alpha * buckets)), 9) -
+         round(log((col("cr") + alpha) /
+          (col("nr") + alpha * buckets)), 9)).as("lam"))
+    rawF.join(lam, Seq("bucket"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_feats"),
+        graft.api.functions.dsumD(col("lam")).as("logw"))
+  }
+
+  /** DSIR selection step: sample `n` raw documents WITHOUT replacement
+    * from softmax(logw) via the Gumbel-max trick (Gumbel top-k ≡
+    * sampling without replacement from the softmax — Vieira 2014,
+    * public identity), with the portable mixer as the uniform source:
+    * key = logw + g, g = −ln(−ln u), u = (portableMix(id)+1)/(M+1)
+    * ∈ (0,1) strictly — the +1 denominator keeps u < 1 so g is finite.
+    * Keys round to 9 dp, ties break by id, and selection rides the
+    * bounded heap ([[weightedSample]]'s shape — no corpus sort), so
+    * every engine, rerun, and partitioning picks the same documents.
+    * Returns (rank, id, skey), rank 1..n. */
+  def dsirSample(raw: DataFrame, target: DataFrame, id: String,
+                 text: String, n: Int, buckets: Int = 4096,
+                 alpha: Double = 1.0): DataFrame = {
+    require(n >= 1, "dsirSample: n must be >= 1")
+    val u = (Frame.portableMix(col(id)) + 1).cast("double") /
+      lit(Frame.MixM.toDouble + 1.0)
+    val keyed = dsirLogWeights(raw, target, id, text, buckets, alpha)
+      .withColumn("__g", lit(1))
+      .withColumn("__skey", round(col("logw") - log(-log(u)), 9))
+    topKPerGroup(keyed, "__g", col("__skey"), id, n)
+      .select(col("rank"), col(id), col("score").as("skey"))
+  }
 }

@@ -543,4 +543,64 @@ object TextAnalysis {
     aggregate(tokens(text), lit(7L),
       (acc, w) => (((acc * 2654435761L + portableWordHash(w)) % 2147483647L)
         * 2246822519L) % 2147483647L)
+
+  /** BM25 ranked retrieval (Robertson & Walker Okapi weighting with
+    * Lucene's non-negative idf = ln(1 + (N−df+0.5)/(df+0.5)) — public
+    * formulas): score every document against a literal bag of query
+    * terms and keep the top `k`,
+    *   score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·|d|/avgdl)).
+    * The corpus-wide statistics (N, avgdl, per-term df) come from the
+    * same corpus being searched.
+    *
+    * Scale shape: query terms are a LITERAL array, so the term filter
+    * runs inside the scan stage BEFORE the explode — only matching
+    * term occurrences ever leave the scan (a |q|-term query emits at
+    * most |q| rows per doc into the (id, term) hash aggregate, with
+    * map-side combine). df is a ≤|q|-row aggregate over those pairs;
+    * (N, avgdl) is a 1-row broadcast cross join (the zScore pattern);
+    * both join back by broadcast. The final top-k rides the bounded
+    * heap ([[graft.ops.Mixture.topKPerGroup]]) — never a corpus sort,
+    * no window. Document length |d| counts ALL tokens (not just query
+    * terms) and is carried from the same scan.
+    *
+    * Engine-portable fp policy: idf rounds to 9 dp (libm ln guard),
+    * the per-(doc, term) score to 6 dp, and the per-doc sum runs
+    * through the exact decimal register, so scores hash-match across
+    * engines; top-k ties break (score desc, id asc). Documents
+    * matching no query term are absent. Returns (rank, id, score,
+    * n_terms). */
+  def bm25TopK(df: DataFrame, id: String, text: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(k >= 1, "bm25TopK: k must be >= 1")
+    val terms = queryTerms.distinct
+    val ws = filter(tokens(col(text)), w => length(w) > 0)
+    val base = df.select(col(id), ws.as("__ws"))
+      .select(col(id), size(col("__ws")).cast("long").as("__dl"),
+        filter(col("__ws"), w => w.isin(terms: _*)).as("__qs"))
+    val tf = base
+      .select(col(id), col("__dl"), explode(col("__qs")).as("term"))
+      .groupBy(col(id), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      graft.api.functions.davg(col("__dl").cast("double")).as("avgdl"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)), 9)
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(id), round(idf * (col("tf") * (k1 + 1.0)) /
+        (col("tf") +
+          (col("__dl") * b / col("avgdl") + (1.0 - b)) * k1), 6)
+        .as("s"))
+    val perDoc = scored.groupBy(col(id)).agg(
+      count(lit(1)).as("n_terms"),
+      graft.api.functions.dsumD(col("s")).as("score"))
+    val top = Mixture.topKPerGroup(
+      perDoc.withColumn("__g", lit(1)), "__g", col("score"), id, k)
+    // stamp n_terms back on (k-row broadcast side)
+    top.join(perDoc.select(col(id), col("n_terms")), Seq(id))
+      .select(col("rank"), col(id), col("score"), col("n_terms"))
+  }
 }

@@ -40,15 +40,19 @@ object Io {
         // surface as timestamp for the driver's pandas-level compare
         assert(back.schema("l_shipdate").dataType ==
           org.apache.spark.sql.types.DateType, "date inference regressed")
+        // total order over ALL output columns: (l_orderkey, l_linenumber)
+        // is not unique in the synthetic data (sf1 lesson, q02 convention)
         back.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate")
       },
       Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         CAST(l_linenumber AS BIGINT) AS l_linenumber,
         l_quantity, l_extendedprice, l_returnflag,
         CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS l_shipdate
         FROM lineitem WHERE l_orderkey < 2000
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+          l_returnflag, l_shipdate""")),
 
     // --- null tokens (isNullish) + inference over a column with nulls -------
     // Inject the reference's null indicators as literal text, round-trip

@@ -879,17 +879,29 @@ object Macro {
           .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          // amount in EXACT decimal: 2-dp factor casts are boundary-free
+          // (unlike casting the double PRODUCT, where JVM shortest-string
+          // vs DuckDB exact-binary rounding can split a 6-dp tie), and
+          // decimal arithmetic is exact in both engines. The final 2-dp
+          // round also happens in decimal — round(double, 2) diverges the
+          // same way at .xx5 sums (the 0.01 sf1 hit on this query).
+          // Oracle side must use DuckDB round(decimal, 2) — its decimal
+          // →decimal CAST truncates toward zero, probed directly.
           .withColumn("amount",
-            col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-              col("p_retailprice") * col("l_quantity") * lit(0.6))
+            col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) -
+              col("p_retailprice").cast("decimal(12,2)") *
+                col("l_quantity").cast("decimal(12,2)") * lit(0.6).cast("decimal(2,1)"))
           .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(round(gf.dsumD(col("amount")), 2).as("sum_profit"))
+          .agg(sum(col("amount")).cast("decimal(28,2)").cast("double")
+            .as("sum_profit"))
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some(s"""SELECT n_name AS nation,
           CAST(year(o_orderdate) AS INTEGER) AS o_year,
-          round(${dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6")}, 2)
-            AS sum_profit
+          CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
+              - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1))), 2)
+            AS DOUBLE) AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -1096,26 +1108,36 @@ object Macro {
     // doubles. Cutoff = fixture max shipdate minus 90 days, mirroring
     // the spec's DATE '1998-12-01' - 90.
     "q137_tpch_q1" -> Q(
-      (s, d) => Tables.lineitem(s, d)
+      (s, d) => {
+        // disc_price/charge in EXACT decimal: the triple double product
+        // has 6 true decimal digits, exactly at dsumD's decimal(18,6)
+        // per-row rounding edge, where the JVM (shortest-string) and
+        // DuckDB (exact-binary) double→decimal casts split ties (2 rows
+        // at sf1 — caught by the sf1 gate). 2-dp factor casts are
+        // boundary-free and decimal×decimal is exact in both engines.
+        val pD = col("l_extendedprice").cast("decimal(12,2)")
+        val one = lit(1).cast("decimal(3,2)")
+        val discPrice = pD * (one - col("l_discount").cast("decimal(3,2)"))
+        val charge = discPrice * (one + col("l_tax").cast("decimal(3,2)"))
+        Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           gf.dsumD(col("l_quantity")).as("sum_qty"),
           gf.dsumD(col("l_extendedprice")).as("sum_base_price"),
-          gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          gf.dsumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-              (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          gf.dsumD(discPrice).as("sum_disc_price"),
+          gf.dsumD(charge).as("sum_charge"),
           (gf.dsumD(col("l_quantity")) / gf.countAll).as("avg_qty"),
           (gf.dsumD(col("l_extendedprice")) / gf.countAll).as("avg_price"),
           (gf.dsumD(col("l_discount")) / gf.countAll).as("avg_disc"),
           gf.countAll.as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+        .orderBy("l_returnflag", "l_linestatus")
+      },
       Some(s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,
           ${dsum("l_extendedprice")} AS sum_base_price,
-          ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-          ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+          ${dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))")} AS sum_disc_price,
+          ${dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))")}
             AS sum_charge,
           ${dsum("l_quantity")} / COUNT(*) AS avg_qty,
           ${dsum("l_extendedprice")} / COUNT(*) AS avg_price,

@@ -1266,10 +1266,10 @@ object Pipeline {
       Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
             generate_subscripts(embedding, 1) AS i FROM embeddings),
         nn AS (SELECT COUNT(*) AS n FROM embeddings),
-        sums AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx
+        sums AS (SELECT i, CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx
           FROM e GROUP BY i),
         prods AS (SELECT a.i AS i, b.i AS j,
-            CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,6))) AS DOUBLE) AS pij
+            CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS pij
           FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
           GROUP BY 1, 2)
         SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j,
@@ -1638,10 +1638,16 @@ object Pipeline {
     // vocabulary is the exact regime: no eviction anywhere, so the
     // sketch equals the full GROUP BY it replaces at scale. The
     // approximation regime is bound-checked in HeavyHittersSpec.)
+    // k = 4096: the oracle (a plain GROUP BY) can only pin the EXACT
+    // regime (distinct items ≤ k, where MG degenerates to true counts);
+    // the synthetic vocabulary grows ~linearly past sf0.1 (31 → 310 at
+    // sf1 — the sf1 gate caught k = 128 leaving the regime), so 4096
+    // holds exact through ~sf10. The APPROX regime's n/k bound and
+    // recall guarantee are HeavyHittersSpec's job, not the oracle's.
     "q103_heavy_hitters" -> Q(
       (s, d) => docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-        .agg(graft.expr.HeavyHitters.misraGries(col("w"), 128).as("hh"))
+        .agg(graft.expr.HeavyHitters.misraGries(col("w"), 4096).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("token")),
@@ -2638,8 +2644,146 @@ object Pipeline {
             ${Sql.isum("CAST(nt AS BIGINT)")} AS tokens,
             ${Sql.isum("length(ct)")} AS chars
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
+      }),
+
+    // --- DSIR importance weights (Xie et al. 2023) --------------------------
+    // (Mixture.dsirLogWeights: hashed unigram+bigram bag-of-ngrams
+    // models on target (src0/src1 as the "high-quality exemplar" set)
+    // vs raw (whole corpus); per-doc logw = Σ ln p̂_b − ln q̂_b. 512
+    // buckets FORCE collisions, so the oracle proves both engines
+    // agree on the collided histograms exactly — the portable
+    // charPoly→mix family is the whole reason this is replayable;
+    // every ln rounds 9 dp, the doc sum is the exact decimal
+    // register. Both histograms are bucket-bounded (≤512 rows) hash
+    // aggregates — nothing here scales with the vocabulary.)
+    "q161_dsir_weights" -> Q(
+      (s, d) => {
+        val raw = docs(s, d)
+        val target = raw.filter(col("source").isin("src0", "src1"))
+        graft.ops.Mixture
+          .dsirLogWeights(raw, target, "doc_id", "text",
+            buckets = 512, alpha = 1.0)
+          .orderBy("doc_id")
+      },
+      Some {
+        def feats(src: String) =
+          s"""SELECT doc_id, unnest(list_concat(
+               list_transform(ws, w -> ${Sql.wordHash("w")} % 512),
+               list_transform(range(1, len(ws)),
+                 i -> ${Sql.wordHash("ws[i] || ' ' || ws[i+1]")} % 512)))
+             AS b FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+             FROM $src)"""
+        s"""WITH rawf AS (${feats("documents")}),
+          tgtf AS (${feats("(SELECT * FROM documents WHERE source IN ('src0','src1'))")}),
+          cr AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY 1),
+          ct AS (SELECT b, COUNT(*) AS ct FROM tgtf GROUP BY 1),
+          nr AS (SELECT SUM(cr) AS nr FROM cr),
+          nt AS (SELECT SUM(ct) AS nt FROM ct),
+          lam AS (SELECT cr.b AS b,
+              round(ln((COALESCE(ct, 0) + 1.0) / (COALESCE(nt, 0) + 512.0)), 9)
+            - round(ln((cr + 1.0) / (nr + 512.0)), 9) AS lam
+            FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt)
+          SELECT doc_id, COUNT(*) AS n_feats, ${Sql.dsum("lam")} AS logw
+          FROM rawf JOIN lam ON rawf.b = lam.b
+          GROUP BY 1 ORDER BY doc_id"""
+      }),
+
+    // --- BM25 ranked retrieval (Robertson/Okapi, Lucene idf) ----------------
+    // (TextAnalysis.bm25TopK: the literal query-term filter runs inside
+    // the scan before the explode — only matching occurrences leave the
+    // scan; df/(N, avgdl) are tiny broadcast aggregates; the top-k is
+    // the q141 bounded heap, no corpus sort. The oracle replays tf,
+    // df, avgdl (exact decimal mean), the 9-dp idf, the 6-dp per-term
+    // score, the exact-decimal doc sum, and the (score desc, id) rank.)
+    "q162_bm25" -> Q(
+      (s, d) => TA.bm25TopK(docs(s, d), "doc_id", "text",
+          Seq("spark", "window", "merge", "scan"), k = 15)
+        .orderBy("rank"),
+      Some(Bm25Sql.topK("documents", Seq("spark", "window", "merge", "scan"),
+        15) + " ORDER BY rank"),
+    ),
+
+    // --- hybrid retrieval: BM25 ⊕ ANN via reciprocal-rank fusion ------------
+    // (Similarity.rrfFuse — Cormack et al. 2009: 1/(60+rank) summed
+    // over the lists where the doc appears; rank-based, so the lexical
+    // and vector retrievers need no score calibration. Both input
+    // shortlists are top-20s computed by already-oracled machinery
+    // (q162's BM25, q47's brute-force cosine with doc_id ≡ vec_id);
+    // fusion itself is a union + one id-keyed aggregate + the bounded
+    // heap. The oracle replays retrieval AND fusion end-to-end.)
+    "q163_hybrid_rrf" -> Q(
+      (s, d) => {
+        val lexical = TA.bm25TopK(docs(s, d), "doc_id", "text",
+          Seq("spark", "window", "merge", "scan"), k = 20)
+          .select(col("doc_id"), col("rank"))
+        val e = emb(s, d)
+        val vector = Similarity.bruteForceTopK(
+            e.filter(col("vec_id") === 7), e, "vec_id", "embedding", k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lexical, vector), "doc_id", k = 10)
+          .orderBy("rank")
+      },
+      Some {
+        val cos =
+          """list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"""
+        s"""WITH lex AS (SELECT doc_id, rank FROM
+            (${Bm25Sql.topK("documents", Seq("spark", "window", "merge", "scan"), 20)})),
+          qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+          vsc AS (SELECT e.vec_id AS doc_id, $cos AS cos
+            FROM qq CROSS JOIN embeddings e WHERE e.vec_id <> 7),
+          vec AS (SELECT doc_id, rank FROM
+            (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+             FROM vsc) WHERE rank <= 20),
+          contrib AS (
+            SELECT doc_id, round(1.0 / (60.0 + rank), 6) AS c FROM lex
+            UNION ALL
+            SELECT doc_id, round(1.0 / (60.0 + rank), 6) AS c FROM vec),
+          fused AS (SELECT doc_id, COUNT(*) AS n_lists,
+              ${Sql.dsum("c")} AS score
+            FROM contrib GROUP BY 1)
+          SELECT CAST(rank AS INTEGER) AS rank, doc_id, score, n_lists FROM
+            (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM fused)
+          WHERE rank <= 10 ORDER BY rank"""
       })
   )
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
+    * q162 and q163's lexical arm — two uses, one truth). Emits a
+    * SELECT yielding (rank, doc_id, score, n_terms). */
+  private object Bm25Sql {
+    def topK(table: String, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): String = {
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+          FROM $table),
+        d AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+            (SELECT doc_id, dl, unnest(ws) AS term FROM d)
+          WHERE term IN ($inList) GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs,
+            ${Sql.davg("CAST(dl AS DOUBLE)")} AS avgdl FROM d),
+        sc AS (SELECT doc_id,
+            round(round(ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)), 9)
+              * (tf * ${k1 + 1.0})
+              / (tf + (dl * $b / avgdl + ${1.0 - b}) * $k1), 6) AS s
+          FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        pd AS (SELECT doc_id, COUNT(*) AS n_terms, ${Sql.dsum("s")} AS score
+          FROM sc GROUP BY 1)
+        SELECT CAST(rank AS INTEGER) AS rank, doc_id, score, n_terms FROM
+          (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM pd)
+        WHERE rank <= $k"""
+    }
+  }
 
   /** q153's planted hostile-Unicode suffix — one Scala constant embedded
     * byte-identically in the Spark plan and the DuckDB SQL literal. */

@@ -13,8 +13,15 @@ case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 object Sql {
   /** order-independent exact sum of a double expression, as double.
     * DECIMAL(18,6) matches graft.api.functions.dsum (same 6-dp rounding
-    * of the same per-row doubles → identical sums). */
-  def dsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+    * of the same per-row doubles → identical sums). The final double
+    * conversion goes VIA VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast
+    * double-rounds through the hugeint (1 ulp off once the unscaled sum
+    * exceeds 2^53 — two q137 groups at sf1, probed directly), while its
+    * string parse — like the JVM's BigDecimal.doubleValue on the Spark
+    * side — is correctly rounded, so both engines land on the nearest
+    * double of the same exact decimal. */
+  def dsum(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
   /** exact mean of a double expression, as double (nulls skipped). */
   def davg(e: String): String = s"(${dsum(e)} / COUNT($e))"
   /** exact bigint sum (DuckDB SUM(int) is HUGEINT — normalize). */

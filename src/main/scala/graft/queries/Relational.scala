@@ -49,34 +49,46 @@ object Relational {
         ORDER BY l_returnflag, l_linestatus""")),
 
     // --- projection -------------------------------------------------------
+    // Order-sensitive compare + (l_orderkey, l_linenumber) is NOT unique
+    // in the synthetic data: the sort must be total over the OUTPUT
+    // columns (rows still tied then are identical, so their order can't
+    // matter). Caught by the sf1 gate — at ≤ sf0.1 the single-split scan
+    // masked it because both engines broke ties in file order.
     "q02_select" -> Q(
       (s, d) => Frame(li(s, d))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber")),
+          Asc(col("l_extendedprice"))).df,
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
 
     // --- filter (predicate pushdown reaches the scan) ---------------------
     "q03_filter" -> Q(
       (s, d) => Frame(li(s, d))
         .filterWhere(col("l_quantity") >= 30 && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber")),
+          Asc(col("l_quantity"))).df,
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         WHERE l_quantity >= 30 AND l_returnflag = 'R'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     // --- derive (expression DSL: arithmetic) ------------------------------
+    // revenue/charge are bit-identical across engines (pure double
+    // products, no decimal casts), so sorting on them is portable —
+    // the q02 total-output-order convention.
     "q04_derive" -> Q(
       (s, d) => Frame(li(s, d))
         .derive("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .derive("charge", col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
         .select("l_orderkey", "l_linenumber", "revenue", "charge")
-        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber"))).df,
+        .sortBy(Asc(col("l_orderkey")), Asc(col("l_linenumber")),
+          Asc(col("revenue")), Asc(col("charge"))).df,
       Some("""SELECT l_orderkey, l_linenumber,
         l_extendedprice * (1.0 - l_discount) AS revenue,
         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, revenue, charge""")),
 
     // --- conditional: ifThenElse ------------------------------------------
     "q05_ifelse" -> Q(
@@ -362,24 +374,39 @@ object Relational {
     "q21_zscore" -> Q(
       (s, d) => {
         val o = ord(s, d)
+        // The square must be computed IN decimal — casting the DOUBLE
+        // product to decimal(30,4) hits 4-dp rounding boundaries where
+        // the JVM (shortest-decimal-string) and DuckDB (exact-binary)
+        // double→decimal casts disagree by 1e-4 (≈10 rows at sf1 —
+        // caught by the sf1 gate, invisible below). Casting the 2-dp
+        // price first is boundary-free (2-dp values sit ~5e-3 from any
+        // tie, ≫ double ulp), and decimal×decimal is exact in both
+        // engines, so __s2 is bit-identical at every scale.
+        val pD = col("o_totalprice").cast("decimal(18,2)")
         val stats = o.agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("__s1"),
-          sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)")).cast("double").as("__s2"),
+          sum(pD).cast("double").as("__s1"),
+          sum(pD * pD).cast("double").as("__s2"),
           count(lit(1)).as("__n"))
         val s1 = col("__s1"); val s2 = col("__s2"); val n = col("__n")
         val mean = s1 / n
         val sd = sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
+        // NO final round: with exact moments, (x − mean)/sd is pure
+        // IEEE double arithmetic (sqrt is correctly rounded by both
+        // engines) — bit-identical unrounded. A round(·, 10) here
+        // would itself diverge at quantum boundaries (JVM rounds the
+        // shortest decimal string, DuckDB the exact binary — the 10
+        // 1e-10 flips the sf1 gate caught).
         o.crossJoin(broadcast(stats))
-          .withColumn("z", round((col("o_totalprice") - mean) / sd, 10))
+          .withColumn("z", (col("o_totalprice") - mean) / sd)
           .select("o_orderkey", "o_totalprice", "z")
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice,
-        round((o_totalprice - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE) / COUNT(*) OVER ())
-        / sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) OVER () AS DOUBLE)
-             - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE)
-               * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE) / (COUNT(*) OVER ()))
-           / (COUNT(*) OVER () - 1)), 10) AS z
+        (o_totalprice - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS VARCHAR) AS DOUBLE) / COUNT(*) OVER ())
+        / sqrt((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS VARCHAR) AS DOUBLE) / (COUNT(*) OVER ()))
+           / (COUNT(*) OVER () - 1)) AS z
         FROM orders ORDER BY o_orderkey""")),
 
     // --- explicit GROUPING SETS (general form; cube/rollup are sugar) --------
@@ -466,11 +493,11 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some({
-        val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
-        val sxx = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
-        val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
-        val syy = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
-        val sxy = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        val sx = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        val sxx = "CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        val sy = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        val syy = "CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+        val sxy = "CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
         val n = "CAST(COUNT(*) AS DOUBLE)"
         s"""SELECT l_returnflag,
           round((($sxx - $sx * $sx / $n) / ($n - 1)), 8) AS var_qty,
@@ -585,7 +612,13 @@ object Relational {
         .derive("q_max2", gf.maxBinary(col("l_quantity"), lit(40.0)))
         .select("l_orderkey", "q_sqrt", "q_ln", "q_exp_disc", "q_abs", "q_pow",
           "q_floor", "q_ceil", "q_round", "q_relu", "q_signum", "q_mod", "q_min2", "q_max2")
-        .sortBy(Asc(col("l_orderkey"))).df,
+        // total order over the output space (q02 convention): q_sqrt is
+        // injective in l_quantity, q_exp_disc in l_discount, and
+        // (q_round, q_floor, q_ceil) are the only price-derived outputs
+        // — rows still tied agree on every column
+        .sortBy(Asc(col("l_orderkey")), Asc(col("q_sqrt")),
+          Asc(col("q_exp_disc")), Asc(col("q_round")),
+          Asc(col("q_floor")), Asc(col("q_ceil"))).df,
       Some("""SELECT l_orderkey, sqrt(l_quantity) AS q_sqrt, round(ln(l_quantity), 10) AS q_ln,
         round(exp(l_discount), 10) AS q_exp_disc, abs(l_quantity - 25.0) AS q_abs,
         pow(l_quantity, 2.0) AS q_pow,
@@ -597,7 +630,7 @@ object Relational {
         l_quantity % 7 AS q_mod,
         least(l_quantity, 10.0) AS q_min2, greatest(l_quantity, 40.0) AS q_max2
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
-        ORDER BY l_orderkey""")),
+        ORDER BY l_orderkey, q_sqrt, q_exp_disc, q_round, q_floor, q_ceil""")),
 
     // --- trig / transcendental battery (Expression.hs:147-211 Floating) -----
     // JVM and libm differ in the last ulp on transcendentals — round(10)
@@ -616,7 +649,11 @@ object Relational {
             "t_atan2" -> round(atan2(x, lit(1.0)), 10))
           .select("l_orderkey", "t_sin", "t_cos", "t_tan", "t_asin", "t_acos",
             "t_atan", "t_sinh", "t_cosh", "t_tanh", "t_logb", "t_atan2")
-          .sortBy(Asc(col("l_orderkey"))).df
+          // t_sin is injective in the 2-dp discount domain, t_logb in
+          // quantity — together with l_orderkey the output order is
+          // total (q02 convention, caught by the sf1 gate)
+          .sortBy(Asc(col("l_orderkey")), Asc(col("t_sin")),
+            Asc(col("t_logb"))).df
       },
       Some("""SELECT l_orderkey,
         round(sin(l_discount), 10) AS t_sin, round(cos(l_discount), 10) AS t_cos,
@@ -628,16 +665,22 @@ object Relational {
         round(ln(l_quantity) / ln(2.0), 10) AS t_logb,
         round(atan2(l_discount, 1.0), 10) AS t_atan2
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
-        ORDER BY l_orderkey""")),
+        ORDER BY l_orderkey, t_sin, t_logb""")),
 
     // --- positional range under explicit order (zipWithIndex path) ----------
+    // The range's sort must be total over the projected columns or the
+    // SELECTED WINDOW itself is ambiguous (ties straddling position
+    // 100/200 admit different row multisets — the sf1 lesson); with
+    // l_quantity as the third key, boundary ties are identical rows.
     "q37_range" -> Q(
       (s, d) => Frame(li(s, d))
-        .range(100, 200, Asc(col("l_orderkey")), Asc(col("l_linenumber")))
+        .range(100, 200, Asc(col("l_orderkey")), Asc(col("l_linenumber")),
+          Asc(col("l_quantity")))
         .select("l_orderkey", "l_linenumber", "l_quantity").df
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 100""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity
+        LIMIT 100 OFFSET 100""")),
 
     // --- hconcat ||| positional zip (both sides ordered) --------------------
     "q38_hconcat" -> Q(
@@ -823,9 +866,9 @@ object Relational {
         li(s, d), Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_a", "col_b"),
       Some({
-        def s1(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+        def s1(c: String) = s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
         def s2(a: String, b: String) =
-          s"CAST(SUM(CAST($a * $b AS DECIMAL(18,4))) AS DOUBLE)"
+          s"CAST(CAST(SUM(CAST($a * $b AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
         val n = "CAST(COUNT(*) AS DOUBLE)"
         def corr(a: String, b: String) =
           s"""round((${s2(a, b)} - ${s1(a)} * ${s1(b)} / $n) /
@@ -860,7 +903,10 @@ object Relational {
       (s, d) => graft.api.Frame(li(s, d).filter(col("l_orderkey") < 300))
         .melt(Seq("l_orderkey", "l_linenumber"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .df.orderBy("l_orderkey", "l_linenumber", "variable"),
+        // value joins the sort: (l_orderkey, l_linenumber) is not unique,
+        // so without it duplicate keys interleave their values in
+        // engine-dependent order (sf1 lesson, q02 convention)
+        .df.orderBy("l_orderkey", "l_linenumber", "variable", "value"),
       Some("""SELECT * FROM (
           SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
                  l_quantity AS value FROM lineitem WHERE l_orderkey < 300
@@ -870,6 +916,6 @@ object Relational {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
           FROM lineitem WHERE l_orderkey < 300)
-        ORDER BY l_orderkey, l_linenumber, variable"""))
+        ORDER BY l_orderkey, l_linenumber, variable, value"""))
   )
 }

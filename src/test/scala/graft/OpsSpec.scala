@@ -1627,4 +1627,162 @@ class OpsSpec extends SparkSpec {
       .select(TA.normalizeText($"t").as("c")).collect().head
     assert(n.isNullAt(0))
   }
+
+  // ---- DSIR importance resampling ------------------------------------------
+
+  private def mixL(x: Long): Long =
+    (((x % 2147483647L) * 2654435761L + 2246822519L) % 2147483647L) *
+      2246822519L % 2147483647L
+  private def wordHashL(w: String): Long =
+    mixL(w.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % 2147483647L))
+  private def ngramFeatsL(text: String, b: Int): Seq[Long] = {
+    val ws = text.split(" ", -1).filter(_.nonEmpty).toSeq
+    val uni = ws.map(w => wordHashL(w) % b)
+    val bi = ws.sliding(2).filter(_.length == 2)
+      .map(p => wordHashL(p(0) + " " + p(1)) % b).toSeq
+    uni ++ bi
+  }
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def dec6Sum(xs: Seq[Double]): Double =
+    xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  test("dsirLogWeights: matches the local hashed-ngram replay; " +
+    "tokenless docs carry no weight; empty target is pure smoothing") {
+    import graft.ops.Mixture
+    val b = 64 // small → guaranteed collisions, the regime that matters
+    val raw = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "quick brown cows graze"),
+      (2L, "slow green turtles crawl slow"),
+      (3L, ""), // no tokens → no features → absent
+      (4L, "the quick")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (100L, "the quick brown fox runs"),
+      (101L, "quick brown quick brown")).toDF("doc_id", "text")
+    val rawRows = Seq(
+      0L -> "the quick brown fox", 1L -> "quick brown cows graze",
+      2L -> "slow green turtles crawl slow", 4L -> "the quick")
+    val rawF = rawRows.map { case (i, t) => i -> ngramFeatsL(t, b) }
+    val cr = rawF.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val ct = Seq("the quick brown fox runs", "quick brown quick brown")
+      .flatMap(ngramFeatsL(_, b)).groupBy(identity).view.mapValues(_.size)
+    val nr = cr.values.sum.toDouble
+    val nt = ct.values.sum.toDouble
+    def lam(bk: Long): Double =
+      round9(math.log((ct.getOrElse(bk, 0) + 1.0) / (nt + b))) -
+        round9(math.log((cr(bk) + 1.0) / (nr + b)))
+    val exp = rawF.map { case (i, fs) =>
+      (i, fs.size.toLong, dec6Sum(fs.map(lam))) }.toSet
+    val got = Mixture.dsirLogWeights(raw, tgt, "doc_id", "text",
+        buckets = b, alpha = 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(!got.exists(_._1 == 3L))
+    // target docs that DO look like the target outscore ones that don't
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(0L) > byId(2L))
+    // empty target: every bucket gets identical smoothing mass — runs,
+    // stays finite, and ranks purely by raw-side rarity
+    val noTgt = Mixture.dsirLogWeights(raw, tgt.limit(0), "doc_id", "text",
+        buckets = b, alpha = 1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(noTgt.length == 4 && noTgt.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
+
+  test("dsirSample: Gumbel top-k matches the local replay and is " +
+    "partitioning-invariant") {
+    import graft.ops.Mixture
+    val b = 64
+    val raw = (0L until 200L)
+      .map(i => (i, if (i % 3 == 0) "alpha beta gamma alpha beta gamma alpha beta gamma"
+                    else "delta epsilon zeta delta epsilon zeta delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val tgt = Seq((900L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val lw = Mixture.dsirLogWeights(raw, tgt, "doc_id", "text", b, 1.0)
+      .as[(Long, Long, Double)].collect()
+    val exp = lw.map { case (i, _, w) =>
+      val u = (mixL(i) + 1).toDouble / 2147483648.0
+      (i, round9(w - math.log(-math.log(u))))
+    }.sortBy { case (i, k) => (-k, i) }.take(25)
+      .zipWithIndex.map { case ((i, k), r) => (r + 1, i, k) }.toSet
+    val got = Mixture.dsirSample(raw, tgt, "doc_id", "text", n = 25,
+      buckets = b).as[(Int, Long, Double)].collect().toSet
+    assert(got == exp)
+    val got13 = Mixture.dsirSample(raw.repartition(13), tgt, "doc_id",
+      "text", n = 25, buckets = b).as[(Int, Long, Double)].collect().toSet
+    assert(got13 == exp)
+    // the logw gap between the two doc classes is tens of nats — far
+    // beyond Gumbel noise — so the sample is all target-alike docs
+    val alike = got.count { case (_, i, _) => i % 3 == 0 }
+    assert(alike == 25, s"expected all target-alike, got $alike/25")
+  }
+
+  // ---- BM25 ranked retrieval ----------------------------------------------
+
+  test("bm25TopK: matches the local Okapi replay; no-match docs absent; " +
+    "duplicate query terms collapse") {
+    val corpus = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana banana banana"),
+      (2L, "cherry date egg fig grape"),
+      (3L, "unrelated words only here"),
+      (4L, "")).toDF("doc_id", "text")
+    val (k1v, bv) = (1.2, 0.75)
+    val lens = Map(0L -> 4L, 1L -> 3L, 2L -> 5L, 3L -> 4L, 4L -> 0L)
+    val avgdl = dec6Sum(lens.values.map(_.toDouble).toSeq) / 5
+    val tf = Map((0L, "apple") -> 2L, (0L, "banana") -> 1L,
+      (1L, "banana") -> 3L)
+    val dfreq = Map("apple" -> 1L, "banana" -> 2L)
+    def s(id: Long, t: String): Double = {
+      val idf = round9(math.log(1.0 + (5 - dfreq(t) + 0.5) / (dfreq(t) + 0.5)))
+      val raw = idf * (tf((id, t)) * (k1v + 1.0)) /
+        (tf((id, t)) + (lens(id) * bv / avgdl + (1.0 - bv)) * k1v)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val perDoc = Seq(
+      (0L, 2L, dec6Sum(Seq(s(0L, "apple"), s(0L, "banana")))),
+      (1L, 1L, dec6Sum(Seq(s(1L, "banana")))))
+    val exp = perDoc.sortBy { case (i, _, sc) => (-sc, i) }
+      .zipWithIndex.map { case ((i, n, sc), r) => (r + 1, i, sc, n) }.toSet
+    val got = TA.bm25TopK(corpus, "doc_id", "text",
+        Seq("apple", "banana"), k = 10)
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(got == exp)
+    assert(!got.exists { case (_, i, _, _) => i >= 2L })
+    val dup = TA.bm25TopK(corpus, "doc_id", "text",
+        Seq("apple", "apple", "banana"), k = 10)
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(dup == exp)
+  }
+
+  // ---- reciprocal-rank fusion ---------------------------------------------
+
+  test("rrfFuse: sums 1/(K+rank) over appearing lists, ties break by id, " +
+    "n_lists counts membership") {
+    import graft.ops.Mixture
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l1 = Seq((10L, 1), (11L, 2), (20L, 3)).toDF("doc_id", "rank")
+    val l2 = Seq((12L, 1), (10L, 2), (21L, 3)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(l1, l2), "doc_id", k = 10)
+      .as[(Int, Long, Double, Long)].collect().toSet
+    val expScores = Map(
+      10L -> dec6Sum(Seq(1.0 / 61, 1.0 / 62)),
+      11L -> r6(1.0 / 62),
+      12L -> r6(1.0 / 61),
+      20L -> r6(1.0 / 63),
+      21L -> r6(1.0 / 63))
+    val expLists = Map(10L -> 2L, 11L -> 1L, 12L -> 1L, 20L -> 1L, 21L -> 1L)
+    val exp = expScores.toSeq.sortBy { case (i, sc) => (-sc, i) }
+      .zipWithIndex
+      .map { case ((i, sc), r) => (r + 1, i, sc, expLists(i)) }.toSet
+    assert(got == exp)
+    // the tied pair (20, 21) at 1/63 lands in id order
+    val ranks = got.map(r => r._2 -> r._1).toMap
+    assert(ranks(20L) + 1 == ranks(21L))
+    // both-list agreement beats any single-list entry here
+    assert(ranks(10L) == 1)
+  }
 }
