@@ -186,7 +186,11 @@ object Bench {
     // log-ratio), BM25 ranked retrieval, BM25⊕ANN RRF hybrid fusion
     "q161_dsir_weights" -> SparkEntry.queries("q161_dsir_weights"),
     "q162_bm25" -> SparkEntry.queries("q162_bm25"),
-    "q163_hybrid_rrf" -> SparkEntry.queries("q163_hybrid_rrf"))
+    "q163_hybrid_rrf" -> SparkEntry.queries("q163_hybrid_rrf"),
+    // round-10: token-budget mixture selection (per-group distributed
+    // prefix sum) and the sharded-export integrity manifest
+    "q164_token_budget" -> SparkEntry.queries("q164_token_budget"),
+    "q165_shard_manifest" -> SparkEntry.queries("q165_shard_manifest"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -275,6 +275,97 @@ object Mixture {
         graft.api.functions.dsumD(col("lam")).as("logw"))
   }
 
+  /** Exact per-group TOKEN-budget selection — mixtures are specified in
+    * tokens, not documents (a 100-word doc and a 10k-word doc are not
+    * interchangeable), so the final composition pass of a pretraining
+    * pipeline takes documents per source in a deterministic priority
+    * order until that source's token budget is filled. [[rebalance]]
+    * hits a target SHARE in expectation via a keep-rate;
+    * this hits an absolute budget exactly: a group's selection stops at
+    * the first document whose preceding selected tokens reach `budget`
+    * (greedy fill — the crossing document is still taken, so a group
+    * with enough supply lands in [budget, budget + maxDocLen); short
+    * groups are taken whole).
+    *
+    * Priority defaults to the portable mixer of `id` (an unbiased
+    * pseudo-random draw); pass e.g. a quality score as `priority` to
+    * take the best documents first. The order (priority asc, id asc)
+    * must be a strict total order for determinism — ids are unique, so
+    * it is.
+    *
+    * Scale shape — the [[graft.ops.Packing]] distributed prefix sum,
+    * per group: only the NARROW (group, id, ntok, pri) frame shuffles
+    * (text never moves); range-partition by (group, pri, id) so each
+    * partition holds a contiguous slice of one-or-more groups'
+    * priority order; per-(partition, group) subtotals collapse to at
+    * most #partitions + #groups − 1 rows (contiguity — bounded driver
+    * state), prefix-sum per group on the driver, broadcast back; the
+    * running sum is a window over ONE (partition, group) cell, never a
+    * whole group on one task (contrast a naive
+    * `Window.partitionBy(group)` — one task per SOURCE dies at 100 TB
+    * where a source is terabytes). The ranged frame is pinned
+    * (`localCheckpoint`, unconditional) because the subtotal branch
+    * and the window branch must agree on partition boundaries — the
+    * Packing correctness lesson, not a perf knob.
+    *
+    * Returns the SELECTION frame (group, id, n_tokens, tokens_before)
+    * — join it back to the corpus by id for payloads (the packTexts
+    * convention: selection is cheap, the payload join is the caller's
+    * explicit scale decision). Rows with null id/priority/negative
+    * token counts are dropped; groups without a budget entry are
+    * dropped; a zero budget drops the group. */
+  def tokenBudgetSelect(df: DataFrame, id: String, group: String,
+                        nTokens: Column, budgets: Map[String, Long],
+                        priority: Option[Column] = None): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSelect: budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0L),
+      "tokenBudgetSelect: budgets must be >= 0")
+    val pri = priority.getOrElse(Frame.portableMix(col(id)).cast("double"))
+    val narrow = df
+      .filter(col(group).isin(budgets.keys.toSeq: _*))
+      .select(col(group).cast("string").as("__grp"), col(id),
+        nTokens.cast("long").as("__ntok"), pri.cast("double").as("__pri"))
+      .filter(col(id).isNotNull && col("__pri").isNotNull &&
+        col("__ntok").isNotNull && col("__ntok") >= 0)
+    val ranged = narrow
+      .repartitionByRange(col("__grp"), col("__pri"), col(id))
+      .sortWithinPartitions(col("__grp"), col("__pri"), col(id))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // bounded: contiguous ranges → ≤ #partitions + #groups − 1 cells
+    val subs = ranged.groupBy(col("__pid"), col("__grp"))
+      .agg(sum(col("__ntok")).as("__ps"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offs = subs.groupBy(_._2).toSeq.flatMap { case (g, cells) =>
+      var acc = 0L
+      cells.sortBy(_._1).map { case (p, _, s) =>
+        val off = acc; acc += s; (p, g, off)
+      }
+    }
+    val spark = df.sparkSession
+    val offsDf =
+      if (offs.isEmpty)
+        spark.createDataFrame(Seq((0, "", 0L))).toDF("__pid", "__grp", "__goff")
+          .limit(0)
+      else spark.createDataFrame(offs.toIndexedSeq)
+        .toDF("__pid", "__grp", "__goff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("__grp"))
+      .orderBy(col("__pri"), col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (k, b)) =>
+      when(col("__grp") === k, lit(b)).otherwise(acc)
+    }
+    ranged.join(broadcast(offsDf), Seq("__pid", "__grp"))
+      .withColumn("__cb",
+        sum(col("__ntok")).over(w) - col("__ntok") + col("__goff"))
+      .filter(col("__cb") < budgetExpr)
+      .select(col("__grp").as(group), col(id),
+        col("__ntok").as("n_tokens"), col("__cb").as("tokens_before"))
+  }
+
   /** DSIR selection step: sample `n` raw documents WITHOUT replacement
     * from softmax(logw) via the Gumbel-max trick (Gumbel top-k ≡
     * sampling without replacement from the softmax — Vieira 2014,

@@ -2514,8 +2514,16 @@ object Pipeline {
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .collect().sortBy(_.getLong(0))
           .map(_.getSeq[Double](1).toArray)
+        // Sampling stride scales with the table so the K ≤ 256 PQ-code
+        // cap holds at EVERY SF (70 selected 286 centroids from sf1's
+        // 20 k vectors — the sf1 gate's catch); below ~18 k vectors the
+        // max keeps the historical 70, so gated hashes are unchanged.
+        // The oracle derives the same stride from COUNT(*).
+        val every = math.max(70L,
+          math.ceil(e.count() / 256.0).toLong).toInt
         val cbs = graft.ops.Embeddings.pqResidualCodebooks(
-          e, "vec_id", "embedding", coarseRows, dim = 64, m = 8, every = 70)
+          e, "vec_id", "embedding", coarseRows, dim = 64, m = 8,
+          every = every)
         val qs = e.filter(col("vec_id") < 3)
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -2569,7 +2577,9 @@ object Pipeline {
             FROM e JOIN cellassign ca ON ca.vec_id = e.vec_id
               JOIN grs g ON g.ccid = ca.cell),
           samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-              vec_id FROM embeddings WHERE vec_id % 70 = 0),
+              vec_id FROM embeddings WHERE vec_id %
+                (SELECT GREATEST(70, CAST(ceil(COUNT(*) / 256.0) AS BIGINT))
+                 FROM embeddings) = 0),
           sampres AS (SELECT s.cid, er.res
             FROM samp s JOIN eres er ON er.vec_id = s.vec_id),
           ${(0 until 8).map(sq).mkString(",\n")},
@@ -2751,6 +2761,62 @@ object Pipeline {
             (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
              FROM fused)
           WHERE rank <= 10 ORDER BY rank"""
+      }),
+
+    // --- token-budget mixture selection -------------------------------------
+    // (Mixture.tokenBudgetSelect: per-source greedy fill in portable-
+    // mixer priority order until each source's TOKEN budget is reached
+    // — mixtures are specified in tokens, not documents. The running
+    // token sum is the Packing distributed prefix sum per group (narrow
+    // frame ranged by (group, pri, id), per-(partition, group)
+    // subtotals driver-prefix-summed, window over one cell) — never a
+    // whole source on one task. Budget edges exercised: src0 partial
+    // (selection stops mid-source; the crossing doc is kept because its
+    // PRECEDING tokens are under budget), src1 whole (budget exceeds
+    // supply at every SF), src2 absent (budget 0). The oracle replays
+    // the per-source cumulative sum as a plain window — tiny at oracle
+    // scale; the Spark side's machinery exists for the 100 TB shape.)
+    "q164_token_budget" -> Q(
+      (s, d) => graft.ops.Mixture.tokenBudgetSelect(
+          docs(s, d), "doc_id", "source",
+          TA.tokenCount(col("text")),
+          Map("src0" -> 20000L, "src1" -> 1000000000L, "src2" -> 0L))
+        .orderBy("source", "tokens_before", "doc_id"),
+      Some(s"""WITH n AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+            CAST(${Sql.mix("doc_id")} AS DOUBLE) AS pri
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        c AS (SELECT source, doc_id, ntok,
+            CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb
+          FROM n)
+        SELECT source, doc_id, ntok AS n_tokens, cb AS tokens_before FROM c
+        WHERE cb < CASE source WHEN 'src0' THEN 20000
+                               WHEN 'src1' THEN 1000000000 ELSE 0 END
+        ORDER BY source, tokens_before, doc_id""")),
+
+    // --- deterministic sharded export: integrity manifest -------------------
+    // (Shard.shardManifest: shard = mix(id) mod n is a scan-stage
+    // expression; the manifest is ONE hash aggregate whose fingerprint
+    // — Σ mix(charPoly(text)·31 + mix(id)) mod M — is order-
+    // independent, so it combines map-side with no sort. The oracle
+    // recomputes membership, token counts, and the fingerprint from
+    // the same portable arithmetic; any doc dropped/duplicated/edited
+    // /re-idued between engines breaks the hash. Within-shard ORDER
+    // (the double-mix shuffle key) is ShardSpec's job — order can't be
+    // seen in an order-independent manifest by design.)
+    "q165_shard_manifest" -> Q(
+      (s, d) => graft.ops.Shard.shardManifest(docs(s, d), "doc_id", "text", 8)
+        .orderBy("shard"),
+      Some {
+        val docHash = Sql.mix(
+          s"${Sql.wordHash("coalesce(text, '')")} * 31 + ${Sql.mix("doc_id")}")
+        s"""SELECT CAST(${Sql.mix("doc_id")} % 8 AS INTEGER) AS shard,
+            COUNT(*) AS n_docs,
+            ${Sql.isum("len(string_split(text, ' '))")} AS n_tokens,
+            CAST(SUM($docHash) % 2147483647 AS BIGINT) AS fingerprint
+          FROM documents GROUP BY 1 ORDER BY shard"""
       })
   )
 

@@ -262,7 +262,30 @@ object Soak {
             lit(1L).as("seq"), col("text"), col("lang"), col("source"),
             col("n_chars"))
         graft.ops.Dedup.applySnapshotChanges(big, changes, "doc_id").count()
-      })
+      }),
+      // DSIR at corpus scale: the feature explode is scan-stage and both
+      // histograms stay 4096-row bounded aggregates no matter the corpus
+      "dsir_weights" -> (() =>
+        graft.ops.Mixture.dsirLogWeights(big,
+          big.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text").count()),
+      // BM25: term filter inside the scan; only matching occurrences
+      // (a few per doc) ever leave it
+      "bm25" -> (() =>
+        graft.ops.TextAnalysis.bm25TopK(big, "doc_id", "text",
+          Seq("spark", "window", "merge", "scan"), k = 15).count()),
+      // token-budget selection: the per-group distributed prefix sum on
+      // the narrow frame — text never shuffles
+      "token_budget" -> (() =>
+        graft.ops.Mixture.tokenBudgetSelect(big, "doc_id", "source",
+          graft.ops.TextAnalysis.tokenCount(col("text")),
+          Map("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 2000000L))
+          .count()),
+      // sharded-export manifest: one hash aggregate, order-independent
+      // fingerprint merges map-side
+      "shard_manifest" -> (() =>
+        graft.ops.Shard.shardManifest(big, "doc_id", "text", 256)
+          .count())
     )
 
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")

@@ -1785,4 +1785,138 @@ class OpsSpec extends SparkSpec {
     // both-list agreement beats any single-list entry here
     assert(ranks(10L) == 1)
   }
+
+  // ---- token-budget mixture selection --------------------------------------
+
+  test("tokenBudgetSelect: greedy fill in portable order; crossing doc " +
+    "kept; short group taken whole; zero budget drops; exact boundary") {
+    import graft.ops.Mixture
+    // explicit priority column → the selection order is under test
+    // control; ids 1..6 in group a with 10 tokens each, priority = id.
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 10L), (5L, "a", 10L), (6L, "a", 10L),
+      (7L, "b", 5L), (8L, "b", 5L),
+      (9L, "c", 100L)).toDF("id", "g", "nt")
+    def run(buds: Map[String, Long]) =
+      Mixture.tokenBudgetSelect(df, "id", "g", col("nt"), buds,
+          priority = Some(col("id").cast("double")))
+        .as[(String, Long, Long, Long)].collect().toSet
+    // budget 25 in a: docs 1 (cb 0), 2 (cb 10), 3 (cb 20 < 25 — the
+    // crossing doc is KEPT) — doc 4 (cb 30) is not. b taken whole.
+    assert(run(Map("a" -> 25L, "b" -> 100L)) == Set(
+      ("a", 1L, 10L, 0L), ("a", 2L, 10L, 10L), ("a", 3L, 10L, 20L),
+      ("b", 7L, 5L, 0L), ("b", 8L, 5L, 5L)))
+    // exact boundary: budget 20 → doc 3 has cb 20, NOT < 20 → excluded
+    assert(run(Map("a" -> 20L)).map(_._2) == Set(1L, 2L))
+    // zero budget = group dropped; absent group = dropped
+    assert(run(Map("a" -> 0L, "c" -> 1L)) == Set(("c", 9L, 100L, 0L)))
+  }
+
+  test("tokenBudgetSelect: zero-token docs are free; default priority " +
+    "matches the portable mixer; partitioning-invariant") {
+    import graft.ops.Mixture
+    val rows = (0L until 40L).map(i =>
+      (i, "s", if (i % 4 == 0) 0L else (i % 7) + 1L))
+    val df = rows.toDF("id", "g", "nt")
+    val b = Map("s" -> 30L)
+    val got = Mixture.tokenBudgetSelect(df, "id", "g", col("nt"), b)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // local replay with the same mixer arithmetic
+    def mixL(x: Long): Long =
+      (((x % 2147483647L) * 2654435761L + 2246822519L) % 2147483647L) *
+        2246822519L % 2147483647L
+    val ordered = rows.sortBy { case (i, _, _) => (mixL(i), i) }
+    val cumBefore = ordered.map(_._3).scanLeft(0L)(_ + _)
+    val exp = ordered.zip(cumBefore).collect {
+      case ((i, _, nt), cb) if cb < 30L => ("s", i, nt, cb)
+    }
+    assert(got == exp.toSet)
+    // the prefix contains at least one zero-token doc, selected for free
+    assert(exp.exists(_._3 == 0L))
+    // partitioning invariance
+    val got12 = Mixture.tokenBudgetSelect(df.repartition(12), "id", "g",
+        col("nt"), b)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got12 == got)
+  }
+
+  // ---- deterministic sharded export ----------------------------------------
+
+  test("shardManifest: membership/token/fingerprint replay; order-" +
+    "independent; sensitive to edits, re-ids, drops") {
+    import graft.ops.Shard
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta"), (2L, ""),
+      (3L, "epsilon zeta"), (4L, "eta theta iota kappa"),
+      (5L, "lambda"), (6L, "mu nu"), (7L, "xi"), (8L, "omicron pi"))
+    val df = docs.toDF("doc_id", "text")
+    val got = Shard.shardManifest(df, "doc_id", "text", 4)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    def mixL(x: Long): Long =
+      (((x % 2147483647L) * 2654435761L + 2246822519L) % 2147483647L) *
+        2246822519L % 2147483647L
+    def charPoly(s: String): Long =
+      // split("", "") is [""] with ascii("") = 0 — the pinned empty-
+      // string convention (CountMinSpec's "" parity)
+      if (s.isEmpty) 7L * 31
+      else s.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    val exp = docs.groupBy { case (i, _) => (mixL(i) % 4).toInt }
+      .map { case (sh, ds) =>
+        (sh, ds.size.toLong,
+          ds.map(d => d._2.split(" ", -1).length.toLong).sum,
+          ds.map(d => mixL(mixL(charPoly(d._2)) * 31 + mixL(d._1))).sum
+            % 2147483647L)
+      }.toSet
+    assert(got == exp)
+    // row order can't matter (order-independent sum)
+    val shuffled = scala.util.Random.shuffle(docs).toDF("doc_id", "text")
+    assert(Shard.shardManifest(shuffled.repartition(5), "doc_id", "text", 4)
+      .as[(Int, Long, Long, Long)].collect().toSet == got)
+    // an edit, a re-id, and a drop each change that shard's fingerprint
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Shard.shardManifest(d, "doc_id", "text", 4)
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+    val base = fps(df)
+    val edited = fps(docs.map { case (i, t) =>
+      (i, if (i == 1L) "delta EDITED" else t) }.toDF("doc_id", "text"))
+    assert(edited((mixL(1L) % 4).toInt) != base((mixL(1L) % 4).toInt))
+    val dropped = fps(docs.filterNot(_._1 == 4L).toDF("doc_id", "text"))
+    assert(dropped((mixL(4L) % 4).toInt) != base((mixL(4L) % 4).toInt))
+  }
+
+  test("writeShards: round trip preserves membership and the portable " +
+    "within-shard order; manifest matches read-back") {
+    import graft.ops.Shard
+    val docs = (0L until 60L).map(i => (i, s"doc $i content word$i"))
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString
+    val manifest = Shard.writeShards(df, "doc_id", "text", 4, dir)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val back = spark.read.parquet(dir)
+    // membership: every doc is in its mix(id) % 4 shard
+    def mixL(x: Long): Long =
+      (((x % 2147483647L) * 2654435761L + 2246822519L) % 2147483647L) *
+        2246822519L % 2147483647L
+    val mem = back.select("doc_id", "shard").as[(Long, Int)].collect()
+    assert(mem.length == 60)
+    mem.foreach { case (i, sh) => assert(sh == (mixL(i) % 4).toInt) }
+    // within-shard file order is (shard_key, id) — parquet preserves
+    // row order per file, shards are single-partition dirs here
+    (0 until 4).foreach { sh =>
+      val rows = spark.read.parquet(s"$dir/shard=$sh")
+        .select("doc_id", "shard_key").as[(Long, Long)].collect()
+      val expOrder = rows.sortBy { case (i, k) => (k, i) }
+      assert(rows.toSeq == expOrder.toSeq, s"shard $sh order")
+      // shard_key is the double mix
+      rows.foreach { case (i, k) => assert(k == mixL(mixL(i) + 1L)) }
+    }
+    // manifest of the read-back equals the write-time manifest
+    val backM = Shard.shardManifest(
+        back.select("doc_id", "text"), "doc_id", "text", 4)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(backM == manifest)
+  }
 }
