@@ -247,4 +247,86 @@ object Stats {
     joint.unpersist()
     mi
   }
+
+  /** Exact WEIGHTED percentiles per group (public Type-1 weighted
+    * quantile — "the value below which fraction p of the total WEIGHT
+    * falls"; with weight = token count this answers "the quality score
+    * covering half the TOKENS", which is what a token-budgeted corpus
+    * decision actually needs — an unweighted doc percentile
+    * over-counts short documents).
+    *
+    * Definition: per group, aggregate weight by distinct value, order
+    * by value, and report the smallest value whose cumulative weight
+    * reaches p·W. No interpolation — the answer is always an observed
+    * value (Type 1), which keeps the result exact and engine-portable.
+    *
+    * Determinism/portability: weights quantize to DECIMAL(18,6) at
+    * entry, so the cumulative and total sums are EXACT and associative
+    * (no fp reorder drift), and each threshold p·W is a
+    * decimal×decimal product — both engines compare identical exact
+    * rationals, so a cumulative weight landing exactly ON a threshold
+    * tie-breaks identically.
+    *
+    * Scale shape: one (group, value) hash aggregate (map-side
+    * combine) collapses the corpus to distinct values per group; the
+    * cumulative sum is a window partitioned by GROUP over that
+    * COLLAPSED frame (one domain's distinct values on one executor —
+    * spillable, never corpus-global; the capPerGroup argument); the
+    * p-fan-out explodes a constant literal array. Rows with null
+    * value or null/non-positive weight drop. Returns (group, p, wpct),
+    * one row per group × requested p. */
+  def weightedPercentiles(df: DataFrame, group: String, value: Column,
+                          weight: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "weightedPercentiles: need at least one p")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      "weightedPercentiles: every p must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val wv = df.select(F.col(group).as("__g"), value.as("__v"),
+        weight.cast("decimal(18,6)").as("__w"))
+      .filter(F.col("__v").isNotNull && F.col("__w").isNotNull &&
+        F.col("__w") > 0)
+      .groupBy("__g", "__v").agg(F.sum(F.col("__w")).as("__w"))
+    val tot = wv.groupBy("__g").agg(F.sum(F.col("__w")).as("__tw"))
+    val win = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = wv.withColumn("__cw", F.sum(F.col("__w")).over(win))
+      .join(F.broadcast(tot), Seq("__g"))
+    val pArr = F.array(ps.map(p => F.struct(
+      F.lit(p).as("p"),
+      F.lit(java.math.BigDecimal.valueOf(p)).as("pd"))): _*)
+    cum.select(F.col("__g"), F.col("__v"), F.col("__cw"), F.col("__tw"),
+        F.explode(pArr).as("__ps"))
+      .filter(F.col("__cw") >= F.col("__ps.pd") * F.col("__tw"))
+      .groupBy(F.col("__g"), F.col("__ps.p").as("p"))
+      .agg(F.min(F.col("__v")).as("wpct"))
+      .select(F.col("__g").as(group), F.col("p"), F.col("wpct"))
+  }
+
+  /** Robust per-row outlier score: the median/MAD z-score
+    *   rz = 0.6745 · (x − median_g) / MAD_g,
+    * MAD_g = median(|x − median_g|) (public method — Iglewicz & Hoaglin's
+    * modified z-score; the robust alternative to [[graft.api.Frame]]'s
+    * mean/stddev zScore, immune to the outliers it is hunting: one
+    * 10 GB document shifts a mean but not a median). |rz| > cutoff
+    * (default 3.5, the standard recommendation) flags the row.
+    *
+    * Scale shape: two grouped EXACT-median aggregates (groups-sized
+    * results) broadcast back — the zScore agg-broadcast pattern, no
+    * global window, the corpus streams through the final scan once
+    * per pass. A constant group (MAD = 0) yields null rz and false
+    * flag rather than ±inf. rz rounds 6 dp (per-row double arithmetic
+    * on identical inputs — portable). Appends (rz, is_outlier). */
+  def robustZOutliers(df: DataFrame, group: String, value: Column,
+                      cutoff: Double = 3.5): DataFrame = {
+    val v = value.cast("double")
+    val med = df.groupBy(F.col(group)).agg(F.median(v).as("__med"))
+    val mad = df.join(F.broadcast(med), Seq(group))
+      .groupBy(F.col(group))
+      .agg(F.median(F.abs(v - F.col("__med"))).as("__mad"))
+    df.join(F.broadcast(med), Seq(group)).join(F.broadcast(mad), Seq(group))
+      .withColumn("rz", F.when(F.col("__mad") === 0, F.lit(null).cast("double"))
+        .otherwise(F.round(F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"), 6)))
+      .withColumn("is_outlier", F.coalesce(F.abs(F.col("rz")) > cutoff, F.lit(false)))
+      .drop("__med", "__mad")
+  }
 }

@@ -388,4 +388,71 @@ object Mixture {
     topKPerGroup(keyed, "__g", col("__skey"), id, n)
       .select(col("rank"), col(id), col("score").as("skey"))
   }
+
+  /** Per-group token-distribution drift: smoothed KL(p_g ‖ q) of each
+    * group's unigram distribution against the whole-corpus distribution
+    * (public measure — the standard mixture diagnostic for "how far is
+    * this source/shard/day from the corpus it feeds"; flags a crawl
+    * snapshot whose language mix shifted before it pollutes training).
+    * Add-α smoothing over the CORPUS vocabulary V:
+    *   p_g(w) = (c_g(w)+α)/(n_g+αV),  q(w) = (c(w)+α)/(N+αV),
+    *   KL = Σ_{w∈V} p_g(w)·(ln p_g(w) − ln q(w)).
+    *
+    * Scale shape — the absent-word decomposition: a group's sum over
+    * the FULL corpus vocabulary would be #groups × V exploded rows; we
+    * never build that. Words PRESENT in the group contribute through a
+    * (group, word) aggregate sized by the group's own vocabulary; the
+    * (V − V_g) ABSENT words all share the constant p₀ = α/(n_g+αV), so
+    * their mass collapses to p₀·((V−V_g)·ln p₀ − Σ_absent ln q), and
+    * Σ_absent ln q = S_q − Σ_present ln q where S_q (one corpus-level
+    * scalar) is computed once. Everything is hash aggregates with
+    * map-side combine: corpus counts (vocabulary-sized, mergeable),
+    * per-group present-word counts, and 1-row totals that broadcast via
+    * cross join (the zScore pattern). No window, no driver state.
+    *
+    * Engine-portable fp: every ln rounds to 9 dp (libm ulp guard, the
+    * q161 convention), summed terms go through the exact decimal
+    * register, the final KL rounds to 6 dp — and the ORACLE must
+    * replay this exact decomposition, not the naive full-vocab sum
+    * (differently-associated decimal sums differ below the rounding).
+    * Empty tokens drop (q95 convention); a group that is the whole
+    * corpus gets KL ≈ 0 (not exactly 0 — smoothing mass differs when
+    * n_g = N only if other groups exist). Returns
+    * (group, n_tokens, vocab_g, kl). */
+  def tokenKlDivergence(df: DataFrame, group: String, text: String,
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "tokenKlDivergence: alpha must be > 0")
+    val toks = df.select(col(group).as("__g"),
+        explode(filter(TA.tokens(col(text)), w => length(w) > 0)).as("__w"))
+    val cw = toks.groupBy("__w").agg(count(lit(1)).as("c"))
+    val tot = cw.agg(sum(col("c")).as("bigN"), count(lit(1)).as("bigV"))
+    // lnq9 per corpus word + the corpus-level scalar S_q = Σ_V lnq9
+    val qtab = cw.crossJoin(broadcast(tot))
+      .select(col("__w"), col("bigN"), col("bigV"),
+        round(log((col("c") + alpha) / (col("bigN") + lit(alpha) * col("bigV"))), 9)
+          .as("lnq9"))
+    val sq = qtab.agg(graft.api.functions.dsumD(col("lnq9")).as("sq"))
+    val cg = toks.groupBy("__g", "__w").agg(count(lit(1)).as("cg"))
+    val ng = cg.groupBy("__g").agg(sum(col("cg")).as("ng"))
+    val present = cg.join(qtab, Seq("__w"))
+      .join(ng, Seq("__g"))
+      .select(col("__g"), col("cg"), col("lnq9"),
+        ((col("cg") + alpha) / (col("ng") + lit(alpha) * col("bigV"))).as("pg"))
+      .select(col("__g"), col("lnq9"),
+        round(col("pg") * (round(log(col("pg")), 9) - col("lnq9")), 9)
+          .as("term"))
+    val perGroup = present.groupBy("__g").agg(
+      count(lit(1)).as("vg"),
+      graft.api.functions.dsumD(col("term")).as("t1"),
+      graft.api.functions.dsumD(col("lnq9")).as("sqp"))
+    perGroup.join(ng, Seq("__g"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(sq))
+      .select(col("__g").as(group), col("ng").as("n_tokens"),
+        col("vg").as("vocab_g"),
+        round(col("t1") +
+          (lit(alpha) / (col("ng") + lit(alpha) * col("bigV"))) *
+            ((col("bigV") - col("vg")) *
+              round(log(lit(alpha) / (col("ng") + lit(alpha) * col("bigV"))), 9) -
+             (col("sq") - col("sqp"))), 6).as("kl"))
+  }
 }

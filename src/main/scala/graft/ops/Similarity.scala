@@ -216,6 +216,38 @@ object Similarity {
     assigned.join(drop, Seq(id), "left_anti").select(col(id), col("cell"))
   }
 
+  /** Semantic decontamination (public method — the embedding-space
+    * analog of n-gram decontamination à la Lee et al. 2022 §5 /
+    * SemDeDup, Abbas et al. 2023, arXiv:2303.09540; the reference has
+    * no equivalent): drop every corpus row whose embedding has cosine
+    * >= `threshold` against ANY eval-set embedding — paraphrased eval
+    * leakage that exact n-gram overlap ([[graft.ops.Dedup]]'s
+    * decontaminate) cannot see.
+    *
+    * Scale shape: both sides assign to coarse cells around `centroids`
+    * ([[assignCells]] — broadcast centroids, one hash aggregate, no
+    * per-row sort window), and the corpus×eval comparison happens ONLY
+    * within a cell. The eval side is small by nature (a benchmark
+    * suite, not a corpus), so its assigned (cell, vector) rows
+    * BROADCAST into the corpus scan — the corpus never shuffles for
+    * the probe, exactly the q138 Bloom-probe posture but in embedding
+    * space. A contaminated doc whose nearest eval twin landed in a
+    * different cell is the documented miss that buys the linear scan
+    * (raise nProbe-style recall by densifying centroids, not by
+    * widening the join). Returns the KEPT corpus rows (id, cell) —
+    * [[semanticDedup]]'s output convention. */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+                            centroids: DataFrame, id: String, vec: String,
+                            threshold: Double): DataFrame = {
+    val c = assignCells(corpus, centroids, id, vec)
+    val e = assignCells(eval, centroids, id, vec)
+      .select(col("cell"), col("v").as("ev"))
+    val contaminated = c.join(broadcast(e), Seq("cell"))
+      .filter(cosine(col("v"), col("ev")) >= threshold)
+      .select(col(id)).distinct()
+    c.join(contaminated, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest of
     * `centroids` (broadcast), search only the `nProbe` cells closest to
     * each query. Approximate: recall < 1 when a true neighbor lives in an

@@ -2817,6 +2817,193 @@ object Pipeline {
             ${Sql.isum("len(string_split(text, ' '))")} AS n_tokens,
             CAST(SUM($docHash) % 2147483647 AS BIGINT) AS fingerprint
           FROM documents GROUP BY 1 ORDER BY shard"""
+      }),
+
+    // --- semantic decontamination (embedding-space eval overlap) ------------
+    // (Similarity.semanticDecontaminate — the embedding analog of
+    // q69/q138's n-gram decontamination: paraphrased eval leakage that
+    // exact n-gram overlap can't see. Both sides cell-assign around
+    // broadcast centroids (q97's machinery); the small assigned eval
+    // side BROADCASTS into the corpus probe, so the corpus never
+    // shuffles — the q138 Bloom posture in embedding space. The oracle
+    // replays assignment for both sides, the within-cell cosine probe,
+    // and the anti-join.)
+    "q166_semantic_decontam" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val evalSet = e.filter(col("vec_id") % 37 === 3)
+        val corpus = e.filter(col("vec_id") % 37 =!= 3)
+        Similarity.semanticDecontaminate(corpus, evalSet, centroids,
+          "vec_id", "embedding", threshold = 0.4).orderBy("vec_id")
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+        def assign(src: String, idOut: String) =
+          s"""SELECT vec_id AS $idOut, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, ct.cid AS cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM ($src) e CROSS JOIN cent ct) WHERE rn = 1"""
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 0),
+          cass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 37 <> 3", "vec_id")}),
+          eass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 37 = 3", "eid")}),
+          contam AS (SELECT DISTINCT c.vec_id FROM cass c JOIN eass e
+            ON c.cell = e.cell
+            WHERE ${cosSql("c.embedding", "e.embedding")} >= 0.4)
+          SELECT vec_id, cell FROM cass ANTI JOIN contam USING (vec_id)
+          ORDER BY vec_id"""
+      }),
+
+    // --- per-source token-distribution drift (smoothed KL vs corpus) --------
+    // (Mixture.tokenKlDivergence — the mixture diagnostic: how far each
+    // source's unigram distribution sits from the corpus it feeds.
+    // The scale trick is the absent-word decomposition (present words
+    // via a (group, word) aggregate sized by the group's OWN vocab;
+    // the (V−V_g) absent words collapse to a constant-p₀ closed form
+    // against the one corpus scalar S_q) — and the oracle replays that
+    // EXACT decomposition, because a naive full-vocab sum associates
+    // the decimal register differently. Every ln rounds 9 dp (q161
+    // convention), terms 9 dp, final 6 dp.)
+    "q167_token_kl" -> Q(
+      (s, d) => graft.ops.Mixture
+        .tokenKlDivergence(docs(s, d), "source", "text", alpha = 1.0)
+        .orderBy("source"),
+      Some(s"""WITH toks AS (SELECT source AS g, unnest(list_filter(
+            string_split(text, ' '), w -> len(w) > 0)) AS w FROM documents),
+        cw AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS bigN, COUNT(*) AS bigV FROM cw),
+        qtab AS (SELECT w, round(ln((c + 1.0) / (bigN + 1.0 * bigV)), 9) AS lnq9
+          FROM cw CROSS JOIN tot),
+        sq AS (SELECT ${Sql.dsum("lnq9")} AS sq FROM qtab),
+        cg AS (SELECT g, w, COUNT(*) AS cg FROM toks GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS ng FROM cg GROUP BY 1),
+        pres AS (SELECT cg.g, qtab.lnq9,
+            round(((cg + 1.0) / (ng + 1.0 * bigV))
+              * (round(ln((cg + 1.0) / (ng + 1.0 * bigV)), 9) - lnq9), 9) AS term
+          FROM cg JOIN qtab ON cg.w = qtab.w JOIN ng ON cg.g = ng.g
+          CROSS JOIN tot),
+        pg AS (SELECT g, COUNT(*) AS vg,
+            ${Sql.dsum("term")} AS t1, ${Sql.dsum("lnq9")} AS sqp
+          FROM pres GROUP BY 1)
+        SELECT pg.g AS source, ng AS n_tokens, vg AS vocab_g,
+          round(t1 + (1.0 / (ng + 1.0 * bigV))
+            * ((bigV - vg) * round(ln(1.0 / (ng + 1.0 * bigV)), 9)
+               - (sq - sqp)), 6) AS kl
+        FROM pg JOIN ng ON pg.g = ng.g CROSS JOIN tot CROSS JOIN sq
+        ORDER BY source""")),
+
+    // --- exact token-weighted percentiles per source ------------------------
+    // (Stats.weightedPercentiles — Type-1 weighted quantile: the value
+    // below which p of the total WEIGHT falls; weight = token count, so
+    // this is "the doc length covering a quarter/half/90% of the
+    // tokens" — the token-budget view an unweighted percentile
+    // misstates. Exactness contract: weights quantize to DECIMAL(18,6)
+    // and every cumulative/total/threshold comparison is exact, so the
+    // oracle may replay the predicate in scaled INTEGERS (tokens are
+    // integral; both sides compare identical exact rationals — any
+    // exact representation must agree). One (group, value) hash agg,
+    // a group-partitioned window over the COLLAPSED frame, broadcast
+    // totals — no corpus window.)
+    "q168_weighted_pct" -> Q(
+      (s, d) => graft.api.Stats.weightedPercentiles(
+          docs(s, d), "source", col("n_chars"),
+          TA.tokenCount(col("text")), Seq(0.25, 0.5, 0.9))
+        .orderBy("source", "p"),
+      Some("""WITH wv AS (SELECT source AS g, n_chars AS v,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+          FROM documents GROUP BY 1, 2),
+        cum AS (SELECT g, v, w,
+            CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cw,
+            CAST(SUM(w) OVER (PARTITION BY g) AS HUGEINT) AS tw
+          FROM wv),
+        hits AS (SELECT g, p, MIN(v) AS wpct FROM cum
+          CROSS JOIN (VALUES (0.25, 250000::HUGEINT), (0.5, 500000::HUGEINT),
+            (0.9, 900000::HUGEINT)) AS ps(p, pm)
+          WHERE cw * 1000000 >= pm * tw GROUP BY 1, 2)
+        SELECT g AS source, p, wpct FROM hits ORDER BY source, p""")),
+
+    // --- robust outlier flags (median/MAD modified z-score) -----------------
+    // (Stats.robustZOutliers — Iglewicz & Hoaglin: rz = 0.6745(x−med)/MAD
+    // per lang; robust center/scale are immune to the outliers being
+    // hunted. Two grouped exact-median aggregates broadcast back (the
+    // zScore agg-broadcast pattern, no global window); MAD = 0 ⇒ null
+    // rz, false flag. Median interpolation is the q25-proven
+    // Spark-percentile ≡ DuckDB-quantile_cont identity; rz rounds 6 dp.)
+    "q169_robust_outliers" -> Q(
+      (s, d) => graft.api.Stats.robustZOutliers(
+          docs(s, d), "lang", col("n_chars"), cutoff = 3.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rz"), col("is_outlier"))
+        .orderBy("doc_id"),
+      Some("""WITH med AS (SELECT lang,
+            median(CAST(n_chars AS DOUBLE)) AS med FROM documents GROUP BY 1),
+        mad AS (SELECT lang,
+            median(abs(CAST(n_chars AS DOUBLE) - med)) AS mad
+          FROM documents JOIN med USING (lang) GROUP BY 1),
+        sc AS (SELECT doc_id, lang, n_chars,
+            CASE WHEN mad = 0 THEN NULL
+              ELSE round(0.6745 * (CAST(n_chars AS DOUBLE) - med) / mad, 6)
+            END AS rz
+          FROM documents JOIN med USING (lang) JOIN mad USING (lang))
+        SELECT doc_id, lang, n_chars, rz,
+          COALESCE(abs(rz) > 3.5, FALSE) AS is_outlier
+        FROM sc ORDER BY doc_id""")),
+
+    // --- PageRank over the customer→supplier trade graph --------------------
+    // (Graph.pageRank — Brin & Page 1998; the link-centrality quality
+    // prior of web-crawl curation, exercised here on the TPC-H bipartite
+    // trade graph (suppliers have no out-edges, so the dangling-mass
+    // redistribution path is live every iteration). One iteration = one
+    // rank⋈edge equi-join + one dst-keyed hash aggregate; dangling mass
+    // is a 1-row broadcast; per-iteration localCheckpoint keeps lineage
+    // flat. Every sum runs the exact DECIMAL(38,18) register, so the
+    // oracle unrolls all 3 iterations as CTEs and matches bit-for-bit.)
+    "q170_pagerank" -> Q(
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .orderBy("node")
+      },
+      Some {
+        def d18(e: String) =
+          s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+        def iter(t: Int) = s"""
+          d$t AS (SELECT COALESCE(${d18("r")}, CAST(0.0 AS DOUBLE)) AS dm
+            FROM r${t - 1} ANTI JOIN od ON r${t - 1}.node = od.src),
+          c$t AS (SELECT dst, ${d18("r / od")} AS c
+            FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+                   JOIN od ON e.src = od.src
+            GROUP BY dst),
+          r$t AS (SELECT node,
+              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                + CAST(0.85 AS DOUBLE)
+                  * (COALESCE(c, CAST(0.0 AS DOUBLE)) + dm / n) AS r
+            FROM nodes LEFT JOIN c$t ON nodes.node = c$t.dst
+            CROSS JOIN d$t CROSS JOIN nn)"""
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+            l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
+            FROM nodes CROSS JOIN nn),
+          ${(1 to 3).map(iter).mkString(",")}
+          SELECT node, round(r, 12) AS pr FROM r3 ORDER BY node"""
       })
   )
 

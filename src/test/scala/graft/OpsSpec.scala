@@ -1919,4 +1919,117 @@ class OpsSpec extends SparkSpec {
       .as[(Int, Long, Long, Long)].collect().toSet
     assert(backM == manifest)
   }
+
+  test("semanticDecontaminate drops exactly the corpus rows with a " +
+    "same-cell eval twin above threshold") {
+    // cells around two orthogonal centroids; corpus 10/11 near c0,
+    // 12 near c1; eval 90 ≈ corpus 10 (contaminated), eval 91 near c1
+    // but far from 12 in cosine.
+    val vecs = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),   // centroid c0 stand-in lives in corpus too
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(0.8f, -0.3f, 0f, 0f)),
+      (12L, Array(0f, 0f, 1f, 0.1f)),
+      (90L, Array(0.9f, 0.11f, 0f, 0f)),  // eval: cos vs 10 ≈ 1
+      (91L, Array(0f, 0f, -1f, 0.9f))     // eval: same cell as 12, cos < 0
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 1f, 0f)))
+      .toDF("cid", "embedding")
+    val corpus = vecs.filter($"vec_id" < 50)
+    val eval = vecs.filter($"vec_id" >= 50)
+    val kept = Similarity.semanticDecontaminate(
+        corpus, eval, centroids, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L)) // 10 AND 100 contaminated by 90; 11 under τ
+    // threshold below 12↔91's cosine? cos(12,91) is negative — still kept
+    val keptLoose = Similarity.semanticDecontaminate(
+        corpus, eval, centroids, "vec_id", "embedding", threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptLoose.contains(12L))
+  }
+
+  test("tokenKlDivergence: identical-distribution group scores ~0, " +
+    "disjoint-vocab group scores high, decomposition matches direct sum") {
+    val df = Seq(
+      ("a", "x x y"), ("a", "y z"),
+      ("b", "x x y y z"),             // same unigram distribution as corpus-ish
+      ("c", "q q q r r")              // disjoint vocabulary
+    ).toDF("source", "text")
+    val got = graft.ops.Mixture.tokenKlDivergence(df, "source", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 5L && got("a")._3 == 3L)
+    assert(got("c")._4 > got("b")._4)  // disjoint vocab diverges most
+    assert(got.values.forall(_._4 > -1e-6)) // KL ≥ 0 up to rounding
+    // direct full-vocab sum (double precision) agrees to ~1e-5
+    val toks = df.select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).as[(String, String)].collect()
+    val corpus = toks.groupBy(_._2).view.mapValues(_.size).toMap
+    val bigN = toks.size.toDouble; val bigV = corpus.size.toDouble
+    for ((g, rec) <- got) {
+      val gt = toks.filter(_._1 == g).groupBy(_._2).view.mapValues(_.size).toMap
+      val ng = gt.values.sum.toDouble
+      val kl = corpus.keys.toSeq.map { w =>
+        val p = (gt.getOrElse(w, 0) + 1.0) / (ng + bigV)
+        val q = (corpus(w) + 1.0) / (bigN + bigV)
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(kl - rec._4) < 1e-4, s"group $g: $kl vs ${rec._4}")
+    }
+  }
+
+  test("weightedPercentiles: cumulative-weight thresholds, exact " +
+    "on-boundary tie-break, and null/non-positive weights drop") {
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 2.0), // W = 4
+      ("g", 4L, 0.0),                                  // zero weight drops
+      ("h", 10L, 3.0), ("h", 20L, 1.0)
+    ).toDF("grp", "v", "w")
+    val got = graft.api.Stats.weightedPercentiles(
+        df, "grp", $"v", $"w", Seq(0.25, 0.5, 0.75, 1.0))
+      .as[(String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // g: cum 1|2|4 of W=4 → 0.25→1 (exactly on boundary), 0.5→2, 0.75→3, 1→3
+    assert(got(("g", 0.25)) == 1L)
+    assert(got(("g", 0.5)) == 2L)
+    assert(got(("g", 0.75)) == 3L)
+    assert(got(("g", 1.0)) == 3L)
+    // h: cum 3|4 of W=4 → 0.5→10, 1.0→20
+    assert(got(("h", 0.5)) == 10L && got(("h", 1.0)) == 20L)
+  }
+
+  test("robustZOutliers flags the planted outlier and survives a " +
+    "constant group (MAD = 0)") {
+    val rows = (1L to 11L).map(i => ("a", i, i.toDouble)) :+
+      (("a", 99L, 1000.0)) // planted
+    val const = (1L to 5L).map(i => ("c", 100L + i, 7.0))
+    val df = (rows ++ const).toDF("grp", "id", "x")
+    val got = graft.api.Stats.robustZOutliers(df, "grp", $"x")
+      .select($"id", $"rz", $"is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(99L)._3, "planted outlier flagged")
+    assert((1L to 11L).forall(i => !got(i)._3), "inliers unflagged")
+    assert((101L to 105L).forall(i => got(i)._2.isEmpty && !got(i)._3),
+      "constant group: null rz, not flagged")
+  }
+
+  test("pageRank: mass conserves, dangling sinks redistribute, chain " +
+    "orders by depth; degrees counts both sides") {
+    import graft.ops.Graph
+    // chain 1→2→3 plus hub 4→{2,3}: 3 is highest (two in-paths + depth)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L), (4L, 3L))
+      .toDF("s", "t")
+    val pr = Graph.pageRank(edges, "s", "t", iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, "mass conserved")
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L), "depth ordering")
+    assert(math.abs(pr(1L) - pr(4L)) < 1e-12, "sources symmetric")
+    val deg = Graph.degrees(edges, "s", "t")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(deg(4L) == (2L, 0L) && deg(2L) == (1L, 2L) && deg(3L) == (0L, 2L))
+    // duplicate edges dedupe: adding a repeat changes nothing
+    val pr2 = Graph.pageRank(edges.union(Seq((1L, 2L)).toDF("s", "t")),
+      "s", "t", iterations = 10).as[(Long, Double)].collect().toMap
+    assert(pr2 == pr)
+  }
 }
