@@ -723,6 +723,17 @@ object Dedup {
     simhashPairsImpl(df, id, simhashPortable(col(text)), maxDist, bits = 31,
       materialize)
 
+  /** Hamming near-dup pairs for ANY precomputed ≤63-bit signature
+    * column (perceptual image hashes — [[Multimodal.aHash]] /
+    * [[Multimodal.dHash]] — or an externally-computed fingerprint):
+    * the same maxDist+1 bit-chunk pigeonhole blocking as
+    * [[simhashPairs]], FULL recall by construction, exact hamming
+    * verify. Returns (d1, d2, dist). */
+  def hammingNearDupPairs(df: DataFrame, id: String, sig: Column,
+                          maxDist: Int, bits: Int = 63,
+                          materialize: Boolean = true): DataFrame =
+    simhashPairsImpl(df, id, sig, maxDist, bits, materialize)
+
   private def simhashPairsImpl(df: DataFrame, id: String, sim: Column,
                                maxDist: Int, bits: Int,
                                materialize: Boolean): DataFrame = {

@@ -314,4 +314,76 @@ object Multimodal {
           MediaPayload(id, codec.resize(payload, w, h).orNull)
         }
       }(Encoders.product[MediaPayload]).toDF()
+
+  /** typed rows for [[decodeLumaGrid]]. */
+  private case class LumaGrid(doc_id: Long, pixels: Option[Seq[Double]])
+
+  /** REAL decode → w×h downsampled luma grid as array<double> (the
+    * perceptual-hash input): one decode + resize per payload, per
+    * partition, payloads never shuffle; undecodable payloads yield a
+    * null grid. The grid is tiny (w·h doubles), so it IS safe to
+    * shuffle downstream — the whole point of hashing before joining. */
+  def decodeLumaGrid(packed: DataFrame, w: Int, h: Int,
+                     codec: MediaCodec = ImageIoCodec): DataFrame =
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])](payloadEnc)
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val grid = for {
+            small <- codec.resize(payload, w, h)
+            (gw, gh, gray) <- codec.decode(small)
+            if gw == w && gh == h
+          } yield gray.map(b => (b & 0xFF).toDouble).toSeq
+          LumaGrid(id, grid)
+        }
+      }(Encoders.product[LumaGrid]).toDF()
+
+  /** Average hash (aHash — the classic public perceptual fingerprint:
+    * bit i set iff pixel i exceeds the grid mean). `bits` ≤ 63 pixels
+    * participate — 63, not 64, keeps the signature strictly
+    * non-negative in signed-64 engines (Spark longs, DuckDB BIGINT),
+    * so shifts, comparisons, and the pigeonhole chunking stay
+    * engine-portable; the discrimination loss of one bit is noise.
+    * Pure codegen Column arithmetic: the mean is a sequential
+    * element-order fold (deterministic — the [[Similarity.dot]]
+    * convention) and the bit sum is 63 exact long adds; a DuckDB
+    * oracle replays it bit-identically (q171). Near-dup pairs:
+    * [[Dedup.hammingNearDupPairs]]. Null/short grids → null hash. */
+  def aHash(pixels: org.apache.spark.sql.Column, bits: Int = 63)
+      : org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 63, "aHash: bits must be in [1, 63]")
+    val mean = aggregate(slice(pixels, 1, bits), lit(0.0),
+      (acc, x) => acc + x) / bits.toDouble
+    val terms = (0 until bits).map(i =>
+      when(element_at(pixels, i + 1) > mean, lit(1L << i)).otherwise(lit(0L)))
+    when(size(pixels) >= bits, terms.reduce(_ + _))
+  }
+
+  /** Difference hash (dHash — gradient fingerprint: bit r·(w−1)+c set
+    * iff pixel (r,c) < pixel (r,c+1) of a w×h row-major grid).
+    * (w−1)·h ≤ 63 bits for the same sign-portability rule as
+    * [[aHash]]; default 9×7 → 56 bits. More robust than aHash to
+    * global brightness shifts (it compares neighbors, not the mean).
+    * Pure exact Column arithmetic, no fp at all. */
+  def dHash(pixels: org.apache.spark.sql.Column, w: Int = 9, h: Int = 7)
+      : org.apache.spark.sql.Column = {
+    require(w >= 2 && h >= 1 && (w - 1) * h <= 63,
+      "dHash: need w >= 2 and (w-1)*h <= 63")
+    val terms = for { r <- 0 until h; c <- 0 until w - 1 } yield {
+      val k = r * (w - 1) + c
+      when(element_at(pixels, r * w + c + 1) < element_at(pixels, r * w + c + 2),
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    when(size(pixels) >= w * h, terms.reduce(_ + _))
+  }
+
+  /** Perceptual near-duplicate image pairs: hash each grid (tiny,
+    * scan-stage) and block on hamming chunks — [[Dedup
+    * .hammingNearDupPairs]]'s pigeonhole guarantee, so recall is FULL
+    * for the given hash; payloads themselves never join. Returns
+    * (d1, d2, dist) with hamming(aHash) <= maxDist. */
+  def imageNearDupPairs(grids: DataFrame, id: String, pixels: String,
+                        maxDist: Int = 6, bits: Int = 63): DataFrame =
+    Dedup.hammingNearDupPairs(
+      grids.filter(col(pixels).isNotNull), id,
+      aHash(col(pixels), bits), maxDist, bits)
 }

@@ -603,4 +603,44 @@ object TextAnalysis {
     top.join(perDoc.select(col(id), col("n_terms")), Seq(id))
       .select(col("rank"), col(id), col("score"), col("n_terms"))
   }
+
+  /** Sentence segmentation as a pure regexp Column (scan-stage, no
+    * UDF): maximal runs of non-terminator characters plus their
+    * trailing `.!?` run, trimmed, empties dropped. A deliberately
+    * simple engine-portable rule (RE2-safe — no lookbehind), not a
+    * linguistic tokenizer: "e.g." splits — the standard trade every
+    * regexp sentence splitter makes. Returns array<string>. */
+  def splitSentences(text: Column): Column =
+    filter(transform(
+      regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+      s => trim(s)), s => length(s) > 0)
+
+  /** Per-document repeated-SENTENCE statistics — the sentence-granular
+    * boilerplate signal ([[graft.ops.Dedup.duplicateSpanStats]] is
+    * token-window-granular, [[graft.ops.Dedup.removeRepeatedLines]] is
+    * line-granular): a sentence is "duplicated" when it occurs in at
+    * least `minDocs` DISTINCT documents (cookie banners, legal
+    * footers). Sentences hash in the scan stage (xxhash64 — the q44
+    * convention); the duplicated vocabulary is one distinct + one
+    * count aggregate on 8-byte keys; the flag join is a hash
+    * equi-join. Returns (id, n_sent, n_dup_sent, dup_frac). */
+  def sentenceDupStats(df: DataFrame, id: String, text: String,
+                       minDocs: Int = 2,
+                       materialize: Boolean = true): DataFrame = {
+    require(minDocs >= 2, "sentenceDupStats: minDocs must be >= 2")
+    val arrays0 = df.select(col(id),
+      transform(splitSentences(col(text)), s => xxhash64(s)).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val g = arrays.select(col(id), explode(col("gs")).as("g"))
+    val dup = g.select(col(id), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select(col("g"), lit(1).as("isdup"))
+    g.join(dup, Seq("g"), "left")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_sent"),
+        sum(coalesce(col("isdup"), lit(0))).as("n_dup_sent"))
+      .withColumn("dup_frac",
+        round(col("n_dup_sent").cast("double") / col("n_sent"), 6))
+  }
 }

@@ -3004,7 +3004,105 @@ object Pipeline {
             FROM nodes CROSS JOIN nn),
           ${(1 to 3).map(iter).mkString(",")}
           SELECT node, round(r, 12) AS pr FROM r3 ORDER BY node"""
-      })
+      }),
+
+    // --- perceptual image hashes (aHash / dHash) ----------------------------
+    // (Multimodal.aHash/dHash over a luma grid — here the embeddings
+    // vector stands in for the decoded 63-pixel grid so the oracle can
+    // replay the EXACT bit arithmetic relationally (the real PNG-decode
+    // → resize → grid path is OpsSpec's job — DuckDB can't decode
+    // images). 63 bits, not 64: the signature stays non-negative in
+    // signed-64 engines, so shifts/compares/pigeonhole chunks are
+    // portable. Mean = sequential element fold (≡ list_sum, the q97
+    // identity); bit sum = exact long adds. Near-dup pairing on these
+    // hashes is Dedup.hammingNearDupPairs (spec-pinned full recall).)
+    "q171_phash" -> Q(
+      (s, d) => {
+        val px = col("embedding").cast("array<double>")
+        emb(s, d).select(col("vec_id"),
+            graft.ops.Multimodal.aHash(px, 63).as("ahash"),
+            graft.ops.Multimodal.dHash(px, 9, 7).as("dhash"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+          CAST(list_sum(list_transform(range(1, 64), i ->
+            CASE WHEN CAST(embedding[i] AS DOUBLE) >
+              list_sum(list_transform(range(1, 64), j ->
+                CAST(embedding[j] AS DOUBLE))) / 63.0
+            THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS ahash,
+          CAST(list_sum(list_transform(range(0, 56), k ->
+            CASE WHEN CAST(embedding[(k // 8) * 9 + (k % 8) + 1] AS DOUBLE) <
+                      CAST(embedding[(k // 8) * 9 + (k % 8) + 2] AS DOUBLE)
+            THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+        FROM embeddings ORDER BY vec_id""")),
+
+    // --- T5 span corruption (blocked, deterministic) ------------------------
+    // (Masking.spanCorruption — Raffel et al. 2020: mask token spans,
+    // emit (input-with-sentinels, target). The BLOCKED variant fixes a
+    // span per full 20-token chunk at a portable-mixer offset, so span
+    // placement depends only on (id, chunk) — pure scan-stage Column
+    // arithmetic, no sequential per-doc state, exact 3/20 mask rate on
+    // full chunks, trailing partial chunks never mask (documented
+    // bias). Integer-only determinism — the oracle replays every
+    // token's chunk/offset decision and the string reassembly.)
+    "q172_span_corruption" -> Q(
+      (s, d) => graft.ops.Masking.spanCorruption(
+          docs(s, d), "doc_id", "text", chunk = 20, spanLen = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("input"), col("target"))
+        .orderBy("doc_id"),
+      Some {
+        val mixd = Sql.mix("doc_id")
+        def off(k: String) = s"(${Sql.mix(s"($mixd) + ($k)")} % 18)"
+        // per-position helpers over 0-based p0 (DuckDB lists are 1-based)
+        val k = "((p - 1) // 20)"; val pc = "((p - 1) % 20)"
+        val full = s"(($k + 1) * 20 <= len(ws))"
+        val atStart = s"($full AND $pc = ${off(k)})"
+        val inSpan =
+          s"($full AND $pc > ${off(k)} AND $pc < ${off(k)} + 3)"
+        s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(ws) AS INTEGER) AS n_tokens,
+            CAST(len(list_filter(range(1, len(ws) + 1),
+              p -> $atStart OR $inSpan)) AS BIGINT) AS n_masked,
+            COALESCE(array_to_string(list_filter(list_transform(range(1, len(ws) + 1),
+              p -> CASE WHEN $atStart THEN '<extra_id_' || $k || '>'
+                        WHEN $inSpan THEN NULL
+                        ELSE ws[p] END), t -> t IS NOT NULL), ' '), '') AS input,
+            COALESCE(array_to_string(list_filter(list_transform(range(1, len(ws) + 1),
+              p -> CASE WHEN $atStart
+                     THEN '<extra_id_' || $k || '>' || ' ' || ws[p]
+                        WHEN $inSpan THEN ws[p]
+                        ELSE NULL END), t -> t IS NOT NULL), ' '), '') AS target
+          FROM base ORDER BY doc_id"""
+      }),
+
+    // --- repeated-sentence boilerplate signal -------------------------------
+    // (TA.sentenceDupStats over TA.splitSentences — the sentence-granular
+    // sibling of q98's token windows and q102's lines: cookie banners /
+    // legal footers repeat as whole sentences across documents. The
+    // splitter is a portable RE2-safe regexp (runs + trailing .!? ,
+    // trimmed, empties dropped); Spark flags via xxhash64'd sentences,
+    // the oracle replays on the sentence STRINGS — counts agree modulo
+    // ~n²/2⁶⁵ collisions, the q44/q98 convention.)
+    "q173_sentence_dups" -> Q(
+      (s, d) => TA.sentenceDupStats(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH sent AS (SELECT doc_id, s FROM (
+            SELECT doc_id, list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]*'),
+              x -> trim(x)), x -> len(x) > 0) AS ss
+            FROM documents) t, unnest(t.ss) AS u(s)),
+          dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sent)
+            GROUP BY s HAVING COUNT(*) >= 2)
+          SELECT doc_id, COUNT(*) AS n_sent,
+            CAST(SUM(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_sent,
+            round(CAST(SUM(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 6) AS dup_frac
+          FROM sent LEFT JOIN dup ON sent.s = dup.s
+          GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -2032,4 +2032,103 @@ class OpsSpec extends SparkSpec {
       "s", "t", iterations = 10).as[(Long, Double)].collect().toMap
     assert(pr2 == pr)
   }
+
+  test("perceptual hashes: real decode→grid path; near-identical images " +
+    "pair at small hamming distance, unrelated don't; corrupt → null") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // a 64x64 gradient scene, a slightly-perturbed copy (a few pixels
+    // poked), and a structurally different scene
+    def scene(x: Int, y: Int): Int = { val v = (x * 4) & 0xFF; v * 0x010101 }
+    val a = png(64, 64, scene)
+    val b = png(64, 64, (x, y) =>
+      if (x == 10 && y < 3) 0xFFFFFF else scene(x, y))
+    val c = png(64, 64, (x, y) => { val v = (y * 4) & 0xFF; v * 0x010101 })
+    val packed = Seq((1L, a), (2L, b), (3L, c), (4L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val grids = Multimodal.decodeLumaGrid(packed, 9, 7)
+    val gmap = grids.collect().map(r => r.getLong(0) -> r).toMap
+    assert(gmap(4L).isNullAt(1), "corrupt payload → null grid")
+    assert(gmap(1L).getSeq[Double](1).length == 63)
+    val hashes = grids.filter($"pixels".isNotNull)
+      .select($"doc_id", Multimodal.aHash($"pixels").as("ah"),
+        Multimodal.dHash($"pixels").as("dh"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hashes.values.forall(h => h._1 >= 0L && h._2 >= 0L),
+      "63-bit signatures stay non-negative")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hashes(1L)._1, hashes(2L)._1) <= 6, "perturbed copy close")
+    assert(ham(hashes(1L)._1, hashes(3L)._1) > 10, "different scene far")
+    // end-to-end pairing: pigeonhole blocking finds exactly the planted pair
+    val pairs = Multimodal.imageNearDupPairs(grids, "doc_id", "pixels",
+      maxDist = 6).as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // blocking is lossless vs brute force at the same cutoff
+    val all = hashes.keys.toSeq.combinations(2).map(_.sorted).count {
+      case Seq(x, y) => ham(hashes(x)._1, hashes(y)._1) <= 6 }
+    assert(pairs.length == all)
+  }
+
+  test("spanCorruption: exact rate on full chunks, short docs pass " +
+    "through, and (input, target) losslessly reconstruct the original") {
+    import graft.ops.Masking
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, mk(45)), (2L, mk(7)), (3L, mk(20)))
+      .toDF("doc_id", "text")
+    val got = Masking.spanCorruption(df, "doc_id", "text",
+        chunk = 10, spanLen = 2)
+      .select($"doc_id", $"text", $"n_tokens", $"n_masked", $"input", $"target")
+      .as[(Long, String, Int, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 45 tokens → 4 full chunks × 2 masked; trailing 5 untouched
+    assert(got(1L)._4 == 8L)
+    // doc 2: shorter than a chunk → untouched, empty target
+    assert(got(2L)._4 == 0L && got(2L)._5 == got(2L)._2 && got(2L)._6 == "")
+    // doc 3: exactly two chunks → two spans, sentinels numbered 0 and 1
+    assert(got(3L)._4 == 4L && got(3L)._5.contains("<extra_id_0>") &&
+      got(3L)._5.contains("<extra_id_1>"))
+    // reconstruction: splice each sentinel's target tokens back in
+    for ((_, r) <- got) {
+      val spans = raw"<extra_id_(\d+)> ((?:(?!<extra_id_)\S+ ?)*)".r
+        .findAllMatchIn(r._6)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = r._5.split(" ").flatMap { t =>
+        raw"<extra_id_(\d+)>".r.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt).split(" ").toSeq
+          case None => Seq(t)
+        }
+      }.mkString(" ")
+      assert(rebuilt == r._2, s"doc ${r._1} reconstructs")
+    }
+  }
+
+  test("splitSentences + sentenceDupStats: boundary runs, trimming, " +
+    "and cross-doc repeated-sentence flags") {
+    val df = Seq(
+      (1L, "Accept cookies to continue. The weather is nice today! Done."),
+      (2L, "Accept cookies to continue. A completely original thought?"),
+      (3L, "No terminator at all"),
+      (4L, "Multiple!!! Terminators... stay attached. Accept cookies to continue.")
+    ).toDF("doc_id", "text")
+    val sents = df.select($"doc_id", TA.splitSentences($"text").as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sents(1L) == Seq("Accept cookies to continue.",
+      "The weather is nice today!", "Done."))
+    assert(sents(3L) == Seq("No terminator at all"))
+    assert(sents(4L).head == "Multiple!!!")
+    assert(sents(4L)(1) == "Terminators...")
+    val stats = TA.sentenceDupStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // "Accept cookies to continue." appears in docs 1, 2, 4
+    assert(stats(1L)._3 == 1L && stats(1L)._2 == 3L)
+    assert(stats(2L)._3 == 1L)
+    assert(stats(3L)._3 == 0L)
+    assert(stats(4L)._3 == 1L && stats(4L)._4 == 0.25)
+  }
 }
