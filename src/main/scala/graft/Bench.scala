@@ -190,7 +190,23 @@ object Bench {
     // round-10: token-budget mixture selection (per-group distributed
     // prefix sum) and the sharded-export integrity manifest
     "q164_token_budget" -> SparkEntry.queries("q164_token_budget"),
-    "q165_shard_manifest" -> SparkEntry.queries("q165_shard_manifest"))
+    "q165_shard_manifest" -> SparkEntry.queries("q165_shard_manifest"),
+    // round-10 late adds: embedding-space decontamination, per-source
+    // token-KL drift, token-weighted percentiles, median/MAD outliers,
+    // 3-iteration PageRank (exact decimal mass sums), perceptual
+    // hashes, blocked span corruption, sentence boilerplate stats
+    "q166_semantic_decontam" -> SparkEntry.queries("q166_semantic_decontam"),
+    "q167_token_kl" -> SparkEntry.queries("q167_token_kl"),
+    "q168_weighted_pct" -> SparkEntry.queries("q168_weighted_pct"),
+    "q169_robust_outliers" -> SparkEntry.queries("q169_robust_outliers"),
+    "q170_pagerank" -> SparkEntry.queries("q170_pagerank"),
+    "q171_phash" -> SparkEntry.queries("q171_phash"),
+    "q172_span_corruption" -> SparkEntry.queries("q172_span_corruption"),
+    "q173_sentence_dups" -> SparkEntry.queries("q173_sentence_dups"),
+    // round-10 late adds: script profile, readability, sentence chunking
+    "q174_script_profile" -> SparkEntry.queries("q174_script_profile"),
+    "q175_readability" -> SparkEntry.queries("q175_readability"),
+    "q176_sentence_chunks" -> SparkEntry.queries("q176_sentence_chunks"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

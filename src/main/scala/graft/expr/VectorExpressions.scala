@@ -741,6 +741,131 @@ object PqEncode {
   }
 }
 
+/** Average perceptual hash (aHash) over a luma-grid array: bit i set
+  * iff pixel i exceeds the mean of the first `bits` pixels.
+  *
+  * The Column formulation needs the mean inside all `bits` bit terms —
+  * either a CodegenFallback HOF fold (interpreted, re-evaluated per
+  * term: ~2 s / 50 k rows) or a `bits`-term add chain whose duplication
+  * across terms explodes the expression tree. This kernel is two tight
+  * loops per row inside whole-stage codegen. Arithmetic is bit-identical
+  * to the oracle's `list_sum` formulation: sequential element-order
+  * mean, `>` compare, exact long bit sum. Arrays shorter than `bits`
+  * yield null. `bits` ≤ 63 keeps the signature non-negative in
+  * signed-64 engines. */
+case class AHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, "graft_ahash: bits must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ahash needs array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val px = input.asInstanceOf[ArrayData]
+    if (px.numElements() < bits) null
+    else {
+      var s = 0.0; var i = 0
+      while (i < bits) { s += px.getDouble(i); i += 1 }
+      val mean = s / bits
+      var h = 0L; i = 0
+      while (i < bits) {
+        if (px.getDouble(i) > mean) h += (1L << i); i += 1
+      }
+      h
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, px => {
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+        if ($px.numElements() < $bits) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $bits; $i++) { $s += $px.getDouble($i); }
+          double $m = $s / $bits;
+          long $h = 0L;
+          for (int $i = 0; $i < $bits; $i++) {
+            if ($px.getDouble($i) > $m) $h += (1L << $i);
+          }
+          ${ev.value} = $h;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AHash =
+    copy(child = newChild)
+}
+
+/** Difference perceptual hash (dHash) over a w×h row-major luma grid:
+  * bit r·(w−1)+c set iff pixel (r,c) < pixel (r,c+1). Pure integer/
+  * compare arithmetic in one codegen loop; arrays shorter than w·h
+  * yield null. (w−1)·h ≤ 63 — same sign-portability rule as
+  * [[AHash]]. */
+case class DHash(child: Expression, w: Int, h: Int) extends UnaryExpression {
+  require(w >= 2 && h >= 1 && (w - 1) * h <= 63,
+    "graft_dhash: need w >= 2 and (w-1)*h <= 63")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_dhash needs array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val px = input.asInstanceOf[ArrayData]
+    if (px.numElements() < w * h) null
+    else {
+      var hash = 0L; var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w - 1) {
+          if (px.getDouble(r * w + c) < px.getDouble(r * w + c + 1))
+            hash += (1L << (r * (w - 1) + c))
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, px => {
+      val hash = ctx.freshName("hash"); val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      s"""
+        if ($px.numElements() < ${w * h}) {
+          ${ev.isNull} = true;
+        } else {
+          long $hash = 0L;
+          for (int $r = 0; $r < $h; $r++) {
+            for (int $c = 0; $c < ${w - 1}; $c++) {
+              if ($px.getDouble($r * $w + $c) < $px.getDouble($r * $w + $c + 1))
+                $hash += (1L << ($r * ${w - 1} + $c));
+            }
+          }
+          ${ev.value} = $hash;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DHash =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** dot(a, b) as a Column — drop-in for the higher-order-function
     * formulation, ~an order of magnitude faster on the pair hot path.
@@ -750,6 +875,16 @@ object VectorExpressions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** aHash perceptual fingerprint of an array<double> luma grid. */
+  def aHash(pixels: Column, bits: Int): Column =
+    ColumnBridge.column(AHash(
+      ColumnBridge.expression(pixels.cast("array<double>")), bits))
+
+  /** dHash perceptual fingerprint of a w×h array<double> luma grid. */
+  def dHash(pixels: Column, w: Int, h: Int): Column =
+    ColumnBridge.column(DHash(
+      ColumnBridge.expression(pixels.cast("array<double>")), w, h))
 
   /** MinHash signature of an array<bigint> of shingle hashes. */
   def minhashSig(hashes: Column, numPerms: Int): Column =

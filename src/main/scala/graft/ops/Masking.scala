@@ -36,44 +36,47 @@ object Masking {
     require(chunk >= 2, "spanCorruption: chunk must be >= 2")
     require(spanLen >= 1 && spanLen < chunk,
       "spanCorruption: need 1 <= spanLen < chunk")
+    // Span offsets are computed ONCE PER FULL CHUNK into a small array
+    // column and indexed from the token lambdas — inlining the
+    // mixer chain into each token's condition re-evaluates ~5 hash
+    // chains per token inside CodegenFallback HOF lambdas (measured
+    // 13 s at sf0.1; this shape runs 1 s). n_masked is closed-form:
+    // every full chunk masks exactly spanLen tokens.
     val ws = split(col(text), " ")
     val n = size(ws)
-    // span start offset within full chunk k of doc i:
-    //   off(i,k) = mix(mix(i) + k) mod (chunk - spanLen + 1)
-    def off(k: Column) =
-      pmod(Frame.portableMix(Frame.portableMix(col(id)) + k),
-        lit((chunk - spanLen + 1).toLong))
-    // per-token: chunk index, position in chunk, full-chunk flag, masked flag
-    val pos = sequence(lit(0), n - 1)
-    val isMasked = transform(pos, p => {
-      val k = (p / chunk).cast("long")
-      val pc = pmod(p, lit(chunk))
-      val full = (k + 1) * chunk <= n // chunk fully inside the doc
-      full && pc >= off(k) && pc < off(k) + spanLen
-    })
+    val nFull = (n / chunk).cast("int") // exact: ints are double-exact
+    // off(i,k) = mix(mix(i) + k) mod (chunk - spanLen + 1), k = 0..nFull-1
+    // nFull = 0 guard: sequence(0, -1) DESCENDS in Spark (implicit step
+    // −1) — it does not produce an empty array; short docs must get one
+    val offs = when(nFull > 0, transform(sequence(lit(0), nFull - 1), k =>
+      pmod(Frame.portableMix(Frame.portableMix(col(id)) + k.cast("long")),
+        lit((chunk - spanLen + 1).toLong))))
+      .otherwise(array().cast("array<bigint>"))
     def sentinel(k: Column) = concat(lit("<extra_id_"), k, lit(">"))
-    val inputToks = zip_with(ws, pos, (w, p) => {
-      val k = (p / chunk).cast("long")
+    def tok(w: Column, p: Column, offsC: Column,
+            atStart: (Column, Column) => Column,
+            inSpan: Column => Column, other: Column => Column) = {
+      val k = (p / chunk).cast("int")
       val pc = pmod(p, lit(chunk))
-      val full = (k + 1) * chunk <= n
-      when(full && pc === off(k), sentinel(k))
-        .when(full && pc > off(k) && pc < off(k) + spanLen, lit(null))
-        .otherwise(w)
-    })
-    val targetToks = zip_with(ws, pos, (w, p) => {
-      val k = (p / chunk).cast("long")
-      val pc = pmod(p, lit(chunk))
-      val full = (k + 1) * chunk <= n
-      when(full && pc === off(k), concat(sentinel(k), lit(" "), w))
-        .when(full && pc > off(k) && pc < off(k) + spanLen, w)
-        .otherwise(lit(null))
-    })
-    df.withColumn("n_tokens", n)
-      .withColumn("n_masked",
-        size(filter(isMasked, x => x)).cast("long"))
-      .withColumn("input",
-        array_join(filter(inputToks, _.isNotNull), " "))
-      .withColumn("target",
-        array_join(filter(targetToks, _.isNotNull), " "))
+      val off = try_element_at(offsC, k + 1) // null past the last full chunk
+      when(off.isNotNull && pc === off, atStart(k.cast("long"), w))
+        .when(off.isNotNull && pc > off && pc < off + spanLen, inSpan(w))
+        .otherwise(other(w))
+    }
+    val pos = sequence(lit(0), n - 1)
+    val stage = df.withColumn("__offs", offs)
+    stage
+      .withColumn("n_tokens", n)
+      .withColumn("n_masked", (nFull * spanLen).cast("long"))
+      .withColumn("input", array_join(filter(
+        zip_with(ws, pos, (w, p) => tok(w, p, col("__offs"),
+          (k, _) => sentinel(k), _ => lit(null), identity)),
+        _.isNotNull), " "))
+      .withColumn("target", array_join(filter(
+        zip_with(ws, pos, (w, p) => tok(w, p, col("__offs"),
+          (k, w0) => concat(sentinel(k), lit(" "), w0), identity,
+          _ => lit(null))),
+        _.isNotNull), " "))
+      .drop("__offs")
   }
 }

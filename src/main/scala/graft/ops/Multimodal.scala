@@ -349,14 +349,15 @@ object Multimodal {
     * oracle replays it bit-identically (q171). Near-dup pairs:
     * [[Dedup.hammingNearDupPairs]]. Null/short grids → null hash. */
   def aHash(pixels: org.apache.spark.sql.Column, bits: Int = 63)
-      : org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 63, "aHash: bits must be in [1, 63]")
-    val mean = aggregate(slice(pixels, 1, bits), lit(0.0),
-      (acc, x) => acc + x) / bits.toDouble
-    val terms = (0 until bits).map(i =>
-      when(element_at(pixels, i + 1) > mean, lit(1L << i)).otherwise(lit(0L)))
-    when(size(pixels) >= bits, terms.reduce(_ + _))
-  }
+      : org.apache.spark.sql.Column =
+    // codegen kernel (graft.expr.AHash): the Column formulations are
+    // pathological here — a HOF-fold mean is CodegenFallback AND
+    // re-evaluates per bit term (2.0 s / 50 k rows at sf0.1), while an
+    // inlined add-chain mean duplicated across 63 terms explodes the
+    // expression tree past what codegen handles (25 s). The kernel is
+    // two tight loops per row (QBench 0.35 s), arithmetic bit-identical
+    // to the q171 oracle's list_sum formulation.
+    graft.expr.VectorExpressions.aHash(pixels, bits)
 
   /** Difference hash (dHash — gradient fingerprint: bit r·(w−1)+c set
     * iff pixel (r,c) < pixel (r,c+1) of a w×h row-major grid).
@@ -365,16 +366,8 @@ object Multimodal {
     * global brightness shifts (it compares neighbors, not the mean).
     * Pure exact Column arithmetic, no fp at all. */
   def dHash(pixels: org.apache.spark.sql.Column, w: Int = 9, h: Int = 7)
-      : org.apache.spark.sql.Column = {
-    require(w >= 2 && h >= 1 && (w - 1) * h <= 63,
-      "dHash: need w >= 2 and (w-1)*h <= 63")
-    val terms = for { r <- 0 until h; c <- 0 until w - 1 } yield {
-      val k = r * (w - 1) + c
-      when(element_at(pixels, r * w + c + 1) < element_at(pixels, r * w + c + 2),
-        lit(1L << k)).otherwise(lit(0L))
-    }
-    when(size(pixels) >= w * h, terms.reduce(_ + _))
-  }
+      : org.apache.spark.sql.Column =
+    graft.expr.VectorExpressions.dHash(pixels, w, h)
 
   /** Perceptual near-duplicate image pairs: hash each grid (tiny,
     * scan-stage) and block on hamming chunks — [[Dedup

@@ -615,6 +615,87 @@ object TextAnalysis {
       regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
       s => trim(s)), s => length(s) > 0)
 
+  /** Unicode-script character profile — the multilingual-crawl triage
+    * signal (language-ID (q42) names ONE language; a mixed-script or
+    * mojibake document shows up here first). Counts characters per
+    * class via regexp removal lengths (pure scan-stage, the q41
+    * alpha-ratio idiom) over explicit CODE-POINT RANGES — not \\p{...}
+    * script names, whose definitions differ between Java regex and
+    * RE2, so an oracle could silently disagree. Returns a struct of
+    * fractions (latin, digit, space, punct_ascii, cyrillic, cjk,
+    * arabic, other) over the total character count; empty/null text →
+    * null fractions. */
+  def scriptProfile(text: Column): Column = {
+    val n = length(text).cast("double")
+    def frac(pattern: String) =
+      round((n - length(regexp_replace(text, pattern, ""))) / n, 6)
+    when(n > 0, struct(
+      frac("[A-Za-z]").as("latin"),
+      frac("[0-9]").as("digit"),
+      frac("[ \\t\\n\\r]").as("space"),
+      frac("[!-/:-@\\[-`{-~]").as("punct_ascii"),
+      frac("[Ѐ-ӿ]").as("cyrillic"),
+      frac("[一-鿿]").as("cjk"),
+      frac("[؀-ۿ]").as("arabic"),
+      round((length(regexp_replace(text,
+        "[A-Za-z0-9 \\t\\n\\r!-/:-@\\[-`{-~Ѐ-ӿ一-鿿؀-ۿ]",
+        ""))).cast("double") / n, 6).as("other")))
+  }
+
+  /** Flesch reading ease (public formula, Flesch 1948):
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * with the standard vowel-GROUP syllable heuristic (runs of
+    * [aeiouy] in the lowercased text — spaces break runs, so no word
+    * split is needed) and [[splitSentences]] for the sentence count
+    * (min 1 — an unterminated doc is one sentence). Pure scan-stage
+    * regexp counting, 6-dp rounded, engine-portable. Null/empty-token
+    * docs → null. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = size(filter(tokens(text), w => length(w) > 0)).cast("double")
+    val sents = greatest(size(splitSentences(text)), lit(1)).cast("double")
+    val syll = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    when(words > 0, round(
+      lit(206.835) - lit(1.015) * (words / sents) -
+        lit(84.6) * (syll / words), 6))
+  }
+
+  /** Sentence-aligned chunking for retrieval pipelines (the RAG
+    * complement of [[chunkTokens]], which cuts mid-sentence): each
+    * sentence lands in chunk ⌊tokens-before-it / maxTokens⌋ — a
+    * deterministic token-quota rule (a chunk holds whole sentences
+    * and overflows only by its last sentence's tail, the trade every
+    * sentence-aligned chunker makes). Pure per-document array
+    * arithmetic in the scan stage: the per-sentence running token sum
+    * is a prefix fold over the (short) sentence array, never a
+    * corpus window; docs explode only into their own chunks. Returns
+    * (id, chunk_ix, n_sent, n_tokens, chunk_text). */
+  def chunkBySentences(df: DataFrame, id: String, text: String,
+                       maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "chunkBySentences: maxTokens must be >= 1")
+    val ss = splitSentences(col(text))
+    // tokens per sentence, then exclusive prefix sums (O(s²) array
+    // arithmetic — s is sentences per doc, tiny)
+    val tc = transform(ss, s => size(filter(split(s, " "), w => length(w) > 0)))
+    val before = transform(sequence(lit(0), size(ss) - 1), i =>
+      coalesce(aggregate(slice(tc, lit(1), i), lit(0), (a, x) => a + x), lit(0)))
+    val chunkIx = transform(before, b => (b / maxTokens).cast("int"))
+    val si = sequence(lit(0), size(ss) - 1)
+    df.select(col(id), ss.as("__ss"), tc.as("__tc"), chunkIx.as("__cx"),
+        si.as("__si"))
+      .filter(size(col("__ss")) > 0)
+      .select(col(id), explode(arrays_zip(
+        col("__si"), col("__ss"), col("__tc"), col("__cx"))).as("__z"))
+      .groupBy(col(id), col("__z.__cx").as("chunk_ix"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(col("__z.__tc")).as("n_tokens"),
+        // collect_list order is partition-arbitrary; the sentence index
+        // rides along and an array_sort restores document order
+        array_join(transform(
+          array_sort(collect_list(struct(col("__z.__si"), col("__z.__ss")))),
+          x => x.getField("__ss")), " ").as("chunk_text"))
+  }
+
   /** Per-document repeated-SENTENCE statistics — the sentence-granular
     * boilerplate signal ([[graft.ops.Dedup.duplicateSpanStats]] is
     * token-window-granular, [[graft.ops.Dedup.removeRepeatedLines]] is

@@ -3102,7 +3102,97 @@ object Pipeline {
             round(CAST(SUM(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END)
               AS DOUBLE) / COUNT(*), 6) AS dup_frac
           FROM sent LEFT JOIN dup ON sent.s = dup.s
-          GROUP BY doc_id ORDER BY doc_id"""))
+          GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- Unicode-script character profile -----------------------------------
+    // (TA.scriptProfile — multilingual-crawl triage: mixed-script /
+    // mojibake shows up here before language-ID settles on one label.
+    // Explicit code-point RANGES, not \\p{script} names — Java regex
+    // and RE2 disagree on script-name definitions, so named classes
+    // could silently diverge between engine and oracle. Counting is
+    // the q41 removal-length idiom; DuckDB needs the 'g' flag where
+    // Spark's regexp_replace is global by default.)
+    "q174_script_profile" -> Q(
+      (s, d) => docs(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), TA.scriptProfile(col("text")).as("sp"))
+        .select(col("doc_id"), col("sp.latin"), col("sp.digit"),
+          col("sp.space"), col("sp.punct_ascii"), col("sp.cyrillic"),
+          col("sp.cjk"), col("sp.arabic"), col("sp.other"))
+        .orderBy("doc_id"),
+      Some {
+        def frac(pat: String) =
+          s"""round((CAST(length(text) AS DOUBLE)
+             - length(regexp_replace(text, '$pat', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 6)"""
+        s"""SELECT doc_id,
+          ${frac("[A-Za-z]")} AS latin,
+          ${frac("[0-9]")} AS digit,
+          ${frac("[ \\t\\n\\r]")} AS space,
+          ${frac("[!-/:-@\\[-`{-~]")} AS punct_ascii,
+          ${frac("[\\x{0400}-\\x{04FF}]")} AS cyrillic,
+          ${frac("[\\x{4E00}-\\x{9FFF}]")} AS cjk,
+          ${frac("[\\x{0600}-\\x{06FF}]")} AS arabic,
+          round(CAST(length(regexp_replace(text,
+            '[A-Za-z0-9 \\t\\n\\r!-/:-@\\[-`{-~\\x{0400}-\\x{04FF}\\x{4E00}-\\x{9FFF}\\x{0600}-\\x{06FF}]',
+            '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS other
+        FROM documents WHERE length(text) > 0 ORDER BY doc_id"""
+      }),
+
+    // --- Flesch reading ease -------------------------------------------------
+    // (TA.fleschReadingEase — Flesch 1948 with the vowel-group syllable
+    // heuristic; spaces break vowel runs so no word split is needed.
+    // Pure regexp counting; the per-row double formula is identical
+    // IEEE arithmetic in both engines, rounded 6 dp.)
+    "q175_readability" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TA.fleschReadingEase(col("text")).as("flesch"))
+        .filter(col("flesch").isNotNull)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          round(CAST(206.835 AS DOUBLE)
+            - CAST(1.015 AS DOUBLE) * (words / sents)
+            - CAST(84.6 AS DOUBLE) * (syll / words), 6) AS flesch
+        FROM (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+            AS DOUBLE) AS words,
+          CAST(greatest(len(list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+            x -> len(x) > 0)), 1) AS DOUBLE) AS sents,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+            AS syll
+          FROM documents)
+        WHERE words > 0 ORDER BY doc_id""")),
+
+    // --- sentence-aligned chunking (RAG complement of q68's chunkTokens) ----
+    // (TA.chunkBySentences — each sentence lands in chunk
+    // ⌊tokens-before / maxTokens⌋: whole sentences per chunk, overflow
+    // only by the last sentence's tail. The prefix sum is an O(s²)
+    // per-document ARRAY fold in the scan stage — never a corpus
+    // window; docs explode only into their own chunks; collect_list
+    // order is restored by the riding sentence index (array_sort ≡
+    // string_agg ORDER BY).)
+    "q176_sentence_chunks" -> Q(
+      (s, d) => TA.chunkBySentences(docs(s, d), "doc_id", "text", 60)
+        .orderBy("doc_id", "chunk_ix"),
+      Some("""WITH s0 AS (SELECT doc_id,
+            list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+              x -> trim(x)), x -> len(x) > 0) AS ss
+          FROM documents),
+        s1 AS (SELECT doc_id, ss,
+            list_transform(ss, s ->
+              len(list_filter(string_split(s, ' '), w -> len(w) > 0))) AS tc
+          FROM s0 WHERE len(ss) > 0),
+        ex AS (SELECT doc_id,
+            unnest(ss) AS s, unnest(tc) AS t,
+            unnest(list_transform(range(1, len(ss) + 1), i ->
+              COALESCE(list_sum(list_slice(tc, 1, i - 1)), 0) // 60)) AS c,
+            unnest(range(1, len(ss) + 1)) AS si
+          FROM s1)
+        SELECT doc_id, CAST(c AS INTEGER) AS chunk_ix,
+          COUNT(*) AS n_sent, CAST(SUM(t) AS BIGINT) AS n_tokens,
+          string_agg(s, ' ' ORDER BY si) AS chunk_text
+        FROM ex GROUP BY 1, 2 ORDER BY doc_id, chunk_ix"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -2131,4 +2131,60 @@ class OpsSpec extends SparkSpec {
     assert(stats(3L)._3 == 0L)
     assert(stats(4L)._3 == 1L && stats(4L)._4 == 0.25)
   }
+
+  test("scriptProfile: per-class fractions sum to 1, non-Latin scripts " +
+    "counted, empty text → null profile") {
+    val df = Seq(
+      (1L, "Hello 42 world!"),
+      (2L, "Привет мир"),          // Cyrillic + one space
+      (3L, "中文 text こんにちは"), // CJK + latin + kana (kana → other)
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TA.scriptProfile($"text").as("sp"))
+      .select($"doc_id", $"sp.latin", $"sp.digit", $"sp.space",
+        $"sp.punct_ascii", $"sp.cyrillic", $"sp.cjk", $"sp.arabic", $"sp.other")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(math.abs((1 to 8).map(r1.getDouble).sum - 1.0) < 1e-5,
+      "classes partition the text")
+    assert(r1.getDouble(2) == math.rint(2.0 / 15 * 1e6) / 1e6) // "42"
+    assert(got(2L).getDouble(5) == math.rint(9.0 / 10 * 1e6) / 1e6)
+    assert(got(3L).getDouble(6) > 0 && got(3L).getDouble(8) > 0)
+    assert(got(4L).isNullAt(1), "empty text → null profile")
+  }
+
+  test("fleschReadingEase matches the published formula on a known " +
+    "sentence and degrades for long-word text") {
+    val df = Seq(
+      (1L, "The cat sat on the mat."),
+      (2L, "Incomprehensibility characterizes interdisciplinary " +
+        "neuropharmacological investigations.")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TA.fleschReadingEase($"text"))
+      .as[(Long, Double)].collect().toMap
+    // doc 1: 6 words, 1 sentence, vowel groups: e,a,a,o,e,a = 6
+    val exp1 = 206.835 - 1.015 * 6.0 - 84.6 * (6.0 / 6.0)
+    assert(math.abs(got(1L) - exp1) < 1e-6)
+    assert(got(2L) < got(1L), "polysyllabic text reads harder")
+  }
+
+  test("chunkBySentences: whole sentences per chunk, boundary only " +
+    "overflows by the tail, document order preserved") {
+    val text = (1 to 6).map(i => s"Sentence number $i has five words.")
+      .mkString(" ") // 6 sentences × 6 tokens
+    val df = Seq((1L, text), (2L, "Short.")).toDF("doc_id", "text")
+    val got = TA.chunkBySentences(df, "doc_id", "text", maxTokens = 13)
+      .orderBy("doc_id", "chunk_ix")
+      .as[(Long, Int, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    // quota rule: sentence i joins chunk floor(6i/13): s0,s1,s2→0 (0,6,12),
+    // s3,s4→1 (18,24), s5→2 (30)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 3L, 18L), (1, 2L, 12L), (2, 1L, 6L)))
+    assert(d1.head._5 ==
+      "Sentence number 1 has five words. Sentence number 2 has five words. " +
+      "Sentence number 3 has five words.")
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, 1L, 1L, "Short.")))
+  }
 }
