@@ -206,7 +206,12 @@ object Bench {
     // round-10 late adds: script profile, readability, sentence chunking
     "q174_script_profile" -> SparkEntry.queries("q174_script_profile"),
     "q175_readability" -> SparkEntry.queries("q175_readability"),
-    "q176_sentence_chunks" -> SparkEntry.queries("q176_sentence_chunks"))
+    "q176_sentence_chunks" -> SparkEntry.queries("q176_sentence_chunks"),
+    // round-10 late adds: MMR diversified re-rank, bucketed
+    // interval-overlap join, per-group winsorization
+    "q177_mmr_rerank" -> SparkEntry.queries("q177_mmr_rerank"),
+    "q178_interval_overlap" -> SparkEntry.queries("q178_interval_overlap"),
+    "q179_winsorize" -> SparkEntry.queries("q179_winsorize"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

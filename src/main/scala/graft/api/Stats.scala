@@ -302,6 +302,30 @@ object Stats {
       .select(F.col("__g").as(group), F.col("p"), F.col("wpct"))
   }
 
+  /** Per-group winsorization: clip `value` into its group's exact
+    * [lo, hi] percentile band (public method — the standard
+    * feature-preprocessing tail clamp; pairs with [[robustZOutliers]],
+    * which FLAGS tails where this CLAMPS them). One grouped
+    * exact-percentile aggregate broadcast back (the zScore pattern, no
+    * global window), then a pure scan-stage least/greatest. Percentile
+    * interpolation is the q25-proven Spark ≡ DuckDB quantile_cont
+    * identity, and least/greatest of identical doubles is exact, so
+    * the clipped column replays bit-identically (q179). Appends
+    * `out`. */
+  def winsorize(df: DataFrame, group: String, value: Column,
+                lo: Double = 0.05, hi: Double = 0.95,
+                out: String = "winsorized"): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+      "winsorize: need 0 <= lo < hi <= 1")
+    val v = value.cast("double")
+    val qs = df.groupBy(F.col(group)).agg(
+      F.percentile(v, F.lit(lo)).as("__wlo"),
+      F.percentile(v, F.lit(hi)).as("__whi"))
+    df.join(F.broadcast(qs), Seq(group))
+      .withColumn(out, F.least(F.greatest(v, F.col("__wlo")), F.col("__whi")))
+      .drop("__wlo", "__whi")
+  }
+
   /** Robust per-row outlier score: the median/MAD z-score
     *   rz = 0.6745 · (x − median_g) / MAD_g,
     * MAD_g = median(|x − median_g|) (public method — Iglewicz & Hoaglin's

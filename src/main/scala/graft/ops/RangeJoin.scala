@@ -54,4 +54,55 @@ object RangeJoin {
       .filter(col(ts) >= col(start) && col(ts) <= col(end))
       .drop(PB, IB, RK)
   }
+
+  /** Keyed INTERVAL-OVERLAP join — `l.key = r.key AND l.start <= r.end
+    * AND r.start <= l.end` — as a bucketed equi-join (the
+    * interval-interval completion of [[pointInInterval]]; same reason:
+    * Spark would materialize every same-key pair and post-filter).
+    *
+    * Both sides explode into the buckets they cover; overlapping
+    * intervals share at least one bucket (their intersection is
+    * non-empty and every covered instant's bucket is covered by both),
+    * so recall is FULL by construction — but unlike the point case a
+    * pair can MEET IN SEVERAL buckets, so matches dedupe by the
+    * caller-provided id columns before re-attaching payloads. The
+    * exact overlap predicate verifies after the bucket join (no false
+    * positives). `maxBucketsPerInterval` truncates pathological
+    * intervals on BOTH sides — the explicit recall trade, as above.
+    * Returns left payload + right payload (right key dropped). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+                      leftId: String, rightId: String,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidthMicros: Long,
+                      maxBucketsPerInterval: Option[Int] = None): DataFrame = {
+    require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"intervalOverlap: sides share non-key columns " +
+        s"${shared.toSeq.sorted.mkString(", ")} — rename or drop one side")
+    val w = bucketWidthMicros
+    def buckets(s: String, e: String) = {
+      val sB = (unix_micros(col(s)) / w).cast("long")
+      val eB0 = (unix_micros(col(e)) / w).cast("long")
+      val eB = maxBucketsPerInterval match {
+        case Some(cap) => least(eB0, sB + (cap - 1))
+        case None => eB0
+      }
+      sequence(sB, eB)
+    }
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn(PB, explode(buckets(lStart, lEnd)))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn(IB, explode(buckets(rStart, rEnd)))
+      .withColumnRenamed(key, RK)
+    val matched = l.join(r, col(PB) === col(IB) && col(key) === col(RK))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .select(col(leftId), col(rightId)).distinct()
+    // re-attach payloads by id (narrow id-pair frame shuffles, payloads
+    // join once each — the packTexts convention)
+    matched
+      .join(left, Seq(leftId))
+      .join(right.withColumnRenamed(key, RK).drop(RK), Seq(rightId))
+  }
 }

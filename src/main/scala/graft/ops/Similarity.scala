@@ -295,6 +295,71 @@ object Similarity {
     * per-doc sum runs through the exact decimal register rounded at
     * 6 dp, ties break (score desc, id asc) — fully engine-portable.
     * Returns (rank, id, score, n_lists). */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998 — public method): greedily diversify a per-query
+    * candidate shortlist by picking, k times,
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)
+    * (first pick: the plain relevance argmax — the max-sim term is 0
+    * over an empty selection). The standard fix for near-duplicate
+    * results crowding a RAG top-k that [[rrfFuse]] alone can't
+    * prevent.
+    *
+    * Input: (qid, id, rel, vec) shortlists — ALREADY top-N per query
+    * (the expensive retrieval happened upstream; N is tens, the
+    * [[rrfFuse]] posture). Scale shape: every iteration is one
+    * remaining⋈selected equi-join on qid (shortlist-sized), one
+    * (qid, candidate) max aggregate, and one per-qid argmax via a
+    * max_by struct aggregate (the [[assignCells]] trick — never a rank
+    * window); thousands of queries diversify in the same k passes,
+    * each group independent. Iterations localCheckpoint so lineage
+    * stays k-flat.
+    *
+    * Determinism: cosines are the sequential-fold [[dot]] kernel
+    * (identical across engines), the MMR score is per-row double
+    * arithmetic, ties break (score desc, id asc) via the negated-id
+    * struct. Returns (qid, rank, id, score) with score rounded 6 dp
+    * at output. */
+  def mmrDiversify(candidates: DataFrame, qid: String, id: String,
+                   rel: String, vec: String, k: Int,
+                   lambda: Double = 0.7,
+                   materialize: Boolean = true): DataFrame = {
+    require(k >= 1, "mmrDiversify: k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      "mmrDiversify: lambda must be in [0, 1]")
+    val base0 = candidates.select(col(qid).as("__q"), col(id).as("__c"),
+      col(rel).cast("double").as("__rel"),
+      col(vec).cast("array<double>").as("__v"))
+    val base = if (materialize) base0.localCheckpoint() else base0
+    var remaining = base
+    var picked: DataFrame = null
+    for (t <- 1 to k) {
+      val maxSim =
+        if (t == 1) remaining.withColumn("__ms", lit(0.0))
+        else {
+          val sel = picked.select(col("__q"), col("__v").as("__sv"))
+          remaining.join(sel, Seq("__q"))
+            .groupBy(col("__q"), col("__c"))
+            .agg(first(col("__rel")).as("__rel"), first(col("__v")).as("__v"),
+              max(cosine(col("__v"), col("__sv"))).as("__ms"))
+        }
+      val scored = maxSim.withColumn("__s",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+      val pick0 = scored.groupBy(col("__q"))
+        .agg(max(struct(col("__s"), (-col("__c")).as("__negc"))).as("__b"))
+        .select(col("__q"), (-col("__b.__negc")).as("__c"),
+          col("__b.__s").as("__score"), lit(t).as("rank"))
+        .join(base.select(col("__q"), col("__c"), col("__v")),
+          Seq("__q", "__c"))
+      val pick = if (materialize) pick0.localCheckpoint() else pick0
+      picked = if (t == 1) pick else picked.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("__q"), col("__c")), Seq("__q", "__c"), "left_anti")
+      remaining = if (materialize) remaining.localCheckpoint() else remaining
+    }
+    picked.select(col("__q").as(qid), col("rank"), col("__c").as(id),
+      round(col("__score"), 6).as("score"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], id: String, k: Int = 10,
               rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")

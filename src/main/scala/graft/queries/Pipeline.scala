@@ -3192,7 +3192,119 @@ object Pipeline {
         SELECT doc_id, CAST(c AS INTEGER) AS chunk_ix,
           COUNT(*) AS n_sent, CAST(SUM(t) AS BIGINT) AS n_tokens,
           string_agg(s, ' ' ORDER BY si) AS chunk_text
-        FROM ex GROUP BY 1, 2 ORDER BY doc_id, chunk_ix"""))
+        FROM ex GROUP BY 1, 2 ORDER BY doc_id, chunk_ix""")),
+
+    // --- MMR diversified re-ranking (retrieval-family completion) -----------
+    // (Similarity.mmrDiversify — Carbonell & Goldstein 1998: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over the q47 brute-force
+    // top-20 shortlist. Each of the 5 rounds is a shortlist-sized
+    // equi-join + a max aggregate + a max_by-struct argmax (the
+    // assignCells trick — no rank window). The oracle unrolls all 5
+    // greedy rounds as CTEs; λ and (1−λ) interpolate as Scala doubles
+    // (shortest-round-trip repr) so both engines score with identical
+    // IEEE constants — the argmax sequence must match exactly.)
+    "q177_mmr_rerank" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val short = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 7), e, "vec_id", "embedding", k = 20)
+        val cands = short.select(col("qid"), col("nid"), col("cos"))
+          .join(e.select(col("vec_id").as("nid"), col("embedding")), Seq("nid"))
+        Similarity.mmrDiversify(cands, "qid", "nid", "cos", "embedding",
+          k = 5, lambda = 0.7).orderBy("rank")
+      },
+      Some {
+        val lam = 0.7.toString; val oneMinus = (1.0 - 0.7).toString
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+        def round(t: Int) = s"""
+          ms$t AS (SELECT r.nid, r.rel, r.embedding,
+              MAX(${cos("r.embedding", "s.embedding")}) AS ms
+            FROM rem${t - 1} r CROSS JOIN sel${t - 1} s GROUP BY 1, 2, 3),
+          pick$t AS (SELECT nid, rel, embedding,
+              $lam * rel - $oneMinus * ms AS sc
+            FROM ms$t ORDER BY sc DESC, nid ASC LIMIT 1),
+          sel$t AS (SELECT nid, embedding FROM sel${t - 1}
+            UNION ALL SELECT nid, embedding FROM pick$t),
+          rem$t AS (SELECT * FROM rem${t - 1}
+            WHERE nid NOT IN (SELECT nid FROM pick$t))"""
+        s"""WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+          vsc AS (SELECT e.vec_id AS nid, e.embedding,
+              ${cos("qv", "e.embedding")} AS rel
+            FROM qq CROSS JOIN embeddings e WHERE e.vec_id <> 7),
+          shortl AS (SELECT nid, embedding, rel FROM
+            (SELECT *, row_number() OVER (ORDER BY rel DESC, nid) AS rn
+             FROM vsc) WHERE rn <= 20),
+          pick1 AS (SELECT nid, rel, embedding, $lam * rel - $oneMinus * 0.0 AS sc
+            FROM shortl ORDER BY sc DESC, nid ASC LIMIT 1),
+          sel1 AS (SELECT nid, embedding FROM pick1),
+          rem1 AS (SELECT * FROM shortl
+            WHERE nid NOT IN (SELECT nid FROM pick1)),
+          ${(2 to 5).map(round).mkString(",")}
+          SELECT CAST(7 AS BIGINT) AS qid, rank, nid, score FROM (
+            SELECT 1 AS rank, nid, round(sc, 6) AS score FROM pick1
+            ${(2 to 5).map(t =>
+              s"UNION ALL SELECT $t AS rank, nid, round(sc, 6) AS score FROM pick$t")
+              .mkString(" ")})
+          ORDER BY rank"""
+      }),
+
+    // --- keyed interval-overlap join ----------------------------------------
+    // (RangeJoin.intervalOverlap — the interval×interval completion of
+    // q62's point-in-interval: both sides explode into covered time
+    // buckets, overlapping pairs MUST share a bucket (full recall by
+    // construction), matches dedupe by id pair, exact predicate
+    // verifies. The oracle is the direct θ-join — hash equality proves
+    // the bucketing lossless, the q140 convention. View and click events
+    // each open a 30-minute window, keyed by user; 10-minute buckets.)
+    "q178_interval_overlap" -> Q(
+      (s, d) => {
+        val e = ev(s, d)
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("l_id"),
+            col("ts").as("l_s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("l_e"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("r_id"),
+            col("ts").as("r_s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("r_e"))
+        graft.ops.RangeJoin.intervalOverlap(views, clicks, "user_id",
+            "l_id", "r_id", "l_s", "l_e", "r_s", "r_e",
+            bucketWidthMicros = 600L * 1000000)
+          .select(col("user_id"), col("l_id"), col("r_id"))
+          .orderBy("l_id", "r_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS l_id, c.event_id AS r_id
+        FROM (SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
+        ORDER BY l_id, r_id""")),
+
+    // --- per-group winsorization (tail clamp) -------------------------------
+    // (Stats.winsorize — exact per-lang [p05, p95] percentile band via
+    // one grouped aggregate broadcast back, then scan-stage
+    // least/greatest. Interpolation is the q25 Spark ≡ quantile_cont
+    // identity; clamping identical doubles is exact.)
+    "q179_winsorize" -> Q(
+      (s, d) => graft.api.Stats.winsorize(
+          docs(s, d), "lang", col("n_chars"), lo = 0.05, hi = 0.95,
+          out = "w_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("w_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH qs AS (SELECT lang,
+            quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+            quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+          FROM documents GROUP BY 1)
+        SELECT doc_id, lang, n_chars,
+          least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS w_chars
+        FROM documents JOIN qs USING (lang) ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

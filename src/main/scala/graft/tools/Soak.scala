@@ -53,11 +53,16 @@ object Soak {
     val reuse = sys.env.get("SPARK_GRAFT_SOAK_REUSE").contains("1") &&
       new java.io.File(s"$out/documents.parquet").exists()
     if (!reuse) {
+      // lang/source/n_chars ride along: the group-keyed ops (cdc_apply,
+      // dsir_weights, token_budget, token_kl) need them — the earlier
+      // (doc_id, text)-only fixture made those registry entries crash
+      // on first soak
       val expanded = (0 until copies).map { k =>
         docs.select(
           (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
           (if (k == 0) col("text")
-           else concat(lit(s"soakmark$k "), col("text"))).as("text"))
+           else concat(lit(s"soakmark$k "), col("text"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
       expanded.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     }
@@ -285,6 +290,49 @@ object Soak {
       // fingerprint merges map-side
       "shard_manifest" -> (() =>
         graft.ops.Shard.shardManifest(big, "doc_id", "text", 256)
+          .count()),
+      // semantic decontamination: replicated embeddings put every eval
+      // vector in a copies-sized identical clique, so the broadcast
+      // eval probe hits maximally — every corpus row pays a within-cell
+      // cosine against its eval twins
+      "semantic_decontam" -> (() =>
+        graft.ops.Similarity.semanticDecontaminate(
+          bigEmb.filter(col("vec_id") % 37 =!= 3),
+          bigEmb.filter(col("vec_id") % 37 === 3),
+          centroids, "vec_id", "embedding", threshold = 0.95).count()),
+      // token-KL drift: corpus vocabulary grows ~copies× (suffixed
+      // tokens), pressuring the per-group present-word aggregate and
+      // the corpus-scalar branch — the decomposition under test
+      "token_kl" -> (() =>
+        graft.ops.Mixture.tokenKlDivergence(big, "source", "text").count()),
+      // PageRank over a key-offset trade graph replicated by the docs
+      // fixture: nodes/edges scale linearly with copies; 3 iterations
+      // of join + aggregate + checkpoint
+      "pagerank" -> (() =>
+        graft.ops.Graph.pageRank(
+          big.select((col("doc_id") % 50000).as("s"),
+            (col("doc_id") % 37777 + 1000000).as("t")),
+          "s", "t", iterations = 3).count()),
+      // span corruption: scan-stage only — the per-chunk offs array +
+      // two zip_with rebuilds per doc at copies× volume. The length
+      // filter FORCES the projection: a bare count() would let the
+      // optimizer prune the derived columns and time an empty scan
+      "span_corruption" -> (() =>
+        graft.ops.Masking.spanCorruption(big, "doc_id", "text")
+          .filter(length(col("input")) + length(col("target")) > 0).count()),
+      // sentence chunking: regexp split + O(s²) prefix fold + per-doc
+      // explode/regroup
+      "sentence_chunks" -> (() =>
+        graft.ops.TextAnalysis.chunkBySentences(big, "doc_id", "text", 60)
+          .count()),
+      // perceptual hash + hamming pairing on the replicated embedding
+      // grids: copies-sized hamming-0 cliques in every chunk bucket —
+      // the pigeonhole analog of the LSH mega-bucket pressure
+      "phash_pairs" -> (() =>
+        graft.ops.Dedup.hammingNearDupPairs(
+          bigEmb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("px")),
+          "vec_id", graft.ops.Multimodal.aHash(col("px")), maxDist = 3)
           .count())
     )
 

@@ -2187,4 +2187,83 @@ class OpsSpec extends SparkSpec {
     val d2 = got.filter(_._1 == 2L)
     assert(d2.toSeq == Seq((2L, 0, 1L, 1L, "Short.")))
   }
+
+  test("mmrDiversify: relevance-max first, then a diverse pick over a " +
+    "near-duplicate; per-query independence") {
+    // query direction (1,0,0): a is most relevant, b a near-dup of a,
+    // c less relevant but diverse. With heavy diversity weight
+    // (λ = 0.3), rank 2 must be c, not b.
+    def rel(v: Array[Double]) =
+      v(0) / math.sqrt(v.map(x => x * x).sum)
+    val a = Array(0.9, 0.1, 0.0); val b = Array(0.9, 0.11, 0.0)
+    val c = Array(0.5, 0.0, 0.6)
+    val cands = Seq(
+      (7L, 1L, rel(a), a.toSeq), (7L, 2L, rel(b), b.toSeq),
+      (7L, 3L, rel(c), c.toSeq),
+      // second query: only two candidates, reversed relevance
+      (8L, 4L, 0.9, Seq(0.0, 1.0, 0.0)), (8L, 5L, 0.95, Seq(0.0, 0.0, 1.0))
+    ).toDF("qid", "nid", "rel", "vec")
+    val got = Similarity.mmrDiversify(cands, "qid", "nid", "rel", "vec",
+        k = 3, lambda = 0.3)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(7L) == Seq(1L, 3L, 2L), "diverse c beats near-dup b at rank 2")
+    assert(got(8L) == Seq(5L, 4L), "second query ranked independently")
+    // with λ = 1 (pure relevance) the order is plain top-k
+    val pure = Similarity.mmrDiversify(cands.filter($"qid" === 7), "qid",
+        "nid", "rel", "vec", k = 3, lambda = 1.0)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().map(_._3).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+  }
+
+  test("intervalOverlap: bucketed equi-join is lossless vs the direct " +
+    "theta join, incl. multi-bucket pairs and key separation") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // key 1: a long interval overlapping two shorts (one via several
+    // shared buckets); key 2: same times, must not join to key 1
+    val left = Seq(
+      (1L, 10L, ts(0), ts(30)), (1L, 11L, ts(45), ts(50)),
+      (2L, 12L, ts(0), ts(30))
+    ).toDF("k", "l_id", "l_s", "l_e")
+    val right = Seq(
+      (1L, 20L, ts(25), ts(40)),  // overlaps 10 in buckets 25..30
+      (1L, 21L, ts(31), ts(44)),  // gap: touches neither (30 < 31, 44 < 45)
+      (1L, 22L, ts(50), ts(55)),  // touches 11 at the closed boundary
+      (2L, 23L, ts(29), ts(33))   // overlaps 12 but only on key 2
+    ).toDF("k", "r_id", "r_s", "r_e")
+    val got = graft.ops.RangeJoin.intervalOverlap(left, right, "k",
+        "l_id", "r_id", "l_s", "l_e", "r_s", "r_e",
+        bucketWidthMicros = 5L * 60 * 1000000)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    val expected = for {
+      (lk, li, ls, le) <- Set((1L, 10L, 0, 30), (1L, 11L, 45, 50),
+        (2L, 12L, 0, 30))
+      (rk, ri, rs, re) <- Set((1L, 20L, 25, 40), (1L, 21L, 31, 44),
+        (1L, 22L, 50, 55), (2L, 23L, 29, 33))
+      if lk == rk && ls <= re && rs <= le
+    } yield (li, ri)
+    assert(got == expected)
+    assert(got == Set((10L, 20L), (11L, 22L), (12L, 23L)))
+    // multi-bucket meeting dedupes: exactly one row per pair
+    val rows = graft.ops.RangeJoin.intervalOverlap(left, right, "k",
+        "l_id", "r_id", "l_s", "l_e", "r_s", "r_e",
+        bucketWidthMicros = 60L * 1000000) // 1-min buckets → many shared
+      .select($"l_id", $"r_id").collect()
+    assert(rows.length == rows.distinct.length && rows.length == 3)
+  }
+
+  test("winsorize clamps exactly at the group band and leaves " +
+    "mid-band values untouched") {
+    val df = ((1 to 20).map(i => ("a", i.toLong, i.toDouble)) :+
+      (("b", 100L, 5.0))).toDF("grp", "id", "x")
+    val got = graft.api.Stats.winsorize(df, "grp", $"x",
+        lo = 0.1, hi = 0.9, out = "w")
+      .select($"id", $"w").as[(Long, Double)].collect().toMap
+    // group a: p10 of 1..20 = 2.9, p90 = 18.1 (interpolated)
+    assert(math.abs(got(1L) - 2.9) < 1e-9 && math.abs(got(2L) - 2.9) < 1e-9)
+    assert(math.abs(got(20L) - 18.1) < 1e-9)
+    assert(got(10L) == 10.0, "mid-band untouched")
+    assert(got(100L) == 5.0, "single-value group maps to itself")
+  }
 }

@@ -413,4 +413,56 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
       plan.take(400))
   }
+
+  test("q170 PageRank: every iteration is equi-join + hash aggregate — " +
+    "no cartesian beyond the 1-row dangling broadcast, no window") {
+    val plan = SparkEntry.queries("q170_pagerank")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "rank joins must stay equi")
+    assert(!plan.contains("Window"), "no rank windows in PageRank")
+    // the dangling-mass scalar rides a broadcast nested loop (1-row side)
+    // — any OTHER BNLJ would be a scale bug, so count them: exactly one
+    // per surviving iteration stage is the crossJoin(broadcast(dang))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected non-scalar nested loops: $bnlj")
+  }
+
+  test("q171 perceptual hashes plan the codegen kernels, not HOF folds") {
+    val plan = SparkEntry.queries("q171_phash")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ahash") && plan.contains("graft_dhash"),
+      "aHash/dHash must be the codegen kernels")
+    assert(!plan.contains("aggregate(") && !plan.contains("transform("),
+      "no interpreted HOF fallback in the hash projection")
+  }
+
+  test("q172 span corruption: pure scan-stage projection — no join, " +
+    "no window, no generator") {
+    val plan = SparkEntry.queries("q172_span_corruption")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "span corruption must not join")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      "span corruption is a per-row projection")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans")
+  }
+
+  test("q176 sentence chunking: docs explode only into their own " +
+    "chunks — grouped aggregate, no corpus window") {
+    val plan = SparkEntry.queries("q176_sentence_chunks")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "chunk assembly must not use a window")
+    assert(plan.contains("Generate"), "per-doc explode expected")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans")
+  }
+
+  test("q166 semantic decontamination: eval side broadcasts; corpus " +
+    "never shuffles for the probe") {
+    val plan = SparkEntry.queries("q166_semantic_decontam")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "eval probe must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in the probe")
+  }
 }
