@@ -211,7 +211,10 @@ object Bench {
     // interval-overlap join, per-group winsorization
     "q177_mmr_rerank" -> SparkEntry.queries("q177_mmr_rerank"),
     "q178_interval_overlap" -> SparkEntry.queries("q178_interval_overlap"),
-    "q179_winsorize" -> SparkEntry.queries("q179_winsorize"))
+    "q179_winsorize" -> SparkEntry.queries("q179_winsorize"),
+    // round-10 late adds: incremental SemDeDup, c-TF-IDF labeling
+    "q180_semantic_incremental" -> SparkEntry.queries("q180_semantic_incremental"),
+    "q181_ctfidf_terms" -> SparkEntry.queries("q181_ctfidf_terms"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

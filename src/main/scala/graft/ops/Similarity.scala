@@ -216,6 +216,39 @@ object Similarity {
     assigned.join(drop, Seq(id), "left_anti").select(col(id), col("cell"))
   }
 
+  /** Incremental SemDeDup — the standing-ingestion shape that completes
+    * the incremental family ([[graft.ops.Dedup.exactIncremental]] /
+    * minhashLshIncremental / simhashPairsIncremental, now for
+    * embeddings): a new batch dedups against an already-deduped seen
+    * corpus by comparing ONLY across the new/seen boundary — never
+    * seen×seen (already deduped) and never new×new (run
+    * [[semanticDedupPairs]] on the batch for that). Both sides
+    * cell-assign around the broadcast centroids; the comparison is a
+    * within-cell equi-join new⋈seen. Returns the new-batch rows that
+    * survive: (id, cell) with no seen neighbor at cosine ≥ threshold.
+    * `maxCell` skips mega-cells on the SEEN side (the minhash
+    * maxSeenBucket trade — a new doc landing in a skipped cell keeps,
+    * recall documented). */
+  def semanticDedupIncremental(newBatch: DataFrame, seen: DataFrame,
+                               centroids: DataFrame, id: String,
+                               vec: String, threshold: Double,
+                               maxCell: Option[Int] = None): DataFrame = {
+    val n = assignCells(newBatch, centroids, id, vec)
+    val s0 = assignCells(seen, centroids, id, vec)
+      .select(col("cell"), col("v").as("sv"))
+    val s = maxCell match {
+      case Some(cap) =>
+        val keep = s0.groupBy("cell").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") <= cap).select("cell")
+        s0.join(keep, Seq("cell"), "left_semi")
+      case None => s0
+    }
+    val dup = n.join(s, Seq("cell"))
+      .filter(cosine(col("v"), col("sv")) >= threshold)
+      .select(col(id)).distinct()
+    n.join(dup, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** Semantic decontamination (public method — the embedding-space
     * analog of n-gram decontamination à la Lee et al. 2022 §5 /
     * SemDeDup, Abbas et al. 2023, arXiv:2303.09540; the reference has

@@ -604,6 +604,47 @@ object TextAnalysis {
       .select(col("rank"), col(id), col("score"), col("n_terms"))
   }
 
+  /** Class-based TF-IDF top terms per cluster (c-TF-IDF — Grootendorst
+    * 2022, arXiv:2203.05794, the BERTopic labeling step; public
+    * method): treat each cluster/source/topic as ONE pseudo-document
+    * and score its terms by
+    *   tf_{w,c} · ln(1 + A / f_w),
+    * tf_{w,c} = occurrences of w in cluster c, f_w = occurrences of w
+    * across the corpus, A = average tokens per cluster. The standard
+    * "what is this cluster about" labeling pass after k-means/SemDeDup
+    * cell assignment or per-source slicing.
+    *
+    * Scale shape: tokens explode in the scan stage; tf and f are hash
+    * aggregates with map-side combine (cluster-vocab- and vocab-sized,
+    * mergeable); A is a 1-row broadcast cross join; the per-cluster
+    * top-k ranks a window partitioned by CLUSTER over the COLLAPSED
+    * (cluster, term) frame — one cluster's vocabulary on one executor,
+    * spillable, bounded by vocabulary not corpus rows (the string-id
+    * terms rule out the long-keyed bounded heap; the capPerGroup
+    * trade). ln rounds 9 dp (libm ulp guard), scores 6 dp, ties
+    * (score desc, term asc). Returns (cluster, rank, term, score,
+    * tf). */
+  def cTfIdfTopTerms(df: DataFrame, cluster: String, text: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, "cTfIdfTopTerms: k must be >= 1")
+    val toks = df.select(col(cluster).as("__c"),
+      explode(filter(tokens(col(text)), w => length(w) > 0)).as("__w"))
+    val tf = toks.groupBy("__c", "__w").agg(count(lit(1)).as("tf"))
+    val fw = tf.groupBy("__w").agg(sum(col("tf")).as("fw"))
+    val a = tf.groupBy("__c").agg(sum(col("tf")).as("cn"))
+      .agg(avg(col("cn")).as("bigA"))
+    val scored = tf.join(fw, Seq("__w")).crossJoin(broadcast(a))
+      .select(col("__c"), col("__w"), col("tf"),
+        round(col("tf") * round(log(lit(1.0) + col("bigA") / col("fw")), 9), 6)
+          .as("__s"))
+    val w = Window.partitionBy(col("__c"))
+      .orderBy(col("__s").desc, col("__w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__c").as(cluster), col("rank"), col("__w").as("term"),
+        col("__s").as("score"), col("tf"))
+  }
+
   /** Sentence segmentation as a pure regexp Column (scan-stage, no
     * UDF): maximal runs of non-terminator characters plus their
     * trailing `.!?` run, trimmed, empties dropped. A deliberately

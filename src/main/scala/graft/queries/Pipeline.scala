@@ -3304,7 +3304,72 @@ object Pipeline {
           FROM documents GROUP BY 1)
         SELECT doc_id, lang, n_chars,
           least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS w_chars
-        FROM documents JOIN qs USING (lang) ORDER BY doc_id"""))
+        FROM documents JOIN qs USING (lang) ORDER BY doc_id""")),
+
+    // --- incremental SemDeDup (new batch vs seen corpus) --------------------
+    // (Similarity.semanticDedupIncremental — the embedding member of
+    // the incremental family (q84/q110/q128): new×seen within-cell
+    // pairs only, never seen×seen or new×new. New batch = vec_id%5==1,
+    // seen = the rest; q97's centroids.)
+    "q180_semantic_incremental" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        Similarity.semanticDedupIncremental(
+          e.filter(col("vec_id") % 5 === 1), e.filter(col("vec_id") % 5 =!= 1),
+          centroids, "vec_id", "embedding", threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+        def assign(src: String, idOut: String) =
+          s"""SELECT vec_id AS $idOut, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, ct.cid AS cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM ($src) e CROSS JOIN cent ct) WHERE rn = 1"""
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 0),
+          nass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 5 = 1", "vec_id")}),
+          sass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 5 <> 1", "sid")}),
+          dup AS (SELECT DISTINCT n.vec_id FROM nass n JOIN sass s
+            ON n.cell = s.cell
+            WHERE ${cosSql("n.embedding", "s.embedding")} >= 0.4)
+          SELECT vec_id, cell FROM nass ANTI JOIN dup USING (vec_id)
+          ORDER BY vec_id"""
+      }),
+
+    // --- c-TF-IDF top terms per source (BERTopic labeling pass) -------------
+    // (TA.cTfIdfTopTerms — Grootendorst 2022: each source is one
+    // pseudo-document, term score = tf·ln(1 + A/f_w). Hash aggregates
+    // + 1-row broadcast A; the top-k window runs over the collapsed
+    // (source, term) frame (string terms rule out the long-keyed heap —
+    // the capPerGroup trade, documented). ln 9 dp, score 6 dp, ties
+    // (score desc, term asc).)
+    "q181_ctfidf_terms" -> Q(
+      (s, d) => TA.cTfIdfTopTerms(docs(s, d), "source", "text", k = 8)
+        .orderBy("source", "rank"),
+      Some("""WITH toks AS (SELECT source AS c, unnest(list_filter(
+            string_split(text, ' '), w -> len(w) > 0)) AS w FROM documents),
+        tf AS (SELECT c, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        fw AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS fw FROM tf GROUP BY 1),
+        a AS (SELECT AVG(cn) AS bigA FROM
+          (SELECT c, CAST(SUM(tf) AS DOUBLE) AS cn FROM tf GROUP BY 1)),
+        sc AS (SELECT c, w, tf,
+            round(tf * round(ln(1.0 + bigA / fw), 9), 6) AS s
+          FROM tf JOIN fw USING (w) CROSS JOIN a)
+        SELECT c AS source, CAST(rank AS INTEGER) AS rank, w AS term,
+          s AS score, tf FROM
+          (SELECT *, row_number() OVER (PARTITION BY c
+            ORDER BY s DESC, w ASC) AS rank FROM sc)
+        WHERE rank <= 8 ORDER BY source, rank"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

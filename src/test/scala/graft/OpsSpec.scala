@@ -2266,4 +2266,54 @@ class OpsSpec extends SparkSpec {
     assert(got(10L) == 10.0, "mid-band untouched")
     assert(got(100L) == 5.0, "single-value group maps to itself")
   }
+
+  test("semanticDedupIncremental: drops only new rows with a seen " +
+    "same-cell twin; new-new duplicates both survive; maxCell skips") {
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("cid", "embedding")
+    val seen = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.9f, 0.1f)),   // dup of seen 1
+      (11L, Array(0.88f, 0.12f)), // near-dup of seen 1
+      (12L, Array(1f, -0.5f)),    // same cell, dissimilar
+      (13L, Array(0.2f, 0.8f)),   // dup-ish of seen 2
+      (14L, Array(0.21f, 0.8f))   // new-new near-dup of 13: BOTH judged vs seen only
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupIncremental(batch, seen, centroids,
+        "vec_id", "embedding", threshold = 0.995)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(12L), "dissimilar same-cell row survives")
+    assert(!kept.contains(10L) && !kept.contains(11L), "seen twins drop")
+    // 13/14 vs seen 2: cos(0.2,0.8 ; 0.1,0.9) ≈ 0.986 < 0.995 → both keep
+    assert(kept.contains(13L) && kept.contains(14L),
+      "new-new near-dups are not each other's judges")
+    // maxCell=1 skips the seen cell holding 1 → 10/11 keep too
+    val keptCap = Similarity.semanticDedupIncremental(batch, seen, centroids,
+        "vec_id", "embedding", threshold = 0.995, maxCell = Some(0))
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptCap == Set(10L, 11L, 12L, 13L, 14L),
+      "capped seen cells judge nothing")
+  }
+
+  test("cTfIdfTopTerms: a cluster-exclusive term outranks a shared " +
+    "common term; ranks and scores are deterministic") {
+    val df = Seq(
+      ("a", "common common common alpha alpha"),
+      ("a", "common alpha beta"),
+      ("b", "common common gamma gamma gamma delta")
+    ).toDF("source", "text")
+    val got = TA.cTfIdfTopTerms(df, "source", "text", k = 2)
+      .as[(String, Int, String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._5)).toMap
+    // cluster a: alpha (tf 3, exclusive) must outrank common (tf 4, shared)
+    assert(got(("a", 1))._1 == "alpha" && got(("a", 1))._2 == 3L)
+    assert(got(("b", 1))._1 == "gamma" && got(("b", 1))._2 == 3L)
+    // shared 'common' scores identically-per-tf in both clusters
+    val all = TA.cTfIdfTopTerms(df, "source", "text", k = 10)
+      .as[(String, Int, String, Double, Long)].collect()
+    val ca = all.find(r => r._1 == "a" && r._3 == "common").get
+    val cb = all.find(r => r._1 == "b" && r._3 == "common").get
+    assert(ca._4 / ca._5 == cb._4 / cb._5, "same per-occurrence idf weight")
+  }
 }
