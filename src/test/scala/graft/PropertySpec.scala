@@ -199,6 +199,122 @@ class PropertySpec extends SparkSpec {
     }, cases = 100)
   }
 
+  // ---- perceptual-hash kernels vs naive references -----------------------
+  test("AHash/DHash kernels match naive Scala references on random grids") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def naiveA(px: Seq[Double], bits: Int): Any =
+      if (px.length < bits) null
+      else {
+        val mean = px.take(bits).sum / bits // left-fold order = kernel order
+        px.take(bits).zipWithIndex
+          .map { case (p, i) => if (p > mean) 1L << i else 0L }.sum
+      }
+    def naiveD(px: Seq[Double], w: Int, h: Int): Any =
+      if (px.length < w * h) null
+      else (for { r <- 0 until h; c <- 0 until w - 1 }
+        yield if (px(r * w + c) < px(r * w + c + 1)) 1L << (r * (w - 1) + c)
+          else 0L).sum
+    val gen = for {
+      len <- Gen.choose(0, 80)
+      px <- Gen.listOfN(len, Gen.oneOf(
+        Gen.chooseNum(-255.0, 255.0), Gen.oneOf(0.0, -0.0, 1.0)))
+    } yield px
+    checkProp(Prop.forAllNoShrink(gen) { px =>
+      val lit = Literal.create(px, ArrayType(DoubleType))
+      val a = graft.expr.AHash(lit, 63).eval(null)
+      val d = graft.expr.DHash(lit, 9, 7).eval(null)
+      a == naiveA(px, 63) && d == naiveD(px, 9, 7) &&
+        (a == null || a.asInstanceOf[Long] >= 0L) &&
+        (d == null || d.asInstanceOf[Long] >= 0L)
+    })
+  }
+
+  // ---- weighted percentiles vs a brute-force reference -------------------
+  test("weightedPercentiles matches brute-force cumulative weights on a " +
+    "seeded bulk frame") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(30).toLong,
+        (rnd.nextInt(50) + 1).toDouble)
+    }
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val got = graft.api.Stats.weightedPercentiles(
+        rows.toDF("grp", "v", "w"), "grp", $"v", $"w", ps)
+      .as[(String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force on 6-dp-quantized weights (the op's contract)
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    for (g <- rows.map(_._1).distinct; p <- ps) {
+      val byV = rows.filter(_._1 == g).groupBy(_._2).view
+        .mapValues(_.map(r => q6(r._3)).sum).toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      var cum = BigDecimal(0); var ans = Option.empty[Long]
+      for ((v, w) <- byV if ans.isEmpty) {
+        cum += w
+        if (cum >= BigDecimal(p) * tw) ans = Some(v)
+      }
+      assert(got((g, p)) == ans.get, s"group $g p=$p")
+    }
+  }
+
+  // ---- span corruption reconstruction on random docs ---------------------
+  test("spanCorruption (input, target) reconstruct the original on " +
+    "random token documents") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      val n = rnd.nextInt(70)
+      (i, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+    }
+    val got = graft.ops.Masking.spanCorruption(
+        docs.toDF("doc_id", "text"), "doc_id", "text", chunk = 7, spanLen = 2)
+      .select($"doc_id", $"text", $"input", $"target")
+      .as[(Long, String, String, String)].collect()
+    assert(got.length == 60)
+    for ((id, text, input, target) <- got) {
+      val spans = raw"<extra_id_(\d+)> ((?:(?!<extra_id_)\S+ ?)*)".r
+        .findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = input.split(" ", -1).flatMap { t =>
+        raw"^<extra_id_(\d+)>$$".r.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt).split(" ").toSeq
+          case None => Seq(t)
+        }
+      }.mkString(" ")
+      assert(rebuilt == text, s"doc $id reconstructs")
+    }
+  }
+
+  // ---- interval-overlap bucketing is lossless vs the theta join ----------
+  test("intervalOverlap equals the direct theta join on random intervals " +
+    "across bucket widths") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(13)
+    def t(m: Long) = new Timestamp(1767225600000L + m * 60000L)
+    val left = (1L to 80L).map { i =>
+      val s = rnd.nextInt(500); val len = rnd.nextInt(60)
+      (i % 5, i, t(s), t(s + len))
+    }
+    val right = (100L to 180L).map { i =>
+      val s = rnd.nextInt(500); val len = rnd.nextInt(60)
+      (i % 5, i, t(s), t(s + len))
+    }
+    val expected = (for {
+      (lk, li, ls, le) <- left
+      (rk, ri, rs, re) <- right
+      if lk == rk && !ls.after(re) && !rs.after(le)
+    } yield (li, ri)).toSet
+    for (widthMin <- Seq(1L, 7L, 120L)) {
+      val got = graft.ops.RangeJoin.intervalOverlap(
+          left.toDF("k", "l_id", "l_s", "l_e"),
+          right.toDF("k", "r_id", "r_s", "r_e"),
+          "k", "l_id", "r_id", "l_s", "l_e", "r_s", "r_e",
+          bucketWidthMicros = widthMin * 60L * 1000000)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"width ${widthMin}min")
+    }
+  }
+
   // ---- positional API surface --------------------------------------------
   test("withIndex / topKPerGroup") {
     val f = graft.api.Frame(Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8))
