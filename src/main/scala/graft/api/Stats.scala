@@ -338,8 +338,10 @@ object Stats {
     * results) broadcast back — the zScore agg-broadcast pattern, no
     * global window, the corpus streams through the final scan once
     * per pass. A constant group (MAD = 0) yields null rz and false
-    * flag rather than ±inf. rz rounds 6 dp (per-row double arithmetic
-    * on identical inputs — portable). Appends (rz, is_outlier). */
+    * flag rather than ±inf. rz = 0.6745 · round((x−med)/MAD, 6) — the
+    * ratio quantizes (tie-free for real-data MADs), the constant
+    * multiplies afterwards; see the inline note for why the reverse
+    * order is not engine-portable. Appends (rz, is_outlier). */
   def robustZOutliers(df: DataFrame, group: String, value: Column,
                       cutoff: Double = 3.5): DataFrame = {
     val v = value.cast("double")
@@ -347,9 +349,22 @@ object Stats {
     val mad = df.join(F.broadcast(med), Seq(group))
       .groupBy(F.col(group))
       .agg(F.median(F.abs(v - F.col("__med"))).as("__mad"))
+    // Quantization order matters for engine portability: rounding
+    // 0.6745·(x−med)/MAD at 6 dp hits EXACT decimal ties — with
+    // integer data med/MAD are quarter-integers, and 1349·d/(2000·m)
+    // lands on K.5×10⁻⁶ rationals (120 of 500 k rows at the sf1
+    // probe), where Java 17's non-minimal double repr (Spark's
+    // BigDecimal path) and Ryu-style reprs (DuckDB) round OPPOSITE
+    // ways. The bare ratio d/m cannot tie at 6 dp unless MAD ≥ 5⁶/4
+    // (the reduced denominator must carry 5⁶ — impossible for
+    // real-data MADs), so: round the RATIO at 6 dp (cross-engine-safe
+    // by that margin argument), THEN multiply by the constant — a
+    // deterministic IEEE product both engines compute bit-identically,
+    // with no further rounding.
     df.join(F.broadcast(med), Seq(group)).join(F.broadcast(mad), Seq(group))
       .withColumn("rz", F.when(F.col("__mad") === 0, F.lit(null).cast("double"))
-        .otherwise(F.round(F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"), 6)))
+        .otherwise(F.lit(0.6745) *
+          F.round((v - F.col("__med")) / F.col("__mad"), 6)))
       .withColumn("is_outlier", F.coalesce(F.abs(F.col("rz")) > cutoff, F.lit(false)))
       .drop("__med", "__mad")
   }

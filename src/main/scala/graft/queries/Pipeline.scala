@@ -2938,7 +2938,12 @@ object Pipeline {
     // hunted. Two grouped exact-median aggregates broadcast back (the
     // zScore agg-broadcast pattern, no global window); MAD = 0 ⇒ null
     // rz, false flag. Median interpolation is the q25-proven
-    // Spark-percentile ≡ DuckDB-quantile_cont identity; rz rounds 6 dp.)
+    // Spark-percentile ≡ DuckDB-quantile_cont identity. Quantization:
+    // the RATIO rounds 6 dp (tie-free — a 6-dp tie needs MAD ≥ 5⁶/4),
+    // THEN the 0.6745 constant multiplies with no further rounding:
+    // rounding after the multiply hits exact K.5e-6 rationals where
+    // Java-17 and Ryu double reprs round opposite ways — 120 of 500 k
+    // rows split at the sf1 probe before this ordering.)
     "q169_robust_outliers" -> Q(
       (s, d) => graft.api.Stats.robustZOutliers(
           docs(s, d), "lang", col("n_chars"), cutoff = 3.5)
@@ -2952,7 +2957,8 @@ object Pipeline {
           FROM documents JOIN med USING (lang) GROUP BY 1),
         sc AS (SELECT doc_id, lang, n_chars,
             CASE WHEN mad = 0 THEN NULL
-              ELSE round(0.6745 * (CAST(n_chars AS DOUBLE) - med) / mad, 6)
+              ELSE CAST(0.6745 AS DOUBLE)
+                * round((CAST(n_chars AS DOUBLE) - med) / mad, 6)
             END AS rz
           FROM documents JOIN med USING (lang) JOIN mad USING (lang))
         SELECT doc_id, lang, n_chars, rz,
@@ -2982,25 +2988,30 @@ object Pipeline {
         def d18(e: String) =
           s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
         def iter(t: Int) = s"""
-          d$t AS (SELECT COALESCE(${d18("r")}, CAST(0.0 AS DOUBLE)) AS dm
+          d$t AS MATERIALIZED (SELECT COALESCE(${d18("r")}, CAST(0.0 AS DOUBLE)) AS dm
             FROM r${t - 1} ANTI JOIN od ON r${t - 1}.node = od.src),
-          c$t AS (SELECT dst, ${d18("r / od")} AS c
+          c$t AS MATERIALIZED (SELECT dst, ${d18("r / od")} AS c
             FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
                    JOIN od ON e.src = od.src
             GROUP BY dst),
-          r$t AS (SELECT node,
+          r$t AS MATERIALIZED (SELECT node,
               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
                 + CAST(0.85 AS DOUBLE)
                   * (COALESCE(c, CAST(0.0 AS DOUBLE)) + dm / n) AS r
             FROM nodes LEFT JOIN c$t ON nodes.node = c$t.dst
             CROSS JOIN d$t CROSS JOIN nn)"""
-        s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+        // MATERIALIZED: DuckDB inlines multiply-referenced CTEs, so the
+        // iteration chain would re-evaluate r_{t-1}'s whole pipeline once
+        // per reference — combinatorial at sf1 (observed: 80 GB of temp
+        // spill). Spark's side localCheckpoints each iteration for the
+        // same reason.
+        s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
             l_suppkey + 1000000 AS dst
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-          od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
-          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
+          nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+          r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
             FROM nodes CROSS JOIN nn),
           ${(1 to 3).map(iter).mkString(",")}
           SELECT node, round(r, 12) AS pr FROM r3 ORDER BY node"""
