@@ -273,7 +273,7 @@ object Stats {
     * COLLAPSED frame (one domain's distinct values on one executor —
     * spillable, never corpus-global; the capPerGroup argument); the
     * p-fan-out explodes a constant literal array. Rows with null
-    * value or null/non-positive weight drop. Returns (group, p, wpct),
+    * value, null group, or null/non-positive weight drop. Returns (group, p, wpct),
     * one row per group × requested p. */
   def weightedPercentiles(df: DataFrame, group: String, value: Column,
                           weight: Column, ps: Seq[Double]): DataFrame = {
@@ -281,10 +281,14 @@ object Stats {
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       "weightedPercentiles: every p must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // DECIMAL(30,6): 24 integer digits of headroom — a weight >= 1e12
+    // would overflow (18,6) to null and be silently conflated with the
+    // documented null/non-positive drop. Null GROUPS drop explicitly
+    // (declared, not an accident of a later equi-join).
     val wv = df.select(F.col(group).as("__g"), value.as("__v"),
-        weight.cast("decimal(18,6)").as("__w"))
-      .filter(F.col("__v").isNotNull && F.col("__w").isNotNull &&
-        F.col("__w") > 0)
+        weight.cast("decimal(30,6)").as("__w"))
+      .filter(F.col("__g").isNotNull && F.col("__v").isNotNull &&
+        F.col("__w").isNotNull && F.col("__w") > 0)
       .groupBy("__g", "__v").agg(F.sum(F.col("__w")).as("__w"))
     val tot = wv.groupBy("__g").agg(F.sum(F.col("__w")).as("__tw"))
     val win = Window.partitionBy("__g").orderBy("__v")
@@ -321,8 +325,13 @@ object Stats {
     val qs = df.groupBy(F.col(group)).agg(
       F.percentile(v, F.lit(lo)).as("__wlo"),
       F.percentile(v, F.lit(hi)).as("__whi"))
-    df.join(F.broadcast(qs), Seq(group))
-      .withColumn(out, F.least(F.greatest(v, F.col("__wlo")), F.col("__whi")))
+    // LEFT join + coalesce: an inner join would silently DROP rows
+    // whose group is null (equi-joins never match null keys) from an
+    // append-a-column API; null-group rows instead pass through
+    // unclamped — no band is defined for them
+    df.join(F.broadcast(qs), Seq(group), "left")
+      .withColumn(out, F.least(F.greatest(v, F.coalesce(F.col("__wlo"), v)),
+        F.coalesce(F.col("__whi"), v)))
       .drop("__wlo", "__whi")
   }
 
@@ -361,7 +370,11 @@ object Stats {
     // by that margin argument), THEN multiply by the constant — a
     // deterministic IEEE product both engines compute bit-identically,
     // with no further rounding.
-    df.join(F.broadcast(med), Seq(group)).join(F.broadcast(mad), Seq(group))
+    // LEFT joins: null-group rows would vanish under an inner equi-join
+    // (null keys never match) — they keep instead, with null rz and a
+    // false flag (no group statistics are defined for them)
+    df.join(F.broadcast(med), Seq(group), "left")
+      .join(F.broadcast(mad), Seq(group), "left")
       .withColumn("rz", F.when(F.col("__mad") === 0, F.lit(null).cast("double"))
         .otherwise(F.lit(0.6745) *
           F.round((v - F.col("__med")) / F.col("__mad"), 6)))

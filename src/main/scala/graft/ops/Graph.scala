@@ -38,6 +38,15 @@ object Graph {
   private def dsum18(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(38,18)")).cast("double")
 
+  /** dedupe + null-drop to the simple graph BOTH entry points rank —
+    * one definition, shared (ids keep their input type: a domain-string
+    * graph ranks as well as a numeric one; an id cast here would
+    * silently null out non-numeric keys and return an empty result). */
+  private def simpleEdges(edges: DataFrame, src: String,
+                          dst: String): DataFrame =
+    edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+
   /** PageRank with uniform teleport and dangling-mass redistribution:
     *   r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)/outdeg(u) + D/N ),
     * D = Σ_{outdeg(u)=0} r(u). Edges dedupe first (simple graph —
@@ -55,9 +64,7 @@ object Graph {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0,
       "pageRank: damping must be in (0, 1)")
-    val e0 = edges.select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val e0 = simpleEdges(edges, src, dst)
     val e = if (materialize) e0.localCheckpoint() else e0
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -91,9 +98,7 @@ object Graph {
     * companion diagnostic (hub/spam detection before the iterative
     * pass). Returns (node, out_deg, in_deg), absent side 0. */
   def degrees(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges.select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val e = simpleEdges(edges, src, dst)
     val od = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
     val id = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
     od.join(id, Seq("node"), "full")

@@ -420,11 +420,20 @@ object Mixture {
     * n_g = N only if other groups exist). Returns
     * (group, n_tokens, vocab_g, kl). */
   def tokenKlDivergence(df: DataFrame, group: String, text: String,
-                        alpha: Double = 1.0): DataFrame = {
+                        alpha: Double = 1.0,
+                        materialize: Boolean = true): DataFrame = {
     require(alpha > 0, "tokenKlDivergence: alpha must be > 0")
     val toks = df.select(col(group).as("__g"),
         explode(filter(TA.tokens(col(text)), w => length(w) > 0)).as("__w"))
-    val cw = toks.groupBy("__w").agg(count(lit(1)).as("c"))
+    // ONE corpus scan: the (group, word) aggregate is the only consumer
+    // of the token explode; corpus counts DERIVE from it (Σ over
+    // groups), and the compact collapsed frame is localCheckpointed
+    // because it feeds four plan branches (corpus counts → qtab/sq,
+    // group totals, the present-word join) — the q44/q45 multi-branch
+    // lesson; `materialize = false` restores pure-lazy
+    val cg0 = toks.groupBy("__g", "__w").agg(count(lit(1)).as("cg"))
+    val cg = if (materialize) cg0.localCheckpoint() else cg0
+    val cw = cg.groupBy("__w").agg(sum(col("cg")).as("c"))
     val tot = cw.agg(sum(col("c")).as("bigN"), count(lit(1)).as("bigV"))
     // lnq9 per corpus word + the corpus-level scalar S_q = Σ_V lnq9
     val qtab = cw.crossJoin(broadcast(tot))
@@ -432,7 +441,6 @@ object Mixture {
         round(log((col("c") + alpha) / (col("bigN") + lit(alpha) * col("bigV"))), 9)
           .as("lnq9"))
     val sq = qtab.agg(graft.api.functions.dsumD(col("lnq9")).as("sq"))
-    val cg = toks.groupBy("__g", "__w").agg(count(lit(1)).as("cg"))
     val ng = cg.groupBy("__g").agg(sum(col("cg")).as("ng"))
     val present = cg.join(qtab, Seq("__w"))
       .join(ng, Seq("__g"))

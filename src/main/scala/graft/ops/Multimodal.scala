@@ -376,7 +376,10 @@ object Multimodal {
     * (d1, d2, dist) with hamming(aHash) <= maxDist. */
   def imageNearDupPairs(grids: DataFrame, id: String, pixels: String,
                         maxDist: Int = 6, bits: Int = 63): DataFrame =
+    // size guard, not just null: a grid shorter than `bits` hashes to
+    // null, and null chunk keys silently never pair — an 8×7 grid fed
+    // to the 63-bit default would return an empty result with no error
     Dedup.hammingNearDupPairs(
-      grids.filter(col(pixels).isNotNull), id,
+      grids.filter(col(pixels).isNotNull && size(col(pixels)) >= bits), id,
       aHash(col(pixels), bits), maxDist, bits)
 }

@@ -377,10 +377,16 @@ object Similarity {
         }
       val scored = maxSim.withColumn("__s",
         lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
-      val pick0 = scored.groupBy(col("__q"))
-        .agg(max(struct(col("__s"), (-col("__c")).as("__negc"))).as("__b"))
-        .select(col("__q"), (-col("__b.__negc")).as("__c"),
-          col("__b.__s").as("__score"), lit(t).as("rank"))
+      // argmax in two aggregates rather than a negated-id max_by struct:
+      // unary minus on a STRING id silently casts to null and empties
+      // the result — min(id) at the max score keeps ids type-generic
+      // (ties: score desc then id asc, exact-double equality join)
+      val best = scored.groupBy(col("__q")).agg(max(col("__s")).as("__bs"))
+      val pick0 = scored.join(best, Seq("__q"))
+        .filter(col("__s") === col("__bs"))
+        .groupBy(col("__q"))
+        .agg(min(col("__c")).as("__c"), first(col("__bs")).as("__score"))
+        .withColumn("rank", lit(t))
         .join(base.select(col("__q"), col("__c"), col("__v")),
           Seq("__q", "__c"))
       val pick = if (materialize) pick0.localCheckpoint() else pick0

@@ -625,11 +625,15 @@ object TextAnalysis {
     * (score desc, term asc). Returns (cluster, rank, term, score,
     * tf). */
   def cTfIdfTopTerms(df: DataFrame, cluster: String, text: String,
-                     k: Int = 10): DataFrame = {
+                     k: Int = 10, materialize: Boolean = true): DataFrame = {
     require(k >= 1, "cTfIdfTopTerms: k must be >= 1")
     val toks = df.select(col(cluster).as("__c"),
       explode(filter(tokens(col(text)), w => length(w) > 0)).as("__w"))
-    val tf = toks.groupBy("__c", "__w").agg(count(lit(1)).as("tf"))
+    // the collapsed tf frame feeds three branches (f_w, A, the scored
+    // join) — checkpoint it so the corpus tokenizes ONCE (the q44/q45
+    // multi-branch lesson); `materialize = false` restores pure-lazy
+    val tf0 = toks.groupBy("__c", "__w").agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint() else tf0
     val fw = tf.groupBy("__w").agg(sum(col("tf")).as("fw"))
     val a = tf.groupBy("__c").agg(sum(col("tf")).as("cn"))
       .agg(avg(col("cn")).as("bigA"))

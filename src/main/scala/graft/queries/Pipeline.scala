@@ -14,6 +14,29 @@ import Sql.{dsum, davg, isum}
   */
 object Pipeline {
 
+  /** DuckDB replay of the [[graft.ops.Similarity]] vector conventions,
+    * shared by every embedding oracle (q48/q97/q163/q166/q177/q180 —
+    * one truth; per-query copies could silently diverge):
+    * [[cosSql]] is the sequential-fold cosine (≡ the codegen DotProduct
+    * kernel's element order), [[assign]] the nearest-centroid cell
+    * assignment over a `cent(cid, cv)` CTE. */
+  private object VecSql {
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+    def assign(src: String, idOut: String): String =
+      s"""SELECT vec_id AS $idOut, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, ct.cid AS cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
+            FROM ($src) e CROSS JOIN cent ct) WHERE rn = 1"""
+  }
+  import VecSql.{cosSql, assign}
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
@@ -296,13 +319,6 @@ object Pipeline {
           .orderBy("qid", "rank")
       },
       Some {
-        def cosSql(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
             WHERE vec_id % 100 = 0),
           cass AS (SELECT nid, nv, cid AS cell FROM (
@@ -1080,13 +1096,6 @@ object Pipeline {
           threshold = 0.45).orderBy("vec_id")
       },
       Some {
-        def cosSql(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
             WHERE vec_id % 100 = 0),
           cass AS (SELECT vec_id, embedding, cell FROM (
@@ -2839,19 +2848,6 @@ object Pipeline {
           "vec_id", "embedding", threshold = 0.4).orderBy("vec_id")
       },
       Some {
-        def cosSql(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
-        def assign(src: String, idOut: String) =
-          s"""SELECT vec_id AS $idOut, embedding, cell FROM (
-            SELECT e.vec_id, e.embedding, ct.cid AS cell,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
-            FROM ($src) e CROSS JOIN cent ct) WHERE rn = 1"""
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
             WHERE vec_id % 100 = 0),
           cass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 37 <> 3", "vec_id")}),
@@ -3226,16 +3222,9 @@ object Pipeline {
       },
       Some {
         val lam = 0.7.toString; val oneMinus = (1.0 - 0.7).toString
-        def cos(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
         def round(t: Int) = s"""
           ms$t AS (SELECT r.nid, r.rel, r.embedding,
-              MAX(${cos("r.embedding", "s.embedding")}) AS ms
+              MAX(${cosSql("r.embedding", "s.embedding")}) AS ms
             FROM rem${t - 1} r CROSS JOIN sel${t - 1} s GROUP BY 1, 2, 3),
           pick$t AS (SELECT nid, rel, embedding,
               $lam * rel - $oneMinus * ms AS sc
@@ -3246,7 +3235,7 @@ object Pipeline {
             WHERE nid NOT IN (SELECT nid FROM pick$t))"""
         s"""WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
           vsc AS (SELECT e.vec_id AS nid, e.embedding,
-              ${cos("qv", "e.embedding")} AS rel
+              ${cosSql("qv", "e.embedding")} AS rel
             FROM qq CROSS JOIN embeddings e WHERE e.vec_id <> 7),
           shortl AS (SELECT nid, embedding, rel FROM
             (SELECT *, row_number() OVER (ORDER BY rel DESC, nid) AS rn
@@ -3333,19 +3322,6 @@ object Pipeline {
           .orderBy("vec_id")
       },
       Some {
-        def cosSql(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, len($a) + 1),
-            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
-        def assign(src: String, idOut: String) =
-          s"""SELECT vec_id AS $idOut, embedding, cell FROM (
-            SELECT e.vec_id, e.embedding, ct.cid AS cell,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("e.embedding", "ct.cv")} DESC, ct.cid ASC) AS rn
-            FROM ($src) e CROSS JOIN cent ct) WHERE rn = 1"""
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
             WHERE vec_id % 100 = 0),
           nass AS (${assign("SELECT * FROM embeddings WHERE vec_id % 5 = 1", "vec_id")}),

@@ -50,8 +50,14 @@ object Soak {
     // exists — replication is deterministic, so adjudication re-runs
     // re-time ops without paying the write.)
     val docs = graft.Tables.documents(spark, sfDir)
+    // reuse also validates the fixture SCHEMA: a pre-round-10 fixture
+    // on disk lacks lang/source/n_chars and would reproduce the crash
+    // the rewrite fixed
     val reuse = sys.env.get("SPARK_GRAFT_SOAK_REUSE").contains("1") &&
-      new java.io.File(s"$out/documents.parquet").exists()
+      new java.io.File(s"$out/documents.parquet").exists() && {
+        val cols = spark.read.parquet(s"$out/documents.parquet").columns.toSet
+        Set("doc_id", "text", "lang", "source", "n_chars").subsetOf(cols)
+      }
     if (!reuse) {
       // lang/source/n_chars ride along: the group-keyed ops (cdc_apply,
       // dsir_weights, token_budget, token_kl) need them — the earlier

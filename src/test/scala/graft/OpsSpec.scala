@@ -2011,6 +2011,13 @@ class OpsSpec extends SparkSpec {
     assert((1L to 11L).forall(i => !got(i)._3), "inliers unflagged")
     assert((101L to 105L).forall(i => got(i)._2.isEmpty && !got(i)._3),
       "constant group: null rz, not flagged")
+    // null-group rows keep (null rz, false flag) instead of vanishing
+    val withNull = df.union(Seq((null.asInstanceOf[String], 500L, 3.0))
+      .toDF("grp", "id", "x"))
+    val gotN = graft.api.Stats.robustZOutliers(withNull, "grp", $"x")
+      .select($"id", $"rz", $"is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(gotN.size == 18 && gotN(500L)._2.isEmpty && !gotN(500L)._3)
   }
 
   test("pageRank: mass conserves, dangling sinks redistribute, chain " +
@@ -2031,6 +2038,15 @@ class OpsSpec extends SparkSpec {
     val pr2 = Graph.pageRank(edges.union(Seq((1L, 2L)).toDF("s", "t")),
       "s", "t", iterations = 10).as[(Long, Double)].collect().toMap
     assert(pr2 == pr)
+    // STRING node ids (the domain-graph use case) rank identically —
+    // a long cast would silently null them into an empty result
+    val sEdges = Seq(("a.com", "b.com"), ("b.com", "c.com"),
+      ("d.com", "b.com"), ("d.com", "c.com")).toDF("s", "t")
+    val sPr = Graph.pageRank(sEdges, "s", "t", iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(sPr.keySet == Set("a.com", "b.com", "c.com", "d.com"))
+    assert(sPr("c.com") == pr(3L) && sPr("b.com") == pr(2L),
+      "isomorphic graph, identical ranks")
   }
 
   test("perceptual hashes: real decode→grid path; near-identical images " +
@@ -2214,6 +2230,13 @@ class OpsSpec extends SparkSpec {
         "nid", "rel", "vec", k = 3, lambda = 1.0)
       .orderBy("rank").as[(Long, Int, Long, Double)].collect().map(_._3).toSeq
     assert(pure == Seq(1L, 2L, 3L))
+    // STRING ids rank identically (the negated-id max_by would null them)
+    val sCands = cands.withColumn("nid", concat(lit("doc-"), $"nid"))
+    val sGot = Similarity.mmrDiversify(sCands, "qid", "nid", "rel", "vec",
+        k = 3, lambda = 0.3)
+      .filter($"qid" === 7).orderBy("rank")
+      .as[(Long, Int, String, Double)].collect().map(_._3).toSeq
+    assert(sGot == Seq("doc-1", "doc-3", "doc-2"))
   }
 
   test("intervalOverlap: bucketed equi-join is lossless vs the direct " +
@@ -2265,6 +2288,13 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(20L) - 18.1) < 1e-9)
     assert(got(10L) == 10.0, "mid-band untouched")
     assert(got(100L) == 5.0, "single-value group maps to itself")
+    // null-group rows pass through unclamped instead of vanishing
+    val withNull = df.union(Seq((null.asInstanceOf[String], 999L, 77.0))
+      .toDF("grp", "id", "x"))
+    val gotN = graft.api.Stats.winsorize(withNull, "grp", $"x",
+        lo = 0.1, hi = 0.9, out = "w")
+      .select($"id", $"w").as[(Long, Double)].collect().toMap
+    assert(gotN.size == 22 && gotN(999L) == 77.0, "null group kept, unclamped")
   }
 
   test("semanticDedupIncremental: drops only new rows with a seen " +
