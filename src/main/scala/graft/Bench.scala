@@ -214,7 +214,9 @@ object Bench {
     "q179_winsorize" -> SparkEntry.queries("q179_winsorize"),
     // round-10 late adds: incremental SemDeDup, c-TF-IDF labeling
     "q180_semantic_incremental" -> SparkEntry.queries("q180_semantic_incremental"),
-    "q181_ctfidf_terms" -> SparkEntry.queries("q181_ctfidf_terms"))
+    "q181_ctfidf_terms" -> SparkEntry.queries("q181_ctfidf_terms"),
+    // round-10 late add: cross-source n-gram overlap matrix
+    "q182_source_overlap" -> SparkEntry.queries("q182_source_overlap"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -723,6 +723,48 @@ object Dedup {
     simhashPairsImpl(df, id, simhashPortable(col(text)), maxDist, bits = 31,
       materialize)
 
+  /** Corpus-slice overlap matrix: pairwise n-gram-vocabulary Jaccard
+    * between GROUPS (sources/crawls/snapshots) — the corpus-analytics
+    * view of dedup ("which crawls duplicate each other") that decides
+    * which source pairs are worth a full document-level pass. A
+    * group's vocabulary is its DISTINCT token n-grams; overlap is
+    * |A∩B| / |A∪B| over those vocabularies.
+    *
+    * Scale shape: n-gram hashes (multi-arg xxhash64 — the q44/q98
+    * content-equality convention, collisions ~n²/2⁶⁴) distinct per
+    * (group, hash) in one aggregate; the intersection join's posting
+    * list per hash is bounded by the NUMBER OF GROUPS (tens), never
+    * by document count — so the "pair join" is |vocab|·S²-bounded
+    * with tiny S, not quadratic in the corpus. Sizes and
+    * intersections are hash aggregates with map-side combine.
+    * Returns (g1, g2, n1, n2, n_common, jaccard) for g1 < g2. */
+  def groupOverlapMatrix(df: DataFrame, group: String, text: String,
+                         n: Int = 3,
+                         materialize: Boolean = true): DataFrame = {
+    require(n >= 1, "groupOverlapMatrix: n must be >= 1")
+    val w = split(col(text), " ")
+    val gh0 = df.select(col(group).as("__g"), w.as("w"))
+      .filter(col("__g").isNotNull && size(col("w")) >= n)
+      .select(col("__g"), explode(transform(sequence(lit(0), size(col("w")) - n),
+        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))).as("h"))
+      .distinct()
+    // the compact (group, hash) vocabulary feeds three branches
+    // (sizes + both sides of the intersection join) — the q44/q45
+    // multi-branch checkpoint lesson
+    val gh = if (materialize) gh0.localCheckpoint() else gh0
+    val sizes = gh.groupBy("__g").agg(count(lit(1)).as("nv"))
+    val inter = gh.as("x").join(gh.as("y"),
+        col("x.h") === col("y.h") && col("x.__g") < col("y.__g"))
+      .groupBy(col("x.__g").as("g1"), col("y.__g").as("g2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__g").as("g1"), col("nv").as("n1")), Seq("g1"))
+      .join(sizes.select(col("__g").as("g2"), col("nv").as("n2")), Seq("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** Hamming near-dup pairs for ANY precomputed ≤63-bit signature
     * column (perceptual image hashes — [[Multimodal.aHash]] /
     * [[Multimodal.dHash]] — or an externally-computed fingerprint):

@@ -3356,7 +3356,33 @@ object Pipeline {
           s AS score, tf FROM
           (SELECT *, row_number() OVER (PARTITION BY c
             ORDER BY s DESC, w ASC) AS rank FROM sc)
-        WHERE rank <= 8 ORDER BY source, rank"""))
+        WHERE rank <= 8 ORDER BY source, rank""")),
+
+    // --- cross-source n-gram overlap matrix ---------------------------------
+    // (Dedup.groupOverlapMatrix — "which crawls duplicate each other":
+    // pairwise distinct-trigram-vocabulary Jaccard between sources.
+    // The intersection join's posting list per gram is bounded by the
+    // NUMBER OF SOURCES, never document count. Spark hashes grams
+    // (xxhash64); the oracle rebuilds them as strings — counts agree
+    // modulo ~n²/2⁶⁴ collisions, the q44/q98 convention.)
+    "q182_source_overlap" -> Q(
+      (s, d) => Dedup.groupOverlapMatrix(docs(s, d), "source", "text", n = 3)
+        .orderBy("g1", "g2"),
+      Some("""WITH gh AS (SELECT DISTINCT source AS g, gm FROM (
+            SELECT source, unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gm
+            FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3)),
+          sizes AS (SELECT g, COUNT(*) AS nv FROM gh GROUP BY 1),
+          inter AS (SELECT x.g AS g1, y.g AS g2, COUNT(*) AS n_common
+            FROM gh x JOIN gh y ON x.gm = y.gm AND x.g < y.g
+            GROUP BY 1, 2)
+          SELECT g1, g2, s1.nv AS n1, s2.nv AS n2, n_common,
+            round(CAST(n_common AS DOUBLE) / (s1.nv + s2.nv - n_common), 6)
+              AS jaccard
+          FROM inter
+          JOIN sizes s1 ON s1.g = g1 JOIN sizes s2 ON s2.g = g2
+          ORDER BY g1, g2"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

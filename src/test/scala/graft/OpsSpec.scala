@@ -2346,4 +2346,22 @@ class OpsSpec extends SparkSpec {
     val cb = all.find(r => r._1 == "b" && r._3 == "common").get
     assert(ca._4 / ca._5 == cb._4 / cb._5, "same per-occurrence idf weight")
   }
+
+  test("groupOverlapMatrix: identical slices score 1, disjoint score 0, " +
+    "within-group duplicate grams count once") {
+    val df = Seq(
+      ("a", "one two three four"),      // trigrams: {1-2-3, 2-3-4}
+      ("a", "one two three four"),      // duplicate doc: vocab unchanged
+      ("b", "one two three four"),      // identical vocabulary
+      ("c", "five six seven eight"),    // disjoint
+      ("d", "one two three nine")       // shares 1 of 2 with a/b
+    ).toDF("source", "text")
+    val got = Dedup.groupOverlapMatrix(df, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", "b"))._6 == 1.0 && got(("a", "b"))._3 == 2L,
+      "identical vocabularies, dup docs counted once")
+    assert(!got.contains(("a", "c")), "disjoint pair absent (no shared gram)")
+    assert(got(("a", "d")) == ("a", "d", 2L, 2L, 1L, 0.333333))
+  }
 }
