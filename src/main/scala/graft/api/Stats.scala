@@ -43,11 +43,6 @@ object Stats {
     F.sqrt(n - 1) * m3 / F.sqrt(m2 * m2 * m2)
   }
 
-  /** Binned mutual information between two numeric columns
-    * (Internal/Statistics.hs:209-274): equi-width bin both columns, then
-    * MI = Σ p(x,y) ln(p(x,y) / (p(x)p(y))). Two shuffles over binned keys;
-    * all marginals derived from the joint histogram (single scan).
-    */
   /** Per-group box-plot statistics — the data side of the reference's
     * `plotBoxPlots` (Display/Terminal/Plot.hs): five-number summary,
     * IQR, Tukey whiskers (q1/q3 ∓ 1.5·IQR) and the outlier count.
@@ -222,6 +217,11 @@ object Stats {
       .agg(F.sum("t").cast("double").as("mi"))
   }
 
+  /** Binned mutual information between two numeric columns
+    * (Internal/Statistics.hs:209-274): equi-width bin both columns, then
+    * MI = Σ p(x,y) ln(p(x,y) / (p(x)p(y))). Two shuffles over binned keys;
+    * all marginals derived from the joint histogram (single scan).
+    */
   def mutualInformationBinned(df: DataFrame, a: String, b: String,
                               bins: Int = 10): Double = {
     val bounds = df.agg(
@@ -260,7 +260,7 @@ object Stats {
     * reaches p·W. No interpolation — the answer is always an observed
     * value (Type 1), which keeps the result exact and engine-portable.
     *
-    * Determinism/portability: weights quantize to DECIMAL(18,6) at
+    * Determinism/portability: weights quantize to DECIMAL(30,6) at
     * entry, so the cumulative and total sums are EXACT and associative
     * (no fp reorder drift), and each threshold p·W is a
     * decimal×decimal product — both engines compare identical exact

@@ -751,8 +751,11 @@ object PqEncode {
   * loops per row inside whole-stage codegen. Arithmetic is bit-identical
   * to the oracle's `list_sum` formulation: sequential element-order
   * mean, `>` compare, exact long bit sum. Arrays shorter than `bits`
-  * yield null. `bits` ≤ 63 keeps the signature non-negative in
-  * signed-64 engines. */
+  * yield null, as does any null slot among the first `bits` elements
+  * when the array type admits element nulls (the null scan is only
+  * emitted for containsNull inputs — cast-produced grids are
+  * non-null and keep the tight kernel). `bits` ≤ 63 keeps the
+  * signature non-negative in signed-64 engines. */
 case class AHash(child: Expression, bits: Int) extends UnaryExpression {
   require(bits >= 1 && bits <= 63, "graft_ahash: bits must be in [1, 63]")
 
@@ -760,15 +763,27 @@ case class AHash(child: Expression, bits: Int) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "graft_ahash"
 
+  private lazy val elemsNullable = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_ahash needs array<double>, got ${t.simpleString}")
   }
 
+  private def anyNullSlot(px: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (px.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val px = input.asInstanceOf[ArrayData]
     if (px.numElements() < bits) null
+    else if (elemsNullable && anyNullSlot(px, bits)) null
     else {
       var s = 0.0; var i = 0
       while (i < bits) { s += px.getDouble(i); i += 1 }
@@ -785,8 +800,16 @@ case class AHash(child: Expression, bits: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, px => {
       val s = ctx.freshName("s"); val m = ctx.freshName("m")
       val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val nn = ctx.freshName("anyNull")
+      val nullScan = if (elemsNullable)
+        s"""if ($px.numElements() >= $bits) {
+          for (int $i = 0; $i < $bits && !$nn; $i++) { $nn = $px.isNullAt($i); }
+        }"""
+      else ""
       s"""
-        if ($px.numElements() < $bits) {
+        boolean $nn = false;
+        $nullScan
+        if ($px.numElements() < $bits || $nn) {
           ${ev.isNull} = true;
         } else {
           double $s = 0.0;
@@ -808,8 +831,10 @@ case class AHash(child: Expression, bits: Int) extends UnaryExpression {
 /** Difference perceptual hash (dHash) over a w×h row-major luma grid:
   * bit r·(w−1)+c set iff pixel (r,c) < pixel (r,c+1). Pure integer/
   * compare arithmetic in one codegen loop; arrays shorter than w·h
-  * yield null. (w−1)·h ≤ 63 — same sign-portability rule as
-  * [[AHash]]. */
+  * yield null, as does any null slot among the first w·h elements of
+  * a containsNull array (the [[AHash]] rule — the scan is skipped for
+  * non-null element types). (w−1)·h ≤ 63 — same sign-portability rule
+  * as [[AHash]]. */
 case class DHash(child: Expression, w: Int, h: Int) extends UnaryExpression {
   require(w >= 2 && h >= 1 && (w - 1) * h <= 63,
     "graft_dhash: need w >= 2 and (w-1)*h <= 63")
@@ -818,15 +843,27 @@ case class DHash(child: Expression, w: Int, h: Int) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dhash"
 
+  private lazy val elemsNullable = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_dhash needs array<double>, got ${t.simpleString}")
   }
 
+  private def anyNullSlot(px: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (px.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val px = input.asInstanceOf[ArrayData]
     if (px.numElements() < w * h) null
+    else if (elemsNullable && anyNullSlot(px, w * h)) null
     else {
       var hash = 0L; var r = 0
       while (r < h) {
@@ -845,9 +882,16 @@ case class DHash(child: Expression, w: Int, h: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, px => {
       val hash = ctx.freshName("hash"); val r = ctx.freshName("r")
-      val c = ctx.freshName("c")
+      val c = ctx.freshName("c"); val nn = ctx.freshName("anyNull")
+      val nullScan = if (elemsNullable)
+        s"""if ($px.numElements() >= ${w * h}) {
+          for (int $r = 0; $r < ${w * h} && !$nn; $r++) { $nn = $px.isNullAt($r); }
+        }"""
+      else ""
       s"""
-        if ($px.numElements() < ${w * h}) {
+        boolean $nn = false;
+        $nullScan
+        if ($px.numElements() < ${w * h} || $nn) {
           ${ev.isNull} = true;
         } else {
           long $hash = 0L;

@@ -505,8 +505,8 @@ object Dedup {
     * then verify candidates with exact Jaccard (no false positives; miss
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs
     * are missed with p < 1e-14). Returns (d1, d2, jac).
-    */
-  /** `maxBucket`: skip band buckets holding more than maxBucket docs.
+    *
+    * `maxBucket`: skip band buckets holding more than maxBucket docs.
     * A mega-bucket means many documents share a band signature — in a
     * duplicate-heavy corpus that's a clique of near-identical docs, and
     * pairing it is quadratic in the clique size. Documents dropped from

@@ -278,14 +278,6 @@ object Embeddings {
       element_at(typedLit(cb.map(_.toSeq).toSeq), get(codes, lit(s)) + 1)
     }: _*)
 
-  /** Asymmetric-distance top-k: each query builds an m×K lookup table
-    * of exact subvector distances to every centroid (driver-side —
-    * queries are a bounded set, the [[Similarity.topK]] convention) and
-    * a corpus row's approximate distance is the SUM of m LUT entries
-    * picked by its codes — the corpus is scanned once per batch with
-    * only the m-byte codes read, never the raw vectors. Returns
-    * (qid, rank, id, adist), rank 1..k by ascending approximate
-    * squared-L2 (ties → smaller id). */
   /** per-query ADC lookup table: lut(s)(j) = exact squared L2 between
     * the query's s-th subvector and centroid j of subspace s
     * (sequential diff² fold — the SQL-replayable order). */
@@ -310,6 +302,14 @@ object Embeddings {
       element_at(element_at(typedLit(lut), s + 1),
         get(codes, lit(s)) + 1)).reduce(_ + _)
 
+  /** Asymmetric-distance top-k: each query builds an m×K lookup table
+    * of exact subvector distances to every centroid (driver-side —
+    * queries are a bounded set, the [[Similarity.topK]] convention) and
+    * a corpus row's approximate distance is the SUM of m LUT entries
+    * picked by its codes — the corpus is scanned once per batch with
+    * only the m-byte codes read, never the raw vectors. Returns
+    * (qid, rank, id, adist), rank 1..k by ascending approximate
+    * squared-L2 (ties → smaller id). */
   def pqTopK(queries: Array[(Long, Array[Double])], corpus: DataFrame,
              id: String, codes: String,
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
@@ -373,21 +373,6 @@ object Embeddings {
       .select(col("qid"), col("rank"), col(id), col("adist"))
   }
 
-  /** Compressed-search completion (the standard two-stage pattern of
-    * public PQ systems, e.g. FAISS's IVFPQ + refine): [[pqTopK]]'s ADC
-    * pass shortlists `rerank`·k candidates per query reading ONLY the
-    * m-byte codes, then the shortlist — |queries|·rerank·k rows, never
-    * the corpus — joins back to the full vectors for an EXACT squared-L2
-    * re-rank. Recall@k can only improve over ADC-only (the exact metric
-    * re-orders the shortlist; differential-asserted in PqSpec).
-    *
-    * The exact distance is the sequential Σ(qᵢ−vᵢ)² fold via
-    * aggregate(zip_with(...)) — interpreted, but only over the bounded
-    * shortlist, and bit-identical to the oracle's list_sum replay (the
-    * DotProduct parity convention). The per-query rank window's group
-    * is rerank·k rows — bounded, never a corpus sort. Returns
-    * (qid, rank, id, dist), rank 1..k ascending exact squared-L2
-    * (ties → smaller id). */
   /** Coarse-cell id and RESIDUAL (v − centroid[cell]) of every row, as
     * Columns — the residual-IVFPQ building block. Cell assignment is
     * one PqEncode kernel call whose single "subspace" spans the full
@@ -461,6 +446,21 @@ object Embeddings {
       (c2 - 2.0 * dot, j)
     }.sortBy { case (d, j) => (d, j) }.map(_._2).toSeq
 
+  /** Compressed-search completion (the standard two-stage pattern of
+    * public PQ systems, e.g. FAISS's IVFPQ + refine): [[pqTopK]]'s ADC
+    * pass shortlists `rerank`·k candidates per query reading ONLY the
+    * m-byte codes, then the shortlist — |queries|·rerank·k rows, never
+    * the corpus — joins back to the full vectors for an EXACT squared-L2
+    * re-rank. Recall@k can only improve over ADC-only (the exact metric
+    * re-orders the shortlist; differential-asserted in PqSpec).
+    *
+    * The exact distance is the sequential Σ(qᵢ−vᵢ)² fold via
+    * aggregate(zip_with(...)) — interpreted, but only over the bounded
+    * shortlist, and bit-identical to the oracle's list_sum replay (the
+    * DotProduct parity convention). The per-query rank window's group
+    * is rerank·k rows — bounded, never a corpus sort. Returns
+    * (qid, rank, id, dist), rank 1..k ascending exact squared-L2
+    * (ties → smaller id). */
   def pqTopKRerank(queries: Array[(Long, Array[Double])], corpus: DataFrame,
                    id: String, codes: String, vec: String,
                    codebooks: Array[Array[Array[Double]]], k: Int,

@@ -25,7 +25,9 @@ import graft.api.Frame
   * `<extra_id_K>` (K = the chunk's 0-based index among the doc's
   * chunks); the target is the concatenation of `<extra_id_K>` + masked
   * tokens, in order. A doc shorter than `chunk` tokens passes through
-  * with an empty target.
+  * with an empty target. A NULL id has no portable mixer seed: the doc
+  * passes through unmasked (null offsets send every token down the
+  * 'other' branch) and n_masked reports 0, not the full-chunk count.
   */
 object Masking {
 
@@ -67,7 +69,9 @@ object Masking {
     val stage = df.withColumn("__offs", offs)
     stage
       .withColumn("n_tokens", n)
-      .withColumn("n_masked", (nFull * spanLen).cast("long"))
+      .withColumn("n_masked", // null id → null offsets → nothing masks
+        when(col(id).isNotNull, (nFull * spanLen).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("input", array_join(filter(
         zip_with(ws, pos, (w, p) => tok(w, p, col("__offs"),
           (k, _) => sentinel(k), _ => lit(null), identity)),

@@ -33,6 +33,11 @@ object RangeJoin {
                       bucketWidthMicros: Long,
                       maxBucketsPerInterval: Option[Int] = None): DataFrame = {
     require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    // cap <= 0 would make sequence(sB, sB+cap-1) DESCEND (Spark's
+    // implicit -1 step), silently inflating candidates with
+    // below-range buckets that only the exact post-filter prunes
+    require(maxBucketsPerInterval.forall(_ >= 1),
+      "pointInInterval: maxBucketsPerInterval must be >= 1")
     val shared = points.columns.toSet.intersect(intervals.columns.toSet) - key
     require(shared.isEmpty,
       s"pointInInterval: points and intervals share non-key columns " +
@@ -77,6 +82,8 @@ object RangeJoin {
                       bucketWidthMicros: Long,
                       maxBucketsPerInterval: Option[Int] = None): DataFrame = {
     require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    require(maxBucketsPerInterval.forall(_ >= 1), // see pointInInterval
+      "intervalOverlap: maxBucketsPerInterval must be >= 1")
     val shared = left.columns.toSet.intersect(right.columns.toSet) - key
     require(shared.isEmpty,
       s"intervalOverlap: sides share non-key columns " +

@@ -310,24 +310,6 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
-  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
-    * public method): merge several ranked candidate lists (e.g. a BM25
-    * lexical list and an ANN vector list — "hybrid search") into one
-    * ranking by
-    *   rrf(d) = Σ_lists 1/(rrfK + rank_d),
-    * summing only over the lists where d appears. Rank-based fusion
-    * needs no score calibration between heterogeneous retrievers; the
-    * standard rrfK = 60 damps the head so deep-list agreement can beat
-    * a single-list top hit.
-    *
-    * Each input must carry (`id`, `rank`) with rank ≥ 1. Scale shape:
-    * the inputs are already top-k shortlists (tiny — the expensive
-    * retrieval happened upstream), so this is a union + one id-keyed
-    * hash aggregate + the bounded-heap top-k; nothing here touches the
-    * corpus. Contributions are exact double divisions (no libm), the
-    * per-doc sum runs through the exact decimal register rounded at
-    * 6 dp, ties break (score desc, id asc) — fully engine-portable.
-    * Returns (rank, id, score, n_lists). */
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998 — public method): greedily diversify a per-query
     * candidate shortlist by picking, k times,
@@ -399,6 +381,24 @@ object Similarity {
       round(col("__score"), 6).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    * public method): merge several ranked candidate lists (e.g. a BM25
+    * lexical list and an ANN vector list — "hybrid search") into one
+    * ranking by
+    *   rrf(d) = Σ_lists 1/(rrfK + rank_d),
+    * summing only over the lists where d appears. Rank-based fusion
+    * needs no score calibration between heterogeneous retrievers; the
+    * standard rrfK = 60 damps the head so deep-list agreement can beat
+    * a single-list top hit.
+    *
+    * Each input must carry (`id`, `rank`) with rank ≥ 1. Scale shape:
+    * the inputs are already top-k shortlists (tiny — the expensive
+    * retrieval happened upstream), so this is a union + one id-keyed
+    * hash aggregate + the bounded-heap top-k; nothing here touches the
+    * corpus. Contributions are exact double divisions (no libm), the
+    * per-doc sum runs through the exact decimal register rounded at
+    * 6 dp, ties break (score desc, id asc) — fully engine-portable.
+    * Returns (rank, id, score, n_lists). */
   def rrfFuse(rankings: Seq[DataFrame], id: String, k: Int = 10,
               rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")

@@ -2902,7 +2902,7 @@ object Pipeline {
     // below which p of the total WEIGHT falls; weight = token count, so
     // this is "the doc length covering a quarter/half/90% of the
     // tokens" — the token-budget view an unweighted percentile
-    // misstates. Exactness contract: weights quantize to DECIMAL(18,6)
+    // misstates. Exactness contract: weights quantize to DECIMAL(30,6)
     // and every cumulative/total/threshold comparison is exact, so the
     // oracle may replay the predicate in scaled INTEGERS (tokens are
     // integral; both sides compare identical exact rationals — any
@@ -3205,8 +3205,10 @@ object Pipeline {
     // (Similarity.mmrDiversify — Carbonell & Goldstein 1998: greedy
     // λ·rel − (1−λ)·max-sim-to-selected over the q47 brute-force
     // top-20 shortlist. Each of the 5 rounds is a shortlist-sized
-    // equi-join + a max aggregate + a max_by-struct argmax (the
-    // assignCells trick — no rank window). The oracle unrolls all 5
+    // equi-join + a max aggregate + a type-generic two-aggregate argmax
+    // (max score, then min(id) at that score — Similarity.scala
+    // documents why a negated-id max_by struct breaks on string ids;
+    // no rank window either way). The oracle unrolls all 5
     // greedy rounds as CTEs; λ and (1−λ) interpolate as Scala doubles
     // (shortest-round-trip repr) so both engines score with identical
     // IEEE constants — the argmax sequence must match exactly.)

@@ -2091,6 +2091,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == all)
   }
 
+  test("aHash/dHash: a null slot in a containsNull grid nulls the " +
+    "signature instead of hashing an undefined value") {
+    // array() built from a when() has containsNull=true slots
+    val grid = (0 until 63).map(i => lit(i.toDouble))
+    val holed = (0 until 63).map(i =>
+      when(lit(i) === 5 && $"poke", lit(null)).otherwise(lit(i.toDouble)))
+    val df = Seq(true, false).toDF("poke")
+      .select($"poke", array(holed: _*).as("px"), array(grid: _*).as("ok"))
+    val got = df.select($"poke",
+        Multimodal.aHash($"px").as("ah"), Multimodal.dHash($"px").as("dh"),
+        Multimodal.aHash($"ok").as("ah2"), Multimodal.dHash($"ok").as("dh2"))
+      .collect().map(r => r.getBoolean(0) -> r).toMap
+    assert(got(true).isNullAt(1) && got(true).isNullAt(2),
+      "null slot → null signature")
+    assert(!got(false).isNullAt(1) && !got(false).isNullAt(2),
+      "no null slot → hashes fine even with containsNull type")
+    assert(got(false).getLong(1) == got(false).getLong(3) &&
+      got(false).getLong(2) == got(false).getLong(4),
+      "containsNull scan does not change the hash of a clean grid")
+  }
+
   test("spanCorruption: exact rate on full chunks, short docs pass " +
     "through, and (input, target) losslessly reconstruct the original") {
     import graft.ops.Masking
@@ -2122,6 +2143,14 @@ class OpsSpec extends SparkSpec {
       }.mkString(" ")
       assert(rebuilt == r._2, s"doc ${r._1} reconstructs")
     }
+    // a NULL id has no mixer seed: doc passes through unmasked and
+    // n_masked says 0 (not the full-chunk closed form)
+    val nullId = Masking.spanCorruption(
+        Seq((Option.empty[Long], mk(45))).toDF("doc_id", "text"),
+        "doc_id", "text", chunk = 10, spanLen = 2)
+      .select($"n_masked", $"input", $"target").as[(Long, String, String)]
+      .head()
+    assert(nullId == ((0L, mk(45), "")), "null id → untouched, n_masked 0")
   }
 
   test("splitSentences + sentenceDupStats: boundary runs, trimming, " +
@@ -2274,6 +2303,20 @@ class OpsSpec extends SparkSpec {
         bucketWidthMicros = 60L * 1000000) // 1-min buckets → many shared
       .select($"l_id", $"r_id").collect()
     assert(rows.length == rows.distinct.length && rows.length == 3)
+    // cap <= 0 would make the bucket sequence DESCEND (implicit -1
+    // step) — rejected up front on both range-join entry points
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlap(left, right, "k",
+        "l_id", "r_id", "l_s", "l_e", "r_s", "r_e",
+        bucketWidthMicros = 60L * 1000000, maxBucketsPerInterval = Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(
+        left.select($"k", $"l_id", $"l_s".as("ts")),
+        right.select($"k", $"r_id", $"r_s", $"r_e"), "k",
+        "ts", "r_s", "r_e",
+        bucketWidthMicros = 60L * 1000000, maxBucketsPerInterval = Some(-1))
+    }
   }
 
   test("winsorize clamps exactly at the group band and leaves " +
@@ -2318,7 +2361,8 @@ class OpsSpec extends SparkSpec {
     // 13/14 vs seen 2: cos(0.2,0.8 ; 0.1,0.9) ≈ 0.986 < 0.995 → both keep
     assert(kept.contains(13L) && kept.contains(14L),
       "new-new near-dups are not each other's judges")
-    // maxCell=1 skips the seen cell holding 1 → 10/11 keep too
+    // maxCell=0 skips EVERY seen cell (each holds one vector, 1 > 0)
+    // → no seen row judges anything, so 10/11 keep too
     val keptCap = Similarity.semanticDedupIncremental(batch, seen, centroids,
         "vec_id", "embedding", threshold = 0.995, maxCell = Some(0))
       .select("vec_id").as[Long].collect().toSet
