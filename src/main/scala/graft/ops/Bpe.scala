@@ -115,7 +115,7 @@ object Bpe {
   def fit(df: DataFrame, text: String, numMerges: Int,
           localVocabCap: Int = 1 << 20): Seq[(String, String)] = {
     require(numMerges >= 1, "Bpe.fit: numMerges must be >= 1")
-    val wc = wordCounts(df, text).localCheckpoint()
+    val wc = Materialize.pin(wordCounts(df, text))
     if (wc.count() <= localVocabCap) {
       val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
       fitLocal(rows, numMerges)
@@ -170,9 +170,8 @@ object Bpe {
 
   private[graft] def fitDistributed(wc: DataFrame,
                                     numMerges: Int): Seq[(String, String)] = {
-    var vocab = wc
-      .withColumn("syms", symbols(col("w"))).drop("w")
-      .localCheckpoint()
+    var vocab = Materialize.pin(
+      wc.withColumn("syms", symbols(col("w"))).drop("w"))
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -186,8 +185,8 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
-        vocab = vocab.select(mergeUdf(col("syms")).as("syms"), col("c"))
-          .localCheckpoint()
+        vocab = Materialize.pin(
+          vocab.select(mergeUdf(col("syms")).as("syms"), col("c")))
       }
       round += 1
     }

@@ -183,7 +183,7 @@ object Dedup {
     // pure-lazy plan.
     def shingles() = {
       val a = shingleHashArrays(df, id, text)
-      if (materialize) a.localCheckpoint() else a
+      Materialize.pin(a, materialize)
     }
     // join on the 64-bit shingle hash, not the string: same counts modulo
     // hash collisions (~n²/2^65 — negligible), and the wide self-join
@@ -259,7 +259,7 @@ object Dedup {
       .filter(size(col("w")) >= n)
       .select(col(id), transform(sequence(lit(0), size(col("w")) - n),
         i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)).as("gs"))
-    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val arrays = Materialize.pin(arrays0, materialize)
     val g = arrays.select(col(id), explode_outer(col("gs")).as("g"))
     val dup = g.select(col(id), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("ndocs"))
@@ -328,7 +328,7 @@ object Dedup {
       .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
         i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
-    val wins = if (materialize) wins0.localCheckpoint() else wins0
+    val wins = Materialize.pin(wins0, materialize)
     val dup = wins.select(col(id), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
@@ -530,7 +530,7 @@ object Dedup {
     // scale; the trade is executor-local blocks (executor loss → job
     // retry). `materialize = false` keeps the plan fully lazy/pure.
     val arrays0 = shingleHashArrays(df, id, text)
-    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val arrays = Materialize.pin(arrays0, materialize)
     val sig = arrays.select(col(id),
       graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
     val banded0 = sig.select(col(id),
@@ -590,7 +590,7 @@ object Dedup {
     val rows = numPerms / bands
     def prep(df: DataFrame) = {
       val a0 = shingleHashArrays(df, id, text)
-      if (materialize) a0.localCheckpoint() else a0
+      Materialize.pin(a0, materialize)
     }
     def band(arrays: DataFrame) = arrays
       .select(col(id),
@@ -645,21 +645,23 @@ object Dedup {
     * unboundedly; convergence is a count of changed labels.
     * Returns (node, component). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val edges = Materialize.pin(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .distinct())
+    var labels = Materialize.pin(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
-          col("label"))
-        .localCheckpoint()
+      val updated = Materialize.pin(
+        labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+            col("label")))
       converged = updated.filter(col("new_label") < col("label")).isEmpty
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
@@ -751,7 +753,7 @@ object Dedup {
     // the compact (group, hash) vocabulary feeds three branches
     // (sizes + both sides of the intersection join) — the q44/q45
     // multi-branch checkpoint lesson
-    val gh = if (materialize) gh0.localCheckpoint() else gh0
+    val gh = Materialize.pin(gh0, materialize)
     val sizes = gh.groupBy("__g").agg(count(lit(1)).as("nv"))
     val inter = gh.as("x").join(gh.as("y"),
         col("x.h") === col("y.h") && col("x.__g") < col("y.__g"))
@@ -789,7 +791,7 @@ object Dedup {
     // the q44/q45 lesson); the materialized frame is (id, 8-byte sh),
     // KBs per million docs. `materialize = false` restores pure-lazy.
     val withSim0 = df.select(col(id), sim.as("sh"))
-    val withSim = if (materialize) withSim0.localCheckpoint() else withSim0
+    val withSim = Materialize.pin(withSim0, materialize)
     val chunkCols = offsets.zip(widths).map { case (off, w) =>
       shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
     }
@@ -845,7 +847,7 @@ object Dedup {
     }
     def chunked(df: DataFrame) = {
       val withSim0 = df.select(col(id), sim.as("sh"))
-      val withSim = if (materialize) withSim0.localCheckpoint() else withSim0
+      val withSim = Materialize.pin(withSim0, materialize)
       withSim.select(col(id), col("sh"), posexplode(array(chunkCols: _*)))
         .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * textbook Spark shape; nothing is quadratic and no window appears.
   * The rank table is nodes-sized (≪ edges); the dangling mass is a
   * 1-row aggregate broadcast back (the zScore pattern). Each
-  * iteration localCheckpoints, so the plan stays iteration-deep-1
-  * instead of exponentially re-deriving the lineage (at cluster scale
-  * swap for reliable `checkpoint`; same call shape).
+  * iteration pins via [[Materialize]], so the plan stays
+  * iteration-deep-1 instead of exponentially re-deriving the lineage
+  * (set `Materialize.strategy = Materialize.Reliable(dir)` once at
+  * job start for an executor-loss-tolerant cluster run — the shared
+  * knob covers every iterative op).
   *
   * Determinism/portability: per-edge contributions r/outdeg are
   * per-row double ops (identical across engines); every SUM runs
@@ -65,10 +67,10 @@ object Graph {
     require(damping > 0.0 && damping < 1.0,
       "pageRank: damping must be in (0, 1)")
     val e0 = simpleEdges(edges, src, dst)
-    val e = if (materialize) e0.localCheckpoint() else e0
+    val e = Materialize.pin(e0, materialize)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = if (materialize) nodes0.localCheckpoint() else nodes0
+    val nodes = Materialize.pin(nodes0, materialize)
     // bounded driver scalar (node count — the agg-to-scalar convention)
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
@@ -89,7 +91,7 @@ object Graph {
           ((lit(1.0) - lit(damping)) / nD +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / nD))
             .as("r"))
-      ranks = if (materialize) next.localCheckpoint() else next
+      ranks = Materialize.pin(next, materialize)
     }
     ranks.select(col("node"), round(col("r"), 12).as("pr"))
   }

@@ -327,11 +327,10 @@ object Mixture {
         nTokens.cast("long").as("__ntok"), pri.cast("double").as("__pri"))
       .filter(col(id).isNotNull && col("__pri").isNotNull &&
         col("__ntok").isNotNull && col("__ntok") >= 0)
-    val ranged = narrow
+    val ranged = Materialize.pin(narrow
       .repartitionByRange(col("__grp"), col("__pri"), col(id))
       .sortWithinPartitions(col("__grp"), col("__pri"), col(id))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()))
     // bounded: contiguous ranges → ≤ #partitions + #groups − 1 cells
     val subs = ranged.groupBy(col("__pid"), col("__grp"))
       .agg(sum(col("__ntok")).as("__ps"))
@@ -432,7 +431,7 @@ object Mixture {
     // group totals, the present-word join) — the q44/q45 multi-branch
     // lesson; `materialize = false` restores pure-lazy
     val cg0 = toks.groupBy("__g", "__w").agg(count(lit(1)).as("cg"))
-    val cg = if (materialize) cg0.localCheckpoint() else cg0
+    val cg = Materialize.pin(cg0, materialize)
     val cw = cg.groupBy("__w").agg(sum(col("cg")).as("c"))
     val tot = cw.agg(sum(col("c")).as("bigN"), count(lit(1)).as("bigV"))
     // lnq9 per corpus word + the corpus-level scalar S_q = Σ_V lnq9

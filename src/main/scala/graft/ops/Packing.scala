@@ -52,12 +52,12 @@ object Packing {
                  maxLen: Long): DataFrame = {
     require(maxLen >= 1, "packConcat: maxLen must be >= 1")
     val L = lit(maxLen)
-    val ranged = df.select(col(id), nTokens.cast("long").as("ntok"))
-      .filter(col("ntok") > 0)
-      .repartitionByRange(col(id))
-      .sortWithinPartitions(id)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = Materialize.pin(
+      df.select(col(id), nTokens.cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+        .repartitionByRange(col(id))
+        .sortWithinPartitions(id)
+        .withColumn("pid", spark_partition_id()))
     // tiny: one row per partition after map-side combine
     val partSums = ranged.groupBy("pid").agg(sum(col("ntok")).as("psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -344,7 +344,7 @@ object Similarity {
     val base0 = candidates.select(col(qid).as("__q"), col(id).as("__c"),
       col(rel).cast("double").as("__rel"),
       col(vec).cast("array<double>").as("__v"))
-    val base = if (materialize) base0.localCheckpoint() else base0
+    val base = Materialize.pin(base0, materialize)
     var remaining = base
     var picked: DataFrame = null
     for (t <- 1 to k) {
@@ -371,11 +371,11 @@ object Similarity {
         .withColumn("rank", lit(t))
         .join(base.select(col("__q"), col("__c"), col("__v")),
           Seq("__q", "__c"))
-      val pick = if (materialize) pick0.localCheckpoint() else pick0
+      val pick = Materialize.pin(pick0, materialize)
       picked = if (t == 1) pick else picked.unionByName(pick)
       remaining = remaining.join(
         pick.select(col("__q"), col("__c")), Seq("__q", "__c"), "left_anti")
-      remaining = if (materialize) remaining.localCheckpoint() else remaining
+      remaining = Materialize.pin(remaining, materialize)
     }
     picked.select(col("__q").as(qid), col("rank"), col("__c").as(id),
       round(col("__score"), 6).as("score"))

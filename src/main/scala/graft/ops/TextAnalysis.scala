@@ -442,7 +442,7 @@ object TextAnalysis {
       .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
     val scoreArrays0 = bigramArrays(df)
     val scoreArrays =
-      if (materialize) scoreArrays0.localCheckpoint() else scoreArrays0
+      Materialize.pin(scoreArrays0, materialize)
     val corpus = fitOn.getOrElse(df)
     val corpusBigrams = fitOn match {
       case Some(c) => expand(bigramArrays(c))
@@ -633,7 +633,7 @@ object TextAnalysis {
     // join) — checkpoint it so the corpus tokenizes ONCE (the q44/q45
     // multi-branch lesson); `materialize = false` restores pure-lazy
     val tf0 = toks.groupBy("__c", "__w").agg(count(lit(1)).as("tf"))
-    val tf = if (materialize) tf0.localCheckpoint() else tf0
+    val tf = Materialize.pin(tf0, materialize)
     val fw = tf.groupBy("__w").agg(sum(col("tf")).as("fw"))
     val a = tf.groupBy("__c").agg(sum(col("tf")).as("cn"))
       .agg(avg(col("cn")).as("bigA"))
@@ -757,7 +757,7 @@ object TextAnalysis {
     val arrays0 = df.select(col(id),
       transform(splitSentences(col(text)), s => xxhash64(s)).as("gs"))
       .filter(size(col("gs")) > 0)
-    val arrays = if (materialize) arrays0.localCheckpoint() else arrays0
+    val arrays = Materialize.pin(arrays0, materialize)
     val g = arrays.select(col(id), explode(col("gs")).as("g"))
     val dup = g.select(col(id), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("ndocs"))

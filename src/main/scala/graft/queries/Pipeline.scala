@@ -1004,11 +1004,11 @@ object Pipeline {
         // instead of re-running the filters per branch. At corpus
         // scale this is the standard stage boundary a real job writes
         // to storage between filter and dedup passes.
-        val kept = base.where(col("doc_id") % 20 =!= 5)
-          .where(TA.predictLang(col("text")) === "en")
-          .withColumn("q", TA.qualityScore(col("text")))
-          .where(col("q") >= 0.5)
-          .localCheckpoint()
+        val kept = graft.ops.Materialize.pin(
+          base.where(col("doc_id") % 20 =!= 5)
+            .where(TA.predictLang(col("text")) === "en")
+            .withColumn("q", TA.qualityScore(col("text")))
+            .where(col("q") >= 0.5))
         val deduped = Dedup.exact(kept, "doc_id", "text")
         val flagged = Dedup.decontaminationReport(deduped, bench, "doc_id", "text", n = 8)
         deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -1149,10 +1149,10 @@ object Pipeline {
           .select(col("doc_id"), col("dup_frac"))
         val sr = TA.stopwordCount(col("text")).cast("double") /
           TA.tokenCount(col("text"))
-        val s1 = base.join(spans, Seq("doc_id"), "left")
-          .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.5)
-          .withColumn("sr", sr)
-          .localCheckpoint()
+        val s1 = graft.ops.Materialize.pin(
+          base.join(spans, Seq("doc_id"), "left")
+            .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.5)
+            .withColumn("sr", sr))
         val s2 = TA.keepTopQuantile(s1, "source", col("sr"), q = 0.25)
         val s3 = Dedup.exact(s2, "doc_id", "text")
         graft.ops.Packing.packDocuments(s3, "doc_id", "text", 1000)

@@ -2049,6 +2049,41 @@ class OpsSpec extends SparkSpec {
       "isomorphic graph, identical ranks")
   }
 
+  test("Materialize.Reliable: iterative ops survive the reliable-" +
+    "checkpoint strategy with identical results (the cluster posture)") {
+    import graft.ops.{Graph, Materialize}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L), (4L, 3L)).toDF("s", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val local = Graph.pageRank(edges, "s", "t", iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    val ccLocal = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      .toString
+    Materialize.strategy = Materialize.Reliable(dir)
+    try {
+      val rel = Graph.pageRank(edges, "s", "t", iterations = 6)
+        .as[(Long, Double)].collect().toMap
+      assert(rel == local, "reliable pageRank bit-identical")
+      val ccRel = graft.ops.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(ccRel == ccLocal, "reliable connectedComponents identical")
+      // checkpoint files actually landed in the reliable dir
+      def countFiles(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(countFiles(java.nio.file.Paths.get(dir)) > 0,
+        "reliable strategy wrote DFS checkpoints")
+      // Off runs too (pure lineage — tiny input)
+      Materialize.strategy = Materialize.Off
+      val off = Graph.pageRank(edges, "s", "t", iterations = 3)
+        .as[(Long, Double)].collect().toMap
+      assert(math.abs(off.values.sum - 1.0) < 1e-9)
+    } finally Materialize.strategy = Materialize.Local
+  }
+
   test("perceptual hashes: real decode→grid path; near-identical images " +
     "pair at small hamming distance, unrelated don't; corrupt → null") {
     import java.awt.image.BufferedImage
