@@ -159,6 +159,106 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("code")).otherwise(lit("unk"))
   }
 
+  /** hashed char-trigram bucket array of `text` — the feature stream of
+    * the TRAINED language ID ([[fitLangProfiles]]): trigram i hashes by
+    * the [[portableWordHash]] fold of its three code points (identical
+    * arithmetic to hashing the 3-char substring: acc=7, acc·31+cp mod
+    * 2³¹−1), then the portable mixer and mod `buckets`. Bucket
+    * COLLISIONS are part of the model, so the hash must match across
+    * engines exactly — charPoly→mix, not xxhash64 (the
+    * [[Mixture.dsirLogWeights]] posture). Texts shorter than 3 chars
+    * yield an empty array. */
+  def charTrigramBuckets(text: Column, buckets: Int): Column = {
+    val M = 2147483647L
+    val cps = transform(split(text, ""), c => ascii(c).cast("long"))
+    when(size(cps) >= 3,
+      transform(sequence(lit(0), size(cps) - 3), i => {
+        val p1 = (lit(7L) * 31 + get(cps, i)) % M
+        val p2 = (p1 * 31 + get(cps, i + 1)) % M
+        val p3 = (p2 * 31 + get(cps, i + 2)) % M
+        pmod(graft.api.Frame.portableMix(p3), lit(buckets.toLong))
+      }))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** TRAINED character-n-gram language ID, fit step (public methods:
+    * Cavnar & Trenkle 1994's char-n-gram profiles in the
+    * Naive-Bayes-over-hashed-features formulation langid.py
+    * popularized) — the production replacement for [[predictLang]]'s
+    * embedded marker-word heuristic, which only knows its 5 hardcoded
+    * languages and misfires on a real multilingual crawl.
+    *
+    * Fit: over a LABELED slice (lang, text), count char-trigram
+    * occurrences per (language, bucket) and smooth into the
+    * multinomial log-profile
+    *   logp(b|l) = ln((cnt_{l,b} + α) / (tot_l + α·B)), rounded 9 dp
+    * (the libm last-ulp guard — q161's convention). ALL B buckets
+    * emit per language (unseen buckets carry the pure smoothing
+    * mass), so scoring needs no missing-key fallback.
+    *
+    * Scale shape: features explode in the scan stage; the counts are
+    * one (lang, bucket) hash aggregate with map-side combine, at most
+    * L·B rows (constants — never vocabulary-sized); totals are an
+    * L-row aggregate. The returned profile is L·B rows — always
+    * broadcastable. Null-lang rows drop (unlabeled). Uniform class
+    * prior, deliberately: a crawl's language mix is not the labeled
+    * slice's mix, and C&T's rank-profile original has no prior
+    * either. Returns (lang, bucket, logp). */
+  def fitLangProfiles(labeled: DataFrame, lang: String, text: String,
+                      buckets: Int = 512, alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 1, "fitLangProfiles: buckets must be >= 1")
+    require(alpha > 0, "fitLangProfiles: alpha must be > 0 (unsmoothed " +
+      "zero buckets would send scores to -inf)")
+    val feats = labeled.filter(col(lang).isNotNull)
+      .select(col(lang).as("lang"),
+        explode(charTrigramBuckets(col(text), buckets)).as("bucket"))
+    val counts = feats.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("lang").agg(sum(col("c")).as("tot"))
+    totals.select(col("lang"), col("tot"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"))
+      .join(counts, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        round(log((coalesce(col("c"), lit(0L)) + alpha) /
+          (col("tot") + alpha * buckets)), 9).as("logp"))
+  }
+
+  /** NB log-likelihood of every document under every
+    * [[fitLangProfiles]] profile:
+    *   score(d, l) = Σ_b n_{d,b} · logp(b|l)
+    * (exact decimal sum of the per-bucket terms — engine-portable).
+    * `buckets` must match the fit. Scale shape: one (id, bucket)
+    * hash aggregate collapses each doc to ≤B rows, the L·B profile
+    * BROADCAST-joins onto it (fan-out L per row — L is small), and
+    * one (id, lang) aggregate finishes; no window, no driver state.
+    * Docs with no trigram (< 3 chars) emit nothing. Returns
+    * (id, lang, score). */
+  def scoreLangProfiles(docs: DataFrame, id: String, text: String,
+                        profiles: DataFrame, buckets: Int = 512): DataFrame = {
+    val db = docs
+      .select(col(id),
+        explode(charTrigramBuckets(col(text), buckets)).as("bucket"))
+      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("n"))
+    db.join(broadcast(profiles), Seq("bucket"))
+      .groupBy(col(id), col("lang"))
+      .agg(graft.api.functions.dsumD(col("n") * col("logp")).as("score"))
+  }
+
+  /** argmax language per document over [[scoreLangProfiles]] (the
+    * type-generic two-aggregate argmax — max score, then min(lang) at
+    * that score; scores are identical exact-decimal sums in any
+    * engine, so the tie-break is portable). Docs without a trigram
+    * predict "unk". Returns (id, lang). */
+  def predictLangTrained(docs: DataFrame, id: String, text: String,
+                         profiles: DataFrame, buckets: Int = 512): DataFrame = {
+    val scored = scoreLangProfiles(docs, id, text, profiles, buckets)
+    val best = scored.groupBy(col(id)).agg(max(col("score")).as("__bs"))
+    val pick = scored.join(best, Seq(id))
+      .filter(col("score") === col("__bs"))
+      .groupBy(col(id)).agg(min(col("lang")).as("lang"))
+    docs.select(col(id)).join(pick, Seq(id), "left")
+      .select(col(id), coalesce(col("lang"), lit("unk")).as("lang"))
+  }
+
   /** word n-grams as an array column (space-joined). */
   def wordNgrams(text: Column, n: Int): Column = {
     val w = tokens(text)

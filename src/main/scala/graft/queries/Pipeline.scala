@@ -3386,7 +3386,59 @@ object Pipeline {
               AS jaccard
           FROM inter
           JOIN sizes s1 ON s1.g = g1 JOIN sizes s2 ON s2.g = g2
-          ORDER BY g1, g2"""))
+          ORDER BY g1, g2""")),
+
+    // --- trained char-trigram language ID (Cavnar & Trenkle / langid NB) ----
+    // (TA.fitLangProfiles + predictLangTrained: fit per-language hashed
+    // char-trigram multinomials on the labeled doc_id%5=0 slice
+    // (charPoly→mix buckets — collisions are part of the model, the
+    // q161 posture; profile emits ALL 512 buckets per language so
+    // scoring is a plain broadcast equi-join), score every doc by the
+    // exact-decimal NB log-likelihood sum of 6-dp terms, argmax via
+    // the type-generic two-aggregate form (max score, min(lang)).
+    // The oracle replays the trigram fold hash, the 9-dp smoothed
+    // log-profile, the decimal sum, and the tie-break end-to-end;
+    // trigram-free docs predict 'unk' on both sides.)
+    "q183_langid_trained" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val profiles = TA.fitLangProfiles(
+          dd.filter(col("doc_id") % 5 === 0), "lang", "text", buckets = 512)
+        TA.predictLangTrained(dd, "doc_id", "text", profiles, buckets = 512)
+          .orderBy("doc_id")
+      },
+      Some {
+        val p1 = "(7*31 + cp[i]) % 2147483647"
+        val p2 = s"((($p1) * 31 + cp[i+1]) % 2147483647)"
+        val p3 = s"(($p2 * 31 + cp[i+2]) % 2147483647)"
+        val tri = s"${Sql.mix(p3)} % 512"
+        s"""WITH cps AS (SELECT doc_id, lang,
+              list_transform(string_split_regex(text, ''),
+                c -> ascii(c)::BIGINT) AS cp
+            FROM documents),
+          feats AS (SELECT doc_id, lang,
+              unnest(list_transform(range(1, len(cp) - 1), i -> $tri)) AS b
+            FROM cps WHERE len(cp) >= 3),
+          cnt AS (SELECT lang, b, COUNT(*) AS c FROM feats
+            WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+          tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY 1),
+          prof AS (SELECT tot.lang AS lang, gb.b AS b,
+              round(ln((COALESCE(c, 0) + 1.0) / (tot + 512.0)), 9) AS logp
+            FROM tot CROSS JOIN (SELECT unnest(range(0, 512)) AS b) gb
+            LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.b = gb.b),
+          db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+          sc AS (SELECT doc_id, prof.lang AS lang,
+              ${Sql.dsum("n * logp")} AS score
+            FROM db JOIN prof ON db.b = prof.b GROUP BY 1, 2),
+          best AS (SELECT doc_id, MAX(score) AS bs FROM sc GROUP BY 1),
+          pick AS (SELECT sc.doc_id AS doc_id, MIN(lang) AS lang
+            FROM sc JOIN best ON sc.doc_id = best.doc_id
+              AND sc.score = best.bs
+            GROUP BY 1)
+          SELECT d.doc_id AS doc_id, COALESCE(pick.lang, 'unk') AS lang
+          FROM documents d LEFT JOIN pick ON d.doc_id = pick.doc_id
+          ORDER BY d.doc_id"""
+      })
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -2188,6 +2188,30 @@ class OpsSpec extends SparkSpec {
     assert(nullId == ((0L, mk(45), "")), "null id → untouched, n_masked 0")
   }
 
+  test("trained language ID: char-trigram NB profiles classify held-out " +
+    "text by character inventory; trigram-free docs predict unk") {
+    // two synthetic "languages" with disjoint character inventories —
+    // the trigram profiles must separate them perfectly
+    val train = Seq(
+      ("xx", "abc cab bca abcabc"), ("xx", "cba bac acb abba"),
+      ("yy", "xyz zyx yxz xyzxyz"), ("yy", "zxy yzx xzy xyyx"),
+      (null.asInstanceOf[String], "unlabeled noise dropped")
+    ).toDF("lang", "text")
+    val prof = TA.fitLangProfiles(train, "lang", "text", buckets = 64)
+    assert(prof.count() == 2 * 64, "ALL buckets emit per language")
+    assert(prof.filter($"logp" >= 0).isEmpty, "log-probs are negative")
+    val held = Seq((1L, "ababab cbacba"), (2L, "zzzyx xyxy"),
+      (3L, "ab"), (4L, "")).toDF("doc_id", "text")
+    val got = TA.predictLangTrained(held, "doc_id", "text", prof,
+        buckets = 64)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "xx", 2L -> "yy", 3L -> "unk", 4L -> "unk"))
+    // scores: every (doc, lang) pair scores once, exactly 2 langs per doc
+    val sc = TA.scoreLangProfiles(held, "doc_id", "text", prof, buckets = 64)
+    assert(sc.groupBy("doc_id").count().as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("splitSentences + sentenceDupStats: boundary runs, trimming, " +
     "and cross-doc repeated-sentence flags") {
     val df = Seq(
