@@ -3438,7 +3438,62 @@ object Pipeline {
           SELECT d.doc_id AS doc_id, COALESCE(pick.lang, 'unk') AS lang
           FROM documents d LEFT JOIN pick ON d.doc_id = pick.doc_id
           ORDER BY d.doc_id"""
-      })
+      }),
+
+    // --- unigram-LM (SentencePiece) tokenizer: seed vocabulary --------------
+    // (Unigram.seedVocab — Kudo 2018: occurrence counts of all 1..4-char
+    // substrings of the ▁-prefixed distinct words, weighted by word
+    // count; ALL single chars kept (coverage) + top-200 multi-char by
+    // (cnt desc, piece UTF8 asc) via TakeOrderedAndProject. The oracle
+    // replays the substring explode, the weighting, and the ranked cut
+    // exactly — seeding is the SQL-expressible half of fit; the EM/
+    // Viterbi half is pinned by q185's lossless encode and OpsSpec's
+    // hand-computed segmentations.)
+    "q184_unigram_seed" -> Q(
+      (s, d) => graft.ops.Unigram
+        .seedVocab(docs(s, d), "text", vocabSize = 200, maxPieceLen = 4)
+        .orderBy(col("cnt").desc, col("piece")),
+      Some("""WITH wc AS (SELECT '▁' || w0 AS w, COUNT(*) AS c FROM
+            (SELECT unnest(string_split(text, ' ')) AS w0 FROM documents)
+            WHERE w0 <> '' GROUP BY 1),
+          subs AS (SELECT c, unnest(flatten(list_transform(range(1, len(w) + 1),
+              i -> list_transform(range(1, least(4, len(w) - i + 1) + 1),
+                l -> w[i:i+l-1])))) AS piece FROM wc),
+          cnt AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM subs GROUP BY 1),
+          sel AS (SELECT * FROM cnt WHERE len(piece) = 1
+            UNION ALL
+            SELECT * FROM (SELECT * FROM cnt WHERE len(piece) > 1
+              ORDER BY cnt DESC, piece LIMIT 200))
+          SELECT piece, cnt FROM sel ORDER BY cnt DESC, piece""")),
+
+    // --- unigram-LM end-to-end: fit (seed + 2 Viterbi-EM rounds), encode ----
+    // (The EM rounds are data-derived iterative DP — no SQL replays the
+    // learned segmentations — but the unigram model is LOSSLESS by the
+    // ▁-marker convention: concat pieces, ▁→space, trim ⇒ the
+    // separator-collapsed document. The query runs fit + Viterbi
+    // encode + reassembly end-to-end and emits the reconstruction,
+    // which the oracle predicts straight from the table (q106's
+    // convention — anything lost, duplicated, or misordered breaks the
+    // hash). Segmentation-choice correctness is pinned by q184 (seed
+    // ranking) and OpsSpec's hand-computed Viterbi/EM fixtures.)
+    "q185_unigram_encode" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val vocab = graft.ops.Unigram.fit(corpus, "text", vocabSize = 300,
+          maxPieceLen = 4, emRounds = 2)
+        graft.ops.Unigram.encodeTokens(corpus, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            trim(regexp_replace(concat_ws("", col("tokens")),
+              graft.ops.Unigram.WordStart, " ")).as("recon_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

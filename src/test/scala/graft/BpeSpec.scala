@@ -77,4 +77,76 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").select("tokens").as[Seq[String]].collect().toSeq
     assert(a == b)
   }
+
+  // ----- unigram-LM (SentencePiece) -----------------------------------------
+  import graft.ops.Unigram
+
+  test("Unigram.viterbi picks the max-likelihood segmentation with " +
+    "hand-computed scores; unknown chars fall back finitely") {
+    // vocab: ab=-1, a=-2, b=-2, c=-5, abc=-2.5
+    val v = Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0, "c" -> -5.0,
+      "abc" -> -2.5)
+    // "abc": abc(-2.5) beats ab+c(-6) and a+b+c(-9)
+    assert(Unigram.viterbi("abc", v, 4, -20.0) == Seq("abc"))
+    // "abab": ab+ab(-2) beats a+b+ab(-5), abab unknown (len-4 absent)
+    assert(Unigram.viterbi("abab", v, 4, -20.0) == Seq("ab", "ab"))
+    // unknown char z: penalty keeps the DP total and the split lossless
+    assert(Unigram.viterbi("azb", v, 4, -20.0) == Seq("a", "z", "b"))
+    // maxPieceLen caps candidates: with cap 2, abc can't be one piece
+    assert(Unigram.viterbi("abc", v, 2, -20.0) == Seq("ab", "c"))
+    // tie-break: equal-score splits prefer the shortest last piece —
+    // vocab where xy = x+y exactly
+    val t = Map("x" -> -1.0, "y" -> -1.0, "xy" -> -2.0)
+    assert(Unigram.viterbi("xy", t, 4, -20.0) == Seq("x", "y"))
+    assert(Unigram.viterbi("", v, 4, -20.0) == Seq.empty)
+  }
+
+  test("Unigram.seedVocab keeps every single char plus the capped " +
+    "ranked multi-char substrings") {
+    val df = Seq((0L, "aaa ab")).toDF("doc_id", "text")
+    val got = Unigram.seedVocab(df, "text", vocabSize = 2, maxPieceLen = 3)
+      .as[(String, Long)].collect().toMap
+    // words: ▁aaa (x1), ▁ab (x1); single chars ▁, a, b always kept
+    assert(got("▁") == 2L && got("a") == 4L && got("b") == 1L)
+    // multi-char cap 2: 'aa' and '▁a' tie at cnt 2 and beat the
+    // cnt-1 pieces; the (cnt desc, piece UTF8 asc) cut keeps both
+    assert(got.keySet.filter(_.length > 1) == Set("aa", "▁a"))
+    assert(got("aa") == 2L && got("▁a") == 2L)
+  }
+
+  test("Unigram EM round re-estimates from its own segmentations and " +
+    "drops unused pieces") {
+    // corpus where the seed contains 'ab' and EM keeps using it
+    val df = Seq((0L, "ab ab ab cd")).toDF("doc_id", "text")
+    val vocab = Unigram.fit(df, "text", vocabSize = 50, maxPieceLen = 3,
+      emRounds = 2).toMap
+    // every surviving piece was used by some Viterbi segmentation —
+    // '▁ab' dominates; bare 'b' pieces that no segmentation uses drop
+    assert(vocab.contains("▁ab"), "dominant word-piece survives EM")
+    assert(vocab.values.forall(lp => lp < 0 && lp.isFinite))
+    // log-probs renormalize: total prob mass ≈ 1
+    val mass = vocab.values.map(math.exp).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass=$mass")
+  }
+
+  test("Unigram encode is lossless end-to-end, incl. words and chars " +
+    "unseen at fit time, and is partitioning-invariant") {
+    val train = Seq((0L, "the quick brown fox"), (1L, "the lazy dog"))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.fit(train, "text", vocabSize = 100,
+      maxPieceLen = 4, emRounds = 2)
+    val docs = Seq((1L, "the quick dog"), (2L, "zebra?! unseen"),
+      (3L, "the  the")).toDF("doc_id", "text") // double space collapses
+    def recon(d: org.apache.spark.sql.DataFrame) =
+      Unigram.encodeTokens(d, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          trim(regexp_replace(concat_ws("", col("tokens")),
+            Unigram.WordStart, " ")).as("r"))
+        .as[(Long, String)].collect().toMap
+    val got = recon(docs)
+    assert(got(1L) == "the quick dog")
+    assert(got(2L) == "zebra?! unseen", "unseen chars reconstruct via unk")
+    assert(got(3L) == "the the", "separators collapse, content survives")
+    assert(recon(docs.repartition(5)) == got)
+  }
 }
