@@ -3493,7 +3493,144 @@ object Pipeline {
             w -> w <> ''), ' ') AS recon_text
         FROM documents
         WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --- corpus-prep v4: domain prior → gates → robust quality → MMR --------
+    // (The round-10/11 ops composed end-to-end, the q94/q113/q160
+    // convention: a registrable DOMAIN per doc via Urls.urlDomain on a
+    // synthetic per-source URL (the oracle PREDICTS source||'.co.uk' —
+    // stronger than replaying the strip chain, q106-style); a toy
+    // lang→domain citation graph ranked by 2 PageRank iterations
+    // (q170's exact-decimal register); script-profile + readability
+    // GATES (q174/q175 scan-stage replays); per-source WINSORIZED
+    // readability as the robust quality signal (q179); a blended
+    // score, the q141 bounded-heap top-20 shortlist, and an
+    // MMR-DIVERSIFIED final 5 over the shortlist's embeddings (q177's
+    // unrolled greedy rounds). Every stage is an already-oracled
+    // operator; this row proves they interoperate.)
+    "q186_pipeline_v4" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val withDom = dd.withColumn("domain", graft.ops.Urls.urlDomain(
+          concat(lit("http://www."), col("source"), lit(".co.uk/d/"),
+            col("doc_id"))))
+        val edges = withDom
+          .select(col("lang").as("src"), col("domain").as("dst")).distinct()
+        val pr = graft.ops.Graph.pageRank(edges, "src", "dst",
+          iterations = 2)
+        val gated = withDom
+          .filter(length(col("text")) > 0)
+          .withColumn("sp", TA.scriptProfile(col("text")))
+          .filter(col("sp").getField("latin") >= 0.55)
+          .withColumn("flesch", TA.fleschReadingEase(col("text")))
+          .filter(col("flesch").isNotNull)
+          .select("doc_id", "source", "domain", "flesch")
+        val wq = graft.api.Stats.winsorize(gated, "source", col("flesch"),
+          lo = 0.1, hi = 0.9, out = "wq")
+        val scored = wq
+          .join(pr.withColumnRenamed("node", "domain"), Seq("domain"))
+          .withColumn("score",
+            round(col("pr") * 100 + col("wq") / lit(100.0), 6))
+        val short = graft.ops.Mixture.topKPerGroup(
+          scored.withColumn("__g", lit(1)), "__g", col("score"), "doc_id",
+          k = 20)
+        val cands = short.select(col("doc_id"), col("score"))
+          .join(emb(s, d).select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id"))
+          .withColumn("qid", lit(1L))
+        Similarity.mmrDiversify(cands, "qid", "doc_id", "score",
+            "embedding", k = 5, lambda = 0.7)
+          .select(col("rank"), col("doc_id"), col("score"))
+          .orderBy("rank")
+      },
+      Some {
+        def d18(e: String) =
+          s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+        def iter(t: Int) = s"""
+          pd$t AS MATERIALIZED (SELECT COALESCE(${d18("r")},
+              CAST(0.0 AS DOUBLE)) AS dm
+            FROM r${t - 1} ANTI JOIN od ON r${t - 1}.node = od.src),
+          pc$t AS MATERIALIZED (SELECT dst, ${d18("r / od")} AS c
+            FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+                   JOIN od ON e.src = od.src
+            GROUP BY dst),
+          r$t AS MATERIALIZED (SELECT node,
+              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                + CAST(0.85 AS DOUBLE)
+                  * (COALESCE(c, CAST(0.0 AS DOUBLE)) + dm / n) AS r
+            FROM nodes LEFT JOIN pc$t ON nodes.node = pc$t.dst
+            CROSS JOIN pd$t CROSS JOIN nn)"""
+        // λ and 1−λ as Scala shortest-round-trip doubles — the q177
+        // convention (1.0 - 0.7 is 0.30000000000000004, not 0.3)
+        val lam = 0.7.toString; val oneMinus = (1.0 - 0.7).toString
+        def mmr(t: Int) = s"""
+          ms$t AS (SELECT r.nid, r.rel, r.embedding,
+              MAX(${cosSql("r.embedding", "s.embedding")}) AS ms
+            FROM rem${t - 1} r CROSS JOIN sel${t - 1} s GROUP BY 1, 2, 3),
+          pick$t AS (SELECT nid, rel, embedding,
+              $lam * rel - $oneMinus * ms AS sc
+            FROM ms$t ORDER BY sc DESC, nid ASC LIMIT 1),
+          sel$t AS (SELECT nid, embedding FROM sel${t - 1}
+            UNION ALL SELECT nid, embedding FROM pick$t),
+          rem$t AS (SELECT * FROM rem${t - 1}
+            WHERE nid NOT IN (SELECT nid FROM pick$t))"""
+        val latin = """round((CAST(length(text) AS DOUBLE)
+            - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+            / CAST(length(text) AS DOUBLE), 6)"""
+        s"""WITH dom AS (SELECT doc_id, lang, source, text,
+              source || '.co.uk' AS domain FROM documents),
+          e AS MATERIALIZED (SELECT DISTINCT lang AS src, domain AS dst
+            FROM dom),
+          nodes AS MATERIALIZED (SELECT src AS node FROM e
+            UNION SELECT dst FROM e),
+          nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+            FROM nodes),
+          od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+          r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS r
+            FROM nodes CROSS JOIN nn),
+          ${(1 to 2).map(iter).mkString(",")},
+          pr AS (SELECT node, round(r, 12) AS pr FROM r2),
+          meas AS (SELECT doc_id, source, domain, $latin AS latin,
+              CAST(len(list_filter(string_split(text, ' '),
+                w -> len(w) > 0)) AS DOUBLE) AS words,
+              CAST(greatest(len(list_filter(list_transform(
+                regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+                x -> len(x) > 0)), 1) AS DOUBLE) AS sents,
+              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS DOUBLE) AS syll
+            FROM dom WHERE length(text) > 0),
+          gated AS (SELECT doc_id, source, domain,
+              round(CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE) * (words / sents)
+                - CAST(84.6 AS DOUBLE) * (syll / words), 6) AS flesch
+            FROM meas WHERE latin >= 0.55 AND words > 0),
+          qs AS (SELECT source,
+              quantile_cont(flesch, 0.1) AS lo,
+              quantile_cont(flesch, 0.9) AS hi
+            FROM gated GROUP BY 1),
+          wq AS (SELECT doc_id, domain,
+              least(greatest(flesch, lo), hi) AS wq
+            FROM gated JOIN qs USING (source)),
+          scored AS (SELECT doc_id,
+              round(pr * 100 + wq / 100.0, 6) AS score
+            FROM wq JOIN pr ON wq.domain = pr.node),
+          shortl AS (SELECT s.doc_id AS nid, score AS rel, em.embedding
+            FROM (SELECT *, row_number() OVER
+                (ORDER BY score DESC, doc_id) AS rn FROM scored) s
+            JOIN embeddings em ON em.vec_id = s.doc_id WHERE rn <= 20),
+          pick1 AS (SELECT nid, rel, embedding, $lam * rel - $oneMinus * 0.0 AS sc
+            FROM shortl ORDER BY sc DESC, nid ASC LIMIT 1),
+          sel1 AS (SELECT nid, embedding FROM pick1),
+          rem1 AS (SELECT * FROM shortl
+            WHERE nid NOT IN (SELECT nid FROM pick1)),
+          ${(2 to 5).map(mmr).mkString(",")}
+          SELECT rank, nid AS doc_id, score FROM (
+            SELECT 1 AS rank, nid, round(sc, 6) AS score FROM pick1
+            ${(2 to 5).map(t =>
+              s"UNION ALL SELECT $t AS rank, nid, round(sc, 6) AS score FROM pick$t")
+              .mkString(" ")})
+          ORDER BY rank"""
+      })
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
