@@ -303,4 +303,84 @@ class StreamingSpec extends SparkSpec {
       .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("DedupStream minhash recipe: multi-batch survivors equal the " +
+    "one-shot batch dedup; state table accumulates every processed doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.DedupStream
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out, ckpt) = (tmp("dd_state"), tmp("dd_out"), tmp("dd_ckpt"))
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+          (2L, "the quick brown fox jumps over the lazy dog tonight"),
+          (3L, "completely different sentence about spark engines here")),
+      Seq((4L, "the quick brown fox jumps over the lazy dog forever"),
+          (5L, "another unique line of text with no twin at all")),
+      Seq((6L, "completely different sentence about spark engines there"),
+          (7L, "another unique line of text with no twin at dawn"),
+          (8L, "an entirely fresh document that matches nothing else ever")))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        DedupStream.minhashBatch(df, "doc_id", "text", state, out,
+          threshold = 0.5))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // batch analog over the union: drop the larger-id member of every pair
+    val all = batches.flatten.toDF("doc_id", "text")
+    val drop = graft.ops.Dedup.minhashLsh(all, "doc_id", "text", 0.5)
+      .select("d2").as[Long].collect().toSet
+    val expected = batches.flatten.map(_._1).toSet -- drop
+    val got = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == expected, s"stream kept $got, batch kept $expected")
+    // the fixture actually exercises both paths: intra-batch (1,2) and
+    // cross-batch (1,4)/(3,6)/(5,7) dups all dropped, originals kept
+    assert(Set(1L, 3L, 5L, 8L).subsetOf(got) &&
+      Set(2L, 4L, 6L, 7L).intersect(got).isEmpty)
+    // state accumulated every processed doc, kept or dropped
+    assert(spark.read.parquet(state).count() == 8L)
+  }
+
+  test("DedupStream semantic recipe: multi-batch survivors equal the " +
+    "one-shot SemDeDup of the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.DedupStream
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out, ckpt) = (tmp("sd_state"), tmp("sd_out"), tmp("sd_ckpt"))
+    val centroids = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "embedding")
+    val batches = Seq(
+      Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.91f, 0.1f)),   // cell-0 twins
+          (3L, Array(0.1f, 0.9f))),
+      Seq((4L, Array(0.9f, 0.11f)),                            // twin of 1, cross
+          (5L, Array(0.12f, 0.9f))))                           // twin of 3, cross
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = src.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        DedupStream.semanticBatch(df, "vec_id", "embedding", centroids,
+          state, out, threshold = 0.995))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val expected = graft.ops.Similarity
+      .semanticDedup(all, centroids, "vec_id", "embedding", 0.995)
+      .select("vec_id").as[Long].collect().toSet
+    val got = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(got == expected, s"stream kept $got, batch kept $expected")
+    assert(got == Set(1L, 3L), "only the smallest id of each twin group")
+  }
 }
