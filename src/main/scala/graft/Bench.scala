@@ -216,7 +216,14 @@ object Bench {
     "q180_semantic_incremental" -> SparkEntry.queries("q180_semantic_incremental"),
     "q181_ctfidf_terms" -> SparkEntry.queries("q181_ctfidf_terms"),
     // round-10 late add: cross-source n-gram overlap matrix
-    "q182_source_overlap" -> SparkEntry.queries("q182_source_overlap"))
+    "q182_source_overlap" -> SparkEntry.queries("q182_source_overlap"),
+    // round-11: trained char-trigram language ID (fit + NB argmax),
+    // unigram-LM tokenizer (seed ranking; fit + Viterbi encode e2e),
+    // corpus-prep v4 (domain PageRank prior → gates → winsorize → MMR)
+    "q183_langid_trained" -> SparkEntry.queries("q183_langid_trained"),
+    "q184_unigram_seed" -> SparkEntry.queries("q184_unigram_seed"),
+    "q185_unigram_encode" -> SparkEntry.queries("q185_unigram_encode"),
+    "q186_pipeline_v4" -> SparkEntry.queries("q186_pipeline_v4"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
