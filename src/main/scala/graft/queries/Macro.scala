@@ -861,6 +861,17 @@ object Macro {
     // columns of THREE tables). Part-name suffix filter prunes the
     // part broadcast; lineitem ⋈ orders is the one fact-fact shuffle;
     // supplier→nation broadcasts. Decimal-exact sum, rounded at output.
+    //
+    // r11 adjudication of the r10 bench drift (0.55-0.73 → 0.91 s):
+    // fresh-session QBench A/B, 8 iters each, quiet host (steal ≤ 1,
+    // GC ≤ 0.02 s throughout) — r9-final commit 0.76 s [0.73, 1.15],
+    // HEAD 0.91 s [0.80, 1.34]. The ~1.2× residual is REAL and
+    // attributed: round 10's sf1 portability fix moved `amount` from
+    // double arithmetic to exact DECIMAL products (2-dp factor casts,
+    // decimal(28,2) sum) to kill the .xx5 double→decimal tie splits
+    // the sf1 gate caught — decimal multiply is the documented price
+    // of a hash-stable answer at every SF. No plan change; shuffles
+    // and broadcasts identical.
     "q132_tpch_q9" -> Q(
       (s, d) => {
         val bolts = Tables.part(s, d)

@@ -1593,7 +1593,11 @@ object Pipeline {
     // --- negative sampling: k portable non-self partners per doc -------------
     // (Mixture.negativeSamples — ordinal zipWithIndex + portable-mix
     // offset in [1, n-1], resolved by an ordinal equi-join; the oracle
-    // replays the ordinal (row_number) and the mixer arithmetic.)
+    // replays the ordinal (row_number) and the mixer arithmetic.
+    // r11 adjudication of the r10 drift (0.29 → 0.41 s): fresh-session
+    // QBench A/B, quiet host — r9 commit 0.48 s [0.39, 0.78] vs HEAD
+    // 0.57 s [0.40, 0.73]: overlapping bands, identical mins —
+    // shared-session modality noise, code untouched, no plan change.)
     "q112_negative_samples" -> Q(
       (s, d) => graft.ops.Mixture
         .negativeSamples(docs(s, d), "doc_id", k = 3)
@@ -1872,7 +1876,10 @@ object Pipeline {
     // never all-pairs; the oracle IS the naive all-pairs definition, so
     // the hash match proves the blocking lossless on this data. Runs on
     // the DISTINCT name vocabulary — the realistic fuzzy-dedup shape:
-    // dedupe keys once, not every row carrying them.)
+    // dedupe keys once, not every row carrying them.
+    // r11 adjudication of the r10 ×1.3 drift: QBench A/B, quiet host —
+    // r9 commit 0.61 s [0.50, 0.93] vs HEAD 0.59 s [0.46, 0.97]:
+    // indistinguishable; noise, adjudicated.)
     "q140_edit_distance" -> Q(
       (s, d) => {
         val names = Tables.part(s, d)
@@ -1894,7 +1901,10 @@ object Pipeline {
     // (Mixture.topKPerGroup / expr.TopKAgg — k-entry heap per group per
     // map task, mergeable partials, never a whole-partition sort; the
     // oracle replays it as the rank window it replaces, proving the
-    // aggregate exact under the (score desc, id asc) total order.)
+    // aggregate exact under the (score desc, id asc) total order.
+    // r11 adjudication of the r10 drift (0.14 → 0.20 s): QBench A/B,
+    // quiet host — r9 commit 0.36 s [0.27, 0.49] vs HEAD 0.36 s
+    // [0.25, 0.51]: identical medians; noise, adjudicated.)
     "q141_topk_per_group" -> Q(
       (s, d) => graft.ops.Mixture.topKPerGroup(
           docs(s, d), "source", col("n_chars").cast("double"), "doc_id", k = 3)

