@@ -159,18 +159,28 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("code")).otherwise(lit("unk"))
   }
 
-  /** hashed char-trigram bucket array of `text` — the feature stream of
-    * the TRAINED language ID ([[fitLangProfiles]]): trigram i hashes by
-    * the [[portableWordHash]] fold of its three code points (identical
+  /** code points of `text` as array<long> — [[charTrigramBuckets]]'s
+    * input. Hoist this into a NAMED COLUMN before the trigram
+    * transform: a lambda that embeds this subtree re-evaluates the
+    * whole split per element access — O(n²) per document (the q172
+    * offset-hoisting lesson; measured 236 s → 1.5 s on the q183 bench
+    * at sf0.1). CollapseProject keeps the hoist: a non-cheap alias
+    * referenced several times is not inlined. */
+  def charCodePoints(text: Column): Column =
+    transform(split(text, ""), c => ascii(c).cast("long"))
+
+  /** hashed char-trigram bucket array over a HOISTED [[charCodePoints]]
+    * array — the feature stream of the TRAINED language ID
+    * ([[fitLangProfiles]]): trigram i hashes by the
+    * [[portableWordHash]] fold of its three code points (identical
     * arithmetic to hashing the 3-char substring: acc=7, acc·31+cp mod
     * 2³¹−1), then the portable mixer and mod `buckets`. Bucket
     * COLLISIONS are part of the model, so the hash must match across
     * engines exactly — charPoly→mix, not xxhash64 (the
-    * [[Mixture.dsirLogWeights]] posture). Texts shorter than 3 chars
-    * yield an empty array. */
-  def charTrigramBuckets(text: Column, buckets: Int): Column = {
+    * [[Mixture.dsirLogWeights]] posture). Arrays shorter than 3 yield
+    * an empty result. */
+  def charTrigramBuckets(cps: Column, buckets: Int): Column = {
     val M = 2147483647L
-    val cps = transform(split(text, ""), c => ascii(c).cast("long"))
     when(size(cps) >= 3,
       transform(sequence(lit(0), size(cps) - 3), i => {
         val p1 = (lit(7L) * 31 + get(cps, i)) % M
@@ -180,6 +190,16 @@ object TextAnalysis {
       }))
       .otherwise(array().cast("array<bigint>"))
   }
+
+  /** (keep, bucket) char-trigram occurrence stream of `text`, one row
+    * per trigram — the code-point array hoists into a real column so
+    * the trigram lambda reads a materialized array. */
+  private def charTrigramStream(df: DataFrame, keep: Column,
+                                keepName: String, text: String,
+                                buckets: Int): DataFrame =
+    df.select(keep.as(keepName), charCodePoints(col(text)).as("__cps"))
+      .select(col(keepName),
+        explode(charTrigramBuckets(col("__cps"), buckets)).as("bucket"))
 
   /** TRAINED character-n-gram language ID, fit step (public methods:
     * Cavnar & Trenkle 1994's char-n-gram profiles in the
@@ -209,9 +229,8 @@ object TextAnalysis {
     require(buckets >= 1, "fitLangProfiles: buckets must be >= 1")
     require(alpha > 0, "fitLangProfiles: alpha must be > 0 (unsmoothed " +
       "zero buckets would send scores to -inf)")
-    val feats = labeled.filter(col(lang).isNotNull)
-      .select(col(lang).as("lang"),
-        explode(charTrigramBuckets(col(text), buckets)).as("bucket"))
+    val feats = charTrigramStream(labeled.filter(col(lang).isNotNull),
+      col(lang), "lang", text, buckets)
     val counts = feats.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("lang").agg(sum(col("c")).as("tot"))
     totals.select(col("lang"), col("tot"),
@@ -234,9 +253,7 @@ object TextAnalysis {
     * (id, lang, score). */
   def scoreLangProfiles(docs: DataFrame, id: String, text: String,
                         profiles: DataFrame, buckets: Int = 512): DataFrame = {
-    val db = docs
-      .select(col(id),
-        explode(charTrigramBuckets(col(text), buckets)).as("bucket"))
+    val db = charTrigramStream(docs, col(id), id, text, buckets)
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("n"))
     db.join(broadcast(profiles), Seq("bucket"))
       .groupBy(col(id), col("lang"))
