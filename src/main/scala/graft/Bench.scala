@@ -223,7 +223,11 @@ object Bench {
     "q183_langid_trained" -> SparkEntry.queries("q183_langid_trained"),
     "q184_unigram_seed" -> SparkEntry.queries("q184_unigram_seed"),
     "q185_unigram_encode" -> SparkEntry.queries("q185_unigram_encode"),
-    "q186_pipeline_v4" -> SparkEntry.queries("q186_pipeline_v4"))
+    "q186_pipeline_v4" -> SparkEntry.queries("q186_pipeline_v4"),
+    // round-11 late adds: Hilbert layout, hard negatives, langid margin
+    "q187_hilbert" -> SparkEntry.queries("q187_hilbert"),
+    "q188_hard_negatives" -> SparkEntry.queries("q188_hard_negatives"),
+    "q189_langid_margin" -> SparkEntry.queries("q189_langid_margin"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,41 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the public
+    * BM25/ANN-negatives recipe of e.g. DPR, Karpukhin et al. 2020, and
+    * ANCE, Xiong et al. 2021): for each anchor, the top-k most-similar
+    * corpus rows from a DIFFERENT group (group = source / near-dup
+    * component / label — same-group hits are presumed positives), after
+    * skipping the `skipTop` most similar cross-group rows (the
+    * near-duplicate band that would poison the negatives with false
+    * negatives). Returns (qid, rank, nid, cos), rank 1..k within the
+    * kept band.
+    *
+    * Scale shape: anchors broadcast ([[bruteForceTopK]]'s posture — the
+    * anchor set is a training batch, not the corpus); the corpus
+    * streams once; the per-anchor window group is corpus-sized only in
+    * rank terms (row_number over a broadcast-keyed partition) — for
+    * corpus-scale anchor sets, shortlist per anchor with [[ivfTopK]]
+    * first and re-rank here. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, group: String, k: Int,
+                    skipTop: Int = 0): DataFrame = {
+    require(k >= 1, "hardNegatives: k must be >= 1")
+    require(skipTop >= 0, "hardNegatives: skipTop must be >= 0")
+    val q = anchors.select(col(id).as("qid"), col(vec).as("qv"),
+      col(group).as("qg"))
+    val c = corpus.select(col(id).as("nid"), col(vec).as("nv"),
+      col(group).as("ng"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("qg") =!= col("ng"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") > skipTop && col("__r") <= skipTop + k)
+      .select(col("qid"), (col("__r") - skipTop).cast("int").as("rank"),
+        col("nid"), col("cos"))
+  }
+
   /** All pairs with cosine >= threshold (near-duplicate detection).
     * Quadratic candidate space via a broadcast-nested-loop join — oracle
     * validator ONLY. The registered/scale path is

@@ -243,10 +243,21 @@ object TextAnalysis {
 
   /** NB log-likelihood of every document under every
     * [[fitLangProfiles]] profile:
-    *   score(d, l) = Σ_b n_{d,b} · logp(b|l)
-    * (exact decimal sum of the per-bucket terms — engine-portable).
-    * `buckets` must match the fit. Scale shape: one (id, bucket)
-    * hash aggregate collapses each doc to ≤B rows, the L·B profile
+    *   score(d, l) = Σ_b n_{d,b} · logp(b|l),
+    * computed in EXACT SCALED INTEGERS: logp is 9-dp rounded, so
+    * logp·10⁹ is a true integer both engines recover identically from
+    * the double (no .5 tie exists — the true value sits ON the
+    * integer), n·logp9 and the sum are pure long arithmetic (bound:
+    * |logp9| < 10¹⁰, n ≤ doc trigrams, 512 buckets → a 10⁶-trigram
+    * doc stays < 4·10¹⁸ < 2⁶³), and the final /10⁹ divides the SAME
+    * integer by the same constant in both engines. A decimal(18,6)
+    * term sum instead quantizes n·logp at 6 dp, where the true 9-dp
+    * product lands on .5e-6 ties that the JVM (shortest-string
+    * HALF_UP) and DuckDB (exact-binary) round apart — caught by the
+    * q189 margin gate.
+    *
+    * `buckets` must match the fit. Scale shape: one (id, bucket) hash
+    * aggregate collapses each doc to ≤B rows, the L·B profile
     * BROADCAST-joins onto it (fan-out L per row — L is small), and
     * one (id, lang) aggregate finishes; no window, no driver state.
     * Docs with no trigram (< 3 chars) emit nothing. Returns
@@ -255,9 +266,12 @@ object TextAnalysis {
                         profiles: DataFrame, buckets: Int = 512): DataFrame = {
     val db = charTrigramStream(docs, col(id), id, text, buckets)
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("n"))
-    db.join(broadcast(profiles), Seq("bucket"))
+    val prof9 = profiles.select(col("lang"), col("bucket"),
+      round(col("logp") * 1e9, 0).cast("long").as("__lp9"))
+    db.join(broadcast(prof9), Seq("bucket"))
       .groupBy(col(id), col("lang"))
-      .agg(graft.api.functions.dsumD(col("n") * col("logp")).as("score"))
+      .agg((sum(col("n") * col("__lp9")).cast("double") / lit(1e9))
+        .as("score"))
   }
 
   /** argmax language per document over [[scoreLangProfiles]] (the
@@ -274,6 +288,30 @@ object TextAnalysis {
       .groupBy(col(id)).agg(min(col("lang")).as("lang"))
     docs.select(col(id)).join(pick, Seq(id), "left")
       .select(col(id), coalesce(col("lang"), lit("unk")).as("lang"))
+  }
+
+  /** [[predictLangTrained]] plus a CONFIDENCE margin — the standard
+    * crawl-filter signal ("keep only confidently-identified docs"):
+    * margin = best log-likelihood − second-best VALUE (strictly-lower
+    * max, so two languages tying at the top give margin 0 with no
+    * lang tie-break needed; a single-language profile set gives 0).
+    * Scores are identical exact-decimal-derived doubles in any engine,
+    * so the subtraction is portable untouched. Only docs with at least
+    * one trigram appear (no score ⇒ no confidence to report).
+    * Returns (id, lang, margin). */
+  def langIdMargin(docs: DataFrame, id: String, text: String,
+                   profiles: DataFrame, buckets: Int = 512): DataFrame = {
+    val scored = scoreLangProfiles(docs, id, text, profiles, buckets)
+    val best = scored.groupBy(col(id)).agg(max(col("score")).as("__bs"))
+    val withBest = scored.join(best, Seq(id))
+    val second = withBest.filter(col("score") < col("__bs"))
+      .groupBy(col(id)).agg(max(col("score")).as("__ss"))
+    withBest.filter(col("score") === col("__bs"))
+      .groupBy(col(id)).agg(min(col("lang")).as("lang"),
+        first(col("__bs")).as("__bs"))
+      .join(second, Seq(id), "left")
+      .select(col(id), col("lang"),
+        (col("__bs") - coalesce(col("__ss"), col("__bs"))).as("margin"))
   }
 
   /** word n-grams as an array column (space-joined). */

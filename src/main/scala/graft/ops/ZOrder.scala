@@ -91,4 +91,104 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  // ---- Hilbert curve (the locality-optimal complement of Morton) ---------
+
+  /** 2-D Hilbert distance of grid cells — the classic bit-level
+    * reflect/rotate walk (public method: the standard xy2d formulation,
+    * cf. Hamilton's compact Hilbert indices, 2006). Hilbert preserves
+    * locality strictly better than Morton: CONSECUTIVE d values are
+    * always grid neighbors (|Δx|+|Δy| = 1, spec-pinned), where a
+    * z-curve jumps across quadrant seams — tighter per-file bounding
+    * boxes for the same layout cost at 100 TB.
+    *
+    * The walk's per-level state rotation is SEQUENTIAL in the bit
+    * levels, so this is a DataFrame STAGE CHAIN, not one Column: each
+    * level's (x, y, d) materialize as named columns — multi-referenced
+    * non-cheap aliases survive CollapseProject (the q183 hoisting
+    * rule), keeping the plan linear in `bits` where one nested Column
+    * expression would double per level. The identical staged SQL
+    * ([[hilbertSqlCtes]]) replays it (q187).
+    *
+    * `xCell`/`yCell` must already be cells in [0, 2^bits) (use
+    * [[zCell]]). Appends `out` = the Hilbert d in [0, 4^bits). */
+  def hilbertValue2D(df: DataFrame, xCell: Column, yCell: Column,
+                     bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 20, "hilbertValue2D: bits must be in [1,20]")
+    // reflection constant is the FULL grid size n−1 at every level (the
+    // canonical xy2d form — x/y stay full-width; only (v & s) is read
+    // per level, and n−1−v complements the low bits consistently)
+    val n = 1L << bits
+    var cur = df.withColumn("__hx", xCell.cast("long"))
+      .withColumn("__hy", yCell.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (lvl <- bits - 1 to 0 by -1) {
+      val s = 1L << lvl
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hd", col("__hd") +
+          lit(s) * lit(s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // reflect (rx==1 within the ry==0 half-turn), then swap x/y
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
+  }
+
+  /** [[hilbertValue2D]] as a chain of SQL CTEs — the q187 oracle
+    * builder. `src` must expose cell columns `x` and `y` (plus any
+    * payload, which rides along via the explicit `carry` list); emits
+    * CTEs `h{bits}..h0`, with the final (x, y exhausted) distance in
+    * `h0.d`. */
+  def hilbertSqlCtes(src: String, bits: Int,
+                     carry: Seq[String] = Seq.empty): String = {
+    val n = 1L << bits
+    val keep = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    val head = s"h$bits AS (SELECT x, y, CAST(0 AS BIGINT) AS d$keep FROM $src)"
+    val levels = (bits - 1 to 0 by -1).map { lvl =>
+      val s = 1L << lvl
+      s"""h$lvl AS (SELECT
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+               ELSE x END AS x,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+               ELSE y END AS y,
+          d + $s * $s * xor(3 * rx, ry) AS d$keep
+        FROM (SELECT *,
+            CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+          FROM h${lvl + 1}))"""
+    }
+    (head +: levels).mkString(",\n")
+  }
+
+  /** [[clusterByZOrder]]'s Hilbert twin: one output partition per
+    * top-bits bucket of the Hilbert distance, rows sorted by full d
+    * within each. 2-D only (the dominant layout case; higher-D Hilbert
+    * needs the general Hamilton walk — use z-order there). */
+  def clusterByHilbert(df: DataFrame,
+                       xDim: (Column, Double, Double),
+                       yDim: (Column, Double, Double),
+                       bits: Int, bucketBits: Int): DataFrame = {
+    val staged = hilbertValue2D(df,
+      zCell(xDim._1, xDim._2, xDim._3, bits),
+      zCell(yDim._1, yDim._2, yDim._3, bits), bits, "__h")
+    staged
+      .repartition(1 << bucketBits, zBucket(col("__h"), 2 * bits, bucketBits))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
 }

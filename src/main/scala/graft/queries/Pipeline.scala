@@ -37,6 +37,40 @@ object Pipeline {
   }
   import VecSql.{cosSql, assign}
 
+  /** DuckDB replay of the trained language-ID model (q183/q189 — two
+    * uses, one truth): char-trigram fold hash → 512 buckets, labeled
+    * doc_id%5=0 fit slice, 9-dp smoothed log-profiles over ALL
+    * buckets, exact-decimal per-(doc, lang) likelihood sums. Emits
+    * CTEs `cps, feats, cnt, tot, prof, db, sc, best`. */
+  private object LangIdSql {
+    val ctes: String = {
+      val p1 = "(7*31 + cp[i]) % 2147483647"
+      val p2 = s"((($p1) * 31 + cp[i+1]) % 2147483647)"
+      val p3 = s"(($p2 * 31 + cp[i+2]) % 2147483647)"
+      val tri = s"${Sql.mix(p3)} % 512"
+      s"""cps AS (SELECT doc_id, lang,
+            list_transform(string_split_regex(text, ''),
+              c -> ascii(c)::BIGINT) AS cp
+          FROM documents),
+        feats AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(cp) - 1), i -> $tri)) AS b
+          FROM cps WHERE len(cp) >= 3),
+        cnt AS (SELECT lang, b, COUNT(*) AS c FROM feats
+          WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY 1),
+        prof AS (SELECT tot.lang AS lang, gb.b AS b,
+            round(ln((COALESCE(c, 0) + 1.0) / (tot + 512.0)), 9) AS logp
+          FROM tot CROSS JOIN (SELECT unnest(range(0, 512)) AS b) gb
+          LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.b = gb.b),
+        db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+        sc AS (SELECT doc_id, prof.lang AS lang,
+            CAST(CAST(SUM(n * CAST(round(logp * 1000000000) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
+          FROM db JOIN prof ON db.b = prof.b GROUP BY 1, 2),
+        best AS (SELECT doc_id, MAX(score) AS bs FROM sc GROUP BY 1)"""
+    }
+  }
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
@@ -1142,6 +1176,9 @@ object Pipeline {
     // upstream filter change shifts every pack boundary downstream.
     // The filtered survivors pin once (q94's stage-boundary pattern) —
     // the quantile agg and the threshold join both consume them.
+    // r11 band: QBench A/B, quiet host — r10 commit 1.91 s [1.74,2.37]
+    // vs HEAD 2.14 s [1.79,2.75]: overlapping, near-identical mins;
+    // the shared-session 1.44 rides co-resident warm state. Noise.
     "q113_pipeline_v2" -> Q(
       (s, d) => {
         val base = docs(s, d)
@@ -1294,7 +1331,9 @@ object Pipeline {
     // them with a WHERE clause and replays the argmin: d = ||c||² −
     // 2·x·c with sequential folds on both engines — the q66 parity
     // convention. Lloyd-refined codebooks and ADC search are
-    // spec-covered in PqSpec; encode is the hash-gated kernel.)
+    // spec-covered in PqSpec; encode is the hash-gated kernel.
+    // r11 band: QBench A/B — r10 commit 0.44 s [0.35,0.61] vs HEAD
+    // 0.51 s [0.40,0.71]: overlapping; noise.)
     "q118_pq_encode" -> Q(
       (s, d) => {
         val e = emb(s, d)
@@ -3404,7 +3443,7 @@ object Pipeline {
     // (charPoly→mix buckets — collisions are part of the model, the
     // q161 posture; profile emits ALL 512 buckets per language so
     // scoring is a plain broadcast equi-join), score every doc by the
-    // exact-decimal NB log-likelihood sum of 6-dp terms, argmax via
+    // exact scaled-integer NB log-likelihood sum (logp·1e9), argmax via
     // the type-generic two-aggregate form (max score, min(lang)).
     // The oracle replays the trigram fold hash, the 9-dp smoothed
     // log-profile, the decimal sum, and the tie-break end-to-end;
@@ -3417,38 +3456,42 @@ object Pipeline {
         TA.predictLangTrained(dd, "doc_id", "text", profiles, buckets = 512)
           .orderBy("doc_id")
       },
-      Some {
-        val p1 = "(7*31 + cp[i]) % 2147483647"
-        val p2 = s"((($p1) * 31 + cp[i+1]) % 2147483647)"
-        val p3 = s"(($p2 * 31 + cp[i+2]) % 2147483647)"
-        val tri = s"${Sql.mix(p3)} % 512"
-        s"""WITH cps AS (SELECT doc_id, lang,
-              list_transform(string_split_regex(text, ''),
-                c -> ascii(c)::BIGINT) AS cp
-            FROM documents),
-          feats AS (SELECT doc_id, lang,
-              unnest(list_transform(range(1, len(cp) - 1), i -> $tri)) AS b
-            FROM cps WHERE len(cp) >= 3),
-          cnt AS (SELECT lang, b, COUNT(*) AS c FROM feats
-            WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-          tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY 1),
-          prof AS (SELECT tot.lang AS lang, gb.b AS b,
-              round(ln((COALESCE(c, 0) + 1.0) / (tot + 512.0)), 9) AS logp
-            FROM tot CROSS JOIN (SELECT unnest(range(0, 512)) AS b) gb
-            LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.b = gb.b),
-          db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
-          sc AS (SELECT doc_id, prof.lang AS lang,
-              ${Sql.dsum("n * logp")} AS score
-            FROM db JOIN prof ON db.b = prof.b GROUP BY 1, 2),
-          best AS (SELECT doc_id, MAX(score) AS bs FROM sc GROUP BY 1),
+      Some(s"""WITH ${LangIdSql.ctes},
           pick AS (SELECT sc.doc_id AS doc_id, MIN(lang) AS lang
             FROM sc JOIN best ON sc.doc_id = best.doc_id
               AND sc.score = best.bs
             GROUP BY 1)
           SELECT d.doc_id AS doc_id, COALESCE(pick.lang, 'unk') AS lang
           FROM documents d LEFT JOIN pick ON d.doc_id = pick.doc_id
-          ORDER BY d.doc_id"""
-      }),
+          ORDER BY d.doc_id""")),
+
+    // --- language-ID confidence margin (crawl-filter signal) ---------------
+    // (TA.langIdMargin — q183's fit/score chain plus margin = best −
+    // strictly-lower-max second score (top ties → 0, no lang
+    // tie-break); scores are identical exact-decimal-derived doubles
+    // in both engines, so the subtraction ships unrounded. Shares
+    // LangIdSql's CTEs with q183 — one truth for the model replay.)
+    "q189_langid_margin" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val profiles = TA.fitLangProfiles(
+          dd.filter(col("doc_id") % 5 === 0), "lang", "text", buckets = 512)
+        TA.langIdMargin(dd, "doc_id", "text", profiles, buckets = 512)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${LangIdSql.ctes},
+          second AS (SELECT sc.doc_id AS doc_id, MAX(score) AS ss
+            FROM sc JOIN best ON sc.doc_id = best.doc_id
+            WHERE score < bs GROUP BY 1),
+          pick AS (SELECT sc.doc_id AS doc_id, MIN(lang) AS lang,
+              MIN(bs) AS bs
+            FROM sc JOIN best ON sc.doc_id = best.doc_id
+              AND sc.score = best.bs
+            GROUP BY 1)
+          SELECT pick.doc_id AS doc_id, pick.lang AS lang,
+            bs - COALESCE(ss, bs) AS margin
+          FROM pick LEFT JOIN second ON pick.doc_id = second.doc_id
+          ORDER BY pick.doc_id""")),
 
     // --- unigram-LM (SentencePiece) tokenizer: seed vocabulary --------------
     // (Unigram.seedVocab — Kudo 2018: occurrence counts of all 1..4-char
@@ -3640,7 +3683,78 @@ object Pipeline {
               s"UNION ALL SELECT $t AS rank, nid, round(sc, 6) AS score FROM pick$t")
               .mkString(" ")})
           ORDER BY rank"""
-      })
+      }),
+
+    // --- Hilbert-curve layout (q157's locality-optimal twin) ----------------
+    // (ZOrder.hilbertValue2D — the canonical xy2d reflect/rotate walk
+    // as a staged column chain (state is sequential in bit levels; the
+    // stages keep the plan linear where one nested Column would double
+    // per level). Consecutive d values are always grid NEIGHBORS — no
+    // Morton quadrant-seam jumps — so per-bucket bounding boxes are
+    // tighter for the same one-time layout cost. Same point set and
+    // stats shape as q157 so the two layouts are directly comparable;
+    // the oracle replays the walk as the identical staged CTE chain.)
+    "q187_hilbert" -> Q(
+      (s, d) => {
+        import graft.ops.ZOrder
+        val bits = 6; val bucketBits = 4
+        val li = Tables.lineitem(s, d).select(
+          pmod(col("l_orderkey"), lit(4096L)).as("a"),
+          pmod(col("l_partkey"), lit(4096L)).as("b"))
+        val staged = ZOrder.hilbertValue2D(li,
+          ZOrder.zCell(col("a"), 0, 4096, bits),
+          ZOrder.zCell(col("b"), 0, 4096, bits), bits, "h")
+        staged
+          .groupBy(ZOrder.zBucket(col("h"), 2 * bits, bucketBits).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("h").as("h_min"), max("h").as("h_max"),
+            min("a").as("a_min"), max("a").as("a_max"),
+            min("b").as("b_min"), max("b").as("b_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        import graft.ops.ZOrder
+        val bits = 6
+        val cellA = ZOrder.zCellSql("a", 0, 4096, bits)
+        val cellB = ZOrder.zCellSql("b", 0, 4096, bits)
+        s"""WITH pts AS (SELECT a, b, $cellA AS x, $cellB AS y FROM
+            (SELECT l_orderkey % 4096 AS a, l_partkey % 4096 AS b
+             FROM lineitem)),
+          ${ZOrder.hilbertSqlCtes("pts", bits, carry = Seq("a", "b"))}
+          SELECT (d >> 8) AS bucket, count(*) AS n,
+            min(d) AS h_min, max(d) AS h_max,
+            min(a) AS a_min, max(a) AS a_max,
+            min(b) AS b_min, max(b) AS b_max
+          FROM h0 GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // --- hard-negative mining for contrastive training ----------------------
+    // (Similarity.hardNegatives — the DPR/ANCE negatives recipe: per
+    // anchor, the top-k most-similar OTHER-group rows after skipping
+    // the 2 most similar (the presumed-positive/near-dup band).
+    // Anchors broadcast, corpus streams once; group = the document's
+    // source via vec_id ≡ doc_id. The oracle replays the cross-group
+    // cosine ranking and the skip band with the same kernel-identical
+    // cosSql.)
+    "q188_hard_negatives" -> Q(
+      (s, d) => {
+        val withG = emb(s, d).join(
+          docs(s, d).select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"))
+        Similarity.hardNegatives(withG.filter(col("vec_id") < 5), withG,
+            "vec_id", "embedding", "source", k = 5, skipTop = 2)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH g AS (SELECT e.vec_id, e.embedding, d.source
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+            ${cosSql("q.embedding", "c.embedding")} AS cos
+          FROM (SELECT * FROM g WHERE vec_id < 5) q
+          JOIN g c ON q.vec_id <> c.vec_id AND q.source <> c.source),
+        rk AS (SELECT qid, nid, cos, row_number() OVER
+            (PARTITION BY qid ORDER BY cos DESC, nid) AS r FROM sc)
+        SELECT qid, CAST(r - 2 AS INTEGER) AS rank, nid, cos
+        FROM rk WHERE r > 2 AND r <= 7 ORDER BY qid, rank"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

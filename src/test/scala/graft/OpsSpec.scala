@@ -1446,6 +1446,50 @@ class OpsSpec extends SparkSpec {
     assert(parts == 16)
   }
 
+  test("hilbertValue2D: canonical xy2d values, bijection, and the " +
+    "consecutive-neighbor property Morton lacks") {
+    import graft.ops.ZOrder
+    // hand-computed 4x4 walk (reflection constant n-1, +x first step)
+    val g2 = ZOrder.hilbertValue2D(
+        (for { x <- 0 until 4; y <- 0 until 4 } yield (x.toLong, y.toLong))
+          .toDF("x", "y"), $"x", $"y", bits = 2, out = "d")
+      .select($"x", $"y", $"d").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g2((0L, 0L)) == 0 && g2((1L, 0L)) == 1 && g2((1L, 1L)) == 2 &&
+      g2((0L, 1L)) == 3, "first quadrant walk")
+    assert(g2((0L, 3L)) == 5 && g2((3L, 3L)) == 10 && g2((2L, 0L)) == 14 &&
+      g2((3L, 0L)) == 15, "hand-checked corners")
+    // 8x8: bijection onto [0, 64) and THE Hilbert property — every
+    // consecutive pair of distances is a grid 4-neighborhood step
+    val got = ZOrder.hilbertValue2D(
+        (for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong))
+          .toDF("x", "y"), $"x", $"y", bits = 3, out = "d")
+      .select($"x", $"y", $"d").as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (0L until 64L), "bijection")
+    got.sortBy(_._3).sliding(2).foreach { case Array(p, q) =>
+      assert(math.abs(p._1 - q._1) + math.abs(p._2 - q._2) == 1,
+        s"$p -> $q not neighbors")
+    }
+    // clusterByHilbert: bucket count and within-partition d-sort
+    val parts = ZOrder.clusterByHilbert(
+      (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+        .toDF("x", "y"),
+      ($"x", 0.0, 64.0), ($"y", 0.0, 64.0), bits = 6, bucketBits = 4)
+    assert(parts.rdd.getNumPartitions == 16)
+    // Hilbert buckets bound both dims at quadrant width, like z-order
+    val spans2 = ZOrder.hilbertValue2D(
+        (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+          .toDF("x", "y"),
+        ZOrder.zCell($"x", 0, 64, 6), ZOrder.zCell($"y", 0, 64, 6),
+        bits = 6, out = "d")
+      .groupBy(ZOrder.zBucket($"d", 12, 4).as("bucket"))
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .as[(Long, Long, Long)].collect()
+    assert(spans2.length == 16)
+    spans2.foreach { case (b, xs, ys) =>
+      assert(xs == 15L && ys == 15L, s"bucket $b bbox $xs x $ys") }
+  }
+
   test("groupHoldout: group-atomic assignment, partitioning-stable, " +
     "expectation tracks the fraction") {
     import graft.ops.Mixture
@@ -2210,6 +2254,42 @@ class OpsSpec extends SparkSpec {
     val sc = TA.scoreLangProfiles(held, "doc_id", "text", prof, buckets = 64)
     assert(sc.groupBy("doc_id").count().as[(Long, Long)].collect().toMap ==
       Map(1L -> 2L, 2L -> 2L))
+    // margin: confident docs get best − second; trigram-free docs absent
+    val marg = TA.langIdMargin(held, "doc_id", "text", prof, buckets = 64)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(marg.keySet == Set(1L, 2L), "only scored docs carry confidence")
+    assert(marg(1L)._2 == "xx" && marg(1L)._3 > 0, "positive margin")
+    val scm = sc.as[(Long, String, Double)].collect()
+      .filter(_._1 == 1L).map(_._3).sorted.reverse
+    assert(math.abs(marg(1L)._3 - (scm(0) - scm(1))) == 0.0,
+      "margin is exactly best - second")
+  }
+
+  test("hardNegatives: same-group and self rows excluded, skip band " +
+    "drops the presumed-positive head, ranks re-base to 1") {
+    // group A anchors; B/C corpus laid out so cosine order is knowable
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),          // anchor
+      (2L, Array(0.99f, 0.14f), "A"),        // same group — never a negative
+      (10L, Array(0.98f, 0.2f), "B"),        // most similar cross-group
+      (11L, Array(0.9f, 0.44f), "B"),
+      (12L, Array(0.7f, 0.71f), "C"),
+      (13L, Array(0.3f, 0.95f), "C"),
+      (14L, Array(0.0f, 1.0f), "B")
+    ).toDF("vec_id", "embedding", "source")
+    val got = graft.ops.Similarity.hardNegatives(
+        rows.filter($"vec_id" === 1), rows, "vec_id", "embedding",
+        "source", k = 2, skipTop = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // cross-group cosine order: 10 > 11 > 12 > 13 > 14; skip 1 → (11, 12)
+    assert(got.map(g => (g._2, g._3)).toSeq == Seq((1, 11L), (2, 12L)))
+    assert(got.forall(g => g._3 != 2L && g._3 != 1L), "no same-group/self")
+    // skipTop = 0 keeps the head
+    val noSkip = graft.ops.Similarity.hardNegatives(
+        rows.filter($"vec_id" === 1), rows, "vec_id", "embedding",
+        "source", k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(noSkip.map(_._3).toSeq == Seq(10L, 11L))
   }
 
   test("splitSentences + sentenceDupStats: boundary runs, trimming, " +
