@@ -341,12 +341,16 @@ object Soak {
           "vec_id", graft.ops.Multimodal.aHash(col("px")), maxDist = 3)
           .count()),
       // round-11: trained language ID — fit on the labeled fifth, score
-      // everything; the L×512 profile must stay broadcast at any scale
+      // everything; the L×512 profile must stay broadcast at any scale.
+      // The filter FORCES the prediction: a bare count() join-eliminates
+      // the unique-keyed left join and times an empty scan (the
+      // span_corruption count()-pruning artifact)
       "langid_trained" -> (() => {
         val prof = graft.ops.TextAnalysis.fitLangProfiles(
           big.filter(col("doc_id") % 5 === 0), "lang", "text", buckets = 512)
         graft.ops.TextAnalysis.predictLangTrained(
-          big, "doc_id", "text", prof, buckets = 512).count()
+            big, "doc_id", "text", prof, buckets = 512)
+          .filter(col("lang") =!= "__never").count()
       }),
       // round-11: unigram-LM fit (seed + 1 Viterbi-EM round; the
       // distinct-word table grows with the per-copy soakmark words) +
