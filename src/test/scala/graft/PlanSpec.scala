@@ -465,4 +465,35 @@ class PlanSpec extends SparkSpec {
       "eval probe must broadcast")
     assert(!plan.contains("CartesianProduct"), "no cartesian in the probe")
   }
+
+  test("q183 trained language ID: profile broadcasts onto the doc-bucket " +
+    "aggregate; no window, no cartesian") {
+    val plan = SparkEntry.queries("q183_langid_trained")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the L x B profile must broadcast onto the (doc, bucket) counts")
+    assert(!plan.contains("Window"), "argmax is aggregates, not a window")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("q187 Hilbert layout: one lineitem scan through staged " +
+    "projections — no join, no window, no generator") {
+    val plan = SparkEntry.queries("q187_hilbert")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the walk is per-row arithmetic")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      "staged projections + one hash aggregate only")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("q185 unigram encode: per-distinct-word dict stamps by equi-join;" +
+    " no cartesian, no corpus window") {
+    val plan = SparkEntry.queries("q185_unigram_encode")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the dict stamp must stay an equi-join")
+    assert(!plan.contains("Window"), "reassembly is a grouped aggregate")
+  }
 }
