@@ -227,7 +227,9 @@ object Bench {
     // round-11 late adds: Hilbert layout, hard negatives, langid margin
     "q187_hilbert" -> SparkEntry.queries("q187_hilbert"),
     "q188_hard_negatives" -> SparkEntry.queries("q188_hard_negatives"),
-    "q189_langid_margin" -> SparkEntry.queries("q189_langid_margin"))
+    "q189_langid_margin" -> SparkEntry.queries("q189_langid_margin"),
+    // round-11 late add: stratified per-group weighted sampling
+    "q190_weighted_sample_group" -> SparkEntry.queries("q190_weighted_sample_group"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -199,6 +199,25 @@ object Mixture {
       .select(col("rank"), col(id), col("score").as("skey"))
   }
 
+  /** STRATIFIED [[weightedSample]]: n independent A-Res draws per
+    * group — the mixture-composition primitive ("sample n docs per
+    * source, weighted by quality/tokens") where the global variant
+    * lets a heavy group crowd out the rest. Same exp-key scheme,
+    * same portable determinism; the heap aggregate carries
+    * |groups|·n·#partitions rows instead of one group's. A group with
+    * fewer than n positive-weight rows is taken whole. Returns
+    * (group, rank, id, skey), rank 1..n per group. */
+  def weightedSamplePerGroup(df: DataFrame, group: String, id: String,
+                             weight: Column, n: Int): DataFrame = {
+    require(n >= 1, "weightedSamplePerGroup: n must be >= 1")
+    val u = (Frame.portableMix(col(id)) + 1).cast("double") /
+      lit(Frame.MixM.toDouble)
+    val keyed = df.filter(weight > 0)
+      .withColumn("__skey", round(log(u) / weight.cast("double"), 12))
+    topKPerGroup(keyed, group, col("__skey"), id, n)
+      .select(col(group), col("rank"), col(id), col("score").as("skey"))
+  }
+
   /** Hashed n-gram feature stream for [[dsirLogWeights]]: every
     * unigram and adjacent bigram of the whitespace tokens, bucketed by
     * the PORTABLE word hash mod `buckets` — one (id, bucket) row per

@@ -1975,6 +1975,28 @@ object Pipeline {
               FROM keyed)
         WHERE rn <= 50 ORDER BY rank""")),
 
+    // --- stratified weighted sampling (A-Res per group) ---------------------
+    // (Mixture.weightedSamplePerGroup — q142's exp-key scheme with the
+    // heap keyed by SOURCE: n weighted draws per group, so a heavy
+    // source can't crowd out the mixture. Same mixer/ln/12-dp
+    // portability contract; the oracle partitions the replay window
+    // by source.)
+    "q190_weighted_sample_group" -> Q(
+      (s, d) => graft.ops.Mixture.weightedSamplePerGroup(
+          docs(s, d), "source", "doc_id", col("n_chars"), n = 10)
+        .orderBy("source", "rank"),
+      Some(s"""WITH keyed AS (
+          SELECT source, doc_id,
+            round(ln((${Sql.mix("doc_id")} + 1) / 2147483647.0)
+              / n_chars, 12) AS skey
+          FROM documents WHERE n_chars > 0)
+        SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, skey
+        FROM (SELECT source, doc_id, skey,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY skey DESC, doc_id) AS rn
+              FROM keyed)
+        WHERE rn <= 10 ORDER BY source, rank""")),
+
     // --- HTML stripping ------------------------------------------------------
     // (TextAnalysis.stripHtml — the web-crawl cleaning pass; the corpus
     // is plain text, so the query wraps each doc in markup INSIDE the

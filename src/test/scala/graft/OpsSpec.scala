@@ -1631,6 +1631,32 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists { case (_, i, _) => i >= 900L })
   }
 
+  test("weightedSamplePerGroup: each group draws independently (a " +
+    "group's sample is invariant to other groups); short groups whole") {
+    val rows = (0L until 200L).map(i =>
+      (s"g${i % 3}", i, ((i * 37) % 100 + 1).toDouble)) ++
+      Seq(("tiny", 500L, 2.0), ("tiny", 501L, 3.0))
+    val df = rows.toDF("g", "id", "w")
+    val got = graft.ops.Mixture
+      .weightedSamplePerGroup(df, "g", "id", col("w"), n = 5)
+      .as[(String, Int, Long, Double)].collect()
+    val byG = got.groupBy(_._1)
+    assert(byG("g0").length == 5 && byG("g1").length == 5 &&
+      byG("g2").length == 5)
+    assert(byG("tiny").map(_._3).toSet == Set(500L, 501L),
+      "under-n group taken whole")
+    // independence: dropping every other group leaves g0's draw intact
+    val solo = graft.ops.Mixture.weightedSamplePerGroup(
+        df.filter($"g" === "g0"), "g", "id", col("w"), n = 5)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(solo == byG("g0").toSet)
+    // per-group == global restricted to that group's rows
+    val globalG0 = graft.ops.Mixture.weightedSample(
+        df.filter($"g" === "g0"), "id", col("w"), 5)
+      .as[(Int, Long, Double)].collect().map(r => ("g0", r._1, r._2, r._3))
+    assert(globalG0.toSet == byG("g0").toSet)
+  }
+
   test("stripHtml: blocks drop wholesale, tags strip, entities decode " +
     "once, whitespace collapses") {
     val html = "<html><body class=\"m\"><p>Hello &amp; <b>world</b></p>" +
