@@ -229,7 +229,14 @@ object Bench {
     "q188_hard_negatives" -> SparkEntry.queries("q188_hard_negatives"),
     "q189_langid_margin" -> SparkEntry.queries("q189_langid_margin"),
     // round-11 late add: stratified per-group weighted sampling
-    "q190_weighted_sample_group" -> SparkEntry.queries("q190_weighted_sample_group"))
+    "q190_weighted_sample_group" -> SparkEntry.queries("q190_weighted_sample_group"),
+    // round-11 late adds: temperature mixture + epoched realization,
+    // canonical near-dup dedup, KN bigram LM, PMI collocations
+    "q191_temperature_mixture" -> SparkEntry.queries("q191_temperature_mixture"),
+    "q192_temperature_epochs" -> SparkEntry.queries("q192_temperature_epochs"),
+    "q193_canonical_dedup" -> SparkEntry.queries("q193_canonical_dedup"),
+    "q194_kn_bigram_lm" -> SparkEntry.queries("q194_kn_bigram_lm"),
+    "q195_pmi_collocations" -> SparkEntry.queries("q195_pmi_collocations"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -689,6 +689,41 @@ object Dedup {
     df.join(drop, Seq(id), "left_anti")
   }
 
+  /** near-duplicate dedup keeping the BEST-QUALITY representative per
+    * cluster — [[dedupNearMinhash]] with the keep rule a production
+    * corpus pipeline actually wants: min-id keeps whichever duplicate
+    * happened to be crawled first; this keeps the one worth training
+    * on (longest, highest quality score, least boilerplate — any
+    * caller-supplied `quality` column). MinHash-LSH pairs → connected
+    * components → per-component argmax(quality), ties broken by
+    * MINIMUM id so the winner is unique and engine-replayable; every
+    * doc in no near-dup pair survives untouched.
+    *
+    * The argmax is the type-generic two-aggregate form (the
+    * mmrDiversify convention — max the quality per component, join
+    * back for the achievers, min(id) among them) rather than a
+    * max_by struct, so id and quality keep their exact types and the
+    * tie-break is explicit. Component tables are cluster-sized (tiny
+    * vs the corpus); the final keep is one left_anti join. */
+  def dedupNearCanonical(df: DataFrame, id: String, text: String,
+                         quality: Column, threshold: Double,
+                         numPerms: Int = 64, bands: Int = 32,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
+    val comps = connectedComponents(pairs)
+    val scored = comps.join(
+      df.select(col(id).as("node"), quality.as("__q")), Seq("node"))
+    val best = scored.groupBy(col("component")).agg(max(col("__q")).as("__bq"))
+    val keepNodes = scored.join(best, Seq("component"))
+      .filter(col("__q") === col("__bq"))
+      .groupBy(col("component")).agg(min(col("node")).as("node"))
+      .select(col("node"))
+    val drop = comps.select(col("node"))
+      .join(keepNodes, Seq("node"), "left_anti")
+      .select(col("node").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash on xxhash64 word hashes — the production path. */
   def simhash(text: Column): Column = simhashImpl(text, 64, w => xxhash64(w))
 

@@ -101,6 +101,86 @@ object Mixture {
       .drop("mix_thresh")
   }
 
+  /** TEMPERATURE-scaled mixture accounting (the multilingual sampling
+    * rule of XLM-R §3.1 / mT5 — public method: q_g ∝ p_g^α): targets
+    * are DERIVED from the observed token shares instead of
+    * caller-supplied — α < 1 flattens the mixture toward uniform
+    * (upweights low-resource sources), α = 1 is a no-op, α > 1
+    * sharpens toward the head. Returns
+    * (group, n_docs, tokens, share, target, repeat, rate):
+    *  - share  = tokens_g / total (6 dp),
+    *  - target = share^α / Σ_h share^α (6 dp; each power rounds to
+    *    9 dp first — pow is libm, the q77 last-ulp policy — and the
+    *    normalizer sums EXACTLY as DECIMAL(12,9), read back through
+    *    VARCHAR, the q137 double-rounding guard),
+    *  - repeat = target·total/tokens_g (6 dp) — the repetition factor
+    *    an epoched realization needs (> 1 means the source must
+    *    UPSAMPLE to reach its target),
+    *  - rate   = min(1, repeat) — the keep-probability a
+    *    pure-subsample realization ([[rebalance]]'s contract) can
+    *    honor.
+    * Plan shape: [[tokenMixture]]'s one group-keyed hash aggregate +
+    * 1-row total broadcast, plus one extra sources-sized pass for the
+    * normalizer — nothing corpus-sized beyond the first aggregate. */
+  def temperatureMixture(df: DataFrame, group: String, text: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0, "temperatureMixture: alpha must be > 0")
+    val counts = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TA.tokenCount(col(text))).as("tokens"))
+    val total = counts.agg(sum(col("tokens")).as("total_tokens"))
+    val shared = counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("__pw", round(pow(col("share"), lit(alpha)), 9))
+    val z = shared.agg(sum(col("__pw").cast("decimal(12,9)"))
+      .cast("string").cast("double").as("__z"))
+    shared.crossJoin(broadcast(z))
+      .withColumn("target", round(col("__pw") / col("__z"), 6))
+      .withColumn("repeat", when(col("tokens") === 0, lit(0.0)).otherwise(
+        round(col("target") * col("total_tokens") / col("tokens"), 6)))
+      .withColumn("rate", least(lit(1.0), col("repeat")))
+      .select(col(group), col("n_docs"), col("tokens"), col("share"),
+        col("target"), col("repeat"), col("rate"))
+  }
+
+  /** EPOCHED realization of [[temperatureMixture]] — the variant that
+    * UPSAMPLES (where [[rebalance]] can only subsample, capping every
+    * rate at 1 and silently under-filling low-resource targets):
+    * each row of group g emits n_copies = ⌊repeat_g⌋ whole copies plus
+    * one fractional copy iff portableMix(id) < (repeat_g − ⌊repeat_g⌋)
+    * ·M, tagged epoch 0..n_copies−1 — in expectation every source's
+    * emitted tokens land exactly on target·total, and α = 1 passes the
+    * corpus through once (every repeat = 1). Deterministic and
+    * engine-portable: repeat is a 6-dp decimal in both engines, so
+    * ⌊·⌋ and the fractional threshold agree bit-for-bit.
+    *
+    * `maxRepeat` caps the blow-up a near-empty source would request
+    * (its epochs truncate and the source under-fills — raise the cap
+    * deliberately, it bounds output volume). The rates table
+    * broadcasts; emission is a scan-stage sequence-explode — no
+    * shuffle beyond the accounting aggregates, so the pass composes
+    * into a larger pipeline plan. Output = input columns + `epoch`. */
+  def temperatureRebalance(df: DataFrame, id: String, group: String,
+                           text: String, alpha: Double,
+                           maxRepeat: Int = 16): DataFrame = {
+    require(maxRepeat >= 1, "temperatureRebalance: maxRepeat must be >= 1")
+    val rates = temperatureMixture(df, group, text, alpha)
+      .select(col(group),
+        least(col("repeat"), lit(maxRepeat.toDouble)).as("__r"))
+    val nFull = floor(col("__r")).cast("long")
+    val thresh = round((col("__r") - floor(col("__r"))) * Frame.MixM)
+      .cast("long")
+    val nCopies = nFull +
+      when(Frame.portableMix(col(id)) < thresh, 1L).otherwise(0L)
+    val keep = df.columns.map(col)
+    df.join(broadcast(rates), Seq(group))
+      .withColumn("__nc", nCopies)
+      .filter(col("__nc") >= 1)
+      .select(keep :+ explode(sequence(lit(0L), col("__nc") - 1))
+        .as("epoch"): _*)
+  }
+
   /** Leakage-safe GROUP-level holdout split: every row of a group
     * (domain, author, near-dup cluster id) lands entirely in 'train' or
     * entirely in 'eval'. A row-level split leaks near-duplicate content

@@ -623,6 +623,125 @@ object TextAnalysis {
         graft.api.functions.davg(col("lnp")).as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing KenLM
+    * actually ships (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated formulation — public method), self-fit on the corpus:
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N₁₊(w1,·)·P_cont(w2)) / c(w1)
+    *   P_cont(w2) = N₁₊(·,w2) / N₁₊(·,·)
+    * where N₁₊ counts DISTINCT bigram types (fanout of a left context,
+    * fanin of a right word, total type count). Add-one
+    * ([[bigramLmScore]]) over-penalizes frequent-word bigrams and
+    * ignores context diversity; KN's continuation probability asks
+    * "how many contexts does w2 follow?" — the signal that separates
+    * fluent prose from keyword-stuffed spam with plausible unigrams.
+    *
+    * Self-fit by construction: every scored bigram has c(w1,w2) ≥ 1,
+    * so P > 0 and the ln is total. Scoring held-out text against a
+    * reference fit needs an <unk> convention (OOV words carry zero
+    * continuation mass) — [[bigramLmScore]]'s add-one fallback is the
+    * open-vocabulary path; this is the fluency scorer.
+    *
+    * Plan shape: [[bigramLmScore]]'s — scan-stage bigram explode on
+    * 64-bit hashed keys (the shuffles carry 8-byte keys, the term that
+    * dominates at corpus scale), three vocabulary-sized hash
+    * aggregates (bigram counts; per-left totals + fanout; per-right
+    * fanin), a 1-row type-total broadcast, plain equi-joins back, and
+    * the exact-decimal per-doc mean. fp policy: counts are exact
+    * longs; the probability assembles in a FIXED association order the
+    * oracle mirrors token-for-token (IEEE mul/div are correctly
+    * rounded, so only the ln needs the 9-dp libm guard — q77 policy).
+    * Documents with < 2 tokens have no bigrams and are absent.
+    * Returns (id, n_bigrams, avg_logp). */
+  def knBigramLmScore(df: DataFrame, id: String, text: String,
+                      discount: Double = 0.75,
+                      materialize: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "knBigramLmScore: discount must be in (0,1)")
+    val w = tokens(col(text))
+    val arrays0 = df.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
+      .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(
+          xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+          xxhash64(get(col("w"), i)).as("h1"),
+          xxhash64(get(col("w"), i + 1)).as("h2"))).as("bs"))
+    val arrays = Materialize.pin(arrays0, materialize)
+    val expanded = arrays.select(col(id), explode(col("bs")).as("b"))
+      .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"),
+        col("b.h2").as("h2"))
+    // one aggregate carries the (h1, h2) of each bigram type along, so
+    // fanout/fanin/type-total all derive from the TYPE table — nothing
+    // rescans the corpus-sized occurrence stream
+    val c12 = Materialize.pin(
+      expanded.groupBy("h12").agg(count(lit(1)).as("c12"),
+        first(col("h1")).as("h1c"), first(col("h2")).as("h2c")),
+      materialize)
+    val left = c12.groupBy(col("h1c").as("h1")).agg(
+      sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+    val right = c12.groupBy(col("h2c").as("h2"))
+      .agg(count(lit(1)).as("fanin"))
+    val n11 = c12.agg(count(lit(1)).as("n11"))
+    val p = (greatest(col("c12").cast("double") - discount, lit(0.0)) +
+      lit(discount) * col("fanout") * col("fanin") / col("n11")) / col("c1")
+    expanded
+      .join(c12.select(col("h12"), col("c12")), Seq("h12"))
+      .join(left, Seq("h1"))
+      .join(right, Seq("h2"))
+      .crossJoin(broadcast(n11))
+      .select(col(id), round(log(p), 9).as("lnp"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.api.functions.davg(col("lnp")).as("avg_logp"))
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990 — public method): the
+    * top-k adjacent word pairs by pointwise mutual information
+    *   pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    * with p(w1,w2) = c12/NB over positional bigrams and p(w) = c(w)/NT
+    * over token occurrences, subject to c12 ≥ minCount (PMI is
+    * notoriously noisy on rare pairs — the standard support floor).
+    * Collocations surface boilerplate phrases, templated spans, and
+    * multi-word entities — the phrase-level audit signal next to
+    * [[graft.api.Frame.frequencies]].
+    *
+    * Counts aggregate on the word STRINGS (the output needs words, and
+    * the aggregates are vocabulary-sized — far smaller than the
+    * corpus — with map-side partial combine); NB sums the UNFILTERED
+    * pair-type table so the support floor can't bias the denominator.
+    * Selection is a bounded TakeOrderedAndProject over the filtered
+    * pair vocabulary — never a corpus sort. fp policy: the probability
+    * ratio assembles in a fixed association order the oracle mirrors;
+    * the ln rounds to 9 dp; ties break (w1, w2) lexicographic.
+    * Returns (w1, w2, c12, pmi), k rows best-first. */
+  def pmiCollocations(df: DataFrame, text: String, minCount: Long,
+                      k: Int, materialize: Boolean = true): DataFrame = {
+    require(minCount >= 1, "pmiCollocations: minCount must be >= 1")
+    require(k >= 1, "pmiCollocations: k must be >= 1")
+    val toks = Materialize.pin(
+      df.select(tokens(col(text)).as("w")), materialize)
+    val uni = toks.select(explode(col("w")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("cw"))
+    val nt = uni.agg(sum(col("cw")).as("nt"))
+    val c12all = Materialize.pin(
+      toks.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(get(col("w"), i).as("w1"),
+            get(col("w"), i + 1).as("w2")))).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")),
+      materialize)
+    val nb = c12all.agg(sum(col("c12")).as("nb"))
+    val pmi = round(log((col("c12").cast("double") / col("nb")) /
+      ((col("cw1").cast("double") / col("nt")) *
+        (col("cw2").cast("double") / col("nt")))), 9)
+    c12all.filter(col("c12") >= minCount)
+      .join(uni.select(col("wd").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .join(uni.select(col("wd").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-group quantile pruning (the per-domain quality filter of a
     * corpus-prep pipeline — keep each source's best (1−q) fraction by
     * `score`): one hash aggregate computes each group's q-quantile of

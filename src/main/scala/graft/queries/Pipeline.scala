@@ -3776,7 +3776,185 @@ object Pipeline {
         rk AS (SELECT qid, nid, cos, row_number() OVER
             (PARTITION BY qid ORDER BY cos DESC, nid) AS r FROM sc)
         SELECT qid, CAST(r - 2 AS INTEGER) AS rank, nid, cos
-        FROM rk WHERE r > 2 AND r <= 7 ORDER BY qid, rank"""))
+        FROM rk WHERE r > 2 AND r <= 7 ORDER BY qid, rank""")),
+
+    // --- temperature-scaled mixture accounting ------------------------------
+    // (Mixture.temperatureMixture — XLM-R §3.1 α-sampling: targets
+    // DERIVED from observed shares, q_g ∝ p_g^α. The oracle replays the
+    // whole derivation: token counts, 6-dp shares, 9-dp powers, the
+    // exact DECIMAL(12,9) normalizer read back through VARCHAR (the
+    // q137 double-rounding guard), 6-dp targets, repeat factors, and
+    // the min(1, ·) subsample rates. Grouped by the SKEWED lang column
+    // so α = 0.5 genuinely flattens: en's repeat lands < 1 (downsample)
+    // while the tail's land > 1 (upsample).)
+    "q191_temperature_mixture" -> Q(
+      (s, d) => graft.ops.Mixture
+        .temperatureMixture(docs(s, d), "lang", "text", alpha = 0.5)
+        .orderBy("lang"),
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs,
+          ${isum("len(string_split(text, ' '))")} AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT ${isum("tokens")} AS total_tokens FROM counts),
+        pw AS (SELECT lang, n_docs, tokens, total_tokens,
+            round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS share,
+            round(pow(round(CAST(tokens AS DOUBLE) / total_tokens, 6),
+              0.5), 9) AS p
+          FROM counts CROSS JOIN tot),
+        z AS (SELECT CAST(CAST(SUM(CAST(p AS DECIMAL(12,9))) AS VARCHAR)
+            AS DOUBLE) AS z FROM pw),
+        t AS (SELECT lang, n_docs, tokens, total_tokens, share,
+            round(p / z, 6) AS target FROM pw CROSS JOIN z),
+        r AS (SELECT *, CASE WHEN tokens = 0 THEN 0.0
+            ELSE round(target * total_tokens / tokens, 6) END AS "repeat"
+          FROM t)
+        SELECT lang, n_docs, tokens, share, target, "repeat",
+          least(1.0, "repeat") AS rate
+        FROM r ORDER BY lang""")),
+
+    // --- epoched temperature rebalance (upsampling realization) -------------
+    // (Mixture.temperatureRebalance — the realization that UPSAMPLES
+    // where `rebalance` can only subsample: ⌊repeat⌋ whole copies per
+    // doc + one fractional copy iff mix(id) < frac·M, tagged epoch
+    // 0..n−1. The oracle re-derives the α = 0.3 repeat factors, caps at
+    // maxRepeat = 8, and replays the per-doc copy count arithmetic —
+    // n_rows/tokens_emitted/max_epoch per lang pin the emission
+    // exactly.)
+    "q192_temperature_epochs" -> Q(
+      (s, d) => graft.ops.Mixture
+        .temperatureRebalance(docs(s, d), "doc_id", "lang", "text",
+          alpha = 0.3, maxRepeat = 8)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_rows"),
+          sum(TA.tokenCount(col("text"))).as("tokens_emitted"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy("lang"),
+      Some(s"""WITH counts AS (SELECT lang,
+          ${isum("len(string_split(text, ' '))")} AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT ${isum("tokens")} AS total_tokens FROM counts),
+        pw AS (SELECT lang, tokens, total_tokens,
+            round(pow(round(CAST(tokens AS DOUBLE) / total_tokens, 6),
+              0.3), 9) AS p
+          FROM counts CROSS JOIN tot),
+        z AS (SELECT CAST(CAST(SUM(CAST(p AS DECIMAL(12,9))) AS VARCHAR)
+            AS DOUBLE) AS z FROM pw),
+        r AS (SELECT lang, least(CASE WHEN tokens = 0 THEN 0.0
+            ELSE round(round(p / z, 6) * total_tokens / tokens, 6) END,
+            8.0) AS r
+          FROM pw CROSS JOIN z),
+        nc AS (SELECT d.lang, d.doc_id,
+            len(string_split(d.text, ' ')) AS dtok,
+            CAST(floor(r.r) AS BIGINT) + CASE WHEN
+              ${Sql.mix("d.doc_id")} <
+              CAST(round((r.r - floor(r.r)) * 2147483647) AS BIGINT)
+              THEN 1 ELSE 0 END AS nc
+          FROM documents d JOIN r ON d.lang = r.lang)
+        SELECT lang, ${isum("nc")} AS n_rows,
+          ${isum("nc * dtok")} AS tokens_emitted,
+          MAX(nc) - 1 AS max_epoch
+        FROM nc WHERE nc >= 1 GROUP BY lang ORDER BY lang""")),
+
+    // --- canonical near-dup dedup (best-quality representative) -------------
+    // (Dedup.dedupNearCanonical — q64's LSH pairs → components, but the
+    // keep rule a corpus pipeline actually wants: per component keep
+    // the argmax-quality doc (n_chars here), ties to the min id —
+    // min-id keep (dedupNearMinhash) preserves whichever duplicate was
+    // crawled first; this preserves the one worth training on. Oracle:
+    // q64's exact-Jaccard recursive-CTE closure + the argmax replay.)
+    "q193_canonical_dedup" -> Q(
+      (s, d) => Dedup.dedupNearCanonical(docs(s, d), "doc_id", "text",
+          col("n_chars"), threshold = 0.8)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (SELECT node, node AS r FROM nodes
+          UNION SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        q AS (SELECT c.node, c.component, d.n_chars FROM comp c
+          JOIN documents d ON c.node = d.doc_id),
+        best AS (SELECT component, MAX(n_chars) AS bq FROM q GROUP BY 1),
+        keepn AS (SELECT q.component, MIN(q.node) AS node FROM q
+          JOIN best ON q.component = best.component AND q.n_chars = best.bq
+          GROUP BY q.component),
+        dropn AS (SELECT node FROM comp
+          WHERE node NOT IN (SELECT node FROM keepn))
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropn)
+        ORDER BY doc_id""")),
+
+    // --- interpolated Kneser-Ney bigram LM scoring --------------------------
+    // (TextAnalysis.knBigramLmScore — the smoothing KenLM actually
+    // ships: discounted bigram mass interpolated with the continuation
+    // probability N1+(·,w2)/N1+(·,·). Counts are exact longs; the
+    // probability assembles in a FIXED association order mirrored
+    // token-for-token below (IEEE mul/div are correctly rounded), so
+    // only the ln carries the 9-dp libm guard; per-doc mean through
+    // the exact decimal sum. Spark keys bigrams by xxhash64 — the q99
+    // collision convention; the string-keyed oracle hash-matches.)
+    "q194_kn_bigram_lm" -> Q(
+      (s, d) => TA.knBigramLmScore(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM toks WHERE len(w) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+        lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            COUNT(*) AS fanout FROM c12 GROUP BY 1),
+        rgt AS (SELECT w2, COUNT(*) AS fanin FROM c12 GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n11 FROM c12),
+        scored AS (SELECT doc_id,
+            round(ln((greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+              + 0.75 * fanout * fanin / n11) / c1), 9) AS lnp
+          FROM bgf JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+          JOIN rgt USING (w2) CROSS JOIN nn)
+        SELECT doc_id, COUNT(*) AS n_bigrams, ${davg("lnp")} AS avg_logp
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- PMI collocation mining ---------------------------------------------
+    // (TextAnalysis.pmiCollocations — Church & Hanks PMI over adjacent
+    // pairs with a support floor; top-k by (9-dp pmi desc, w1, w2). NB
+    // sums the UNFILTERED pair-type table so the floor can't bias the
+    // denominator; the ratio assembles in the same association order
+    // on both engines.)
+    "q195_pmi_collocations" -> Q(
+      (s, d) => TA.pmiCollocations(docs(s, d), "text",
+        minCount = 20, k = 50),
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT wd, COUNT(*) AS cw FROM
+          (SELECT unnest(w) AS wd FROM toks) GROUP BY 1),
+        nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM uni),
+        pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM (
+          SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+              i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+            FROM toks WHERE len(w) >= 2)) GROUP BY 1, 2),
+        nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM pc),
+        sc AS (SELECT w1, w2, c12,
+            round(ln((CAST(c12 AS DOUBLE) / nb) /
+              ((CAST(u1.cw AS DOUBLE) / nt) *
+               (CAST(u2.cw AS DOUBLE) / nt))), 9) AS pmi
+          FROM pc JOIN uni u1 ON pc.w1 = u1.wd
+          JOIN uni u2 ON pc.w2 = u2.wd
+          CROSS JOIN nt CROSS JOIN nb
+          WHERE c12 >= 20)
+        SELECT w1, w2, c12, pmi FROM sc
+        ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

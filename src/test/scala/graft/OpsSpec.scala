@@ -1657,6 +1657,106 @@ class OpsSpec extends SparkSpec {
     assert(globalG0.toSet == byG("g0").toSet)
   }
 
+  test("temperatureMixture: hand-computed α=0.5 shares/targets/repeat; " +
+    "α=1 is a no-op mixture") {
+    val df = Seq(
+      ("a", 1L, Seq.fill(90)("w").mkString(" ")),
+      ("b", 2L, Seq.fill(10)("w").mkString(" "))
+    ).toDF("src", "id", "text")
+    // shares .9/.1; sqrt → .948683298/.316227766 (9 dp); z = 1.264911064
+    // exact; targets .75/.25; repeat .75·100/90 = .833333 and 2.5
+    val m = graft.ops.Mixture.temperatureMixture(df, "src", "text", 0.5)
+      .orderBy("src")
+      .select("src", "share", "target", "repeat", "rate")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(m(0) == (("a", 0.9, 0.75, 0.833333, 0.833333)))
+    assert(m(1) == (("b", 0.1, 0.25, 2.5, 1.0)))
+    val id1 = graft.ops.Mixture.temperatureMixture(df, "src", "text", 1.0)
+      .orderBy("src").select("target", "repeat")
+      .as[(Double, Double)].collect()
+    assert(id1.toSeq == Seq((0.9, 1.0), (0.1, 1.0)))
+  }
+
+  test("temperatureRebalance: epoched copies realize the repeat factors " +
+    "exactly; α=1 is identity; maxRepeat truncates") {
+    val df = ((0L until 9L).map(i => ("a", i, Seq.fill(10)("w").mkString(" "))) :+
+      (("b", 100L, Seq.fill(10)("w").mkString(" ")))).toDF("src", "id", "text")
+    val mixv = df.select($"id", graft.api.Frame.portableMix($"id"))
+      .as[(Long, Long)].collect().toMap
+    // repeats from the temperatureMixture hand-check: a .833333, b 2.5
+    val rates = Map("a" -> 0.833333, "b" -> 2.5)
+    def copies(g: String, id: Long): Long = {
+      val r = rates(g); val nf = math.floor(r).toLong
+      val thresh = math.round((r - math.floor(r)) * graft.api.Frame.MixM)
+      nf + (if (mixv(id) < thresh) 1L else 0L)
+    }
+    val expected = (for {
+      (g, id) <- Seq("a" -> 0L, "a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 4L,
+        "a" -> 5L, "a" -> 6L, "a" -> 7L, "a" -> 8L, "b" -> 100L)
+      e <- 0L until copies(g, id)
+    } yield (g, id, e)).toSet
+    val got = graft.ops.Mixture
+      .temperatureRebalance(df, "id", "src", "text", 0.5, maxRepeat = 8)
+      .select("src", "id", "epoch").as[(String, Long, Long)].collect()
+    assert(got.toSet == expected && got.length == expected.size)
+    // b's doc upsamples (⌊2.5⌋ ≥ 2 copies); some a docs drop (rate < 1)
+    assert(got.count(_._1 == "b") >= 2 && got.count(_._1 == "a") < 9)
+    // α = 1: exactly one copy of every row, epoch 0
+    val noop = graft.ops.Mixture
+      .temperatureRebalance(df, "id", "src", "text", 1.0)
+      .select("id", "epoch").as[(Long, Long)].collect()
+    assert(noop.map(_._1).sorted.toSeq == (0L until 9L) :+ 100L)
+    assert(noop.forall(_._2 == 0L))
+    // maxRepeat = 2 caps b at exactly 2 whole copies (frac 0 → no extra)
+    val capped = graft.ops.Mixture
+      .temperatureRebalance(df, "id", "src", "text", 0.5, maxRepeat = 2)
+      .filter($"src" === "b").select("epoch").as[Long].collect()
+    assert(capped.sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("dedupNearCanonical: keeps the max-quality doc per cluster (not " +
+    "min id), ties to min id, unpaired docs survive") {
+    val qd = Seq(
+      (0L, doc0Text, 5.0),
+      (1L, doc0Text, 9.0), // exact dup of 0, highest quality → canonical
+      (2L, "the quick brown fox jumps over the lazy cat again and again", 1.0),
+      (3L, "completely different words describing an unrelated subject entirely here", 0.0),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 4.0),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 4.0)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dedupNearCanonical(qd, "doc_id", "text", $"q", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 10L))
+  }
+
+  test("knBigramLmScore: hand-computed interpolated KN probabilities; " +
+    "sub-bigram docs absent") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // c(a,b)=2 c(a,c)=1; c(a)=3 fanout(a)=2; fanin(b)=fanin(c)=1; N11=2
+    // P(b|a) = (max(2-.75,0) + .75·2·(1/2))/3 = 2/3; P(c|a) = (0.25+0.75)/3 = 1/3
+    val got = TA.knBigramLmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 3)
+    assert(got(0) == ((1L, 1L, -0.405465)) && got(1) == ((2L, 1L, -0.405465)))
+    assert(got(2) == ((3L, 1L, -1.098612)))
+  }
+
+  test("pmiCollocations: hand-computed PMI, tie-break on (w1, w2), " +
+    "support floor filters") {
+    val corpus = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    // uni x:3 y:2 z:1, NT=6; bigrams (x,y)×2 (y,x)×1 (x,z)×1, NB=4
+    // pmi(x,y)=pmi(x,z)=ln 3→1.098612289; pmi(y,x)=ln 1.5→0.405465108
+    val got = TA.pmiCollocations(corpus, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("x", "y", 2L, 1.098612289),
+      ("x", "z", 1L, 1.098612289), ("y", "x", 1L, 0.405465108)))
+    val floored = TA.pmiCollocations(corpus, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(floored.toSeq == Seq(("x", "y", 2L, 1.098612289)))
+  }
+
   test("stripHtml: blocks drop wholesale, tags strip, entities decode " +
     "once, whitespace collapses") {
     val html = "<html><body class=\"m\"><p>Hello &amp; <b>world</b></p>" +
