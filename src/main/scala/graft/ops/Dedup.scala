@@ -697,7 +697,9 @@ object Dedup {
     * caller-supplied `quality` column). MinHash-LSH pairs → connected
     * components → per-component argmax(quality), ties broken by
     * MINIMUM id so the winner is unique and engine-replayable; every
-    * doc in no near-dup pair survives untouched.
+    * doc in no near-dup pair survives untouched. Null quality carries
+    * no argmax weight (SQL max skips it); a component that is ALL-null
+    * falls back to min-id keep rather than vanishing.
     *
     * The argmax is the type-generic two-aggregate form (the
     * mmrDiversify convention — max the quality per component, join
@@ -714,8 +716,13 @@ object Dedup {
     val scored = comps.join(
       df.select(col(id).as("node"), quality.as("__q")), Seq("node"))
     val best = scored.groupBy(col("component")).agg(max(col("__q")).as("__bq"))
+    // null-SAFE achiever match: in a component whose every member has
+    // NULL quality, max(__q) is null and a plain === would match
+    // nothing — silently dropping the whole cluster instead of keeping
+    // a representative. <=> makes the all-null component fall back to
+    // min-id keep; mixed components still argmax over the non-null.
     val keepNodes = scored.join(best, Seq("component"))
-      .filter(col("__q") === col("__bq"))
+      .filter(col("__q") <=> col("__bq"))
       .groupBy(col("component")).agg(min(col("node")).as("node"))
       .select(col("node"))
     val drop = comps.select(col("node"))

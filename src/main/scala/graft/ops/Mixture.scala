@@ -108,9 +108,10 @@ object Mixture {
     * (upweights low-resource sources), α = 1 is a no-op, α > 1
     * sharpens toward the head. Returns
     * (group, n_docs, tokens, share, target, repeat, rate):
-    *  - share  = tokens_g / total (6 dp),
-    *  - target = share^α / Σ_h share^α (6 dp; each power rounds to
-    *    9 dp first — pow is libm, the q77 last-ulp policy — and the
+    *  - share  = tokens_g / total (6 dp, reporting only),
+    *  - target = p_g^α / Σ_h p_h^α with p_g the UNROUNDED token ratio
+    *    (6 dp; each power rounds to 9 dp first — pow is libm, the q77
+    *    last-ulp policy — and the
     *    normalizer sums EXACTLY as DECIMAL(12,9), read back through
     *    VARCHAR, the q137 double-rounding guard),
     *  - repeat = target·total/tokens_g (6 dp) — the repetition factor
@@ -132,7 +133,12 @@ object Mixture {
     val shared = counts.crossJoin(broadcast(total))
       .withColumn("share",
         round(col("tokens").cast("double") / col("total_tokens"), 6))
-      .withColumn("__pw", round(pow(col("share"), lit(alpha)), 9))
+      // the power is taken on the UNROUNDED ratio: a 6-dp-rounded share
+      // sends any source under 5e-7 of the corpus to 0^α = 0, and the
+      // epoched realization then silently DROPS it — the opposite of
+      // α<1's low-resource upweighting. `share` is the 6-dp REPORT only.
+      .withColumn("__pw", round(pow(
+        col("tokens").cast("double") / col("total_tokens"), lit(alpha)), 9))
     val z = shared.agg(sum(col("__pw").cast("decimal(12,9)"))
       .cast("string").cast("double").as("__z"))
     shared.crossJoin(broadcast(z))

@@ -28,19 +28,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query exact top-(skipTop+k) over a (qid, nid, cos) stream via
+    * the bounded-heap [[graft.expr.TopKAgg]] aggregate, exploded to
+    * (qid, rank, nid, cos) with the first `skipTop` ranks dropped. A
+    * rank window here would make every qid's partition CORPUS-sized
+    * (each anchor scores the whole corpus) and sort it before dropping
+    * anything; the heap ships at most skipTop+k (cos, nid) pairs per
+    * qid per map task and merges them associatively — identical
+    * (cos desc, nid asc) total order, identical output. Neighbor ids
+    * ride the heap as longs (the corpus-id convention; q141's shape). */
+  private def heapTopK(scored: DataFrame, k: Int, skipTop: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.expr.TopK.topK(col("cos"), col("nid"), skipTop + k)
+        .as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .filter(col("__pos") >= skipTop)
+      .select(col("qid"), (col("__pos") - skipTop + 1).cast("int").as("rank"),
+        col("__e.id").as("nid"), col("__e.score").as("cos"))
+
   /** Brute-force exact top-k cosine neighbors for each row of `queries`.
     * Returns (qid, rank, nid, cos). Queries side must be small (it is
-    * broadcast); corpus streams. */
+    * broadcast); corpus streams once into the per-qid bounded heap —
+    * no rank window, so no per-anchor corpus sort. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
     val c = corpus.select(col(id).as("nid"), col(vec).as("nv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    heapTopK(scored, k, skipTop = 0)
   }
 
   /** Hard-negative mining for contrastive training (the public
@@ -55,10 +71,10 @@ object Similarity {
     *
     * Scale shape: anchors broadcast ([[bruteForceTopK]]'s posture — the
     * anchor set is a training batch, not the corpus); the corpus
-    * streams once; the per-anchor window group is corpus-sized only in
-    * rank terms (row_number over a broadcast-keyed partition) — for
-    * corpus-scale anchor sets, shortlist per anchor with [[ivfTopK]]
-    * first and re-rank here. */
+    * streams once into a per-anchor bounded heap of skipTop+k entries
+    * ([[heapTopK]] — never a per-anchor corpus sort); for corpus-scale
+    * anchor sets, shortlist per anchor with [[ivfTopK]] first and
+    * re-rank here. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, id: String,
                     vec: String, group: String, k: Int,
                     skipTop: Int = 0): DataFrame = {
@@ -71,11 +87,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("qid") =!= col("nid") && col("qg") =!= col("ng"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") > skipTop && col("__r") <= skipTop + k)
-      .select(col("qid"), (col("__r") - skipTop).cast("int").as("rank"),
-        col("nid"), col("cos"))
+    heapTopK(scored, k, skipTop)
   }
 
   /** All pairs with cosine >= threshold (near-duplicate detection).
@@ -339,10 +351,10 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
       .groupBy("qid", "nid").agg(max("cos").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    // the probed candidate set is still a corpus FRACTION per anchor
+    // (nProbe/nCells of it) — same bounded-heap selection as the
+    // brute-force path, never a per-anchor sort of the probed rows
+    heapTopK(scored, k, skipTop = 0)
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,

@@ -247,9 +247,12 @@ object TextAnalysis {
     * computed in EXACT SCALED INTEGERS: logp is 9-dp rounded, so
     * logp·10⁹ is a true integer both engines recover identically from
     * the double (no .5 tie exists — the true value sits ON the
-    * integer), n·logp9 and the sum are pure long arithmetic (bound:
-    * |logp9| < 10¹⁰, n ≤ doc trigrams, 512 buckets → a 10⁶-trigram
-    * doc stays < 4·10¹⁸ < 2⁶³), and the final /10⁹ divides the SAME
+    * integer), n·logp9 and the sum are pure long arithmetic
+    * (bound: |logp9| ≤ ln((tot+α·B)/α)·10⁹ — the unseen-bucket
+    * worst case — e.g. ~2.8·10¹⁰ against a 10¹²-trigram fit, so a
+    * 10⁶-trigram doc sums < 2.8·10¹⁶ ≪ 2⁶³; overflow needs a
+    * single doc of ~3·10⁸ trigrams against such a fit), and the
+    * final /10⁹ divides the SAME
     * integer by the same constant in both engines. A decimal(18,6)
     * term sum instead quantizes n·logp at 6 dp, where the true 9-dp
     * product lands on .5e-6 ties that the JVM (shortest-string
@@ -562,9 +565,11 @@ object TextAnalysis {
     * Plan shape at 100 TB: bigrams explode in the scan stage; c(w1,w2)
     * and c(w1) are hash aggregates with map-side partial combine
     * (bigram-vocabulary-sized, far smaller than the corpus); V is a
-    * 1-row broadcast cross join (the zScore pattern); the score join
-    * keys are (w1,w2) then w1 — plain equi-joins AQE can re-plan. No
-    * window, no driver-side state.
+    * 1-row broadcast cross join (the zScore pattern); in the self-fit
+    * case probabilities assemble on the vocab-sized bigram TYPE table
+    * and ONE (w1,w2)-keyed equi-join touches the occurrence stream
+    * (cross-fit keeps per-occurrence left joins for the open-vocab
+    * fallback). No window, no driver-side state.
     *
     * Engine-portable fp policy: per-bigram ln is rounded to 9 dp (libm
     * last-ulp guard — q95's policy) and the per-doc mean runs through
@@ -613,11 +618,29 @@ object TextAnalysis {
     // of silently dropping — only reachable when `fitOn` differs.
     val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
-    expand(scoreArrays)
-      .join(c12.select(col("h12"), col("c12")), Seq("h12"), "left")
-      .join(c1, Seq("h1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col(id), lnp.as("lnp"))
+    val scores = fitOn match {
+      case None =>
+        // self-fit: every scored bigram exists in c12 by construction,
+        // so probabilities assemble on the vocab-sized TYPE table (c12
+        // carries h1c) and ONE h12 equi-join touches the occurrence
+        // stream — not a corpus-scale h1 join on Zipf-skewed word keys
+        // (the knBigramLmScore shape).
+        val types = c12.join(c1, c12("h1c") === c1("h1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("h12"), lnp.as("lnp"))
+        expand(scoreArrays).select(col(id), col("h12"))
+          .join(types, Seq("h12"))
+      case Some(_) =>
+        // cross-fit: a scored bigram may be ABSENT from the fit corpus,
+        // so the add-one fallback needs per-occurrence LEFT joins (null
+        // c12/c1 → (0+1)/(0+V)) — the open-vocabulary price.
+        expand(scoreArrays)
+          .join(c12.select(col("h12"), col("c12")), Seq("h12"), "left")
+          .join(c1, Seq("h1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col(id), lnp.as("lnp"))
+    }
+    scores
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),
         graft.api.functions.davg(col("lnp")).as("avg_logp"))
@@ -645,8 +668,10 @@ object TextAnalysis {
     * 64-bit hashed keys (the shuffles carry 8-byte keys, the term that
     * dominates at corpus scale), three vocabulary-sized hash
     * aggregates (bigram counts; per-left totals + fanout; per-right
-    * fanin), a 1-row type-total broadcast, plain equi-joins back, and
-    * the exact-decimal per-doc mean. fp policy: counts are exact
+    * fanin), a 1-row type-total broadcast, probability assembly on the
+    * vocab-sized TYPE table with ONE h12 equi-join back onto the
+    * occurrence stream, and the exact-decimal per-doc mean. fp policy:
+    * counts are exact
     * longs; the probability assembles in a FIXED association order the
     * oracle mirrors token-for-token (IEEE mul/div are correctly
     * rounded, so only the ln needs the 9-dp libm guard — q77 policy).
@@ -682,12 +707,21 @@ object TextAnalysis {
     val n11 = c12.agg(count(lit(1)).as("n11"))
     val p = (greatest(col("c12").cast("double") - discount, lit(0.0)) +
       lit(discount) * col("fanout") * col("fanin") / col("n11")) / col("c1")
-    expanded
-      .join(c12.select(col("h12"), col("c12")), Seq("h12"))
-      .join(left, Seq("h1"))
-      .join(right, Seq("h2"))
+    // Probabilities assemble on the bigram TYPE table, never the
+    // occurrence stream: joining left/right/n11 onto `expanded` would
+    // be three corpus-sized shuffles on Zipf-skewed keys (every
+    // occurrence of "the" lands on one reducer for the h1 join). c12
+    // already carries each type's h1c/h2c, so both joins here are
+    // vocab×vocab; the ONE join that touches the corpus is the final
+    // h12 equi-join — same per-occurrence values, one shuffle not
+    // three, and AQE can skew-split an 8-byte-key equi-join.
+    val types = c12
+      .join(left, c12("h1c") === left("h1"))
+      .join(right, c12("h2c") === right("h2"))
       .crossJoin(broadcast(n11))
-      .select(col(id), round(log(p), 9).as("lnp"))
+      .select(col("h12"), round(log(p), 9).as("lnp"))
+    expanded.select(col(id), col("h12"))
+      .join(types, Seq("h12"))
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),
         graft.api.functions.davg(col("lnp")).as("avg_logp"))

@@ -3797,8 +3797,7 @@ object Pipeline {
         tot AS (SELECT ${isum("tokens")} AS total_tokens FROM counts),
         pw AS (SELECT lang, n_docs, tokens, total_tokens,
             round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS share,
-            round(pow(round(CAST(tokens AS DOUBLE) / total_tokens, 6),
-              0.5), 9) AS p
+            round(pow(CAST(tokens AS DOUBLE) / total_tokens, 0.5), 9) AS p
           FROM counts CROSS JOIN tot),
         z AS (SELECT CAST(CAST(SUM(CAST(p AS DECIMAL(12,9))) AS VARCHAR)
             AS DOUBLE) AS z FROM pw),
@@ -3833,8 +3832,7 @@ object Pipeline {
           FROM documents GROUP BY 1),
         tot AS (SELECT ${isum("tokens")} AS total_tokens FROM counts),
         pw AS (SELECT lang, tokens, total_tokens,
-            round(pow(round(CAST(tokens AS DOUBLE) / total_tokens, 6),
-              0.3), 9) AS p
+            round(pow(CAST(tokens AS DOUBLE) / total_tokens, 0.3), 9) AS p
           FROM counts CROSS JOIN tot),
         z AS (SELECT CAST(CAST(SUM(CAST(p AS DECIMAL(12,9))) AS VARCHAR)
             AS DOUBLE) AS z FROM pw),
@@ -3888,7 +3886,8 @@ object Pipeline {
           JOIN documents d ON c.node = d.doc_id),
         best AS (SELECT component, MAX(n_chars) AS bq FROM q GROUP BY 1),
         keepn AS (SELECT q.component, MIN(q.node) AS node FROM q
-          JOIN best ON q.component = best.component AND q.n_chars = best.bq
+          JOIN best ON q.component = best.component
+            AND q.n_chars IS NOT DISTINCT FROM best.bq
           GROUP BY q.component),
         dropn AS (SELECT node FROM comp
           WHERE node NOT IN (SELECT node FROM keepn))

@@ -10,18 +10,19 @@ import graft.ops.{Dedup, Materialize, Similarity}
   * ingestion keeps the SEEN corpus as a state TABLE in storage, and
   * each micro-batch
   *
-  *  1. drops intra-batch near-dups — the larger id of every pair (the
+  *  1. drops intra-batch (near-)dups — the larger id of every pair (the
   *     [[Similarity.semanticDedup]] keep rule);
-  *  2. drops batch docs with a near-dup in the seen state, via the
+  *  2. drops batch docs with a (near-)dup in the seen state, via the
   *     incremental operators ([[Dedup.minhashLshIncremental]] /
-  *     [[Similarity.semanticDedupIncremental]] — new×seen candidates
-  *     only, so an ingest costs O(batch + touched buckets), never
-  *     O(corpus));
-  *  3. appends ALL processed batch rows to the state table — later dup
+  *     [[Dedup.simhashPairsIncremental]] /
+  *     [[Similarity.semanticDedupIncremental]] / seen-key anti-join —
+  *     new×seen candidates only, so an ingest costs
+  *     O(batch + touched buckets), never O(corpus));
+  *  3. writes ALL processed batch rows to the state table — later dup
   *     decisions must see every smaller-id doc, kept or dropped, which
   *     is what makes the stream's keep set EQUAL to the one-shot batch
   *     dedup ("drop the larger-id member of every near-dup pair");
-  *  4. appends the batch's survivors to the output path.
+  *  4. writes the batch's survivors to the output path.
   *
   * With unique ids and id-ordered batches the survivors equal the
   * batch run exactly (pair discovery is deterministic: a pair (a < b)
@@ -30,50 +31,111 @@ import graft.ops.{Dedup, Materialize, Similarity}
   * out-of-order batches the recipe still dedups, but the keep rule
   * degrades to arrival order (first arrival wins its pairs).
   *
+  * IDEMPOTENT under foreachBatch's at-least-once contract: every write
+  * lands in a batchId-keyed subdirectory (`batch-<id>/`) with OVERWRITE
+  * semantics, so a micro-batch retry or a restart after a partial write
+  * REPLACES its own partial output instead of appending a duplicate —
+  * and the state read EXCLUDES the current batch's own subdir, so a
+  * retry never sees its first attempt's half-written state as "seen"
+  * (which would self-dedup the whole batch away). Readers assemble the
+  * table from the subdirs via [[readTable]].
+  *
   * foreachBatch rather than mapGroupsWithState, deliberately: dedup
   * state is a corpus-sized table with RELATIONAL access patterns
   * (band-bucket / cell equi-joins against the whole history), not
   * per-key scalar state. Parquet state + incremental joins is the
-  * shape that scales; swap the dirs for any table format. At cluster
-  * scale, partition/Z-order the state dir by band bucket or cell so
-  * each ingest's joins prune to touched files.
+  * shape that scales; swap the dirs for any table format — a real
+  * deployment uses a transactional table (the batch-subdir overwrite
+  * here is exactly the poor-man's form of its idempotent commit). At
+  * cluster scale, partition/Z-order the state dir by band bucket or
+  * cell so each ingest's joins prune to touched files.
   */
 object DedupStream {
 
-  private def readState(spark: SparkSession, dir: String,
-                        schema: StructType): Option[DataFrame] = {
+  private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
-      Some(spark.read.schema(schema).parquet(dir))
-    else None
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** read a batch-subdir table written by the recipes below (output or
+    * state): every `batch-N/` part, one DataFrame. None if nothing has
+    * committed yet. `excludeBatch` drops one batch's subdir — the
+    * retry-safety read of the CURRENT batch's own prior attempt. */
+  def readTable(spark: SparkSession, dir: String, schema: StructType,
+                excludeBatch: Long = -1L): Option[DataFrame] = {
+    val (p, hfs) = fs(spark, dir)
+    if (!hfs.exists(p)) return None
+    val parts = hfs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.startsWith("batch-") &&
+        q.getName != s"batch-$excludeBatch")
+    if (parts.isEmpty) None
+    else Some(spark.read.schema(schema).parquet(parts.map(_.toString).toSeq: _*))
+  }
+
+  /** idempotent per-batch write: `dir/batch-<id>/`, overwritten on retry. */
+  private def writeBatch(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/batch-$batchId")
+
+  /** shared recipe skeleton: pin the projected batch, drop intra-batch
+    * pair losers and cross-vs-state losers, write survivors + state
+    * idempotently. `intraDrop`/`crossDrop` return id-column frames. */
+  private def runBatch(batch: DataFrame, batchId: Long, id: String,
+                       cols: Seq[String], stateDir: String, outDir: String)
+                      (intraDrop: DataFrame => DataFrame)
+                      (crossDrop: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val b = Materialize.pin(batch.select(cols.map(col): _*))
+    val intra = intraDrop(b)
+    val cross = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
+      case Some(seen) => crossDrop(b, seen)
+      case None => b.limit(0).select(col(id))
+    }
+    val kept = b.join(intra.union(cross).distinct(), Seq(id), "left_anti")
+    writeBatch(kept, outDir, batchId)
+    writeBatch(b, stateDir, batchId)
   }
 
   /** one micro-batch of the MinHash+LSH recipe (exposed so tests and
     * existing foreachBatch wirings can call it directly). */
-  def minhashBatch(batch: DataFrame, id: String, text: String,
+  def minhashBatch(batch: DataFrame, batchId: Long, id: String, text: String,
                    stateDir: String, outDir: String, threshold: Double,
-                   numPerms: Int = 64, bands: Int = 32): Unit = {
-    val spark = batch.sparkSession
-    val b = Materialize.pin(batch.select(col(id), col(text)))
-    val intraDrop = Dedup.minhashLsh(b, id, text, threshold, numPerms, bands)
-      .select(col("d2").as(id))
-    val crossDrop = readState(spark, stateDir, b.schema) match {
-      case Some(seen) =>
-        Dedup.minhashLshIncremental(b, seen, id, text, threshold,
-          numPerms, bands).select(col("d1").as(id))
-      case None => b.limit(0).select(col(id))
-    }
-    val kept = b.join(intraDrop.union(crossDrop).distinct(),
-      Seq(id), "left_anti")
-    kept.write.mode("append").parquet(outDir)
-    b.write.mode("append").parquet(stateDir)
-  }
+                   numPerms: Int = 64, bands: Int = 32): Unit =
+    runBatch(batch, batchId, id, Seq(id, text), stateDir, outDir)(b =>
+      Dedup.minhashLsh(b, id, text, threshold, numPerms, bands)
+        .select(col("d2").as(id)))((b, seen) =>
+      Dedup.minhashLshIncremental(b, seen, id, text, threshold,
+        numPerms, bands).select(col("d1").as(id)))
+
+  /** one micro-batch of the SimHash recipe: pigeonhole-blocked Hamming
+    * pairs intra-batch, [[Dedup.simhashPairsIncremental]] against the
+    * seen state — the same keep rule (smaller id / earlier arrival
+    * wins) over the Hamming-ball notion of "near-dup". */
+  def simhashBatch(batch: DataFrame, batchId: Long, id: String, text: String,
+                   stateDir: String, outDir: String,
+                   maxDist: Int = 3): Unit =
+    runBatch(batch, batchId, id, Seq(id, text), stateDir, outDir)(b =>
+      Dedup.simhashPairs(b, id, text, maxDist)
+        .select(col("d2").as(id)))((b, seen) =>
+      Dedup.simhashPairsIncremental(b, seen, id, text, maxDist)
+        .select(col("d1").as(id)))
+
+  /** one micro-batch of EXACT dedup on a key column (content hash,
+    * fingerprint, canonical URL): min-id per key intra-batch
+    * ([[Dedup.exact]]), anti-join against seen KEYS cross-batch —
+    * the state table here is the (id, key) history and only the key
+    * column ever ships into the cross join. */
+  def exactBatch(batch: DataFrame, batchId: Long, id: String, key: String,
+                 stateDir: String, outDir: String): Unit =
+    runBatch(batch, batchId, id, Seq(id, key), stateDir, outDir)(b =>
+      b.join(Dedup.exact(b, id, key), Seq(id, key), "left_anti")
+        .select(col(id)))((b, seen) =>
+      b.join(seen.select(col(key)).distinct(), Seq(key), "left_semi")
+        .select(col(id)))
 
   /** one micro-batch of the SemDeDup recipe over an embedding stream;
     * `centroids` is the static (cid, vec) cell table (the q97/q180
     * convention). */
-  def semanticBatch(batch: DataFrame, id: String, vec: String,
+  def semanticBatch(batch: DataFrame, batchId: Long, id: String, vec: String,
                     centroids: DataFrame, stateDir: String, outDir: String,
                     threshold: Double,
                     maxCell: Option[Int] = None): Unit = {
@@ -82,7 +144,7 @@ object DedupStream {
     val intraKept = Similarity.semanticDedup(b, centroids, id, vec,
       threshold, maxCell).select(col(id))
     val kept0 = b.join(intraKept, Seq(id), "left_semi")
-    val kept = readState(spark, stateDir, b.schema) match {
+    val kept = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
       case Some(seen) =>
         kept0.join(
           Similarity.semanticDedupIncremental(b, seen, centroids, id, vec,
@@ -90,8 +152,8 @@ object DedupStream {
           Seq(id), "left_semi")
       case None => kept0
     }
-    kept.write.mode("append").parquet(outDir)
-    b.write.mode("append").parquet(stateDir)
+    writeBatch(kept, outDir, batchId)
+    writeBatch(b, stateDir, batchId)
   }
 
   /** wire a per-batch function into a streaming query (AvailableNow —

@@ -1677,6 +1677,21 @@ class OpsSpec extends SparkSpec {
     assert(id1.toSeq == Seq((0.9, 1.0), (0.1, 1.0)))
   }
 
+  test("temperatureMixture: a sub-5e-7 share source keeps its sampling " +
+    "mass (the power is taken on the unrounded ratio, not the 6-dp share)") {
+    val big = Seq.fill(3000000)("w").mkString(" ")
+    val df = Seq(("big", 1L, big), ("tiny", 2L, "w")).toDF("src", "id", "text")
+    val m = graft.ops.Mixture.temperatureMixture(df, "src", "text", 0.5)
+      .filter($"src" === "tiny")
+      .select("share", "target", "repeat", "rate")
+      .as[(Double, Double, Double, Double)].head()
+    assert(m._1 == 0.0, "fixture must round the 6-dp share to zero")
+    // pre-fix: share^α = 0 → target/repeat/rate all 0 and the epoched
+    // realization silently DROPPED the source; the unrounded ratio keeps
+    // α=0.5's low-resource upweighting alive (repeat ≫ 1 here)
+    assert(m._2 > 0.0 && m._3 > 1.0 && m._4 > 0.0, s"got $m")
+  }
+
   test("temperatureRebalance: epoched copies realize the repeat factors " +
     "exactly; α=1 is identity; maxRepeat truncates") {
     val df = ((0L until 9L).map(i => ("a", i, Seq.fill(10)("w").mkString(" "))) :+
@@ -1727,6 +1742,21 @@ class OpsSpec extends SparkSpec {
     val kept = Dedup.dedupNearCanonical(qd, "doc_id", "text", $"q", 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 10L))
+  }
+
+  test("dedupNearCanonical: null quality loses the argmax but an " +
+    "ALL-null cluster still keeps its min-id representative") {
+    val qd = Seq(
+      (0L, doc0Text, None: Option[Double]),
+      (1L, doc0Text, Some(2.0)),           // only scored member → canonical
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        None: Option[Double]),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        None: Option[Double])               // all-null cluster → min id 10
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dedupNearCanonical(qd, "doc_id", "text", $"q", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L), s"got $kept")
   }
 
   test("knBigramLmScore: hand-computed interpolated KN probabilities; " +

@@ -496,4 +496,102 @@ class PlanSpec extends SparkSpec {
       "the dict stamp must stay an equi-join")
     assert(!plan.contains("Window"), "reassembly is a grouped aggregate")
   }
+
+  test("q47/q188 neighbor top-k: bounded-heap aggregate — no rank window " +
+    "whose per-anchor partition is the corpus") {
+    for (q <- Seq("q47_ann_topk", "q188_hard_negatives")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q ranks with a window")
+      // partial + final: the (skipTop+k)-entry heap IS the shuffle payload
+      assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+        s"$q heap must aggregate partial+final:\n${plan.take(400)}")
+    }
+  }
+
+  test("q190 stratified weighted sample: per-source bounded heap, " +
+    "no rank window") {
+    val plan = SparkEntry.queries("q190_weighted_sample_group")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "A-Res selection must ride the heap")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      plan.take(400))
+  }
+
+  test("q191/q192 temperature mixture: accounting joins are 1-row " +
+    "broadcasts; the epoch realization is a scan-stage explode — " +
+    "no window, no cartesian") {
+    for (q <- Seq("q191_temperature_mixture", "q192_temperature_epochs")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+        s"$q must stay aggregate + broadcast")
+      // the only nested loops allowed are the 1-row total/normalizer
+      // sides (3: the shared counts×total subtree materializes twice —
+      // once under the z normalizer, once under the output — plus ×z)
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 3, s"$q unexpected non-scalar nested loops: $bnlj")
+    }
+  }
+
+  test("q193 canonical dedup: component argmax via aggregates — " +
+    "no window, no cartesian") {
+    val plan = SparkEntry.queries("q193_canonical_dedup")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "argmax is max + achiever-join + min")
+    assert(!plan.contains("CartesianProduct"), "pair/keep joins stay equi")
+  }
+
+  /** joins with an occurrence-SCALE input: a child whose subtree holds
+    * a Generate (the bigram explode) not capped by any Aggregate — an
+    * aggregate collapses the stream to type/vocab scale, so joins over
+    * aggregated counts don't count. */
+  private def occurrenceStreamJoins(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    def raw(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate => true
+      case other => other.children.exists(raw)
+    }
+    plan.collect { case j: Join if j.children.exists(raw) => j }.size
+  }
+
+  test("q194 KN bigram LM: probabilities assemble on the TYPE table — " +
+    "exactly ONE join touches the occurrence stream") {
+    // pre-fix this counted 4: three Zipf-skewed corpus-scale shuffles
+    // (h12, h1, h2) plus the scalar cross — now the fanout/fanin/n11
+    // joins ride the vocab-sized type table and only the final h12
+    // equi-join sees the exploded bigram stream
+    val qe = SparkEntry.queries("q194_kn_bigram_lm")(spark, sfSmoke)
+      .queryExecution
+    val n = occurrenceStreamJoins(qe.optimizedPlan)
+    assert(n == 1, s"expected 1 occurrence-stream join, got $n")
+    assert(!qe.executedPlan.toString.contains("Window"))
+  }
+
+  test("q99 bigram LM (self-fit): the c12/c1 stamp never equi-joins the " +
+    "occurrence stream — one type-table join only") {
+    val qe = SparkEntry.queries("q99_bigram_lm")(spark, sfSmoke)
+      .queryExecution
+    val n = occurrenceStreamJoins(qe.optimizedPlan)
+    assert(n == 1, s"expected 1 occurrence-stream join, got $n")
+  }
+
+  test("q195 PMI collocations: selection is a bounded top-k, never a " +
+    "corpus sort; counts are hash aggregates") {
+    val plan = SparkEntry.queries("q195_pmi_collocations")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT k must plan as TakeOrderedAndProject")
+    assert(!plan.contains("Window"), "no rank window over the pair table")
+  }
+
+  test("q186 pipeline v4 (final stage): no window, no cartesian — the " +
+    "composed operators keep their individually-pinned shapes") {
+    val plan = SparkEntry.queries("q186_pipeline_v4")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no rank window in the MMR assembly")
+    assert(!plan.contains("CartesianProduct"), "joins stay equi/broadcast")
+  }
 }

@@ -325,8 +325,8 @@ class StreamingSpec extends SparkSpec {
     val src = MemoryStream[(Long, String)]
     val q = src.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch((df: DataFrame, _: Long) =>
-        DedupStream.minhashBatch(df, "doc_id", "text", state, out,
+      .foreachBatch((df: DataFrame, bid: Long) =>
+        DedupStream.minhashBatch(df, bid, "doc_id", "text", state, out,
           threshold = 0.5))
       .start()
     try {
@@ -337,15 +337,74 @@ class StreamingSpec extends SparkSpec {
     val drop = graft.ops.Dedup.minhashLsh(all, "doc_id", "text", 0.5)
       .select("d2").as[Long].collect().toSet
     val expected = batches.flatten.map(_._1).toSet -- drop
-    val got = spark.read.parquet(out).select("doc_id")
-      .as[Long].collect().toSet
+    val schema = all.schema
+    def kept() = DedupStream.readTable(spark, out, schema).get
+      .select("doc_id").as[Long].collect().toSet
+    val got = kept()
     assert(got == expected, s"stream kept $got, batch kept $expected")
     // the fixture actually exercises both paths: intra-batch (1,2) and
     // cross-batch (1,4)/(3,6)/(5,7) dups all dropped, originals kept
     assert(Set(1L, 3L, 5L, 8L).subsetOf(got) &&
       Set(2L, 4L, 6L, 7L).intersect(got).isEmpty)
     // state accumulated every processed doc, kept or dropped
-    assert(spark.read.parquet(state).count() == 8L)
+    assert(DedupStream.readTable(spark, state, schema).get.count() == 8L)
+    // at-least-once safety: REPLAY the last micro-batch (a foreachBatch
+    // retry delivers the same rows under the same batchId). The
+    // batch-keyed overwrite must leave output AND state byte-identical —
+    // no duplicated survivors, no self-dedup against the prior attempt's
+    // own state write.
+    DedupStream.minhashBatch(batches(2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", state, out, threshold = 0.5)
+    assert(kept() == expected, "batch replay changed the survivor set")
+    assert(DedupStream.readTable(spark, state, schema).get.count() == 8L,
+      "batch replay duplicated state rows")
+  }
+
+  test("DedupStream exact recipe: min-id per key across batches; " +
+    "cross join ships keys only") {
+    import graft.streaming.DedupStream
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out) = (tmp("ex_state"), tmp("ex_out"))
+    val batches = Seq(
+      Seq((1L, "ka"), (2L, "ka"), (3L, "kb")),   // intra dup: 2 drops
+      Seq((4L, "ka"), (5L, "kc")),               // cross dup: 4 drops
+      Seq((6L, "kc"), (7L, "kd")))               // cross dup: 6 drops
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.exactBatch(b.toDF("doc_id", "key"), i.toLong,
+        "doc_id", "key", state, out)
+    }
+    val schema = batches.head.toDF("doc_id", "key").schema
+    val got = DedupStream.readTable(spark, out, schema).get
+      .select("doc_id").as[Long].collect().toSet
+    // one-shot analog: min id per key over the union
+    assert(got == Set(1L, 3L, 5L, 7L), s"got $got")
+  }
+
+  test("DedupStream simhash recipe: multi-batch survivors equal the " +
+    "one-shot simhash dedup of the union") {
+    import graft.streaming.DedupStream
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out) = (tmp("sh_state"), tmp("sh_out"))
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+          (2L, "the quick brown fox jumps over the lazy dog tonight"),
+          (3L, "completely different sentence about spark engines here")),
+      Seq((4L, "the quick brown fox jumps over the lazy dog today plus"),
+          (5L, "another unique line of text with no twin at all")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.simhashBatch(b.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", state, out, maxDist = 10)
+    }
+    val all = batches.flatten.toDF("doc_id", "text")
+    val drop = graft.ops.Dedup.simhashPairs(all, "doc_id", "text",
+      maxDist = 10).select("d2").as[Long].collect().toSet
+    val expected = batches.flatten.map(_._1).toSet -- drop
+    val got = DedupStream.readTable(spark, out, all.schema).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"stream kept $got, batch kept $expected")
+    assert(drop.nonEmpty, "fixture must exercise at least one drop")
   }
 
   test("DedupStream semantic recipe: multi-batch survivors equal the " +
@@ -367,8 +426,8 @@ class StreamingSpec extends SparkSpec {
     val src = MemoryStream[(Long, Array[Float])]
     val q = src.toDF().toDF("vec_id", "embedding").writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch((df: DataFrame, _: Long) =>
-        DedupStream.semanticBatch(df, "vec_id", "embedding", centroids,
+      .foreachBatch((df: DataFrame, bid: Long) =>
+        DedupStream.semanticBatch(df, bid, "vec_id", "embedding", centroids,
           state, out, threshold = 0.995))
       .start()
     try {
@@ -378,8 +437,8 @@ class StreamingSpec extends SparkSpec {
     val expected = graft.ops.Similarity
       .semanticDedup(all, centroids, "vec_id", "embedding", 0.995)
       .select("vec_id").as[Long].collect().toSet
-    val got = spark.read.parquet(out).select("vec_id")
-      .as[Long].collect().toSet
+    val got = DedupStream.readTable(spark, out, all.schema).get
+      .select("vec_id").as[Long].collect().toSet
     assert(got == expected, s"stream kept $got, batch kept $expected")
     assert(got == Set(1L, 3L), "only the smallest id of each twin group")
   }
