@@ -567,9 +567,11 @@ object TextAnalysis {
     * (bigram-vocabulary-sized, far smaller than the corpus); V is a
     * 1-row broadcast cross join (the zScore pattern); in the self-fit
     * case probabilities assemble on the vocab-sized bigram TYPE table
-    * and ONE (w1,w2)-keyed equi-join touches the occurrence stream
-    * (cross-fit keeps per-occurrence left joins for the open-vocab
-    * fallback). No window, no driver-side state.
+    * and ONE (w1,w2)-keyed equi-join touches the occurrence stream;
+    * cross-fit assembles on the SCORE side's distinct-bigram table
+    * (one extra corpus-scale hash aggregate, whose map-side partial
+    * combine absorbs Zipf skew) with vocab-scale LEFT joins carrying
+    * the open-vocab fallback. No window, no driver-side state.
     *
     * Engine-portable fp policy: per-bigram ln is rounded to 9 dp (libm
     * last-ulp guard — q95's policy) and the per-doc mean runs through
@@ -631,14 +633,24 @@ object TextAnalysis {
         expand(scoreArrays).select(col(id), col("h12"))
           .join(types, Seq("h12"))
       case Some(_) =>
-        // cross-fit: a scored bigram may be ABSENT from the fit corpus,
-        // so the add-one fallback needs per-occurrence LEFT joins (null
-        // c12/c1 → (0+1)/(0+V)) — the open-vocabulary price.
-        expand(scoreArrays)
+        // cross-fit: a scored bigram may be ABSENT from the fit corpus
+        // (null c12/c1 → the add-one fallback (0+1)/(0+V)) — but the
+        // fallback still assembles on a TYPE table: the SCORE side's
+        // distinct bigrams (one h12-keyed hash aggregate with map-side
+        // partial combine, which absorbs Zipf skew the way a join
+        // cannot) left-join the fit counts at vocab scale, and ONE h12
+        // equi-join touches the occurrence stream. Joining c12/c1 onto
+        // the occurrences directly would put every occurrence of "the"
+        // on one reducer for the h1 join at corpus scale.
+        val occ = expand(scoreArrays)
+        val stypes = occ.groupBy("h12").agg(first(col("h1")).as("h1s"))
+        val types = stypes
           .join(c12.select(col("h12"), col("c12")), Seq("h12"), "left")
-          .join(c1, Seq("h1"), "left")
+          .join(c1, stypes("h1s") === c1("h1"), "left")
           .crossJoin(broadcast(vocab))
-          .select(col(id), lnp.as("lnp"))
+          .select(stypes("h12"), lnp.as("lnp"))
+        occ.select(col(id), col("h12"))
+          .join(types, Seq("h12"))
     }
     scores
       .groupBy(col(id)).agg(
@@ -827,6 +839,110 @@ object TextAnalysis {
       .withColumn("bucket", aggregate(col("__bq_thr"), lit(0),
         (acc, t) => acc + when(col("__bq_score") >= t, 1).otherwise(0)))
       .drop("__bq_score", "__bq_thr")
+  }
+
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020,
+    * arXiv:1911.00359 — public method): score every document's bigram
+    * language-model perplexity against a CLEAN reference corpus fit in
+    * the SAME language, then split each language into head / middle /
+    * tail buckets at the per-language perplexity quantiles — the
+    * classic web-crawl quality gate (head ≈ reference-like prose, tail
+    * ≈ gibberish / boilerplate / wrong-language fragments).
+    *
+    * ONE pass for every language — the LM tables carry the language
+    * key; no per-language driver loop, no |langs| corpus scans:
+    *  - fit side: bigram counts c(lang,w1,w2) (one hash aggregate,
+    *    which also carries each type's left-context hash), per-context
+    *    totals c(lang,w1) DERIVED from that type table, and the
+    *    per-language vocabulary V(lang) — all vocabulary-sized;
+    *  - score side: bigrams explode in the scan stage keyed by
+    *    xxhash64 (8-byte shuffle keys — the q99 convention); ONE
+    *    (lang,h12) hash aggregate builds the score-side TYPE table
+    *    (map-side partial combine absorbs Zipf skew); add-one
+    *    probabilities with the open-vocabulary fallback (unseen bigram
+    *    → (0+1)/(0+V)) assemble THERE via vocab-scale LEFT joins, and
+    *    ONE equi-join stamps lnp back onto the occurrence stream —
+    *    never a per-occurrence join on skewed word keys;
+    *  - ppl = round(exp(−avg lnp), 6) per doc through the exact
+    *    decimal mean; bucket thresholds are the per-language exact
+    *    interpolated (headQ, midQ) percentiles — a |langs|-row
+    *    agg-broadcast join ([[bucketByQuantiles]]'s shape, and its
+    *    at-threshold-goes-higher rule), never a corpus window.
+    *
+    * Languages absent from the fit corpus have no LM and are EXCLUDED
+    * (CCNet trains one LM per covered language); fit on a slice that
+    * covers every language you keep. fp policy: per-bigram ln rounds
+    * to 9 dp (libm guard), ppl to 6 dp; thresholds interpolate over
+    * the ROUNDED ppl so both engines compare identical doubles.
+    * Documents with < 2 tokens are absent. Returns
+    * (id, lang, n_bigrams, ppl, bucket ∈ head|middle|tail). */
+  def ccnetPerplexityBuckets(df: DataFrame, id: String, text: String,
+                             lang: String, fitOn: DataFrame,
+                             headQ: Double = 1.0 / 3,
+                             midQ: Double = 2.0 / 3,
+                             materialize: Boolean = true): DataFrame = {
+    require(headQ > 0 && headQ < midQ && midQ < 1,
+      "ccnetPerplexityBuckets: need 0 < headQ < midQ < 1")
+    // bucketByQuantiles reads its input twice (threshold aggregate +
+    // row stamp); pin the scored frame so the whole LM pipeline runs
+    // ONCE, not once per consumer — the q45 multi-branch lesson.
+    val scoredP = Materialize.pin(
+      ccnetPerplexity(df, id, text, lang, fitOn, materialize), materialize)
+    bucketByQuantiles(scoredP, lang, col("ppl"), Seq(headQ, midQ))
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("bucket") + 1))
+  }
+
+  /** the scoring stage of [[ccnetPerplexityBuckets]]: per-language
+    * cross-fit add-one bigram-LM perplexity, one pass for all
+    * languages. Returns (id, lang, n_bigrams, ppl). */
+  def ccnetPerplexity(df: DataFrame, id: String, text: String,
+                      lang: String, fitOn: DataFrame,
+                      materialize: Boolean = true): DataFrame = {
+    val w = tokens(col(text))
+    // compact per-doc hash-array frames (the q99 shape): the pin
+    // materializes ONE struct array per document, never the exploded
+    // occurrence stream; explode stays downstream so it runs in the
+    // scan stage of each consumer.
+    def bigramArrays(d: DataFrame): DataFrame =
+      d.filter(size(col("w")) >= 2)
+        .select(d.columns.filter(_ != "w").map(col) :+
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(
+              xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+              xxhash64(get(col("w"), i)).as("h1"))).as("bs"): _*)
+    def expand(arrays: DataFrame): DataFrame = arrays
+      .withColumn("b", explode(col("bs"))).drop("bs")
+      .withColumn("h12", col("b.h12")).withColumn("h1", col("b.h1"))
+      .drop("b")
+    val fitOcc = expand(bigramArrays(
+      fitOn.select(col(lang).as("__lg"), w.as("w"))))
+    val c12 = fitOcc.groupBy("__lg", "h12")
+      .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1c"))
+    val c1 = c12.groupBy(col("__lg"), col("h1c").as("h1s"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocabL = fitOn
+      .select(col(lang).as("__lg"), explode(tokens(col(text))).as("wd"))
+      .groupBy("__lg").agg(count_distinct(col("wd")).as("v"))
+    val scoreOcc = expand(Materialize.pin(bigramArrays(
+      df.select(col(id), col(lang).as("__lg"), w.as("w"))), materialize))
+    val stypes = scoreOcc.groupBy("__lg", "h12")
+      .agg(first(col("h1")).as("h1s"))
+    val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
+    val types = stypes
+      .join(c12.select(col("__lg"), col("h12"), col("c12")),
+        Seq("__lg", "h12"), "left")
+      .join(c1, Seq("__lg", "h1s"), "left")
+      .join(vocabL, Seq("__lg"))
+      .select(col("__lg"), col("h12"), lnp.as("lnp"))
+    scoreOcc.select(col(id), col("__lg"), col("h12"))
+      .join(types, Seq("__lg", "h12"))
+      .groupBy(col(id), col("__lg"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.api.functions.davg(col("lnp")).as("avg_logp"))
+      .select(col(id), col("__lg").as(lang), col("n_bigrams"),
+        round(exp(-col("avg_logp").cast("double")), 6).as("ppl"))
   }
 
   /** engine-PORTABLE word hash: 31-multiplier character polynomial over

@@ -3953,7 +3953,60 @@ object Pipeline {
           CROSS JOIN nt CROSS JOIN nb
           WHERE c12 >= 20)
         SELECT w1, w2, c12, pmi FROM sc
-        ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+        ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
+
+    // --- CCNet perplexity head/middle/tail buckets --------------------------
+    // (TextAnalysis.ccnetPerplexityBuckets — Wenzek et al. 2020: per-
+    // language add-one bigram LM fit on a clean reference slice
+    // (sources src0-src3), every doc scored cross-fit (unseen bigram →
+    // (0+1)/(0+V)), ppl = round(exp(−avg lnp), 6) through the exact
+    // decimal mean, then per-language exact-interpolated tercile
+    // thresholds with bucketByQuantiles' at-threshold-goes-higher
+    // rule. Spark keys bigrams by xxhash64 and assembles lnp on the
+    // score-side TYPE table; the string-keyed per-occurrence oracle
+    // hash-matches through the q99 collision convention.)
+    "q196_ccnet_ppl_buckets" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val fit = all.filter(
+          col("source").isin("src0", "src1", "src2", "src3"))
+        TA.ccnetPerplexityBuckets(all, "doc_id", "text", "lang", fit)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fit AS (SELECT lang, string_split(text, ' ') AS w
+          FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        fb AS (SELECT lang, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT lang, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM fit WHERE len(w) >= 2)),
+        c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM fb GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+          FROM c12 GROUP BY 1, 2),
+        vv AS (SELECT lang, COUNT(DISTINCT wd) AS v FROM
+          (SELECT lang, unnest(w) AS wd FROM fit) GROUP BY 1),
+        sb AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM documents) WHERE len(w) >= 2)),
+        lnps AS (SELECT doc_id, sb.lang AS lang,
+            round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+              (COALESCE(c1.c1, 0) + vv.v)), 9) AS lnp
+          FROM sb
+          LEFT JOIN c12 ON sb.lang = c12.lang AND sb.w1 = c12.w1
+            AND sb.w2 = c12.w2
+          LEFT JOIN c1 ON sb.lang = c1.lang AND sb.w1 = c1.w1
+          JOIN vv ON sb.lang = vv.lang),
+        scored AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+            round(exp(-CAST(${davg("lnp")} AS DOUBLE)), 6) AS ppl
+          FROM lnps GROUP BY 1, 2),
+        thr AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+            quantile_cont(ppl, 2.0/3) AS t2 FROM scored GROUP BY 1)
+        SELECT doc_id, s.lang AS lang, n_bigrams, ppl,
+          CASE WHEN ppl >= t2 THEN 'tail' WHEN ppl >= t1 THEN 'middle'
+            ELSE 'head' END AS bucket
+        FROM scored s JOIN thr ON s.lang = thr.lang
+        ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -1136,6 +1136,55 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected (V=$vocab)")
   }
 
+  test("ccnetPerplexityBuckets: per-language terciles, open-vocab " +
+    "fallback, uncovered languages excluded") {
+    // six en docs with distinct fluency against an en+fr fit slice →
+    // exactly 2 head / 2 middle / 2 tail; a language absent from the
+    // fit corpus has no LM and drops; < 2 tokens absent.
+    val fit = Seq(
+      ("en", "the cat sat on the mat and the dog sat on the mat"),
+      ("en", "the cat ran to the mat and the dog ran to the mat"),
+      ("fr", "le chat dort sur le tapis et le chien dort ici")
+    ).toDF("lang", "text").withColumn("doc_id", lit(-1L))
+    val score = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the dog ran to the mat"),
+      (2L, "en", "the cat ran on the mat and the dog sat"),
+      (3L, "en", "cat mat dog the on sat"),
+      (4L, "en", "zq xv wk jn qp zz"),
+      (5L, "en", "qq ww ee rr tt yy uu"),
+      (6L, "fr", "le chat dort sur le tapis"),
+      (7L, "xx", "unfit language words here"),
+      (8L, "en", "one")
+    ).toDF("doc_id", "lang", "text")
+    val got = TA.ccnetPerplexityBuckets(score, "doc_id", "text", "lang", fit)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Double]("ppl"))).toMap
+    assert(!got.contains(7L), "language with no fit LM must be excluded")
+    assert(!got.contains(8L), "single-token doc has no bigrams")
+    // gibberish ppl strictly above fluent in-distribution ppl
+    assert(got(4L)._2 > got(0L)._2)
+    assert(got(5L)._2 > got(1L)._2)
+    // bucket assignment ≡ the per-language tercile rule (Spark
+    // Percentile's two-sided interpolation; at-threshold → higher)
+    def expectBuckets(pps: Map[Long, Double]): Map[Long, String] = {
+      val v = pps.values.toSeq.sorted
+      def q(p: Double): Double = {
+        val pos = p * (v.size - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        if (lo == hi) v(lo) else (hi - pos) * v(lo) + (pos - lo) * v(hi)
+      }
+      val (t1, t2) = (q(1.0 / 3), q(2.0 / 3))
+      pps.map { case (k, x) =>
+        k -> (if (x >= t2) "tail" else if (x >= t1) "middle" else "head") }
+    }
+    val en = got.filter { case (k, _) => k <= 5L }
+    assert(en.map { case (k, v) => k -> v._1 } ==
+      expectBuckets(en.map { case (k, v) => k -> v._2 }))
+    // a single-doc language IS both its terciles → at-threshold rule
+    assert(got(6L)._1 == "tail")
+  }
+
   test("incremental MinHash+LSH equals the full run restricted to " +
     "cross-boundary pairs") {
     val d = Tables.documents(spark, sfSmoke)

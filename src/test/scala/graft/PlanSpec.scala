@@ -578,6 +578,25 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected 1 occurrence-stream join, got $n")
   }
 
+  test("q196 CCNet ppl buckets: lnp assembles on the score-side TYPE " +
+    "table — one occurrence-stream join, no window, no cartesian") {
+    // plan-shape check on the UNPINNED scoring stage (the pin hides
+    // the stamp join behind a LogicalRDD in the full query)
+    val d = graft.Tables.documents(spark, sfSmoke)
+    val fit = d.filter(org.apache.spark.sql.functions.col("source")
+      .isin("src0", "src1"))
+    val sc = graft.ops.TextAnalysis.ccnetPerplexity(
+      d, "doc_id", "text", "lang", fit, materialize = false)
+    val n = occurrenceStreamJoins(sc.queryExecution.optimizedPlan)
+    assert(n == 1, s"expected 1 occurrence-stream join, got $n")
+    val qe = SparkEntry.queries("q196_ccnet_ppl_buckets")(spark, sfSmoke)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "tercile thresholds must agg-broadcast, not window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q195 PMI collocations: selection is a bounded top-k, never a " +
     "corpus sort; counts are hash aggregates") {
     val plan = SparkEntry.queries("q195_pmi_collocations")(spark, sfSmoke)
