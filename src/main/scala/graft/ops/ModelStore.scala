@@ -62,6 +62,26 @@ object ModelStore {
       .orderBy("piece")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  /** persist a WordPiece vocabulary in VOCAB ORDER (alphabet then
+    * merge order — [[WordPiece.fit]]'s return convention; order is
+    * semantic for the model card even though greedy longest-match
+    * inference is order-insensitive): (rank, piece). */
+  def saveWordPieceVocab(spark: SparkSession, vocab: Seq[String],
+                         dir: String, overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("rank", "piece")
+      .coalesce(1).write.mode(mode(overwrite)).parquet(dir)
+  }
+
+  /** load a WordPiece vocabulary in vocab order —
+    * [[WordPiece.encodeTokens]]-ready. */
+  def loadWordPieceVocab(spark: SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(dir)
+      .orderBy("rank")
+      .select("piece")
+      .collect().map(_.getString(0)).toSeq
+
   /** persist language-ID profiles (lang, bucket, logp) — the L·B-row
     * model table [[TextAnalysis.scoreLangProfiles]] broadcasts. */
   def saveLangProfiles(profiles: DataFrame, dir: String,

@@ -4006,7 +4006,85 @@ object Pipeline {
           CASE WHEN ppl >= t2 THEN 'tail' WHEN ppl >= t1 THEN 'middle'
             ELSE 'head' END AS bucket
         FROM scored s JOIN thr ON s.lang = thr.lang
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --- WordPiece encode: losslessness of the greedy longest match ---------
+    // (WordPiece.fit + encodeTokens — BERT-convention ## continuations.
+    // Stripping ## and re-spacing word starts must reproduce the
+    // cleaned text exactly; self-fit never hits [UNK] because the
+    // alphabet comes from the same corpus. Hash-gates fit's argmax
+    // loop, greedy longest-prefix encodeWord, and the explode/join/
+    // reassembly plumbing end-to-end — the q106 pattern.)
+    "q197_wordpiece_encode" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val vocab = graft.ops.WordPiece.fit(corpus, "text", numMerges = 20)
+        graft.ops.WordPiece.encodeTokens(corpus, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            ltrim(concat_ws("", transform(col("tokens"), t =>
+              when(t.startsWith("##"), t.substr(lit(3), length(t)))
+                .otherwise(concat(lit(" "), t))))).as("recon_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id""")),
+
+    // --- WordPiece 1-merge encode: the token-count path, fully replayed -----
+    // (With exactly ONE trained merge, greedy longest-prefix encode is
+    // SQL: the oracle re-derives the merge via the likelihood-ratio
+    // argmax (cnt/(ca*cb) as ONE IEEE division of exact longs — no
+    // rounding guard needed; ties (p1,p2) lexicographic) and counts
+    // merged occurrences per distinct word. A start-form merge (x,##y)
+    // can only match at position 0 (prefix test); a continuation-form
+    // merge (##x,##y) matches greedily left-to-right from position 1,
+    // which is exactly SQL replace()'s non-overlapping scan. This
+    // hash-gates fit's round-1 argmax + encodeWord + the
+    // encodedTokenCount corpus plumbing end-to-end — q119's pattern.)
+    "q198_wordpiece_encode1" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val vocab = graft.ops.WordPiece.fit(corpus, "text", numMerges = 1)
+        graft.ops.WordPiece.encodedTokenCount(corpus, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH wds AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w),
+        s AS (SELECT w, c, list_transform(range(1, len(w) + 1),
+            i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS syms
+          FROM wc),
+        sing AS (SELECT sym, CAST(SUM(c) AS BIGINT) AS cs FROM
+            (SELECT c, unnest(syms) AS sym FROM s) GROUP BY 1),
+        pc AS (SELECT p1, p2, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+            SELECT c, p.p1 AS p1, p.p2 AS p2 FROM (
+              SELECT c, unnest(list_transform(range(1, len(syms)),
+                i -> struct_pack(p1 := syms[i], p2 := syms[i+1]))) AS p
+              FROM s WHERE len(syms) >= 2)) GROUP BY 1, 2),
+        best AS (SELECT p1, p2,
+            substr(p1, CASE WHEN p1 LIKE '##%' THEN 3 ELSE 1 END)
+              || substr(p2, 3) AS pat,
+            p1 NOT LIKE '##%' AS startform
+          FROM pc JOIN sing a ON pc.p1 = a.sym JOIN sing b ON pc.p2 = b.sym
+          WHERE cnt >= 2
+          ORDER BY CAST(cnt AS DOUBLE) /
+            (CAST(a.cs AS DOUBLE) * CAST(b.cs AS DOUBLE)) DESC, p1, p2
+          LIMIT 1),
+        wn AS (SELECT w,
+            CASE WHEN best.startform THEN
+              len(w) - (CASE WHEN w LIKE best.pat || '%' THEN 1 ELSE 0 END)
+            ELSE
+              len(w) - (len(substr(w, 2)) -
+                len(replace(substr(w, 2), best.pat, ''))) / 2
+            END AS nt
+          FROM wc CROSS JOIN best)
+        SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_wp_tokens
+        FROM wds JOIN wn USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
