@@ -187,6 +187,86 @@ object Mixture {
         .as("epoch"): _*)
   }
 
+  /** UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", arXiv:2304.09151 — public method): distribute a
+    * total token BUDGET across sources as uniformly as possible,
+    * subject to no source repeating more than `maxEpochs` times —
+    * the budget-constrained alternative to [[temperatureMixture]]'s
+    * α-heuristic (which can over-epoch tiny sources or under-use the
+    * budget; UniMax makes the cap and the budget explicit).
+    *
+    * The paper's Algorithm 1, verbatim: visit sources from
+    * LOWEST-resource to highest (cap = tokens·maxEpochs ascending,
+    * ties on the group key); each takes
+    * min(cap, remainingBudget / remainingSources) — a source that
+    * can't absorb a uniform share caps out at maxEpochs and returns
+    * the slack to everyone after it.
+    *
+    * Plan shape: ONE corpus-scale (group, token) hash aggregate — the
+    * only pass that touches 100 TB — then the allocation runs on the
+    * collected sources table (a bounded driver collect on the #groups
+    * axis — the KMeans-centroids/Bpe-argmax trade; a corpus has
+    * thousands of sources, not millions). fp policy: the loop is
+    * IEEE double mul/div/min/sub in a FIXED order the q200 oracle
+    * replays step-for-step in a recursive CTE, so `quota` matches
+    * bit-for-bit unrounded; `epochs` = quota/tokens rounds to 6 dp
+    * (the repeat-factor convention of [[temperatureMixture]]).
+    * A budget larger than Σ caps leaves the surplus unallocated
+    * (every source caps out). Returns
+    * (group, n_docs, tokens, quota, epochs). */
+  def uniMaxMixture(df: DataFrame, group: String, text: String,
+                    budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, "uniMaxMixture: budgetTokens must be > 0")
+    require(maxEpochs > 0.0, "uniMaxMixture: maxEpochs must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TA.tokenCount(col(text))).as("tokens"))
+      .select(col(group).cast("string"), col("n_docs"), col("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val asc = counts.sortBy { case (g, _, t) => (t.toDouble * maxEpochs, g) }
+    var remaining = budgetTokens.toDouble
+    var k = asc.length
+    val out = asc.map { case (g, nd, t) =>
+      val cap = t.toDouble * maxEpochs
+      val quota = math.min(cap, remaining / k)
+      remaining -= quota
+      k -= 1
+      val epochs =
+        if (t == 0L) 0.0
+        else BigDecimal(quota / t.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g, nd, t, quota, epochs)
+    }
+    out.toSeq.toDF(group, "n_docs", "tokens", "quota", "epochs")
+  }
+
+  /** EPOCHED realization of [[uniMaxMixture]] — identical emission
+    * contract to [[temperatureRebalance]] (whole copies ⌊epochs⌋ plus
+    * a portable-hash fractional copy, tagged `epoch`), with the repeat
+    * factor coming from the budget allocation instead of the α rule.
+    * No cap parameter: UniMax's own maxEpochs already bounds the
+    * blow-up. Output = input columns + `epoch`. */
+  def uniMaxRebalance(df: DataFrame, id: String, group: String,
+                      text: String, budgetTokens: Long,
+                      maxEpochs: Double): DataFrame = {
+    val rates = uniMaxMixture(df, group, text, budgetTokens, maxEpochs)
+      .select(col(group), col("epochs").as("__r"))
+    val nFull = floor(col("__r")).cast("long")
+    val thresh = round((col("__r") - floor(col("__r"))) * Frame.MixM)
+      .cast("long")
+    val nCopies = nFull +
+      when(Frame.portableMix(col(id)) < thresh, 1L).otherwise(0L)
+    val keep = df.columns.map(col)
+    df.join(broadcast(rates), Seq(group))
+      .withColumn("__nc", nCopies)
+      .filter(col("__nc") >= 1)
+      .select(keep :+ explode(sequence(lit(0L), col("__nc") - 1))
+        .as("epoch"): _*)
+  }
+
   /** Leakage-safe GROUP-level holdout split: every row of a group
     * (domain, author, near-dup cluster id) lands entirely in 'train' or
     * entirely in 'eval'. A row-level split leaks near-duplicate content

@@ -175,10 +175,144 @@ object ZOrder {
     (head +: levels).mkString(",\n")
   }
 
+  /** N-dimensional Hilbert distance via Skilling's transpose algorithm
+    * (J. Skilling, "Programming the Hilbert curve", AIP Conf. Proc.
+    * 707, 2004 — public method): the 2-D staged walk generalizes to
+    * any dimension with the same plan shape — a fixed unrolled chain
+    * of pure Column bit arithmetic (shift/mask/xor — codegen'd, no
+    * UDF, no shuffle), replayable verbatim in SQL
+    * ([[hilbertNdSqlCtes]], q199).
+    *
+    * Stages: the "inverse undo" loop runs (bits−1)·n conditional-swap
+    * stages on the cell columns (each touches only X0 and Xi — the
+    * sequential dependency is real, so stages unroll in order), then
+    * the Gray encode chain, one reflection constant t folded from the
+    * last axis, and the bit interleave of the transposed axes (MSB
+    * group first: index bit lvl·n + (n−1−i) takes X_i's bit lvl).
+    *
+    * `cells` must already be grid cells in [0, 2^bits) (use [[zCell]]);
+    * n·bits ≤ 60 keeps d in a non-negative long. Appends `out` = the
+    * Hilbert d in [0, 2^(n·bits)) — a bijection with unit-Manhattan
+    * steps between consecutive d (asserted exhaustively in OpsSpec).
+    * For n = 2 prefer [[hilbertValue2D]] (same cost, the canonical
+    * xy2d orientation). */
+  def hilbertValueND(df: DataFrame, cells: Seq[Column], bits: Int,
+                     out: String): DataFrame = {
+    val n = cells.length
+    require(n >= 2, "hilbertValueND: need >= 2 dimensions")
+    require(bits >= 1 && n * bits <= 60,
+      "hilbertValueND: need bits >= 1 and n*bits <= 60")
+    def x(i: Int) = col(s"__t$i")
+    var cur = cells.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__t$i", c.cast("long"))
+    }
+    // inverse undo: Q from 2^(bits-1) down to 2
+    for (lvl <- bits - 1 to 1 by -1; i <- 0 until n) {
+      val q = 1L << lvl
+      val p = q - 1L
+      val cond = x(i).bitwiseAND(lit(q)) > 0
+      if (i == 0) {
+        // t = (X0 ^ X0) & P = 0: only the taken branch does work
+        cur = cur.withColumn("__t0",
+          when(cond, x(0).bitwiseXOR(lit(p))).otherwise(x(0)))
+      } else {
+        val t = x(0).bitwiseXOR(x(i)).bitwiseAND(lit(p))
+        cur = cur
+          .withColumn("__u0",
+            when(cond, x(0).bitwiseXOR(lit(p))).otherwise(x(0).bitwiseXOR(t)))
+          .withColumn(s"__t$i", when(cond, x(i)).otherwise(x(i).bitwiseXOR(t)))
+          .withColumn("__t0", col("__u0")).drop("__u0")
+      }
+    }
+    // Gray encode (sequential: X_i ^= X_{i-1} uses the updated left)
+    for (i <- 1 until n)
+      cur = cur.withColumn(s"__t$i", x(i).bitwiseXOR(x(i - 1)))
+    // reflection constant from the last axis: t ^= Q-1 where bit set
+    val tConst = (bits - 1 to 1 by -1).map { lvl =>
+      val q = 1L << lvl
+      when(x(n - 1).bitwiseAND(lit(q)) > 0, lit(q - 1L)).otherwise(lit(0L))
+    }.reduceOption((a, b) => a.bitwiseXOR(b)).getOrElse(lit(0L))
+    cur = cur.withColumn("__tc", tConst)
+    for (i <- 0 until n)
+      cur = cur.withColumn(s"__t$i", x(i).bitwiseXOR(col("__tc")))
+    // interleave transposed bits into d
+    val d = (for { lvl <- 0 until bits; i <- 0 until n } yield
+      shiftleft(shiftrightunsigned(x(i), lvl).bitwiseAND(lit(1L)),
+        lvl * n + (n - 1 - i))).reduce(_ + _)
+    cur.withColumn(out, d)
+      .drop("__tc").drop((0 until n).map(i => s"__t$i"): _*)
+  }
+
+  /** [[hilbertValueND]] as a chain of SQL CTEs — the q199 oracle
+    * builder. `src` must expose cell columns `x0..x{n-1}` (payload
+    * rides along via `carry`); emits the final distance as `hd.d`. */
+  def hilbertNdSqlCtes(src: String, n: Int, bits: Int,
+                       carry: Seq[String] = Seq.empty): String = {
+    val keep = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    val xs = (0 until n).map(i => s"x$i")
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = src
+    var step = 0
+    def emit(selects: Seq[String]): Unit = {
+      step += 1
+      ctes += s"hs$step AS (SELECT ${selects.mkString(", ")}$keep FROM $prev)"
+      prev = s"hs$step"
+    }
+    for (lvl <- bits - 1 to 1 by -1; i <- 0 until n) {
+      val q = 1L << lvl
+      val p = q - 1L
+      if (i == 0) {
+        emit(s"CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+          +: xs.drop(1).map(c => s"$c"))
+      } else {
+        val t = s"(xor(x0, x$i) & $p)"
+        emit(xs.map {
+          case "x0" => s"CASE WHEN (x$i & $q) > 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, $t) END AS x0"
+          case c if c == s"x$i" => s"CASE WHEN (x$i & $q) > 0 THEN x$i " +
+            s"ELSE xor(x$i, $t) END AS x$i"
+          case c => c
+        })
+      }
+    }
+    // Gray encode, one CTE per dimension (sequential dependency)
+    for (i <- 1 until n)
+      emit(xs.map { case c if c == s"x$i" => s"xor(x$i, x${i - 1}) AS x$i"
+        case c => c })
+    // reflection constant + apply
+    val tExpr = (bits - 1 to 1 by -1).map { lvl =>
+      val q = 1L << lvl
+      s"(CASE WHEN (x${n - 1} & $q) > 0 THEN ${q - 1L} ELSE 0 END)"
+    }.reduceOption((a, b) => s"xor($a, $b)").getOrElse("0")
+    emit(xs.map(c => s"$c") :+ s"CAST($tExpr AS BIGINT) AS tc")
+    step += 1
+    ctes += s"hs$step AS (SELECT ${xs.map(c => s"xor($c, tc) AS $c")
+      .mkString(", ")}$keep FROM $prev)"
+    prev = s"hs$step"
+    val dExpr = (for { lvl <- 0 until bits; i <- 0 until n } yield
+      s"(((x$i >> $lvl) & 1) << ${lvl * n + (n - 1 - i)})").mkString(" + ")
+    ctes += s"hd AS (SELECT CAST($dExpr AS BIGINT) AS d$keep FROM $prev)"
+    ctes.mkString(",\n")
+  }
+
+  /** [[clusterByHilbert]]'s N-dimensional twin: one output partition
+    * per top-bits bucket of the Skilling Hilbert distance, rows sorted
+    * by full d within each. */
+  def clusterByHilbertND(df: DataFrame, dims: Seq[(Column, Double, Double)],
+                         bits: Int, bucketBits: Int): DataFrame = {
+    val staged = hilbertValueND(df,
+      dims.map { case (c, lo, hi) => zCell(c, lo, hi, bits) }, bits, "__h")
+    staged
+      .repartition(1 << bucketBits,
+        zBucket(col("__h"), dims.length * bits, bucketBits))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** [[clusterByZOrder]]'s Hilbert twin: one output partition per
     * top-bits bucket of the Hilbert distance, rows sorted by full d
-    * within each. 2-D only (the dominant layout case; higher-D Hilbert
-    * needs the general Hamilton walk — use z-order there). */
+    * within each. 2-D only (the dominant layout case; higher-D goes
+    * through [[hilbertValueND]]'s Skilling walk). */
   def clusterByHilbert(df: DataFrame,
                        xDim: (Column, Double, Double),
                        yDim: (Column, Double, Double),

@@ -4084,7 +4084,153 @@ object Pipeline {
           FROM wc CROSS JOIN best)
         SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_wp_tokens
         FROM wds JOIN wn USING (w)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- 3-D Hilbert layout (Skilling transpose walk, CTE-replayed) ---------
+    // (ZOrder.hilbertValueND — the general-dimension Hilbert distance
+    // as pure bit arithmetic, here laying out lineitem on
+    // (orderkey, partkey, suppkey) cells. The oracle replays every
+    // unrolled stage of the Skilling walk as a CTE chain — identical
+    // shift/mask/xor on both engines, so the per-bucket aggregates
+    // hash-match exactly. Bucket bboxes being tight on ALL THREE
+    // dimensions is the data-skipping property the layout buys.)
+    "q199_hilbert_3d" -> Q(
+      (s, d) => {
+        import graft.ops.ZOrder
+        val bits = 4; val bucketBits = 4
+        val li = Tables.lineitem(s, d).select(
+          pmod(col("l_orderkey"), lit(4096L)).as("a"),
+          pmod(col("l_partkey"), lit(4096L)).as("b"),
+          pmod(col("l_suppkey"), lit(1024L)).as("c"))
+        ZOrder.hilbertValueND(li, Seq(
+            ZOrder.zCell(col("a"), 0, 4096, bits),
+            ZOrder.zCell(col("b"), 0, 4096, bits),
+            ZOrder.zCell(col("c"), 0, 1024, bits)), bits, "h")
+          .groupBy(ZOrder.zBucket(col("h"), 3 * bits, bucketBits).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("h").as("h_min"), max("h").as("h_max"),
+            min("a").as("a_min"), max("a").as("a_max"),
+            min("b").as("b_min"), max("b").as("b_max"),
+            min("c").as("c_min"), max("c").as("c_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        import graft.ops.ZOrder
+        val bits = 4
+        val cellA = ZOrder.zCellSql("a", 0, 4096, bits)
+        val cellB = ZOrder.zCellSql("b", 0, 4096, bits)
+        val cellC = ZOrder.zCellSql("c", 0, 1024, bits)
+        s"""WITH pts AS (SELECT a, b, c, $cellA AS x0, $cellB AS x1,
+              $cellC AS x2 FROM
+            (SELECT l_orderkey % 4096 AS a, l_partkey % 4096 AS b,
+              l_suppkey % 1024 AS c FROM lineitem)),
+          ${ZOrder.hilbertNdSqlCtes("pts", 3, bits, carry = Seq("a", "b", "c"))}
+          SELECT (d >> 8) AS bucket, count(*) AS n,
+            min(d) AS h_min, max(d) AS h_max,
+            min(a) AS a_min, max(a) AS a_max,
+            min(b) AS b_min, max(b) AS b_max,
+            min(c) AS c_min, max(c) AS c_max
+          FROM hd GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // --- UniMax budget allocation -------------------------------------------
+    // (Mixture.uniMaxMixture — Chung et al. 2023 Algorithm 1: visit
+    // languages lowest-resource first; each takes min(cap = tokens ·
+    // maxEpochs, remainingBudget / remainingLangs). Budget here = 80%
+    // of corpus tokens at maxEpochs 1, so low-resource languages cap
+    // out and return slack to the head — the waterfilling crossover.
+    // The oracle replays the sequential loop step-for-step in a
+    // recursive CTE with the same IEEE mul/div/min/sub order, so the
+    // unrounded quota matches bit-for-bit.)
+    "q200_unimax_mixture" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val total = corpus
+          .agg(sum(TA.tokenCount(col("text"))).as("t"))
+          .head().getLong(0)
+        graft.ops.Mixture.uniMaxMixture(corpus, "lang", "text",
+            budgetTokens = total * 4 / 5, maxEpochs = 1.0)
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE counts AS (SELECT lang, COUNT(*) AS n_docs,
+          ${isum("len(string_split(text, ' '))")} AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT ${isum("tokens")} AS total FROM counts),
+        bud AS (SELECT (total * 4) // 5 AS budget FROM tot),
+        ranked AS (SELECT lang, n_docs, tokens,
+            CAST(tokens AS DOUBLE) * 1.0 AS cap,
+            row_number() OVER (ORDER BY CAST(tokens AS DOUBLE) * 1.0, lang)
+              AS rn,
+            COUNT(*) OVER () AS n
+          FROM counts),
+        rec AS (
+          SELECT 0 AS i, CAST(budget AS DOUBLE) AS remaining FROM bud
+          UNION ALL
+          SELECT rec.i + 1,
+            rec.remaining - least(r.cap, rec.remaining / (r.n - rec.i))
+          FROM rec JOIN ranked r ON r.rn = rec.i + 1),
+        alloc AS (SELECT r.lang, r.n_docs, r.tokens,
+            least(r.cap, rec.remaining / (r.n - rec.i)) AS quota
+          FROM ranked r JOIN rec ON rec.i = r.rn - 1)
+        SELECT lang, n_docs, tokens, quota,
+          CASE WHEN tokens = 0 THEN 0.0
+            ELSE round(quota / CAST(tokens AS DOUBLE), 6) END AS epochs
+        FROM alloc ORDER BY lang""")),
+
+    // --- UniMax epoched realization -----------------------------------------
+    // (Mixture.uniMaxRebalance — temperatureRebalance's emission
+    // contract (⌊epochs⌋ whole copies + portable-hash fractional copy,
+    // tagged epoch) driven by the budget allocation. The oracle
+    // re-derives the per-language epochs via the recursive-CTE loop
+    // and replays the copy-count arithmetic; n_rows/tokens_emitted/
+    // max_epoch pin the emission exactly.)
+    "q201_unimax_epochs" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val total = corpus
+          .agg(sum(TA.tokenCount(col("text"))).as("t"))
+          .head().getLong(0)
+        graft.ops.Mixture.uniMaxRebalance(corpus, "doc_id", "lang", "text",
+            budgetTokens = total * 4 / 5, maxEpochs = 1.0)
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_rows"),
+            sum(TA.tokenCount(col("text"))).as("tokens_emitted"),
+            max(col("epoch")).as("max_epoch"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE counts AS (SELECT lang, COUNT(*) AS n_docs,
+          ${isum("len(string_split(text, ' '))")} AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT ${isum("tokens")} AS total FROM counts),
+        bud AS (SELECT (total * 4) // 5 AS budget FROM tot),
+        ranked AS (SELECT lang, tokens,
+            CAST(tokens AS DOUBLE) * 1.0 AS cap,
+            row_number() OVER (ORDER BY CAST(tokens AS DOUBLE) * 1.0, lang)
+              AS rn,
+            COUNT(*) OVER () AS n
+          FROM counts),
+        rec AS (
+          SELECT 0 AS i, CAST(budget AS DOUBLE) AS remaining FROM bud
+          UNION ALL
+          SELECT rec.i + 1,
+            rec.remaining - least(r.cap, rec.remaining / (r.n - rec.i))
+          FROM rec JOIN ranked r ON r.rn = rec.i + 1),
+        alloc AS (SELECT r.lang, r.tokens,
+            CASE WHEN r.tokens = 0 THEN 0.0
+              ELSE round(least(r.cap, rec.remaining / (r.n - rec.i))
+                / CAST(r.tokens AS DOUBLE), 6) END AS r
+          FROM ranked r JOIN rec ON rec.i = r.rn - 1),
+        nc AS (SELECT d.lang, d.doc_id,
+            len(string_split(d.text, ' ')) AS dtok,
+            CAST(floor(a.r) AS BIGINT) + CASE WHEN
+              ${Sql.mix("d.doc_id")} <
+              CAST(round((a.r - floor(a.r)) * 2147483647) AS BIGINT)
+              THEN 1 ELSE 0 END AS nc
+          FROM documents d JOIN alloc a ON d.lang = a.lang)
+        SELECT lang, ${isum("nc")} AS n_rows,
+          ${isum("nc * dtok")} AS tokens_emitted,
+          MAX(nc) - 1 AS max_epoch
+        FROM nc WHERE nc >= 1 GROUP BY lang ORDER BY lang"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

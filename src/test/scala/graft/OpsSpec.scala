@@ -1539,6 +1539,87 @@ class OpsSpec extends SparkSpec {
       assert(xs == 15L && ys == 15L, s"bucket $b bbox $xs x $ys") }
   }
 
+  test("uniMaxMixture: hand-computed waterfilling — caps return slack, " +
+    "budget conserves, surplus leaves everyone capped") {
+    import graft.ops.Mixture
+    def mk(n: Int, g: String, from: Long) =
+      (0 until n).map(i => (from + i, g, Seq.fill(50)("w").mkString(" ")))
+    // A: 100 tokens (2 docs), B: 1000 (20), C: 10000 (200); maxEpochs 2
+    val d = (mk(2, "A", 0) ++ mk(20, "B", 100) ++ mk(200, "C", 1000))
+      .toDF("doc_id", "src", "text")
+    // budget 6000: asc caps (A 200, B 2000, C 20000);
+    // A: min(200, 6000/3=2000) = 200 → rem 5800
+    // B: min(2000, 5800/2=2900) = 2000 → rem 3800 (slack returned)
+    // C: min(20000, 3800/1) = 3800 — budget exactly conserved
+    val got = Mixture.uniMaxMixture(d, "src", "text", 6000L, 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("quota"),
+          r.getAs[Double]("epochs"))).toMap
+    assert(got("A") == ((100L, 200.0, 2.0)))
+    assert(got("B") == ((1000L, 2000.0, 2.0)))
+    assert(got("C") == ((10000L, 3800.0, 0.38)))
+    assert(got.values.map(_._2).sum == 6000.0, "budget conserved")
+    // surplus budget: every source caps out at maxEpochs
+    val sur = Mixture.uniMaxMixture(d, "src", "text", 1000000L, 2.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    assert(sur.values.forall(_ == 2.0), s"all capped: $sur")
+    // epoched realization: A's epochs = 2.0 exactly → every A doc
+    // emits exactly copies 0 and 1
+    val re = Mixture.uniMaxRebalance(d, "doc_id", "src", "text", 6000L, 2.0)
+    val aRows = re.filter($"src" === "A")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(aRows == Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+  }
+
+  test("hilbertValueND (Skilling): exhaustive bijection + unit-Manhattan " +
+    "adjacency for (n,bits) in {(2,3),(3,2),(3,3),(4,2)}; starts at 0") {
+    import graft.ops.ZOrder
+    for ((n, bits) <- Seq((2, 3), (3, 2), (3, 3), (4, 2))) {
+      val side = 1 << bits
+      val total = 1L << (n * bits)
+      val pts = (0L until total).map { k =>
+        (0 until n).map(i => (k >> (i * bits)) & (side - 1)).toArray
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts.map(p =>
+          org.apache.spark.sql.Row.fromSeq(p.toSeq)), 4),
+        org.apache.spark.sql.types.StructType((0 until n).map(i =>
+          org.apache.spark.sql.types.StructField(s"c$i",
+            org.apache.spark.sql.types.LongType))))
+      val got = ZOrder.hilbertValueND(df,
+          (0 until n).map(i => col(s"c$i")), bits, out = "d")
+        .collect().map(r => ((0 until n).map(i => r.getLong(i)).toVector,
+          r.getAs[Long]("d")))
+      assert(got.map(_._2).sorted.toSeq == (0L until total),
+        s"(n=$n,bits=$bits) bijection")
+      val byD = got.sortBy(_._2).map(_._1)
+      assert(byD.head == Vector.fill(n)(0L), s"(n=$n,bits=$bits) origin")
+      byD.sliding(2).foreach { case Array(p, q) =>
+        val manh = p.zip(q).map { case (a, b) => math.abs(a - b) }.sum
+        assert(manh == 1, s"(n=$n,bits=$bits) $p -> $q not neighbors")
+      }
+    }
+    // clusterByHilbertND: partition count and bucket bbox tightness —
+    // 3-D, 16 buckets over a 16^3 grid: each bucket spans at most half
+    // the cube edge in every dimension (top-4 of 12 bits)
+    val cube = (for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val parts = ZOrder.clusterByHilbertND(cube,
+      Seq(($"x", 0.0, 16.0), ($"y", 0.0, 16.0), ($"z", 0.0, 16.0)),
+      bits = 4, bucketBits = 4)
+    assert(parts.rdd.getNumPartitions == 16)
+    val spans = ZOrder.hilbertValueND(cube,
+        Seq($"x", $"y", $"z"), bits = 4, out = "d")
+      .groupBy(ZOrder.zBucket($"d", 12, 4).as("bucket"))
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"),
+        (max($"z") - min($"z")).as("zs"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.length == 16)
+    spans.foreach { case (b, xs, ys, zs) =>
+      assert(xs <= 8L && ys <= 8L && zs <= 8L,
+        s"bucket $b bbox $xs x $ys x $zs") }
+  }
+
   test("groupHoldout: group-atomic assignment, partitioning-stable, " +
     "expectation tracks the fraction") {
     import graft.ops.Mixture
