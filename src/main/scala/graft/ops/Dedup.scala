@@ -223,6 +223,81 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** shared candidate-pair builder for the CONTAINMENT family —
+    * [[ngramJaccard]]'s exact plan shape (pinned compact arrays,
+    * 8-byte gram self-join, sizes as aggregate values, optional
+    * dfCap skew guard) with arbitrary n and the asymmetric score:
+    *   containment = |A∩B| / min(|A|, |B|)
+    * i.e. how much of the SMALLER document's distinct n-grams the
+    * larger one covers. Returns (d1, d2, na, nb, cont ≥ threshold). */
+  private def containmentPairs(df: DataFrame, id: String, text: String,
+                               threshold: Double, n: Int,
+                               dfCap: Option[Int],
+                               materialize: Boolean): DataFrame = {
+    val arrays = Materialize.pin(ngramHashArrays(df, id, text, n), materialize)
+    val withN = dfCap match {
+      case None =>
+        arrays.select(col(id), col("hs"), explode_outer(col("hs")).as("s"))
+          .select(col(id), size(col("hs")).as("n"), col("s"))
+      case Some(cap) =>
+        val sh0 = arrays.select(col(id), explode_outer(col("hs")).as("s"))
+        val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        val kept = sh0.join(keep, Seq("s"), "left_semi")
+        val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("n"))
+        kept.join(sizes, Seq(id))
+    }
+    val a = withN.select(col(id).as("d1"), col("n").as("na"), col("s"))
+    val b = withN.select(col(id).as("d2"), col("n").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("i"), max("na").as("na"), max("nb").as("nb"))
+      .withColumn("cont",
+        col("i").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+  }
+
+  /** Exact n-gram CONTAINMENT pairs (Broder 1997's resemblance vs
+    * containment distinction — public method): symmetric Jaccard
+    * dilutes wholesale inclusion — a 100-gram document quoted verbatim
+    * inside a 10,000-gram page scores jac ≈ 0.01 and slips every
+    * near-dup gate, while its containment is 1.0. This is the signal
+    * that catches quote-mirrors, scraped-into-aggregator copies, and
+    * doc-in-doc templating. Same corpus-scale shape as
+    * [[ngramJaccard]] (set `dfCap` in production — common grams
+    * contribute quadratic posting pairs). Documents with < n tokens
+    * have no grams and never pair. Returns (d1, d2, cont). */
+  def ngramContainment(df: DataFrame, id: String, text: String,
+                       threshold: Double, n: Int = 3,
+                       dfCap: Option[Int] = None,
+                       materialize: Boolean = true): DataFrame =
+    containmentPairs(df, id, text, threshold, n, dfCap, materialize)
+      .select(col("d1"), col("d2"), col("cont"))
+
+  /** Containment DEDUP: drop the smaller (fewer distinct n-grams)
+    * document of every pair whose containment clears `threshold` —
+    * the aggregator page survives, its embedded copies go. Ties on
+    * size drop the LARGER id (keep whichever was crawled first — the
+    * min-id convention of [[dedupNearMinhash]]). Single-pass drop
+    * semantics: every flagged victim goes, even if its own container
+    * was itself dropped by a bigger page (the conservative reading —
+    * a reprieve cascade would need the component walk, and a doc
+    * contained in a dropped doc is still duplicated content). The
+    * victim table is pair-bounded and the removal is a left-anti
+    * equi-join. */
+  def dedupContained(df: DataFrame, id: String, text: String,
+                     threshold: Double, n: Int = 3,
+                     dfCap: Option[Int] = None,
+                     materialize: Boolean = true): DataFrame = {
+    val victims = containmentPairs(df, id, text, threshold, n, dfCap,
+        materialize)
+      .select(when(col("na") < col("nb"), col("d1"))
+        .when(col("nb") < col("na"), col("d2"))
+        .otherwise(greatest(col("d1"), col("d2"))).as(id))
+      .distinct()
+    df.join(victims, Seq(id), "left_anti")
+  }
+
   /** Duplicate-span coverage (the per-document signal behind exact
     * substring dedup — Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499; public method, no

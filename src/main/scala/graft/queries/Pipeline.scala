@@ -4230,7 +4230,58 @@ object Pipeline {
         SELECT lang, ${isum("nc")} AS n_rows,
           ${isum("nc * dtok")} AS tokens_emitted,
           MAX(nc) - 1 AS max_epoch
-        FROM nc WHERE nc >= 1 GROUP BY lang ORDER BY lang"""))
+        FROM nc WHERE nc >= 1 GROUP BY lang ORDER BY lang""")),
+
+    // --- exact n-gram containment pairs -------------------------------------
+    // (Dedup.ngramContainment — Broder's containment vs resemblance:
+    // |A∩B| / min(|A|,|B|) catches a small doc quoted wholesale inside
+    // a big one, which symmetric Jaccard dilutes to ~0. Same 8-byte
+    // gram self-join shape as q44; the string-gram oracle hash-matches
+    // through the hash-collision convention; the division is one IEEE
+    // op, identical on both engines.)
+    "q202_ngram_containment" -> Q(
+      (s, d) => Dedup.ngramContainment(docs(s, d), "doc_id", "text", 0.6)
+        .orderBy("d1", "d2"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS DOUBLE) / least(sa.n, sb.n) AS cont
+        FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+        ORDER BY d1, d2""")),
+
+    // --- containment dedup (drop the contained smaller doc) -----------------
+    // (Dedup.dedupContained — per pair with cont >= 0.8 drop the doc
+    // with fewer distinct grams, ties drop the larger id; single-pass
+    // victim semantics, left-anti removal. The oracle replays the
+    // pair table and the victim rule verbatim.)
+    "q203_dedup_contained" -> Q(
+      (s, d) => Dedup.dedupContained(docs(s, d), "doc_id", "text", 0.8)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2, sa.n AS na, sb.n AS nb
+          FROM inter JOIN sizes sa ON d1 = sa.doc_id
+          JOIN sizes sb ON d2 = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8),
+        victims AS (SELECT DISTINCT CASE WHEN na < nb THEN d1
+            WHEN nb < na THEN d2 ELSE greatest(d1, d2) END AS doc_id
+          FROM pairs)
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+        ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

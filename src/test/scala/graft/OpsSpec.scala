@@ -1539,6 +1539,29 @@ class OpsSpec extends SparkSpec {
       assert(xs == 15L && ys == 15L, s"bucket $b bbox $xs x $ys") }
   }
 
+  test("ngramContainment flags doc-in-doc inclusion Jaccard dilutes; " +
+    "dedupContained keeps the container, ties keep the min id") {
+    import graft.ops.Dedup
+    val filler = (0 until 60).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a b c d e $filler"), // container: the small doc + filler
+      (2L, "a b c d e"),          // contained verbatim: cont = 1.0
+      (3L, "z y x w v"),          // unrelated
+      (4L, "z y x w v")           // exact twin of 3: tie on size
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(d, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont((1L, 2L)) == 1.0, "wholesale inclusion scores 1.0")
+    assert(cont((3L, 4L)) == 1.0)
+    // symmetric Jaccard misses the same pair entirely
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard dilutes inclusion")
+    val kept = Dedup.dedupContained(d, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"container + first twin survive: $kept")
+  }
+
   test("uniMaxMixture: hand-computed waterfilling — caps return slack, " +
     "budget conserves, surplus leaves everyone capped") {
     import graft.ops.Mixture
