@@ -18,7 +18,7 @@ only = [a for a in args if not a.startswith("--")]
 
 if not skip_verify:
     rc = os.system(
-        f'cd /root/repo && timeout 1200 sbt "runMain graft.Verify {sf} {out}" '
+        f'cd /root/repo && timeout 3600 sbt "runMain graft.Verify {sf} {out}" '
         f'> /tmp/verify_log.txt 2>&1')
     if rc != 0:
         print(open('/tmp/verify_log.txt').read()[-4000:])

@@ -236,7 +236,18 @@ object Bench {
     "q192_temperature_epochs" -> SparkEntry.queries("q192_temperature_epochs"),
     "q193_canonical_dedup" -> SparkEntry.queries("q193_canonical_dedup"),
     "q194_kn_bigram_lm" -> SparkEntry.queries("q194_kn_bigram_lm"),
-    "q195_pmi_collocations" -> SparkEntry.queries("q195_pmi_collocations"))
+    "q195_pmi_collocations" -> SparkEntry.queries("q195_pmi_collocations"),
+    // round-12: CCNet ppl buckets, WordPiece encode (+1-merge replay),
+    // 3-D Hilbert, UniMax mixture + realization, containment dedup
+    "q196_ccnet_ppl_buckets" -> SparkEntry.queries("q196_ccnet_ppl_buckets"),
+    "q197_wordpiece_encode" -> SparkEntry.queries("q197_wordpiece_encode"),
+    "q198_wordpiece_encode1" -> SparkEntry.queries("q198_wordpiece_encode1"),
+    "q199_hilbert_3d" -> SparkEntry.queries("q199_hilbert_3d"),
+    "q200_unimax_mixture" -> SparkEntry.queries("q200_unimax_mixture"),
+    "q201_unimax_epochs" -> SparkEntry.queries("q201_unimax_epochs"),
+    "q202_ngram_containment" -> SparkEntry.queries("q202_ngram_containment"),
+    "q203_dedup_contained" -> SparkEntry.queries("q203_dedup_contained"),
+    "q204_dup_cluster_sizes" -> SparkEntry.queries("q204_dup_cluster_sizes"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

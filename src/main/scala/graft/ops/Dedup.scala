@@ -753,6 +753,19 @@ object Dedup {
     * components → keep the minimum id per component (plus every doc in
     * no near-dup pair). The end-to-end corpus dedup a training-data
     * pipeline actually runs. */
+  /** Duplicate-cluster size report — the standard dedup audit table
+    * (how many 2-clusters, 3-clusters, ...; mirror-heavy crawls show a
+    * long tail of large clusters): [[connectedComponents]] over the
+    * near-dup pairs, then the size histogram. Docs with no pair are
+    * singletons, not clusters — they never enter the pair table and
+    * are excluded by construction (their count is n_docs − Σ
+    * size·n_clusters). Both aggregates are pair-bounded (nodes ≤
+    * 2·pairs), far below corpus scale. Returns (size, n_clusters). */
+  def dupClusterSizes(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+
   def dedupNearMinhash(df: DataFrame, id: String, text: String,
                        threshold: Double, numPerms: Int = 64,
                        bands: Int = 32,

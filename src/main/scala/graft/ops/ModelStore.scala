@@ -92,4 +92,51 @@ object ModelStore {
   /** load language-ID profiles — score/predict/margin-ready. */
   def loadLangProfiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** persist any vocabulary-sized model TABLE — IVF centroid tables,
+    * [[KMeans.lloydProfile]] outputs, fitted threshold tables — under
+    * the same guarded single-file convention. Row order is pinned at
+    * LOAD time by explicit sort columns (parquet guarantees none). */
+  def saveModelTable(table: DataFrame, dir: String,
+                     overwrite: Boolean = false): Unit =
+    table.coalesce(1).write.mode(mode(overwrite)).parquet(dir)
+
+  /** load a model table sorted by `orderCols` — deterministic row
+    * order for downstream collects/broadcasts. */
+  def loadModelTable(spark: SparkSession, dir: String,
+                     orderCols: String*): DataFrame = {
+    val t = spark.read.parquet(dir)
+    if (orderCols.isEmpty) t else t.orderBy(orderCols.map(col): _*)
+  }
+
+  /** persist PQ codebooks ([[Embeddings.pqTrainCodebooks]]'s
+    * subspace × code × dim array) as fully order-pinned rows
+    * (subspace, code, pos, v). */
+  def savePqCodebooks(spark: SparkSession,
+                      codebooks: Array[Array[Array[Double]]],
+                      dir: String, overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (sub, s) <- codebooks.zipWithIndex.toSeq
+      (code, j) <- sub.zipWithIndex.toSeq
+      (v, p) <- code.zipWithIndex.toSeq
+    } yield (s, j, p, v)
+    rows.toDF("subspace", "code", "pos", "v")
+      .coalesce(1).write.mode(mode(overwrite)).parquet(dir)
+  }
+
+  /** load PQ codebooks — [[Embeddings.pqEncode]]-ready; bit-exact
+    * (doubles round-trip parquet untouched). */
+  def loadPqCodebooks(spark: SparkSession,
+                      dir: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(dir)
+      .orderBy("subspace", "code", "pos")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, subRows) =>
+        subRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (_, codeRows) =>
+            codeRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }.toArray
+      }.toArray
 }

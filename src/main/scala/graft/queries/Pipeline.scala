@@ -4281,7 +4281,39 @@ object Pipeline {
           FROM pairs)
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM victims)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --- duplicate-cluster size histogram -----------------------------------
+    // (Dedup.dupClusterSizes — the dedup audit report: components over
+    // the verified near-dup pairs (oracle = exact-Jaccard >= 0.8, the
+    // q45/q64 convention), then how many clusters exist at each size.
+    // Singletons never enter the pair table and are excluded by
+    // construction on both engines.)
+    "q204_dup_cluster_sizes" -> Q(
+      (s, d) => Dedup.dupClusterSizes(
+          Dedup.minhashLsh(docs(s, d), "doc_id", "text", 0.8))
+        .orderBy("size"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (SELECT node, node AS r FROM nodes
+          UNION SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        cs AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY 1)
+        SELECT size, COUNT(*) AS n_clusters FROM cs
+        GROUP BY size ORDER BY size"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

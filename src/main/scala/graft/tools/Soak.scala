@@ -360,7 +360,40 @@ object Soak {
           maxPieceLen = 4, emRounds = 1)
         graft.ops.Unigram.encodeTokens(big, "doc_id", "text", vocab)
           .filter(size(col("tokens")) > 0).count()
-      })
+      }),
+      // round-12: CCNet perplexity buckets — per-lang LM tables stay
+      // vocab-sized (plus the per-copy soakmark words); the one
+      // corpus join and the tercile agg-broadcast carry copies× rows
+      "ccnet_ppl" -> (() =>
+        graft.ops.TextAnalysis.ccnetPerplexityBuckets(
+          big, "doc_id", "text", "lang",
+          big.filter(col("source").isin("src0", "src1", "src2", "src3")))
+          .count()),
+      // round-12: WordPiece fit (20 vocab-sized merge rounds over the
+      // replicated distinct-word table) + greedy encode of the corpus
+      "wordpiece_encode" -> (() => {
+        val vocab = graft.ops.WordPiece.fit(big, "text", numMerges = 20)
+        graft.ops.WordPiece.encodedTokenCount(big, "doc_id", "text", vocab)
+          .count()
+      }),
+      // round-12: containment pairs under the q44b dfCap regime —
+      // replication makes every copy-clique a cont=1.0 block
+      // (copies·(copies−1)/2 pairs per original doc), the planted
+      // worst case for the pair aggregate
+      "ngram_containment" -> (() =>
+        graft.ops.Dedup.ngramContainment(big, "doc_id", "text", 0.8,
+          dfCap = Some(5 * copies)).count()),
+      // round-12: 3-D Hilbert layout — pure scan-stage bit arithmetic;
+      // the filter forces the distance column (count()-pruning guard)
+      "hilbert_3d" -> (() =>
+        graft.ops.ZOrder.hilbertValueND(big.select(
+            (col("doc_id") % 4096).as("a"),
+            (col("doc_id") % 2893 * 7).as("b"),
+            (col("n_chars") % 1024).as("c")),
+          Seq(graft.ops.ZOrder.zCell(col("a"), 0, 4096, 6),
+            graft.ops.ZOrder.zCell(col("b"), 0, 20251, 6),
+            graft.ops.ZOrder.zCell(col("c"), 0, 1024, 6)), 6, "h")
+          .filter(col("h") >= 0).count())
     )
 
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")

@@ -71,6 +71,47 @@ class ModelStoreSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("PQ codebooks: save/load round-trips the subspace x code x dim " +
+    "array bit-exactly; load-then-encode equals fit-then-encode") {
+    import graft.ops.Embeddings
+    val dir = tmp("ms_pq")
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian() * 3)) }.toDF("vec_id", "embedding")
+    val cbs = Embeddings.pqTrainCodebooks(vecs, "vec_id", "embedding",
+      dim = 8, m = 4, every = 10, iters = 3)
+    ModelStore.savePqCodebooks(spark, cbs, dir)
+    val loaded = ModelStore.loadPqCodebooks(spark, dir)
+    assert(loaded.length == cbs.length)
+    assert(loaded.zip(cbs).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.toSeq == y.toSeq } }, "codebook values or order changed")
+    val a = vecs.select(Embeddings.pqEncode(col("embedding"), cbs).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    val b = vecs.select(Embeddings.pqEncode(col("embedding"), loaded).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[Exception] {
+      ModelStore.savePqCodebooks(spark, cbs, dir) // guarded overwrite
+    }
+  }
+
+  test("model table: save/load round-trips a k-means profile with " +
+    "pinned row order") {
+    import graft.ops.KMeans
+    val dir = tmp("ms_kmeans")
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(4)(rnd.nextGaussian() + (i % 2) * 10)) }
+      .toDF("vec_id", "embedding")
+    val prof = KMeans.lloydProfile(vecs, "vec_id", "embedding",
+      initEvery = 20, iters = 2)
+    ModelStore.saveModelTable(prof, dir)
+    val loaded = ModelStore.loadModelTable(spark, dir, "cell", "pos")
+    val pa = prof.orderBy("cell", "pos").collect().map(_.toSeq).toSeq
+    assert(loaded.collect().map(_.toSeq).toSeq == pa && pa.nonEmpty)
+  }
+
   test("save refuses to clobber an existing artifact unless overwrite") {
     val dir = tmp("ms_guard")
     ModelStore.saveBpeMerges(spark, Seq(("a", "b")), dir)

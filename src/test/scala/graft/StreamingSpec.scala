@@ -442,4 +442,62 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"stream kept $got, batch kept $expected")
     assert(got == Set(1L, 3L), "only the smallest id of each twin group")
   }
+
+  test("EnrichStream langid recipe: streamed enrichment equals the " +
+    "batch prediction; batch replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DedupStream, EnrichStream}
+    import graft.ops.{ModelStore, TextAnalysis => TA}
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt, mdir) =
+      (tmp("en_out"), tmp("en_ckpt"), tmp("en_model") + "/m")
+    // train once, persist, reload — the score-many model the stream uses
+    val labeled = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "a stitch in time saves nine every single day"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund"),
+      ("de", "übung macht den meister sagte die alte frau")
+    ).toDF("lang", "text")
+    ModelStore.saveLangProfiles(
+      TA.fitLangProfiles(labeled, "lang", "text", buckets = 64), mdir)
+    val profiles = ModelStore.loadLangProfiles(spark, mdir)
+    val batches = Seq(
+      Seq((1L, "the quick fox runs every day"),
+          (2L, "der faule hund springt heute")),
+      Seq((3L, "a lazy dog sleeps in time"),
+          (4L, "die alte frau sagte nichts")))
+    val src = MemoryStream[(Long, String)]
+    // manual foreachBatch wiring (default trigger) so the MemoryStream
+    // can feed multiple batches; langIdEnrich's AvailableNow drain is
+    // the same batch function
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EnrichStream.langIdBatch(df, bid, "doc_id", "text", profiles,
+          buckets = 64, out))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = all.join(
+        TA.predictLangTrained(all, "doc_id", "text", profiles, 64),
+        Seq("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      all.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "lang", org.apache.spark.sql.types.StringType))
+    def got() = DedupStream.readTable(spark, out, schema).get
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got() == expected, "streamed enrichment diverged from batch")
+    // the model actually discriminates: en docs tag en, de docs de
+    assert(got().map(r => r.head -> r.last).toMap ==
+      Map(1L -> "en", 2L -> "de", 3L -> "en", 4L -> "de"))
+    // at-least-once: replay the last micro-batch under its batchId
+    EnrichStream.langIdBatch(batches(1).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", profiles, 64, out)
+    assert(got() == expected, "batch replay duplicated enrichment rows")
+  }
 }
