@@ -613,4 +613,60 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no rank window in the MMR assembly")
     assert(!plan.contains("CartesianProduct"), "joins stay equi/broadcast")
   }
+
+  test("q197/q198 WordPiece encode: per-distinct-word stamp by equi-join " +
+    "— no cartesian, no corpus window (the q185 unigram convention)") {
+    for (q <- Seq("q197_wordpiece_encode", "q198_wordpiece_encode1")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q dict stamp must stay an equi-join")
+      assert(!plan.contains("Window"),
+        s"$q reassembly is a grouped aggregate, not a window")
+    }
+  }
+
+  test("q199 3-D Hilbert: one lineitem scan through staged projections " +
+    "— no join, no window, no generator (the q187 convention in N-D)") {
+    val plan = SparkEntry.queries("q199_hilbert_3d")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the Skilling walk is per-row arithmetic")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      "staged projections + one hash aggregate only")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("q200/q201 UniMax mixture: one corpus aggregate + a sources-sized " +
+    "quota stamp — no window, no cartesian") {
+    for (q <- Seq("q200_unimax_mixture", "q201_unimax_epochs")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+        s"$q must stay aggregate + equi/broadcast stamp")
+    }
+  }
+
+  test("q202/q203 containment pairs: gram candidates via hash equi-join, " +
+    "never all-pairs; the keep anti-join stays equi") {
+    for (q <- Seq("q202_ngram_containment", "q203_dedup_contained")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q containment scan degraded to all-pairs:\n${plan.take(600)}")
+      assert(!plan.contains("Window"), s"$q needs no window anywhere")
+    }
+  }
+
+  test("q204 dup-cluster sizes: component iterations and the histogram " +
+    "are equi-joins + hash aggregates — no cartesian, no window") {
+    val plan = SparkEntry.queries("q204_dup_cluster_sizes")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "label propagation must stay an equi-join on node id")
+    assert(!plan.contains("Window"), "the size histogram is two aggregates")
+  }
 }
