@@ -247,7 +247,9 @@ object Bench {
     "q201_unimax_epochs" -> SparkEntry.queries("q201_unimax_epochs"),
     "q202_ngram_containment" -> SparkEntry.queries("q202_ngram_containment"),
     "q203_dedup_contained" -> SparkEntry.queries("q203_dedup_contained"),
-    "q204_dup_cluster_sizes" -> SparkEntry.queries("q204_dup_cluster_sizes"))
+    "q204_dup_cluster_sizes" -> SparkEntry.queries("q204_dup_cluster_sizes"),
+    "q205_lsh_tune" -> SparkEntry.queries("q205_lsh_tune"),
+    "q206_corpus_report" -> SparkEntry.queries("q206_corpus_report"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -576,6 +576,66 @@ object Dedup {
     shingleHashArrays(df, id, text).select(col(id),
       graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
 
+  /** LSH parameter planner — the sizing call you make BEFORE a corpus
+    * dedup run (public recipe: Leskovec-Rajaraman-Ullman MMDS §3.4's
+    * banding S-curve; same objective as datasketch MinHashLSH's
+    * optimal_param). For a target Jaccard threshold and a signature of
+    * numPerms permutations, every factorization bands·rows = numPerms
+    * is scored by the S-curve Pr[candidate | jac = s] = 1−(1−s^rows)^bands:
+    *  - fp = ∫₀ᵗ Pr[candidate] ds  (below-threshold pairs that still
+    *    reach the verify join — wasted exact-Jaccard work);
+    *  - fn = ∫ₜ¹ (1 − Pr[candidate]) ds  (true near-dups the banding
+    *    misses — [[minhashLsh]]'s verify step removes ALL false
+    *    positives, so fp costs compute while fn costs recall).
+    * Both integrals are midpoint Riemann sums over `steps` cells,
+    * evaluated as per-row sequential folds (functions.aggregate over a
+    * sequence — pure scan-stage arithmetic, ~divisor-count rows, no
+    * shuffle, no UDF); cost = fpWeight·fp + fnWeight·fn, and `chosen`
+    * flags the argmin. Returns (bands, rows_per_band, fp, fn, cost,
+    * chosen) ordered by bands; sums round to 9 dp so the flag is
+    * engine-portable.
+    *
+    * Equal weights minimize total area and will trade recall NEAR the
+    * threshold for candidate volume (0.8/64 → 4×16, which passes only
+    * ~11% of pairs at exactly s = 0.8). A dedup run that must not miss
+    * near-dups weights fn higher (e.g. 0.1/0.9 → more bands), or keeps
+    * [[minhashLsh]]'s conservative 32×2 default (miss p < 1e-14 at
+    * s = 0.8) and pays the larger verify join. */
+  def lshTune(spark: org.apache.spark.sql.SparkSession, threshold: Double,
+              numPerms: Int, fpWeight: Double = 0.5,
+              fnWeight: Double = 0.5, steps: Int = 400): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    import spark.implicits._
+    val cand = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b)).toDF("bands", "rows_per_band")
+    val t = lit(threshold)
+    def scurve(s: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, col("rows_per_band")), col("bands"))
+    def riemann(term: Column => Column, width: Column): Column =
+      round(aggregate(sequence(lit(1), lit(steps)), lit(0.0),
+        (acc, i) => acc +
+          term((i.cast("double") - 0.5) / steps * width) * width / steps), 9)
+    val scored = cand
+      .withColumn("fp", riemann(s => scurve(s), t))
+      .withColumn("fn", riemann(s => lit(1.0) - scurve(t + s), lit(1.0) - t))
+      .withColumn("cost", round(col("fp") * fpWeight + col("fn") * fnWeight, 9))
+    scored.crossJoin(broadcast(scored.agg(min("cost").as("__mc"))))
+      .withColumn("chosen", col("cost") === col("__mc")).drop("__mc")
+      .orderBy("bands")
+  }
+
+  /** driver-side pick from [[lshTune]]: the (bands, rows) pair to pass
+    * to [[minhashLsh]] (ties → fewest bands = cheapest banding pass).
+    * Bounded collect: one row per divisor of numPerms. */
+  def lshPickParams(spark: org.apache.spark.sql.SparkSession,
+                    threshold: Double, numPerms: Int,
+                    fpWeight: Double = 0.5, fnWeight: Double = 0.5,
+                    steps: Int = 400): (Int, Int) = {
+    val r = lshTune(spark, threshold, numPerms, fpWeight, fnWeight, steps)
+      .filter(col("chosen")).orderBy("bands").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
     * then verify candidates with exact Jaccard (no false positives; miss
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs

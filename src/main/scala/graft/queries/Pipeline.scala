@@ -4313,7 +4313,54 @@ object Pipeline {
         comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
         cs AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY 1)
         SELECT size, COUNT(*) AS n_clusters FROM cs
-        GROUP BY size ORDER BY size"""))
+        GROUP BY size ORDER BY size""")),
+
+    // --- LSH parameter planner (MMDS S-curve / datasketch optimal_param) ----
+    // (Dedup.lshTune — the sizing call before a corpus dedup: score
+    // every bands×rows factorization of the signature by S-curve
+    // false-positive/false-negative areas. Per-row sequential Riemann
+    // folds (functions.aggregate over sequence) — divisor-count rows,
+    // zero shuffle beyond the 1-row min-cost broadcast. The oracle
+    // recomputes both integrals with the same midpoint grid and
+    // division-before-multiply order; 9-dp rounding absorbs libm pow
+    // ulps and SUM-vs-fold reassociation.)
+    "q205_lsh_tune" -> Q(
+      (s, d) => Dedup.lshTune(s, threshold = 0.8, numPerms = 64),
+      Some("""WITH cand AS (SELECT CAST(b.range AS INTEGER) AS bands,
+            CAST(64 / b.range AS INTEGER) AS rows_per_band
+          FROM range(1, 65) b WHERE 64 % b.range = 0),
+        grid AS (SELECT CAST(g.range AS DOUBLE) AS i FROM range(1, 401) g),
+        areas AS (SELECT bands, rows_per_band,
+            round(SUM(((1 - pow(1 - pow(((i - 0.5) / 400) * 0.8,
+              rows_per_band), bands)) * 0.8) / 400), 9) AS fp,
+            round(SUM((pow(1 - pow(0.8 + ((i - 0.5) / 400) * (1 - 0.8),
+              rows_per_band), bands) * (1 - 0.8)) / 400), 9) AS fn
+          FROM cand CROSS JOIN grid GROUP BY 1, 2),
+        sc AS (SELECT bands, rows_per_band, fp, fn,
+            round(fp * 0.5 + fn * 0.5, 9) AS cost FROM areas),
+        mc AS (SELECT MIN(cost) AS m FROM sc)
+        SELECT bands, rows_per_band, fp, fn, cost, cost = m AS chosen
+        FROM sc CROSS JOIN mc ORDER BY bands""")),
+
+    // --- per-source corpus report (the "data card" audit table) -------------
+    // (Report.corpusReport — ONE groupBy over one scan: volume, token
+    // mass, exact length percentiles (quantile_cont is the q25-proven
+    // replay of Spark's interpolated percentile), exact-duplicate rate
+    // via COUNT(DISTINCT text), language spread. mean_chars divides an
+    // exact integer sum — no double accumulation to diverge.)
+    "q206_corpus_report" -> Q(
+      (s, d) => graft.ops.Report.corpusReport(docs(s, d)),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+          ${isum("len(string_split(text, ' '))")} AS total_tokens,
+          ${isum("n_chars")} AS total_chars,
+          round(CAST(${isum("n_chars")} AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+          quantile_cont(n_chars, 0.5) AS p50_chars,
+          quantile_cont(n_chars, 0.9) AS p90_chars,
+          COUNT(DISTINCT text) AS n_distinct_texts,
+          COUNT(DISTINCT lang) AS n_langs,
+          round(1 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 9)
+            AS dup_rate
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -2856,4 +2856,47 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(("a", "c")), "disjoint pair absent (no shared gram)")
     assert(got(("a", "d")) == ("a", "d", 2L, 2L, 1L, 0.333333))
   }
+
+  test("lshTune: every factorization scored, chosen is the cost argmin, " +
+    "and weighting fn higher buys more bands (recall protection)") {
+    val t = Dedup.lshTune(spark, 0.8, 64).collect()
+    assert(t.map(r => r.getInt(0) * r.getInt(1)).forall(_ == 64),
+      "bands*rows must equal numPerms on every row")
+    assert(t.length == 7, "divisor pairs of 64")
+    val costs = t.map(_.getDouble(4))
+    val chosen = t.filter(_.getBoolean(5))
+    assert(chosen.nonEmpty &&
+      chosen.forall(_.getDouble(4) == costs.min), "chosen = cost argmin")
+    // extremes are never optimal at a mid threshold: b=1 (one giant
+    // band = AND of all perms, misses everything) and b=64 (r=1:
+    // candidate iff ANY single perm matches, floods the verify join)
+    assert(!chosen.exists(r => r.getInt(0) == 1 || r.getInt(0) == 64))
+    val lax = Dedup.lshPickParams(spark, 0.8, 64, fpWeight = 0.9,
+      fnWeight = 0.1)
+    val strict = Dedup.lshPickParams(spark, 0.8, 64, fpWeight = 0.1,
+      fnWeight = 0.9)
+    assert(strict._1 >= lax._1,
+      s"fn-heavy weighting must not pick fewer bands: $strict vs $lax")
+    // the pick is minhashLsh-compatible by construction
+    val (b, r) = Dedup.lshPickParams(spark, 0.8, 64)
+    assert(b * r == 64 && b >= 1)
+  }
+
+  test("corpusReport: dup rate, token mass, and percentiles per source") {
+    val df = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "a b c", "en", "s1", 5L),
+      (3L, "d e", "de", "s1", 3L), (4L, "f", "en", "s2", 1L),
+      (5L, "g h i j", "fr", "s2", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Report.corpusReport(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 8) // docs, tokens 3+3+2
+    assert(s1.getLong(7) == 2, "two distinct texts in s1")
+    assert(s1.getDouble(9) == round9(1.0 - 2.0 / 3.0), "dup rate 1/3")
+    assert(s1.getLong(8) == 2, "langs en+de")
+    val s2 = got("s2")
+    assert(s2.getLong(1) == 2 && s2.getDouble(9) == 0.0)
+    assert(s2.getDouble(5) == 4.0, "p50 of {1,7} interpolates to 4")
+  }
 }

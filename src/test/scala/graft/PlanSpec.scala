@@ -660,6 +660,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q205 LSH planner: scan-stage Riemann folds — the only join is " +
+    "the 1-row min-cost broadcast; q206 corpus report: ONE scan, " +
+    "no join, no window") {
+    val p205 = SparkEntry.queries("q205_lsh_tune")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p205.contains("Window") && !p205.contains("CartesianProduct"))
+    val bnlj = p205.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")),
+      s"q205's only nested loop must broadcast the 1-row min side:\n$bnlj")
+    val p206 = SparkEntry.queries("q206_corpus_report")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p206.contains("Join"), "the report is one grouped aggregate")
+    assert(!p206.contains("Window"))
+    val scans = p206.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans")
+  }
+
   test("q204 dup-cluster sizes: component iterations and the histogram " +
     "are equi-joins + hash aggregates — no cartesian, no window") {
     val plan = SparkEntry.queries("q204_dup_cluster_sizes")(spark, sfSmoke)
