@@ -3469,7 +3469,9 @@ object Pipeline {
     // the type-generic two-aggregate form (max score, min(lang)).
     // The oracle replays the trigram fold hash, the 9-dp smoothed
     // log-profile, the decimal sum, and the tie-break end-to-end;
-    // trigram-free docs predict 'unk' on both sides.)
+    // trigram-free docs predict 'unk' on both sides.
+    // r12 band: fresh-session QBench, quiet host — 2.53 s [2.17, 2.91]
+    // (7 iters, sf0.1); in family with the r11 shared-session 2.46 s.)
     "q183_langid_trained" -> Q(
       (s, d) => {
         val dd = docs(s, d)
@@ -3582,7 +3584,13 @@ object Pipeline {
     // score, the q141 bounded-heap top-20 shortlist, and an
     // MMR-DIVERSIFIED final 5 over the shortlist's embeddings (q177's
     // unrolled greedy rounds). Every stage is an already-oracled
-    // operator; this row proves they interoperate.)
+    // operator; this row proves they interoperate.
+    // r12 band: fresh-session QBench, quiet host — 8.29 s [6.58, 10.06]
+    // (7 iters, sf0.1). Fresh-session pays the full JIT/codegen warmup
+    // for TEN composed operators plus 7 checkpoint rounds, so this
+    // band sits well above the 5.18 s shared-session bench median —
+    // compare future QBench runs against THIS band, bench medians
+    // against BENCH_LOCAL.)
     "q186_pipeline_v4" -> Q(
       (s, d) => {
         val dd = docs(s, d)
