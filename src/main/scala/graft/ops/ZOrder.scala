@@ -195,7 +195,20 @@ object ZOrder {
     * Hilbert d in [0, 2^(n·bits)) — a bijection with unit-Manhattan
     * steps between consecutive d (asserted exhaustively in OpsSpec).
     * For n = 2 prefer [[hilbertValue2D]] (same cost, the canonical
-    * xy2d orientation). */
+    * xy2d orientation).
+    *
+    * DO NOT `filter` on `out` in the SAME plan that computes it:
+    * predicate pushdown substitutes the filter through every walk
+    * stage, and because each stage references the previous stage's
+    * columns more than once, the rewritten predicate grows
+    * EXPONENTIALLY in the stage count — the optimizer OOMs before any
+    * row moves (observed: driver heap exhausted in
+    * PushPredicateThroughNonJoin at bits = 6, n = 3). The intended
+    * use never hits this: [[clusterByHilbertND]] range-partitions and
+    * WRITES the layout, and range predicates run against the written
+    * table (where `out` is a plain stored column and pushdown reaches
+    * the parquet scan). If you must gate on `out` in-plan, route it
+    * through an aggregate or a [[Materialize.pin]] barrier first. */
   def hilbertValueND(df: DataFrame, cells: Seq[Column], bits: Int,
                      out: String): DataFrame = {
     val n = cells.length

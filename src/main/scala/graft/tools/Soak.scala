@@ -75,8 +75,19 @@ object Soak {
     val big = spark.read.parquet(s"$out/documents.parquet")
     val nDocs = big.count()
 
-    def release(): Unit = spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // broadcasts (tokenizer vocabs, keep-sets) are cleaned by the
+      // ContextCleaner only after driver GC notices they're
+      // unreachable; without a forced GC between ops their torrent
+      // blocks accumulate across the run and a later op's peak lands
+      // on a heap the earlier ops still pin (observed: each round-12
+      // op green ALONE at 40 copies, the 4-op sequence OOM — classic
+      // cross-op retention, not an op cost)
+      System.gc()
+      Thread.sleep(500)
+    }
 
     // ---- shared lazy state (built on first use by an op that needs it) ---
     val emb = graft.Tables.embeddings(spark, sfDir)
@@ -373,8 +384,10 @@ object Soak {
       // replicated distinct-word table) + greedy encode of the corpus
       "wordpiece_encode" -> (() => {
         val vocab = graft.ops.WordPiece.fit(big, "text", numMerges = 20)
+        // filter on the count so the per-word greedy encode can't be
+        // column-pruned under a bare count() (the langid/span lesson)
         graft.ops.WordPiece.encodedTokenCount(big, "doc_id", "text", vocab)
-          .count()
+          .filter(col("n_wp_tokens") > 0).count()
       }),
       // round-12: containment pairs under the q44b dfCap regime —
       // replication makes every copy-clique a cont=1.0 block
@@ -383,8 +396,17 @@ object Soak {
       "ngram_containment" -> (() =>
         graft.ops.Dedup.ngramContainment(big, "doc_id", "text", 0.8,
           dfCap = Some(5 * copies)).count()),
-      // round-12: 3-D Hilbert layout — pure scan-stage bit arithmetic;
-      // the filter forces the distance column (count()-pruning guard)
+      // round-12: 3-D Hilbert layout — pure scan-stage bit arithmetic.
+      // The distance column is forced through an AGGREGATE
+      // (count(when(h>=0))), NEVER a filter: a Filter above the staged
+      // walk gets pushed through all ~40 projection stages, and each
+      // alias substitution multiplies the predicate's references to
+      // the previous stage — exponential expression growth that OOMs
+      // the OPTIMIZER before a single row moves (observed at 40
+      // copies: driver heap exhausted in PushPredicateThroughNonJoin/
+      // trimAliases). An Aggregate is not pushed through Project, so
+      // the walk stays a linear chain. Same hazard documented on
+      // hilbertValueND itself.
       "hilbert_3d" -> (() =>
         graft.ops.ZOrder.hilbertValueND(big.select(
             (col("doc_id") % 4096).as("a"),
@@ -393,7 +415,8 @@ object Soak {
           Seq(graft.ops.ZOrder.zCell(col("a"), 0, 4096, 6),
             graft.ops.ZOrder.zCell(col("b"), 0, 20251, 6),
             graft.ops.ZOrder.zCell(col("c"), 0, 1024, 6)), 6, "h")
-          .filter(col("h") >= 0).count())
+          .agg(count(when(col("h") >= 0, 1)).as("n"))
+          .head().getLong(0))
     )
 
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")
