@@ -121,7 +121,11 @@ object WordPiece {
         val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
         fitLocal(rows, numMerges)
       } else fitDistributed(wc, numMerges)
-    alphabet ++ merges
+    // two different merge rounds can yield the same surface token
+    // (('ab','##c') and ('a','##bc') both produce 'abc'); keep the
+    // first occurrence so ModelStore never persists one piece under
+    // two ranks (encode is a Set and is unaffected either way)
+    (alphabet ++ merges).distinct
   }
 
   private def utf8Lt(a: String, b: String): Boolean =

@@ -4354,8 +4354,11 @@ object Pipeline {
     // (Report.corpusReport — ONE groupBy over one scan: volume, token
     // mass, exact length percentiles (quantile_cont is the q25-proven
     // replay of Spark's interpolated percentile), exact-duplicate rate
-    // via COUNT(DISTINCT text), language spread. mean_chars divides an
-    // exact integer sum — no double accumulation to diverge.)
+    // via COUNT(DISTINCT xxhash64(text)) — 8-byte distinct keys, the
+    // corpus payload never shuffles; the oracle counts distinct STRINGS
+    // and agrees modulo ~n²/2⁶⁵ collisions (the q44 convention).
+    // mean_chars divides an exact integer sum — no double accumulation
+    // to diverge.)
     "q206_corpus_report" -> Q(
       (s, d) => graft.ops.Report.corpusReport(docs(s, d)),
       Some(s"""SELECT source, COUNT(*) AS n_docs,

@@ -44,13 +44,24 @@ object EnrichStream {
     * reads it in both the scoring branch and the id spine. */
   def langIdBatch(batch: DataFrame, batchId: Long, id: String,
                   text: String, profiles: DataFrame, buckets: Int,
-                  outDir: String): Unit =
+                  outDir: String): Unit = {
+    // In a standing query each micro-batch's pin (localCheckpoint)
+    // would otherwise accumulate blocks until driver GC lets the
+    // ContextCleaner reclaim them (the Soak.release lesson). Snapshot
+    // the persistent-RDD ids before the pin and release exactly what
+    // this batch added — never the caller's own pinned frames.
+    val sc = batch.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     enrichBatch(batch, batchId, outDir) { raw =>
       val b = Materialize.pin(raw)
       b.join(
         TextAnalysis.predictLangTrained(b, id, text, profiles, buckets),
         Seq(id))
     }
+    sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
+      if (!before.contains(rddId)) rdd.unpersist(blocking = false)
+    }
+  }
 
   /** wire the language-ID recipe into a standing query
     * ([[DedupStream.start]]'s AvailableNow drain contract). */

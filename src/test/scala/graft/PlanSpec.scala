@@ -670,12 +670,22 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.forall(_.contains("BuildRight")),
       s"q205's only nested loop must broadcast the 1-row min side:\n$bnlj")
-    val p206 = SparkEntry.queries("q206_corpus_report")(spark, sfSmoke)
-      .queryExecution.executedPlan.toString
+    val q206 = SparkEntry.queries("q206_corpus_report")(spark, sfSmoke)
+    val p206 = q206.queryExecution.executedPlan.toString
     assert(!p206.contains("Join"), "the report is one grouped aggregate")
     assert(!p206.contains("Window"))
     val scans = p206.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected one documents scan, got $scans")
+    // the dup-rate distinct is keyed by xxhash64(text): no shuffle in the
+    // report may carry the corpus text payload (VERDICT r12 item 2)
+    assert(p206.contains("xxhash64"), "text distinct must be hash-keyed")
+    val shuffledText = q206.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.filter(a => a.name == "text" &&
+          a.dataType == org.apache.spark.sql.types.StringType)
+    }.flatten
+    assert(shuffledText.isEmpty,
+      s"corpus text must never shuffle in the report: $shuffledText")
   }
 
   test("q204 dup-cluster sizes: component iterations and the histogram " +
