@@ -581,7 +581,17 @@ object TextAnalysis {
     * (id, n_bigrams, avg_logp). */
   def bigramLmScore(df: DataFrame, id: String, text: String,
                     fitOn: Option[DataFrame] = None,
-                    materialize: Boolean = true): DataFrame = {
+                    materialize: Boolean = true): DataFrame = fitOn match {
+    // cross-fit routes through the persistable-model path — the fit
+    // table IS the model, so fit-then-score and fit-then-save-then-
+    // load-then-score are the same plan by construction
+    case Some(c) =>
+      bigramLmScoreWith(df, id, text, fitBigramLm(c, text), materialize)
+    case None => bigramLmScoreSelf(df, id, text, materialize)
+  }
+
+  private def bigramLmScoreSelf(df: DataFrame, id: String, text: String,
+                                materialize: Boolean): DataFrame = {
     // Bigrams are keyed by 64-bit hashes (h12 = xxhash64(w1,w2),
     // h1 = xxhash64(w1)) — the count and score joins shuffle 8-byte
     // keys instead of word pairs, the term that dominates at corpus
@@ -602,57 +612,101 @@ object TextAnalysis {
     def expand(arrays: DataFrame) = arrays
       .select(col(id), explode_outer(col("bs")).as("b"))
       .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
-    val scoreArrays0 = bigramArrays(df)
-    val scoreArrays =
-      Materialize.pin(scoreArrays0, materialize)
-    val corpus = fitOn.getOrElse(df)
-    val corpusBigrams = fitOn match {
-      case Some(c) => expand(bigramArrays(c))
-      case None => expand(scoreArrays)
-    }
+    val scoreArrays = Materialize.pin(bigramArrays(df), materialize)
+    val corpusBigrams = expand(scoreArrays)
     val c12 = corpusBigrams.groupBy("h12")
       .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1c"))
     val c1 = c12.groupBy(col("h1c").as("h1")).agg(sum(col("c12")).as("c1"))
+    val vocab = df.select(explode(tokens(col(text))).as("wd"))
+      .agg(count_distinct(col("wd")).as("v"))
+    val lnp = round(log((col("c12") + 1).cast("double") /
+      (col("c1") + col("v"))), 9)
+    // self-fit: every scored bigram exists in c12 by construction,
+    // so probabilities assemble on the vocab-sized TYPE table (c12
+    // carries h1c) and ONE h12 equi-join touches the occurrence
+    // stream — not a corpus-scale h1 join on Zipf-skewed word keys
+    // (the knBigramLmScore shape).
+    val types = c12.join(c1, c12("h1c") === c1("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("h12"), lnp.as("lnp"))
+    expand(scoreArrays).select(col(id), col("h12"))
+      .join(types, Seq("h12"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.api.functions.davg(col("lnp")).as("avg_logp"))
+  }
+
+  /** fit side of the add-one bigram LM as a persistable model TABLE
+    * ([[graft.ops.ModelStore.saveModelTable]]; order-pin on load with
+    * `h12`): one row per bigram type (h12, h1, c12) with the corpus
+    * vocabulary size V denormalized onto every row, plus one sentinel
+    * row (null hashes) that carries V even when the corpus has no
+    * bigrams at all — so [[bigramLmScoreWith]] always recovers the
+    * add-one fallback denominator. Vocabulary-sized: two hash
+    * aggregates over one corpus scan plus a 1-row broadcast cross. */
+  def fitBigramLm(corpus: DataFrame, text: String): DataFrame = {
+    val w = tokens(col(text))
+    val grams = transform(sequence(lit(0), size(col("w")) - 2),
+      i => struct(
+        xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+        xxhash64(get(col("w"), i)).as("h1")))
+    val occ = corpus.select(w.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(grams).as("b"))
+      .select(col("b.h12").as("h12"), col("b.h1").as("h1"))
+    val c12 = occ.groupBy("h12")
+      .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1"))
     val vocab = corpus.select(explode(tokens(col(text))).as("wd"))
       .agg(count_distinct(col("wd")).as("v"))
-    // LEFT joins + coalesce-to-0: a bigram / context word absent from
-    // the fit corpus gets the full add-one fallback (0+1)/(0+V) instead
-    // of silently dropping — only reachable when `fitOn` differs.
+    c12.crossJoin(broadcast(vocab))
+      .select(col("h12"), col("h1"), col("c12"), col("v"))
+      .unionByName(vocab.select(lit(null).cast("long").as("h12"),
+        lit(null).cast("long").as("h1"), lit(null).cast("long").as("c12"),
+        col("v")))
+  }
+
+  /** score `df` against a FITTED add-one bigram LM ([[fitBigramLm]],
+    * possibly round-tripped through ModelStore) — the score-many half
+    * of the train-once/score-many contract, and the scorer
+    * [[bigramLmScore]]'s cross-fit path delegates to (so the two are
+    * equal by construction).
+    *
+    * Open vocabulary: a scored bigram ABSENT from the model (null
+    * c12/c1 after the left joins) gets the full add-one fallback
+    * (0+1)/(0+V). The fallback still assembles on a TYPE table: the
+    * SCORE side's distinct bigrams (one h12-keyed hash aggregate with
+    * map-side partial combine, which absorbs Zipf skew the way a join
+    * cannot) left-join the model counts at vocab scale, and ONE h12
+    * equi-join touches the occurrence stream. Joining counts onto the
+    * occurrences directly would put every occurrence of "the" on one
+    * reducer for the h1 join at corpus scale. Returns
+    * (id, n_bigrams, avg_logp); documents with < 2 tokens are absent. */
+  def bigramLmScoreWith(df: DataFrame, id: String, text: String,
+                        model: DataFrame,
+                        materialize: Boolean = true): DataFrame = {
+    val w = tokens(col(text))
+    val scoreArrays = Materialize.pin(
+      df.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
+        .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(
+            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+            xxhash64(get(col("w"), i)).as("h1"))).as("bs")), materialize)
+    val occ = scoreArrays
+      .select(col(id), explode_outer(col("bs")).as("b"))
+      .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
+    val seen = model.filter(col("h12").isNotNull)
+    val c12 = seen.select(col("h12"), col("c12"))
+    val c1 = seen.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+    val vocab = model.agg(max(col("v")).as("v"))
     val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
-    val scores = fitOn match {
-      case None =>
-        // self-fit: every scored bigram exists in c12 by construction,
-        // so probabilities assemble on the vocab-sized TYPE table (c12
-        // carries h1c) and ONE h12 equi-join touches the occurrence
-        // stream — not a corpus-scale h1 join on Zipf-skewed word keys
-        // (the knBigramLmScore shape).
-        val types = c12.join(c1, c12("h1c") === c1("h1"))
-          .crossJoin(broadcast(vocab))
-          .select(col("h12"), lnp.as("lnp"))
-        expand(scoreArrays).select(col(id), col("h12"))
-          .join(types, Seq("h12"))
-      case Some(_) =>
-        // cross-fit: a scored bigram may be ABSENT from the fit corpus
-        // (null c12/c1 → the add-one fallback (0+1)/(0+V)) — but the
-        // fallback still assembles on a TYPE table: the SCORE side's
-        // distinct bigrams (one h12-keyed hash aggregate with map-side
-        // partial combine, which absorbs Zipf skew the way a join
-        // cannot) left-join the fit counts at vocab scale, and ONE h12
-        // equi-join touches the occurrence stream. Joining c12/c1 onto
-        // the occurrences directly would put every occurrence of "the"
-        // on one reducer for the h1 join at corpus scale.
-        val occ = expand(scoreArrays)
-        val stypes = occ.groupBy("h12").agg(first(col("h1")).as("h1s"))
-        val types = stypes
-          .join(c12.select(col("h12"), col("c12")), Seq("h12"), "left")
-          .join(c1, stypes("h1s") === c1("h1"), "left")
-          .crossJoin(broadcast(vocab))
-          .select(stypes("h12"), lnp.as("lnp"))
-        occ.select(col(id), col("h12"))
-          .join(types, Seq("h12"))
-    }
-    scores
+    val stypes = occ.groupBy("h12").agg(first(col("h1")).as("h1s"))
+    val types = stypes
+      .join(c12, Seq("h12"), "left")
+      .join(c1, stypes("h1s") === c1("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(stypes("h12"), lnp.as("lnp"))
+    occ.select(col(id), col("h12"))
+      .join(types, Seq("h12"))
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),
         graft.api.functions.davg(col("lnp")).as("avg_logp"))
@@ -736,6 +790,93 @@ object TextAnalysis {
       .join(types, Seq("h12"))
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_bigrams"),
+        graft.api.functions.davg(col("lnp")).as("avg_logp"))
+  }
+
+  /** fit side of [[knBigramLmScore]] as a persistable model TABLE
+    * ([[graft.ops.ModelStore.saveModelTable]]; order-pin on load with
+    * `h12`): one row per bigram type (h12, h1, h2, c12) — everything
+    * interpolated KN needs (per-left totals + fanout, per-right fanin,
+    * type total) derives from this table at score time, so the model
+    * stays a single vocabulary-sized frame. One hash aggregate over
+    * one corpus scan. */
+  def fitKnBigramLm(corpus: DataFrame, text: String): DataFrame = {
+    val w = tokens(col(text))
+    val grams = transform(sequence(lit(0), size(col("w")) - 2),
+      i => struct(
+        xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+        xxhash64(get(col("w"), i)).as("h1"),
+        xxhash64(get(col("w"), i + 1)).as("h2")))
+    corpus.select(w.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(grams).as("b"))
+      .select(col("b.h12").as("h12"), col("b.h1").as("h1"),
+        col("b.h2").as("h2"))
+      .groupBy("h12").agg(count(lit(1)).as("c12"),
+        first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+  }
+
+  /** score `df` against a FITTED interpolated-KN bigram LM
+    * ([[fitKnBigramLm]], possibly round-tripped through ModelStore) —
+    * the score-many half of the train-once/score-many contract for the
+    * fluency scorer.
+    *
+    * KN is fit-closed-vocabulary, so scoring held-out text needs an
+    * explicit out-of-vocabulary convention (KenLM reserves an <unk>
+    * token at TRAINING time; a post-hoc scorer cannot). The convention
+    * here, stated in the output:
+    *  - bigram type SEEN in the model → the exact interpolated-KN
+    *    probability (same association order as [[knBigramLmScore]]);
+    *  - type unseen but BOTH words in the model's vocabulary (w1 has a
+    *    left total, w2 has continuation mass) → the interpolated
+    *    formula at c(w1,w2) = 0, i.e. D·N₁₊(w1,·)·P_cont(w2)/c(w1) —
+    *    well-defined and exactly what KN interpolation is FOR;
+    *  - w1 or w2 outside the vocabulary → NO probability mass exists;
+    *    the bigram is EXCLUDED from the mean and counted in `n_oov`
+    *    (the honest alternative to inventing an ad-hoc floor).
+    * A document whose every bigram is OOV keeps n_bigrams = 0 and a
+    * null avg_logp. Same TYPE-table assembly as [[knBigramLmScore]]:
+    * score-side distinct bigrams left-join the model at vocab scale;
+    * ONE h12 equi-join touches the occurrence stream. Returns
+    * (id, n_bigrams, n_oov, avg_logp). */
+  def knBigramLmScoreWith(df: DataFrame, id: String, text: String,
+                          model: DataFrame, discount: Double = 0.75,
+                          materialize: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "knBigramLmScoreWith: discount must be in (0,1)")
+    val w = tokens(col(text))
+    val arrays = Materialize.pin(
+      df.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
+        .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(
+            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+            xxhash64(get(col("w"), i)).as("h1"),
+            xxhash64(get(col("w"), i + 1)).as("h2"))).as("bs")),
+      materialize)
+    val expanded = arrays.select(col(id), explode(col("bs")).as("b"))
+      .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"),
+        col("b.h2").as("h2"))
+    val left = model.groupBy(col("h1")).agg(
+      sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+    val right = model.groupBy(col("h2")).agg(count(lit(1)).as("fanin"))
+    val n11 = model.agg(count(lit(1)).as("n11"))
+    val stypes = expanded.groupBy("h12").agg(
+      first(col("h1")).as("h1s"), first(col("h2")).as("h2s"))
+    val p = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - discount,
+      lit(0.0)) +
+      lit(discount) * col("fanout") * col("fanin") / col("n11")) / col("c1")
+    val lnp = when(col("c1").isNotNull && col("fanin").isNotNull,
+      round(log(p), 9))
+    val types = stypes
+      .join(model.select(col("h12"), col("c12")), Seq("h12"), "left")
+      .join(left, stypes("h1s") === left("h1"), "left")
+      .join(right, stypes("h2s") === right("h2"), "left")
+      .crossJoin(broadcast(n11))
+      .select(stypes("h12"), lnp.as("lnp"))
+    expanded.select(col(id), col("h12"))
+      .join(types, Seq("h12"))
+      .groupBy(col(id)).agg(
+        count(col("lnp")).as("n_bigrams"),
+        (count(lit(1)) - count(col("lnp"))).as("n_oov"),
         graft.api.functions.davg(col("lnp")).as("avg_logp"))
   }
 
@@ -827,15 +968,41 @@ object TextAnalysis {
     * go to the higher bucket, matching `keepTopQuantile`'s >= keep
     * rule. Returns df + `bucket`. */
   def bucketByQuantiles(df: DataFrame, group: String, score: Column,
-                        probs: Seq[Double]): DataFrame = {
+                        probs: Seq[Double]): DataFrame =
+    bucketByThresholds(df, group, score,
+      quantileThresholds(df, group, score, probs))
+
+  /** the threshold table [[bucketByQuantiles]] computes inline, as a
+    * persistable model ([[graft.ops.ModelStore.saveModelTable]];
+    * order-pin on load with `group`): one row per group with the exact
+    * interpolated quantile vector of `score` at `probs` — the
+    * train-once half of threshold bucketing (CCNet computes its
+    * head/middle/tail cuts on the TRAINING distribution and applies
+    * them to everything that arrives later). One hash aggregate.
+    * Returns (group, thresholds: array<double>). */
+  def quantileThresholds(df: DataFrame, group: String, score: Column,
+                         probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted &&
       probs.forall(p => p > 0 && p < 1),
-      "bucketByQuantiles: probs must be sorted, in (0, 1)")
-    val scored = df.withColumn("__bq_score", score)
-    val thr = scored.groupBy(col(group)).agg(
+      "quantileThresholds: probs must be sorted, in (0, 1)")
+    df.withColumn("__bq_score", score).groupBy(col(group)).agg(
       percentile(col("__bq_score"),
-        array(probs.map(lit(_)): _*)).as("__bq_thr"))
-    scored.join(broadcast(thr), Seq(group))
+        array(probs.map(lit(_)): _*)).as("thresholds"))
+  }
+
+  /** stamp quantile buckets from a FITTED threshold table
+    * ([[quantileThresholds]], possibly round-tripped through
+    * ModelStore): the |groups|-row table broadcasts back and the
+    * bucket index is a scan-stage fold over the thresholds — never an
+    * ntile window. Rows whose group is absent from the table are
+    * dropped (no thresholds → no bucket — the ccnet language rule).
+    * Bucket i = count of thresholds at or below the row's score (rows
+    * AT a threshold go to the higher bucket). Returns df + `bucket`. */
+  def bucketByThresholds(df: DataFrame, group: String, score: Column,
+                         thresholds: DataFrame): DataFrame = {
+    val thr = thresholds.select(col(group), col("thresholds").as("__bq_thr"))
+    df.withColumn("__bq_score", score)
+      .join(broadcast(thr), Seq(group))
       .withColumn("bucket", aggregate(col("__bq_thr"), lit(0),
         (acc, t) => acc + when(col("__bq_score") >= t, 1).otherwise(0)))
       .drop("__bq_score", "__bq_thr")
@@ -898,41 +1065,86 @@ object TextAnalysis {
     * languages. Returns (id, lang, n_bigrams, ppl). */
   def ccnetPerplexity(df: DataFrame, id: String, text: String,
                       lang: String, fitOn: DataFrame,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true): DataFrame =
+    // fit routes through the persistable per-language model table —
+    // fit-then-score and fit-then-save-then-load-then-score are the
+    // same plan by construction ([[fitCcnetLm]]/[[ccnetPerplexityWith]])
+    ccnetPerplexityWith(df, id, text, lang,
+      fitCcnetLm(fitOn, text, lang), materialize)
+
+  /** the compact per-doc hash-array frame shared by the ccnet fit and
+    * score sides (the q99 shape): one struct array per document, never
+    * the exploded occurrence stream; explode stays downstream so it
+    * runs in the scan stage of each consumer. Input must carry a `w`
+    * token-array column; every other column rides along. */
+  private def ccnetBigramArrays(d: DataFrame): DataFrame =
+    d.filter(size(col("w")) >= 2)
+      .select(d.columns.filter(_ != "w").map(col) :+
+        transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(
+            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
+            xxhash64(get(col("w"), i)).as("h1"))).as("bs"): _*)
+
+  private def ccnetExpand(arrays: DataFrame): DataFrame = arrays
+    .withColumn("b", explode(col("bs"))).drop("bs")
+    .withColumn("h12", col("b.h12")).withColumn("h1", col("b.h1"))
+    .drop("b")
+
+  /** fit side of [[ccnetPerplexity]] as a persistable model TABLE
+    * ([[graft.ops.ModelStore.saveModelTable]]; order-pin on load with
+    * `lang, h12`): one row per (language, bigram type) carrying
+    * (h12, h1, c12) with the per-language vocabulary size V
+    * denormalized onto every row; a language whose fit slice has
+    * vocabulary but no bigrams keeps one sentinel row (null hashes) so
+    * its V — and therefore its open-vocab fallback — survives the
+    * round trip. Vocabulary-sized: two hash aggregates over one fit
+    * scan plus |langs|-row broadcast joins. */
+  def fitCcnetLm(fitOn: DataFrame, text: String, lang: String): DataFrame = {
     val w = tokens(col(text))
-    // compact per-doc hash-array frames (the q99 shape): the pin
-    // materializes ONE struct array per document, never the exploded
-    // occurrence stream; explode stays downstream so it runs in the
-    // scan stage of each consumer.
-    def bigramArrays(d: DataFrame): DataFrame =
-      d.filter(size(col("w")) >= 2)
-        .select(d.columns.filter(_ != "w").map(col) :+
-          transform(sequence(lit(0), size(col("w")) - 2),
-            i => struct(
-              xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
-              xxhash64(get(col("w"), i)).as("h1"))).as("bs"): _*)
-    def expand(arrays: DataFrame): DataFrame = arrays
-      .withColumn("b", explode(col("bs"))).drop("bs")
-      .withColumn("h12", col("b.h12")).withColumn("h1", col("b.h1"))
-      .drop("b")
-    val fitOcc = expand(bigramArrays(
+    val fitOcc = ccnetExpand(ccnetBigramArrays(
       fitOn.select(col(lang).as("__lg"), w.as("w"))))
     val c12 = fitOcc.groupBy("__lg", "h12")
-      .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1c"))
-    val c1 = c12.groupBy(col("__lg"), col("h1c").as("h1s"))
-      .agg(sum(col("c12")).as("c1"))
+      .agg(count(lit(1)).as("c12"), first(col("h1")).as("h1"))
     val vocabL = fitOn
       .select(col(lang).as("__lg"), explode(tokens(col(text))).as("wd"))
       .groupBy("__lg").agg(count_distinct(col("wd")).as("v"))
-    val scoreOcc = expand(Materialize.pin(bigramArrays(
+    val sentinels = vocabL
+      .join(c12.select(col("__lg")).distinct(), Seq("__lg"), "left_anti")
+      .select(col("__lg"), lit(null).cast("long").as("h12"),
+        lit(null).cast("long").as("h1"), lit(null).cast("long").as("c12"),
+        col("v"))
+    c12.join(broadcast(vocabL), Seq("__lg"))
+      .select(col("__lg"), col("h12"), col("h1"), col("c12"), col("v"))
+      .unionByName(sentinels)
+      .withColumnRenamed("__lg", lang)
+  }
+
+  /** score `df` against a FITTED per-language ccnet LM ([[fitCcnetLm]],
+    * possibly round-tripped through ModelStore) — the score-many half
+    * of the train-once/score-many contract, and what
+    * [[ccnetPerplexity]] delegates to. Same open-vocabulary fallback
+    * and TYPE-table assembly as [[bigramLmScoreWith]], per language;
+    * languages absent from the model are EXCLUDED (CCNet trains one LM
+    * per covered language). Returns (id, lang, n_bigrams, ppl);
+    * documents with < 2 tokens are absent. */
+  def ccnetPerplexityWith(df: DataFrame, id: String, text: String,
+                          lang: String, model: DataFrame,
+                          materialize: Boolean = true): DataFrame = {
+    val w = tokens(col(text))
+    val seen = model.filter(col("h12").isNotNull)
+    val c12 = seen.select(col(lang).as("__lg"), col("h12"), col("c12"))
+    val c1 = seen.groupBy(col(lang).as("__lg"), col("h1").as("h1s"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocabL = model.groupBy(col(lang).as("__lg"))
+      .agg(max(col("v")).as("v"))
+    val scoreOcc = ccnetExpand(Materialize.pin(ccnetBigramArrays(
       df.select(col(id), col(lang).as("__lg"), w.as("w"))), materialize))
     val stypes = scoreOcc.groupBy("__lg", "h12")
       .agg(first(col("h1")).as("h1s"))
     val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
     val types = stypes
-      .join(c12.select(col("__lg"), col("h12"), col("c12")),
-        Seq("__lg", "h12"), "left")
+      .join(c12, Seq("__lg", "h12"), "left")
       .join(c1, Seq("__lg", "h1s"), "left")
       .join(vocabL, Seq("__lg"))
       .select(col("__lg"), col("h12"), lnp.as("lnp"))

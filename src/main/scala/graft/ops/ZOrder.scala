@@ -207,8 +207,9 @@ object ZOrder {
     * use never hits this: [[clusterByHilbertND]] range-partitions and
     * WRITES the layout, and range predicates run against the written
     * table (where `out` is a plain stored column and pushdown reaches
-    * the parquet scan). If you must gate on `out` in-plan, route it
-    * through an aggregate or a [[Materialize.pin]] barrier first. */
+    * the parquet scan). If you must gate on `out` in-plan, use
+    * [[hilbertGate]] — it computes the same walk behind a lineage
+    * barrier, so filtering its result is safe by construction. */
   def hilbertValueND(df: DataFrame, cells: Seq[Column], bits: Int,
                      out: String): DataFrame = {
     val n = cells.length
@@ -254,6 +255,32 @@ object ZOrder {
         lvl * n + (n - 1 - i))).reduce(_ + _)
     cur.withColumn(out, d)
       .drop("__tc").drop((0 until n).map(i => s"__t$i"): _*)
+  }
+
+  /** [[hilbertValueND]] behind a lineage barrier: compute the Skilling
+    * walk, then pin, so that downstream predicates on `out` (or on any
+    * column) CANNOT be pushed back through the walk stages — the
+    * exponential-predicate optimizer OOM documented on
+    * [[hilbertValueND]] is unreachable through this entry point.
+    *
+    * The barrier is [[Materialize.pin]] (deployment-selected local or
+    * reliable checkpoint). Under [[Materialize.Off]] the gate still
+    * erects a LAZY local checkpoint rather than degrading to pure
+    * lineage: an un-pinned gate would not be a gate, and the lazy form
+    * materializes nothing until the first action while already
+    * truncating the logical plan at LogicalRDD, which is what stops
+    * the pushdown rewrite. For n = 2 the walk routes through the
+    * canonical [[hilbertValue2D]] orientation (same values as the
+    * standalone 2-D API). */
+  def hilbertGate(df: DataFrame, cells: Seq[Column], bits: Int,
+                  out: String): DataFrame = {
+    val walked =
+      if (cells.length == 2) hilbertValue2D(df, cells(0), cells(1), bits, out)
+      else hilbertValueND(df, cells, bits, out)
+    Materialize.strategy match {
+      case Materialize.Off => walked.localCheckpoint(false)
+      case _ => Materialize.pin(walked)
+    }
   }
 
   /** [[hilbertValueND]] as a chain of SQL CTEs — the q199 oracle

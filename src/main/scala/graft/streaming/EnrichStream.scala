@@ -33,10 +33,25 @@ object EnrichStream {
 
   /** one micro-batch of a generic enrichment: apply `f` (any batch
     * transform over the projected batch) and write the result
-    * idempotently to `outDir/batch-<id>/`. */
+    * idempotently to `outDir/batch-<id>/`.
+    *
+    * In a standing query each micro-batch's pins (localCheckpoint,
+    * inside `f` or inside the operators it calls) would otherwise
+    * accumulate blocks until driver GC lets the ContextCleaner reclaim
+    * them (the Soak.release lesson). The guard snapshots the
+    * persistent-RDD ids before `f` and releases exactly what the batch
+    * added after the write lands — never the caller's own pinned
+    * frames (the broadcast model tables are not persistent RDDs and
+    * are untouched). */
   def enrichBatch(batch: DataFrame, batchId: Long, outDir: String)
-                 (f: DataFrame => DataFrame): Unit =
-    f(batch).write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+                 (f: DataFrame => DataFrame): Unit = {
+    val sc = batch.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try f(batch).write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+    finally sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
+      if (!before.contains(rddId)) rdd.unpersist(blocking = false)
+    }
+  }
 
   /** one micro-batch of the trained-language-ID recipe: stamp
     * (lang) from the persisted profile table onto every batch doc —
@@ -44,24 +59,13 @@ object EnrichStream {
     * reads it in both the scoring branch and the id spine. */
   def langIdBatch(batch: DataFrame, batchId: Long, id: String,
                   text: String, profiles: DataFrame, buckets: Int,
-                  outDir: String): Unit = {
-    // In a standing query each micro-batch's pin (localCheckpoint)
-    // would otherwise accumulate blocks until driver GC lets the
-    // ContextCleaner reclaim them (the Soak.release lesson). Snapshot
-    // the persistent-RDD ids before the pin and release exactly what
-    // this batch added — never the caller's own pinned frames.
-    val sc = batch.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+                  outDir: String): Unit =
     enrichBatch(batch, batchId, outDir) { raw =>
       val b = Materialize.pin(raw)
       b.join(
         TextAnalysis.predictLangTrained(b, id, text, profiles, buckets),
         Seq(id))
     }
-    sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
-      if (!before.contains(rddId)) rdd.unpersist(blocking = false)
-    }
-  }
 
   /** wire the language-ID recipe into a standing query
     * ([[DedupStream.start]]'s AvailableNow drain contract). */
@@ -70,5 +74,66 @@ object EnrichStream {
                    checkpointDir: String, outDir: String): StreamingQuery =
     DedupStream.start(stream, checkpointDir) { (b, bid) =>
       langIdBatch(b, bid, id, text, profiles, buckets, outDir)
+    }
+
+  /** one micro-batch of the add-one bigram-LM fluency recipe: stamp
+    * (n_bigrams, avg_logp) from a persisted LM model table
+    * ([[TextAnalysis.fitBigramLm]] via ModelStore) onto every batch
+    * doc. LEFT join: a doc with < 2 tokens has no bigrams and keeps
+    * null scores rather than vanishing from the enriched output (a
+    * stream row must never be silently dropped by an enrichment). */
+  def lmScoreBatch(batch: DataFrame, batchId: Long, id: String,
+                   text: String, model: DataFrame,
+                   outDir: String): Unit =
+    enrichBatch(batch, batchId, outDir) { raw =>
+      val b = Materialize.pin(raw)
+      b.join(TextAnalysis.bigramLmScoreWith(b, id, text, model),
+        Seq(id), "left")
+    }
+
+  /** wire the bigram-LM fluency recipe into a standing query. */
+  def lmScoreEnrich(stream: DataFrame, id: String, text: String,
+                    model: DataFrame, checkpointDir: String,
+                    outDir: String): StreamingQuery =
+    DedupStream.start(stream, checkpointDir) { (b, bid) =>
+      lmScoreBatch(b, bid, id, text, model, outDir)
+    }
+
+  /** one micro-batch of the CCNet perplexity recipe: stamp
+    * (n_bigrams, ppl) from a persisted per-language LM
+    * ([[TextAnalysis.fitCcnetLm]] via ModelStore), and — when a
+    * fit-time threshold table ([[TextAnalysis.quantileThresholds]]
+    * over the TRAINING ppl distribution at the head/middle terciles)
+    * is supplied — the head|middle|tail `bucket` label. CCNet's cuts
+    * are training-distribution constants, which is exactly why the
+    * streaming form wants them persisted: per-batch quantiles would
+    * re-derive thresholds from whatever happened to arrive in the
+    * micro-batch. LEFT join keeps short and uncovered-language docs
+    * (null scores) in the enriched output. */
+  def ccnetScoreBatch(batch: DataFrame, batchId: Long, id: String,
+                      text: String, lang: String, model: DataFrame,
+                      thresholds: Option[DataFrame],
+                      outDir: String): Unit =
+    enrichBatch(batch, batchId, outDir) { raw =>
+      val b = Materialize.pin(raw)
+      val scored = TextAnalysis.ccnetPerplexityWith(b, id, text, lang, model)
+      val stamped = thresholds match {
+        case Some(t) =>
+          TextAnalysis.bucketByThresholds(scored, lang, col("ppl"), t)
+            .withColumn("bucket", element_at(
+              array(lit("head"), lit("middle"), lit("tail")),
+              col("bucket") + 1))
+        case None => scored
+      }
+      b.join(stamped.drop(lang), Seq(id), "left")
+    }
+
+  /** wire the CCNet perplexity recipe into a standing query. */
+  def ccnetScoreEnrich(stream: DataFrame, id: String, text: String,
+                       lang: String, model: DataFrame,
+                       thresholds: Option[DataFrame],
+                       checkpointDir: String, outDir: String): StreamingQuery =
+    DedupStream.start(stream, checkpointDir) { (b, bid) =>
+      ccnetScoreBatch(b, bid, id, text, lang, model, thresholds, outDir)
     }
 }

@@ -1643,6 +1643,43 @@ class OpsSpec extends SparkSpec {
         s"bucket $b bbox $xs x $ys x $zs") }
   }
 
+  test("hilbertGate: the documented hazard (filter on the Hilbert key " +
+    "in the SAME plan, n=3 bits=6) plans and completes through the " +
+    "gate, under both pin strategies; values match the raw walk") {
+    import graft.ops.{Materialize, ZOrder}
+    // n=3, bits=6 is exactly the config that OOMed the optimizer when
+    // the filter was pushed through the ungated walk (hilbertValueND
+    // scaladoc). 500 spread points — the hazard is plan-time, not data.
+    val pts = (0 until 500).map { i =>
+      ((i * 7L) % 64, (i * 13L) % 64, (i * 29L) % 64) }
+    val df = pts.toDF("x", "y", "z")
+    val cells = Seq($"x", $"y", $"z")
+    val cut = 1L << 15
+    // expected: compute the walk WITHOUT any in-plan filter, cut locally
+    val expect = ZOrder.hilbertValueND(df, cells, 6, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("d")))
+      .filter(_._4 < cut).sortBy(_._4).toSeq
+    def run(): Seq[(Long, Long, Long, Long)] =
+      ZOrder.hilbertGate(df, cells, 6, "d")
+        .filter($"d" < cut).orderBy("d")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run() == expect, "gated filter under the default pin")
+    val saved = Materialize.strategy
+    try {
+      Materialize.strategy = Materialize.Off
+      assert(run() == expect, "gated filter under Materialize.Off " +
+        "(lazy localCheckpoint arm)")
+    } finally Materialize.strategy = saved
+    // n = 2 routes through the canonical 2-D orientation
+    val flat = pts.map(p => (p._1, p._2)).toDF("x", "y")
+    val g2 = ZOrder.hilbertGate(flat, Seq($"x", $"y"), 6, "d")
+      .orderBy("x", "y").as[(Long, Long, Long)].collect().toSeq
+    val r2 = ZOrder.hilbertValue2D(flat, $"x", $"y", 6, "d")
+      .orderBy("x", "y").as[(Long, Long, Long)].collect().toSeq
+    assert(g2 == r2)
+  }
+
   test("groupHoldout: group-atomic assignment, partitioning-stable, " +
     "expectation tracks the fraction") {
     import graft.ops.Mixture

@@ -500,4 +500,119 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", profiles, 64, out)
     assert(got() == expected, "batch replay duplicated enrichment rows")
   }
+
+  test("EnrichStream bigram-LM recipe: streamed fluency stamps equal " +
+    "the batch scorer from the SAME persisted model; sub-bigram docs " +
+    "stay with null scores; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.{DedupStream, EnrichStream}
+    import graft.ops.{ModelStore, TextAnalysis => TA}
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt, mdir) =
+      (tmp("lm_out"), tmp("lm_ckpt"), tmp("lm_model") + "/m")
+    val fit = Seq(
+      ("the quick brown fox jumps over the lazy dog"),
+      ("the lazy dog sleeps while the quick fox runs")).toDF("text")
+    ModelStore.saveModelTable(TA.fitBigramLm(fit, "text"), mdir)
+    val model = ModelStore.loadModelTable(spark, mdir, "h12")
+    val batches = Seq(
+      Seq((1L, "the quick fox runs"), (2L, "zq xv wk")),
+      Seq((3L, "the lazy dog sleeps"), (4L, "one")))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EnrichStream.lmScoreBatch(df, bid, "doc_id", "text", model, out))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = all.join(
+        TA.bigramLmScoreWith(all, "doc_id", "text", model),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val schema = StructType(all.schema.fields ++ Seq(
+      StructField("n_bigrams", LongType), StructField("avg_logp", DoubleType)))
+    def got() = DedupStream.readTable(spark, out, schema).get
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got() == expected, "streamed LM stamps diverged from batch")
+    // the sub-bigram doc is PRESENT (left join) with null scores
+    val short = got().find(_.head == 4L).get
+    assert(short(2) == null && short(3) == null)
+    // replay the last micro-batch under its batchId
+    EnrichStream.lmScoreBatch(batches(1).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", model, out)
+    assert(got() == expected, "batch replay duplicated enrichment rows")
+  }
+
+  test("EnrichStream ccnet recipe: streamed perplexity + persisted-" +
+    "threshold buckets equal batch; uncovered languages keep null " +
+    "stamps; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.{DedupStream, EnrichStream}
+    import graft.ops.{ModelStore, TextAnalysis => TA}
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt, mdir, tdir) =
+      (tmp("cc_out"), tmp("cc_ckpt"), tmp("cc_model") + "/m",
+        tmp("cc_thr") + "/t")
+    val fit = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "a stitch in time saves nine every day"),
+      ("en", "pack my box with five dozen liquor jugs"),
+      ("de", "der schnelle fuchs springt heute sehr hoch"),
+      ("de", "die alte frau sagte nichts mehr dazu")).toDF("lang", "text")
+    ModelStore.saveModelTable(TA.fitCcnetLm(fit, "text", "lang"), mdir)
+    val model = ModelStore.loadModelTable(spark, mdir, "lang", "h12")
+    // CCNet convention: terciles of the TRAINING ppl distribution
+    val trainPpl = TA.ccnetPerplexityWith(
+      fit.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "text", "lang", model)
+    ModelStore.saveModelTable(TA.quantileThresholds(
+      trainPpl, "lang", col("ppl"), Seq(1.0/3, 2.0/3)), tdir)
+    val thr = ModelStore.loadModelTable(spark, tdir, "lang")
+    val batches = Seq(
+      Seq((1L, "en", "the quick fox jumps today"),
+          (2L, "de", "der fuchs springt heute")),
+      Seq((3L, "en", "a lazy dog saves time"),
+          (4L, "fr", "le renard saute haut")))   // uncovered language
+    val src = MemoryStream[(Long, String, String)]
+    val q = src.toDF().toDF("doc_id", "lang", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EnrichStream.ccnetScoreBatch(df, bid, "doc_id", "text", "lang",
+          model, Some(thr), out))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("doc_id", "lang", "text")
+    val scored = TA.ccnetPerplexityWith(all, "doc_id", "text", "lang", model)
+    val stamped = TA.bucketByThresholds(scored, "lang", col("ppl"), thr)
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("bucket") + 1))
+    val expected = all.join(stamped.drop("lang"), Seq("doc_id"), "left")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val schema = StructType(all.schema.fields ++ Seq(
+      StructField("n_bigrams", LongType), StructField("ppl", DoubleType),
+      StructField("bucket", StringType)))
+    def got() = DedupStream.readTable(spark, out, schema).get
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got() == expected, "streamed ccnet stamps diverged from batch")
+    val byId = got().map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(4L)(4) == null && byId(4L)(5) == null,
+      "uncovered-language row must survive with null stamps")
+    assert(Seq("head", "middle", "tail").contains(
+      byId(1L)(5).asInstanceOf[String]))
+    EnrichStream.ccnetScoreBatch(
+      batches(1).toDF("doc_id", "lang", "text"), 1L,
+      "doc_id", "text", "lang", model, Some(thr), out)
+    assert(got() == expected, "batch replay duplicated enrichment rows")
+  }
 }
