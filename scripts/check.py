@@ -25,6 +25,13 @@ if not skip_verify:
         sys.exit(f"verify run failed rc={rc}")
 
 con = duckdb.connect()
+# Bound DuckDB: the unbounded default (80% of RAM) let one heavy oracle
+# query OOM-kill the whole sf1 gate at 130 GB RSS (round 13); spill goes
+# to an explicit /tmp dir, never the repo cwd (.tmp/ — the 6 GB
+# accidentally-committed spill file of round 12 came from the cwd
+# default).
+con.execute("SET memory_limit='40GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -34,6 +41,7 @@ results = {}
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
+    print(f"[compare] {name}", file=sys.stderr, flush=True)
     pdir = f"{out}/{name}"
     try:
         files = glob.glob(f"{pdir}/*.parquet")

@@ -53,7 +53,15 @@ object Bpe {
     * the standard inference rule that replays training order. */
   private[graft] def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (w.isEmpty) return Seq.empty
-    var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+    encodeFrom(w.map(_.toString) :+ EndOfWord, ranks)
+  }
+
+  /** the greedy lowest-rank merge loop on an arbitrary initial symbol
+    * sequence — shared by the char-level ([[encodeWord]]) and
+    * byte-level ([[ByteBpe]]) alphabets. */
+  private[graft] def encodeFrom(init: Seq[String],
+                                ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = init
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue
@@ -80,8 +88,14 @@ object Bpe {
     concat(split(w, ""), array(lit(EndOfWord)))
 
   private def adjacentPairs(syms: Column): Column =
-    transform(sequence(lit(0), size(syms) - 2),
-      i => struct(get(syms, i).as("p1"), get(syms, i + 1).as("p2")))
+    // slice guards the fully-merged single-symbol word: sequence(0, -1)
+    // is DESCENDING in Spark ([0, -1]), which would emit two
+    // (null, sym)/(sym, null) garbage pairs — a pair that repeats
+    // across words and would win a merge round (seen with byte-level
+    // "café</w>" collapsing to one symbol by merge 10)
+    slice(transform(sequence(lit(0), size(syms) - 2),
+      i => struct(get(syms, i).as("p1"), get(syms, i + 1).as("p2"))),
+      lit(1), greatest(size(syms) - 1, lit(0)))
 
   /** the (word, count) vocabulary — the single corpus-scale pass. */
   def wordCounts(df: DataFrame, text: String): DataFrame =
@@ -131,9 +145,12 @@ object Bpe {
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 
   private[graft] def fitLocal(words: Array[(String, Long)],
-                              numMerges: Int): Seq[(String, String)] = {
+                              numMerges: Int,
+                              toSyms: String => Seq[String] =
+                                w => w.map(_.toString) :+ EndOfWord
+                             ): Seq[(String, String)] = {
     var vocab: Array[(Seq[String], Long)] = words.map { case (w, c) =>
-      (w.map(_.toString) :+ EndOfWord, c)
+      (toSyms(w), c)
     }
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -168,10 +185,11 @@ object Bpe {
     merges.result()
   }
 
-  private[graft] def fitDistributed(wc: DataFrame,
-                                    numMerges: Int): Seq[(String, String)] = {
+  private[graft] def fitDistributed(wc: DataFrame, numMerges: Int,
+                                    toSymsCol: Column => Column = symbols
+                                   ): Seq[(String, String)] = {
     var vocab = Materialize.pin(
-      wc.withColumn("syms", symbols(col("w"))).drop("w"))
+      wc.withColumn("syms", toSymsCol(col("w"))).drop("w"))
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -219,10 +237,22 @@ object Bpe {
   }
 
   private def wordsAndDict(df: DataFrame, id: String, text: String,
-                           merges: Seq[(String, String)]): (DataFrame, DataFrame) = {
+                           merges: Seq[(String, String)]): (DataFrame, DataFrame) =
+    wordsAndDictWith(df, id, text, merges,
+      w => w.map(_.toString) :+ EndOfWord)
+
+  /** the relational encode skeleton with a pluggable initial alphabet:
+    * explode words, greedy-encode each DISTINCT word once (UDF — the
+    * per-word merge loop is inherently iterative, and it only ever
+    * runs on the vocabulary table, never the corpus), stamp back. */
+  private[graft] def wordsAndDictWith(df: DataFrame, id: String, text: String,
+                                      merges: Seq[(String, String)],
+                                      toSyms: String => Seq[String]
+                                     ): (DataFrame, DataFrame) = {
     val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val bRanks = df.sparkSession.sparkContext.broadcast(ranks)
-    val encUdf = udf((w: String) => encodeWord(w, bRanks.value))
+    val encUdf = udf((w: String) =>
+      if (w.isEmpty) Seq.empty[String] else encodeFrom(toSyms(w), bRanks.value))
     val words = df.select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")

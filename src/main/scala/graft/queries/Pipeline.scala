@@ -4371,7 +4371,152 @@ object Pipeline {
           COUNT(DISTINCT lang) AS n_langs,
           round(1 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 9)
             AS dup_rate
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // --- byte-level BPE, 1-merge token count ---------------------------------
+    // (ByteBpe — the GPT-2 byte alphabet. The corpus is printable
+    // ASCII, where byte symbols coincide with char symbols BY
+    // CONSTRUCTION of the GPT-2 table (BpeSpec pins the premise and
+    // the non-ASCII divergence), so q119's fully-SQL 1-merge replay is
+    // the exact oracle for the byte path too — a wrong byte mapping
+    // would shift the argmax pair or the merged counts and break the
+    // hash.)
+    "q207_bytebpe_encode1" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val merges = graft.ops.ByteBpe.fit(corpus, "text", numMerges = 1)
+        graft.ops.ByteBpe.encodedTokenCount(corpus, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some("""WITH wds AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w),
+        s AS (SELECT w, c, list_append(string_split(w, ''), '</w>') AS syms
+          FROM wc),
+        p AS (SELECT c, unnest(list_transform(range(1, len(syms)),
+            i -> {'p1': syms[i], 'p2': syms[i + 1]})) AS pr FROM s),
+        top1 AS (SELECT pr.p1 AS p1, pr.p2 AS p2 FROM p GROUP BY 1, 2
+          HAVING SUM(c) >= 2 ORDER BY SUM(c) DESC, p1, p2 LIMIT 1),
+        enc AS (SELECT s.w, CAST(len(syms) - COALESCE(
+            len(array_to_string(syms, chr(1))) -
+            len(replace(array_to_string(syms, chr(1)),
+              t.p1 || chr(1) || t.p2, t.p1 || t.p2)), 0) AS INTEGER) AS nt
+          FROM s LEFT JOIN top1 t ON 1 = 1)
+        SELECT wds.doc_id, CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+        FROM wds JOIN enc ON wds.w = enc.w
+        GROUP BY wds.doc_id ORDER BY wds.doc_id""")),
+
+    // --- byte-level BPE, end-to-end lossless round trip ----------------------
+    // (fit 20 byte merges → relational encode → decodeTokens' exact
+    // byte-table inverse — q106's reconstruction gate through the NEW
+    // decode path: any content lost, duplicated, misordered, or
+    // mis-mapped by the byte tables breaks the hash. Merge-choice
+    // correctness is pinned by q207 and BpeSpec's hand-computed
+    // multi-byte merges.)
+    "q208_bytebpe_roundtrip" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val merges = graft.ops.ByteBpe.fit(corpus, "text", numMerges = 20)
+        graft.ops.ByteBpe.decodeTokens(
+            graft.ops.ByteBpe.encodeTokens(corpus, "doc_id", "text", merges),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id""")),
+
+    // --- held-out KN scoring against a persisted model -----------------------
+    // (TextAnalysis.knBigramLmScoreWith over fitKnBigramLm — the
+    // score-many half of the fluency scorer's train-once contract.
+    // Fit on even doc_ids, score odd: a scored bigram type SEEN in the
+    // model replays q194's exact interpolated-KN association order; a
+    // type unseen with both words in vocabulary gets the c12=0
+    // interpolated mass (what KN interpolation is FOR); a bigram whose
+    // w1 lacks a left total or w2 lacks continuation mass is OOV —
+    // EXCLUDED from the mean and counted in n_oov, never floored. The
+    // oracle replays all three branches on word keys (hash-collision
+    // convention of q44/q194).)
+    "q209_kn_lm_heldout" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val model = TA.fitKnBigramLm(
+          all.filter(col("doc_id") % 2 === 0), "text")
+        TA.knBigramLmScoreWith(all.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", model)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ftoks AS (SELECT string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 2 = 0),
+        fbg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM ftoks WHERE len(w) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM fbg GROUP BY 1, 2),
+        lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            COUNT(*) AS fanout FROM c12 GROUP BY 1),
+        rgt AS (SELECT w2, COUNT(*) AS fanin FROM c12 GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n11 FROM c12),
+        stoks AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 2 = 1),
+        sbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM stoks WHERE len(w) >= 2)),
+        scored AS (SELECT doc_id,
+            CASE WHEN lft.c1 IS NOT NULL AND rgt.fanin IS NOT NULL THEN
+              round(ln((greatest(CAST(COALESCE(c12.c12, 0) AS DOUBLE)
+                  - 0.75, 0.0)
+                + 0.75 * lft.fanout * rgt.fanin / nn.n11) / lft.c1), 9)
+            END AS lnp
+          FROM sbg LEFT JOIN c12 USING (w1, w2)
+          LEFT JOIN lft USING (w1) LEFT JOIN rgt USING (w2)
+          CROSS JOIN nn)
+        SELECT doc_id, COUNT(lnp) AS n_bigrams,
+          CAST(COUNT(*) - COUNT(lnp) AS BIGINT) AS n_oov,
+          ${davg("lnp")} AS avg_logp
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- train/apply threshold bucketing --------------------------------------
+    // (TextAnalysis.quantileThresholds + bucketByThresholds — the
+    // persisted-cuts half of q111: thresholds fit on the TRAINING
+    // slice (even doc_ids) and stamped onto everything, the CCNet rule
+    // that score-time data must never re-derive its own cuts. Same
+    // exact interpolated quantiles and >= boundary rule as q111.)
+    "q210_threshold_apply" -> Q(
+      (s, d) => {
+        val ntok = TA.tokenCount(col("text")).cast("double")
+        val all = docs(s, d).withColumn("ntok", ntok)
+        val thr = TA.quantileThresholds(
+          all.filter(col("doc_id") % 2 === 0), "source", col("ntok"),
+          Seq(0.25, 0.5, 0.75))
+        TA.bucketByThresholds(all, "source", col("ntok"), thr)
+          .groupBy("source", "bucket").agg(
+            count(lit(1)).as("n"),
+            round(min(col("ntok")), 9).as("min_ntok"),
+            round(max(col("ntok")), 9).as("max_ntok"))
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+          FROM documents),
+        thr AS (SELECT source,
+            quantile_cont(ntok, 0.25) AS t1,
+            quantile_cont(ntok, 0.50) AS t2,
+            quantile_cont(ntok, 0.75) AS t3
+          FROM sc WHERE doc_id % 2 = 0 GROUP BY source),
+        b AS (SELECT sc.source, ntok,
+            (CASE WHEN ntok >= t1 THEN 1 ELSE 0 END +
+             CASE WHEN ntok >= t2 THEN 1 ELSE 0 END +
+             CASE WHEN ntok >= t3 THEN 1 ELSE 0 END) AS bucket
+          FROM sc JOIN thr ON sc.source = thr.source)
+        SELECT source, bucket, COUNT(*) AS n,
+          round(MIN(ntok), 9) AS min_ntok, round(MAX(ntok), 9) AS max_ntok
+        FROM b GROUP BY source, bucket ORDER BY source, bucket"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -149,4 +149,85 @@ class BpeSpec extends SparkSpec {
     assert(got(3L) == "the the", "separators collapse, content survives")
     assert(recon(docs.repartition(5)) == got)
   }
+
+  // ---- byte-level BPE (GPT-2 alphabet) ----------------------------------
+  import graft.ops.ByteBpe
+
+  test("ByteBpe.byteToChar is the GPT-2 bijection: printable ranges " +
+    "map to themselves, the 68 others to 256..323 in byte order") {
+    assert(ByteBpe.byteToChar.length == 256)
+    assert(ByteBpe.byteToChar.distinct.length == 256, "not a bijection")
+    assert(ByteBpe.byteToChar('a'.toInt) == "a")
+    assert(ByteBpe.byteToChar('!'.toInt) == "!")
+    assert(ByteBpe.byteToChar(0xFF) == "ÿ")
+    // byte 0 is the FIRST non-printable → codepoint 256; space (0x20)
+    // is the 33rd → 256 + 32
+    assert(ByteBpe.byteToChar(0) == "Ā")
+    assert(ByteBpe.byteToChar(' '.toInt) == "Ġ", "Ġ — the GPT-2 space")
+  }
+
+  test("ByteBpe on printable-ASCII text coincides with char-level Bpe: " +
+    "same merges, same tokens (the q207/q208 oracle premise)") {
+    val merges = ByteBpe.fit(sennrich, "text", numMerges = 5)
+    assert(merges == Bpe.fit(sennrich, "text", numMerges = 5))
+    val b = ByteBpe.encodeTokens(sennrich, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val c = Bpe.encodeTokens(sennrich, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(b == c)
+  }
+
+  test("ByteBpe hand-computed multi-byte merge: é splits into its two " +
+    "UTF-8 bytes and the pair merges first") {
+    // "héllo" x3: é = 0xC3 0xA9 → chars Ã © — the only pair with
+    // count ≥ 2 beyond the shared h/l/o spine; all pairs tie at 3,
+    // UTF8-binary lexicographic tie-break applies
+    val d = Seq((0L, "héllo héllo héllo")).toDF("doc_id", "text")
+    val m1 = ByteBpe.fit(d, "text", numMerges = 1).head
+    // all adjacent pairs occur 3 times; lexicographic min among
+    // (h,Ã) (Ã,©) (©,l) (l,l) (l,o) (o,</w>) in UTF8 byte order:
+    // ASCII sorts before the 0xC3-led mapped bytes, so (h,Ã) vs
+    // (l,l) vs (l,o) vs (o,</w>) — "h" is smallest
+    assert(m1._1 == "h", s"got $m1")
+  }
+
+  test("ByteBpe round trip is lossless on CJK, emoji, umlauts, and " +
+    "mixed scripts; distributed fit path agrees with local") {
+    val docs = Seq(
+      (0L, "naïve café naïve café über alles"),
+      (1L, "日本語 テスト 日本語"),
+      (2L, "mixed ascii und 漢字 🚀 rocket 🚀"),
+      (3L, "низкий уровень байтов")).toDF("doc_id", "text")
+    val merges = ByteBpe.fit(docs, "text", numMerges = 15)
+    // distributed path (cap 0 forces it) produces identical merges
+    assert(ByteBpe.fit(docs, "text", numMerges = 15, localVocabCap = 0)
+      == merges)
+    val enc = ByteBpe.encodeTokens(docs, "doc_id", "text", merges)
+    val recon = ByteBpe.decodeTokens(enc, "doc_id")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val expected = docs.orderBy("doc_id").as[(Long, String)].collect()
+      .map { case (i, t) =>
+        (i, t.split(" ").filter(_.nonEmpty).mkString(" ")) }.toSeq
+    assert(recon == expected, "byte-level round trip lost content")
+    // no [UNK] anywhere: every token decodes
+    val toks = enc.select(explode(col("tokens"))).as[String].collect()
+    assert(toks.nonEmpty && !toks.contains("[UNK]"))
+  }
+
+  test("ByteBpe.encodedTokenCount matches the materialized token " +
+    "arrays; partitioning-invariant") {
+    val docs = Seq(
+      (0L, "der schnelle fuchs über den zaun"),
+      (1L, "der zaun über dem fuchs")).toDF("doc_id", "text")
+    val merges = ByteBpe.fit(docs, "text", numMerges = 8)
+    val fromArrays = ByteBpe.encodeTokens(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val counted = ByteBpe.encodedTokenCount(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(counted == fromArrays)
+    assert(ByteBpe.encodedTokenCount(docs.repartition(7), "doc_id",
+        "text", merges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq == counted)
+  }
 }
