@@ -30,7 +30,7 @@ con = duckdb.connect()
 # to an explicit /tmp dir, never the repo cwd (.tmp/ — the 6 GB
 # accidentally-committed spill file of round 12 came from the cwd
 # default).
-con.execute("SET memory_limit='40GB'")
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '40GB')}'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:

@@ -3920,16 +3920,21 @@ object Pipeline {
           SELECT doc_id, unnest(list_transform(range(1, len(w)),
             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
           FROM toks WHERE len(w) >= 2)),
-        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+        c12 AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
         lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
             COUNT(*) AS fanout FROM c12 GROUP BY 1),
         rgt AS (SELECT w2, COUNT(*) AS fanin FROM c12 GROUP BY 1),
         nn AS (SELECT COUNT(*) AS n11 FROM c12),
-        scored AS (SELECT doc_id,
+        -- probabilities assemble on the TYPE table (the Spark plan's
+        -- own shape); MATERIALIZED stops DuckDB's join-order rewrite,
+        -- which otherwise cross-products lft x rgt x nn against the
+        -- occurrence stream (observed at sf1: >80 GB, vs 2.6 s here)
+        types AS MATERIALIZED (SELECT c12.w1, c12.w2,
             round(ln((greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
               + 0.75 * fanout * fanin / n11) / c1), 9) AS lnp
-          FROM bgf JOIN c12 USING (w1, w2) JOIN lft USING (w1)
-          JOIN rgt USING (w2) CROSS JOIN nn)
+          FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN nn),
+        scored AS (SELECT doc_id, lnp FROM bgf JOIN types USING (w1, w2))
         SELECT doc_id, COUNT(*) AS n_bigrams, ${davg("lnp")} AS avg_logp
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -4456,7 +4461,8 @@ object Pipeline {
           SELECT unnest(list_transform(range(1, len(w)),
             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
           FROM ftoks WHERE len(w) >= 2)),
-        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM fbg GROUP BY 1, 2),
+        c12 AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS c12 FROM fbg GROUP BY 1, 2),
         lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
             COUNT(*) AS fanout FROM c12 GROUP BY 1),
         rgt AS (SELECT w2, COUNT(*) AS fanin FROM c12 GROUP BY 1),
@@ -4467,15 +4473,23 @@ object Pipeline {
           SELECT doc_id, unnest(list_transform(range(1, len(w)),
             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
           FROM stoks WHERE len(w) >= 2)),
-        scored AS (SELECT doc_id,
+        -- score-side TYPE table first (the Spark plan's own shape);
+        -- MATERIALIZED stops DuckDB's join-order rewrite, which
+        -- cross-products the vocab tables against the occurrence
+        -- stream at sf1 (q194's pathology)
+        stypes AS MATERIALIZED (
+          SELECT w1, w2 FROM sbg GROUP BY 1, 2),
+        ttypes AS MATERIALIZED (SELECT stypes.w1, stypes.w2,
             CASE WHEN lft.c1 IS NOT NULL AND rgt.fanin IS NOT NULL THEN
               round(ln((greatest(CAST(COALESCE(c12.c12, 0) AS DOUBLE)
                   - 0.75, 0.0)
                 + 0.75 * lft.fanout * rgt.fanin / nn.n11) / lft.c1), 9)
             END AS lnp
-          FROM sbg LEFT JOIN c12 USING (w1, w2)
+          FROM stypes LEFT JOIN c12 USING (w1, w2)
           LEFT JOIN lft USING (w1) LEFT JOIN rgt USING (w2)
-          CROSS JOIN nn)
+          CROSS JOIN nn),
+        scored AS (SELECT doc_id, lnp
+          FROM sbg JOIN ttypes USING (w1, w2))
         SELECT doc_id, COUNT(lnp) AS n_bigrams,
           CAST(COUNT(*) - COUNT(lnp) AS BIGINT) AS n_oov,
           ${davg("lnp")} AS avg_logp

@@ -389,6 +389,27 @@ object Soak {
         graft.ops.WordPiece.encodedTokenCount(big, "doc_id", "text", vocab)
           .filter(col("n_wp_tokens") > 0).count()
       }),
+      // round-13: byte-level BPE fit (vocab-bounded merge rounds on
+      // the GPT-2 byte alphabet) + relational encode + the decode
+      // inverse of the whole corpus — the count filter keeps the
+      // round trip from being column-pruned
+      "bytebpe_roundtrip" -> (() => {
+        val merges = graft.ops.ByteBpe.fit(big, "text", numMerges = 20)
+        graft.ops.ByteBpe.decodeTokens(
+            graft.ops.ByteBpe.encodeTokens(big, "doc_id", "text", merges),
+            "doc_id")
+          .filter(length(col("recon_text")) > 0).count()
+      }),
+      // round-13: held-out KN scoring against a fitted model table —
+      // fit on 1/5 of the corpus, score everything (OOV fallback
+      // exercised by the soakmark words unique to unseen copies)
+      "kn_heldout" -> (() => {
+        val model = graft.ops.TextAnalysis.fitKnBigramLm(
+          big.filter(col("doc_id") % 5 === 0), "text")
+        graft.ops.TextAnalysis.knBigramLmScoreWith(
+            big, "doc_id", "text", model)
+          .filter(col("n_bigrams") >= 0).count()
+      }),
       // round-12: containment pairs under the q44b dfCap regime —
       // replication makes every copy-clique a cont=1.0 block
       // (copies·(copies−1)/2 pairs per original doc), the planted
