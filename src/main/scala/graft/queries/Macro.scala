@@ -928,6 +928,9 @@ object Macro {
     // come from the SAME decimal-exact pass shape (per-part aggregate +
     // 1-row aggregate broadcast back), so the HAVING comparison cannot
     // drift an ulp between engines.
+        // r13 band: fresh-session QBench, quiet host — 0.99 s [0.90, 1.55]
+    // (7 iters, sf0.1). Brackets the r12 driver-run outlier (x1.84 on a
+    // ~0.5 s shared-session base) — session noise, not a plan change.
     "q133_tpch_q11" -> Q(
       (s, d) => {
         val eu = Tables.supplier(s, d)
@@ -979,6 +982,8 @@ object Macro {
     // orders on orderkey — both sides shuffle) feeding conditional
     // CASE aggregates, with the ship-year window pruning the lineitem
     // scan.
+        // r13 band: fresh-session QBench, quiet host — 0.75 s [0.67, 1.00]
+    // (7 iters, sf0.1). Brackets the r12 driver-run outlier (x1.81).
     "q134_tpch_q12" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -1542,6 +1542,8 @@ object Pipeline {
     // prefix-summed on the driver + partition-local windows. The oracle
     // replays the same cut points with a global window, which only an
     // oracle-scale engine can afford.)
+        // r13 band: fresh-session QBench, quiet host — 0.74 s [0.66, 1.29]
+    // (7 iters, sf0.1). Brackets the r12 driver-run outlier (x1.78).
     "q101_pack_sequences" -> Q(
       (s, d) => graft.ops.Packing
         .packDocuments(docs(s, d), "doc_id", "text", maxLen = 1000)
@@ -2587,6 +2589,8 @@ object Pipeline {
     // derivation, per-subspace argmin code assignment, query probes,
     // per-cell residual LUT distances, rank — same fold orders as the
     // PqEncode kernel, round(·,9) pinned.)
+        // r13 band: fresh-session QBench, quiet host — 1.19 s [0.99, 1.74]
+    // (7 iters, sf0.1). Brackets the r12 driver-run outlier (x1.80).
     "q159_ivfpq_residual" -> Q(
       (s, d) => {
         val e = emb(s, d)
@@ -2980,6 +2984,10 @@ object Pipeline {
     // exact representation must agree). One (group, value) hash agg,
     // a group-partitioned window over the COLLAPSED frame, broadcast
     // totals — no corpus window.)
+        // r13 band: fresh-session QBench, quiet host — 0.70 s [0.59, 1.14]
+    // (7 iters, sf0.1). The r12 shared-session drift (0.29 -> 0.47 s,
+    // x1.59) sits BELOW this fresh-session floor — warmup-state noise
+    // on a sub-half-second base, not a plan change.
     "q168_weighted_pct" -> Q(
       (s, d) => graft.api.Stats.weightedPercentiles(
           docs(s, d), "source", col("n_chars"),
@@ -3978,6 +3986,10 @@ object Pipeline {
     // rule. Spark keys bigrams by xxhash64 and assembles lnp on the
     // score-side TYPE table; the string-keyed per-occurrence oracle
     // hash-matches through the q99 collision convention.)
+        // r13 band: fresh-session QBench, quiet host — 5.49 s [5.06, 5.73]
+    // (7 iters, sf0.1; <0.1 s GC, no steal). The r12 shared-session
+    // 4.55-5.0 s sits just under the fresh-session floor, as expected
+    // for a fit+score query paying full codegen warmup here.
     "q196_ccnet_ppl_buckets" -> Q(
       (s, d) => {
         val all = docs(s, d)

@@ -417,6 +417,10 @@ object Relational {
     // r11 adjudication of the r10 ×1.3 drift: QBench A/B, quiet host —
     // r9 commit 0.76 s [0.67, 0.94] vs HEAD 0.47 s [0.37, 0.75]: HEAD
     // FASTER in isolation; the drift was shared-session noise.
+        // r13 band: fresh-session QBench, quiet host — 0.50 s [0.45, 0.83]
+    // (7 iters, sf0.1). The r12 drift value (0.29 -> 0.47 s, x1.64)
+    // is INSIDE the band — adjudicated session noise (matches the r11
+    // "faster in isolation" finding; no code touched it since).
     "q147_grouping_sets" -> Q(
       (s, d) => Frame(ord(s, d)).groupBy("o_orderstatus", "o_orderpriority")
         .groupingSets(
