@@ -249,7 +249,12 @@ object Bench {
     "q203_dedup_contained" -> SparkEntry.queries("q203_dedup_contained"),
     "q204_dup_cluster_sizes" -> SparkEntry.queries("q204_dup_cluster_sizes"),
     "q205_lsh_tune" -> SparkEntry.queries("q205_lsh_tune"),
-    "q206_corpus_report" -> SparkEntry.queries("q206_corpus_report"))
+    "q206_corpus_report" -> SparkEntry.queries("q206_corpus_report"),
+    "q207_bytebpe_encode1" -> SparkEntry.queries("q207_bytebpe_encode1"),
+    "q208_bytebpe_roundtrip" -> SparkEntry.queries("q208_bytebpe_roundtrip"),
+    "q209_kn_lm_heldout" -> SparkEntry.queries("q209_kn_lm_heldout"),
+    "q210_threshold_apply" -> SparkEntry.queries("q210_threshold_apply"),
+    "q211_pipeline_v5" -> SparkEntry.queries("q211_pipeline_v5"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

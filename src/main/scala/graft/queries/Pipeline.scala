@@ -4542,7 +4542,114 @@ object Pipeline {
           FROM sc JOIN thr ON sc.source = thr.source)
         SELECT source, bucket, COUNT(*) AS n,
           round(MIN(ntok), 9) AS min_ntok, round(MAX(ntok), 9) AS max_ntok
-        FROM b GROUP BY source, bucket ORDER BY source, bucket"""))
+        FROM b GROUP BY source, bucket ORDER BY source, bucket""")),
+
+    // --- e2e corpus-prep v5: the train-once/score-many pipeline --------------
+    // (The round-13 surface composed: fitCcnetLm on the reference
+    // slice (src0-src3), CCNet cuts from the TRAINING ppl distribution
+    // via quantileThresholds (never re-derived from score-time data),
+    // ccnetPerplexityWith scoring the whole corpus against the model
+    // table, bucketByThresholds keeping head+middle, and byte-level
+    // BPE (1 merge — q207's fully-SQL regime, trained on the same
+    // reference slice) counting the tokens of every survivor. Each
+    // stage is an already-oracled operator (q196/q209/q210/q207);
+    // this row proves the persisted-model handoffs interoperate —
+    // model and cuts are TABLES that could round-trip ModelStore
+    // between the fit and the stamp (bit-equality pinned in
+    // ModelStoreSpec).)
+    "q211_pipeline_v5" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val fit = all.filter(
+          col("source").isin("src0", "src1", "src2", "src3"))
+        val model = graft.ops.Materialize.pin(
+          TA.fitCcnetLm(fit, "text", "lang"))
+        val trainPpl = TA.ccnetPerplexityWith(
+          fit, "doc_id", "text", "lang", model)
+        val thr = TA.quantileThresholds(
+          trainPpl, "lang", col("ppl"), Seq(1.0 / 3, 2.0 / 3))
+        val merges = graft.ops.ByteBpe.fit(fit, "text", numMerges = 1)
+        val scored = TA.ccnetPerplexityWith(
+          all, "doc_id", "text", "lang", model)
+        // the survivor set is a STAGE BOUNDARY: two consumers (the BPE
+        // token-count probe and the final stamp join) — unpinned, Spark
+        // inlines the whole scoring subtree into each, recomputing the
+        // corpus-scale LM stamps 6x (measured via the plan pin; at
+        // 100 TB this is the difference between one scoring pass and
+        // six). Same checkpoint-the-survivors posture as v1-v4.
+        val kept = graft.ops.Materialize.pin(
+          TA.bucketByThresholds(scored, "lang", col("ppl"), thr)
+            .filter(col("bucket") <= 1))
+        val toks = graft.ops.ByteBpe.encodedTokenCount(
+          all.join(kept.select("doc_id"), Seq("doc_id")),
+          "doc_id", "text", merges)
+        kept.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"),
+            col("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fit AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+          FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        fb AS (SELECT lang, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT lang, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM fit WHERE len(w) >= 2)),
+        c12 AS MATERIALIZED (
+          SELECT lang, w1, w2, COUNT(*) AS c12 FROM fb GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+          FROM c12 GROUP BY 1, 2),
+        vv AS (SELECT lang, COUNT(DISTINCT wd) AS v FROM
+          (SELECT lang, unnest(w) AS wd FROM fit) GROUP BY 1),
+        sb AS (SELECT doc_id, lang, source, b.w1 AS w1, b.w2 AS w2 FROM (
+          SELECT doc_id, lang, source, unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+          FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+            FROM documents) WHERE len(w) >= 2)),
+        lnps AS (SELECT doc_id, sb.lang AS lang, sb.source AS source,
+            round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+              (COALESCE(c1.c1, 0) + vv.v)), 9) AS lnp
+          FROM sb
+          LEFT JOIN c12 ON sb.lang = c12.lang AND sb.w1 = c12.w1
+            AND sb.w2 = c12.w2
+          LEFT JOIN c1 ON sb.lang = c1.lang AND sb.w1 = c1.w1
+          JOIN vv ON sb.lang = vv.lang),
+        scored AS (SELECT doc_id, lang, source, COUNT(*) AS n_bigrams,
+            round(exp(-CAST(${davg("lnp")} AS DOUBLE)), 6) AS ppl
+          FROM lnps GROUP BY 1, 2, 3),
+        thr AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+            quantile_cont(ppl, 2.0/3) AS t2 FROM scored
+          WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        kept AS (SELECT doc_id, s.lang AS lang, ppl,
+            (CASE WHEN ppl >= t1 THEN 1 ELSE 0 END +
+             CASE WHEN ppl >= t2 THEN 1 ELSE 0 END) AS bucket
+          FROM scored s JOIN thr ON s.lang = thr.lang
+          WHERE ppl < t2),
+        wds AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        fwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
+            (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+             WHERE source IN ('src0','src1','src2','src3'))
+          WHERE w <> '' GROUP BY w),
+        fs AS (SELECT w, c, list_append(string_split(w, ''), '</w>') AS syms
+          FROM fwc),
+        pp AS (SELECT c, unnest(list_transform(range(1, len(syms)),
+            i -> {'p1': syms[i], 'p2': syms[i + 1]})) AS pr FROM fs),
+        top1 AS (SELECT pr.p1 AS p1, pr.p2 AS p2 FROM pp GROUP BY 1, 2
+          HAVING SUM(c) >= 2 ORDER BY SUM(c) DESC, p1, p2 LIMIT 1),
+        sw AS (SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+          FROM (SELECT DISTINCT wds.w FROM wds JOIN kept USING (doc_id))),
+        enc AS (SELECT sw.w, CAST(len(syms) - COALESCE(
+            len(array_to_string(syms, chr(1))) -
+            len(replace(array_to_string(syms, chr(1)),
+              t.p1 || chr(1) || t.p2, t.p1 || t.p2)), 0) AS INTEGER) AS nt
+          FROM sw LEFT JOIN top1 t ON 1 = 1),
+        tok AS (SELECT wds.doc_id,
+            CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+          FROM wds JOIN kept USING (doc_id) JOIN enc ON wds.w = enc.w
+          GROUP BY 1)
+        SELECT k.doc_id, k.lang, k.ppl, k.bucket, tok.n_bpe_tokens
+        FROM kept k JOIN tok USING (doc_id) ORDER BY k.doc_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

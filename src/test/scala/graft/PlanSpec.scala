@@ -697,4 +697,49 @@ class PlanSpec extends SparkSpec {
       "label propagation must stay an equi-join on node id")
     assert(!plan.contains("Window"), "the size histogram is two aggregates")
   }
+
+  test("q207/q208 byte-BPE: the corpus side is ONE dict-stamp " +
+    "occurrence join — the merge loop never touches documents; no " +
+    "cartesian, no window") {
+    for (q <- Seq("q207_bytebpe_encode1", "q208_bytebpe_roundtrip")) {
+      val qe = SparkEntry.queries(q)(spark, sfSmoke).queryExecution
+      val n = occurrenceStreamJoins(qe.optimizedPlan)
+      assert(n == 1, s"$q: expected 1 occurrence-stream join, got $n")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"), q)
+    }
+  }
+
+  test("q209 held-out KN: probabilities assemble on the score-side " +
+    "TYPE table — exactly ONE join touches the occurrence stream") {
+    val qe = SparkEntry.queries("q209_kn_lm_heldout")(spark, sfSmoke)
+      .queryExecution
+    val n = occurrenceStreamJoins(qe.optimizedPlan)
+    assert(n == 1, s"expected 1 occurrence-stream join, got $n")
+    assert(!qe.executedPlan.toString.contains("Window"))
+  }
+
+  test("q210 threshold apply: the cuts broadcast back — no window, " +
+    "no cartesian, broadcast stamp join") {
+    val p = SparkEntry.queries("q210_threshold_apply")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "bucket must be a scan-stage fold")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |groups|-row threshold table must broadcast")
+  }
+
+  test("q211 pipeline v5: the survivor set is pinned, so the final " +
+    "plan carries ONE occurrence-stream join (the BPE dict stamp) — " +
+    "no window, no cartesian") {
+    // regression shape: without the kept pin, Spark inlines the scoring
+    // subtree into both consumers and the ccnet stamp join appears SIX
+    // times (measured) — six corpus-scale scoring passes instead of one
+    val qe = SparkEntry.queries("q211_pipeline_v5")(spark, sfSmoke)
+      .queryExecution
+    val n = occurrenceStreamJoins(qe.optimizedPlan)
+    assert(n == 1, s"expected 1 occurrence-stream join, got $n")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
