@@ -979,6 +979,12 @@ object TextAnalysis {
     * train-once half of threshold bucketing (CCNet computes its
     * head/middle/tail cuts on the TRAINING distribution and applies
     * them to everything that arrives later). One hash aggregate.
+    *
+    * Cuts are rounded to 9 dp (the q77 fp-policy guard): interpolated
+    * quantiles differ between engines in the last ulp of the INDEX
+    * arithmetic (observed at sf1: Spark 56.524621 vs DuckDB
+    * 56.52462100000001 for the same tercile), and a score that ties a
+    * cut exactly would flip buckets across engines without the guard.
     * Returns (group, thresholds: array<double>). */
   def quantileThresholds(df: DataFrame, group: String, score: Column,
                          probs: Seq[Double]): DataFrame = {
@@ -987,7 +993,9 @@ object TextAnalysis {
       "quantileThresholds: probs must be sorted, in (0, 1)")
     df.withColumn("__bq_score", score).groupBy(col(group)).agg(
       percentile(col("__bq_score"),
-        array(probs.map(lit(_)): _*)).as("thresholds"))
+        array(probs.map(lit(_)): _*)).as("__bq_raw"))
+      .select(col(group),
+        transform(col("__bq_raw"), t => round(t, 9)).as("thresholds"))
   }
 
   /** stamp quantile buckets from a FITTED threshold table

@@ -1674,9 +1674,9 @@ object Pipeline {
           CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
           FROM documents),
         thr AS (SELECT source,
-            quantile_cont(ntok, 0.25) AS t1,
-            quantile_cont(ntok, 0.50) AS t2,
-            quantile_cont(ntok, 0.75) AS t3
+            round(quantile_cont(ntok, 0.25), 9) AS t1,
+            round(quantile_cont(ntok, 0.50), 9) AS t2,
+            round(quantile_cont(ntok, 0.75), 9) AS t3
           FROM sc GROUP BY source),
         b AS (SELECT sc.source, ntok,
             (CASE WHEN ntok >= t1 THEN 1 ELSE 0 END +
@@ -4025,8 +4025,8 @@ object Pipeline {
         scored AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
             round(exp(-CAST(${davg("lnp")} AS DOUBLE)), 6) AS ppl
           FROM lnps GROUP BY 1, 2),
-        thr AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
-            quantile_cont(ppl, 2.0/3) AS t2 FROM scored GROUP BY 1)
+        thr AS (SELECT lang, round(quantile_cont(ppl, 1.0/3), 9) AS t1,
+            round(quantile_cont(ppl, 2.0/3), 9) AS t2 FROM scored GROUP BY 1)
         SELECT doc_id, s.lang AS lang, n_bigrams, ppl,
           CASE WHEN ppl >= t2 THEN 'tail' WHEN ppl >= t1 THEN 'middle'
             ELSE 'head' END AS bucket
@@ -4531,9 +4531,9 @@ object Pipeline {
           CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
           FROM documents),
         thr AS (SELECT source,
-            quantile_cont(ntok, 0.25) AS t1,
-            quantile_cont(ntok, 0.50) AS t2,
-            quantile_cont(ntok, 0.75) AS t3
+            round(quantile_cont(ntok, 0.25), 9) AS t1,
+            round(quantile_cont(ntok, 0.50), 9) AS t2,
+            round(quantile_cont(ntok, 0.75), 9) AS t3
           FROM sc WHERE doc_id % 2 = 0 GROUP BY source),
         b AS (SELECT sc.source, ntok,
             (CASE WHEN ntok >= t1 THEN 1 ELSE 0 END +
@@ -4616,8 +4616,8 @@ object Pipeline {
         scored AS (SELECT doc_id, lang, source, COUNT(*) AS n_bigrams,
             round(exp(-CAST(${davg("lnp")} AS DOUBLE)), 6) AS ppl
           FROM lnps GROUP BY 1, 2, 3),
-        thr AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
-            quantile_cont(ppl, 2.0/3) AS t2 FROM scored
+        thr AS (SELECT lang, round(quantile_cont(ppl, 1.0/3), 9) AS t1,
+            round(quantile_cont(ppl, 2.0/3), 9) AS t2 FROM scored
           WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
         kept AS (SELECT doc_id, s.lang AS lang, ppl,
             (CASE WHEN ppl >= t1 THEN 1 ELSE 0 END +
