@@ -2649,12 +2649,15 @@ object Pipeline {
           e AS (SELECT vec_id, embedding FROM embeddings),
           q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id < 3),
-          cellassign AS (SELECT vec_id, ccid AS cell FROM (
+          cellassign AS MATERIALIZED (SELECT vec_id, ccid AS cell FROM (
             SELECT e.vec_id, g.ccid, row_number() OVER (
                 PARTITION BY e.vec_id
                 ORDER BY ${coarseDist("e.embedding")}, g.ccid) AS rn
             FROM e CROSS JOIN grs g) WHERE rn = 1),
-          eres AS (SELECT e.vec_id, ca.cell,
+          -- MATERIALIZED: eres/sampres feed all 8 per-subspace cross
+          -- joins; inlined, DuckDB recomputed the cellassign window's
+          -- cross join per subspace (>105 GB at sf1)
+          eres AS MATERIALIZED (SELECT e.vec_id, ca.cell,
               list_transform(range(1, 65),
                 i -> CAST(e.embedding[i] AS DOUBLE)
                   - CAST(g.embedding[i] AS DOUBLE)) AS res
@@ -2664,7 +2667,7 @@ object Pipeline {
               vec_id FROM embeddings WHERE vec_id %
                 (SELECT GREATEST(70, CAST(ceil(COUNT(*) / 256.0) AS BIGINT))
                  FROM embeddings) = 0),
-          sampres AS (SELECT s.cid, er.res
+          sampres AS MATERIALIZED (SELECT s.cid, er.res
             FROM samp s JOIN eres er ON er.vec_id = s.vec_id),
           ${(0 until 8).map(sq).mkString(",\n")},
           probes AS (SELECT qid, ccid FROM (
