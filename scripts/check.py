@@ -31,7 +31,11 @@ con = duckdb.connect()
 # accidentally-committed spill file of round 12 came from the cwd
 # default).
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '40GB')}'")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# per-run spill dir: DuckDB temp file names carry no process
+# discriminator, so two concurrent gate runs sharing a dir would
+# clobber each other's spill blocks
+import tempfile
+con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

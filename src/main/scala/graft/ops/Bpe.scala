@@ -217,8 +217,17 @@ object Bpe {
     * repeated separators) contribute no tokens; a document with no
     * words is absent. */
   def encodeTokens(df: DataFrame, id: String, text: String,
-                   merges: Seq[(String, String)]): DataFrame = {
-    val (words, dict) = wordsAndDict(df, id, text, merges)
+                   merges: Seq[(String, String)]): DataFrame =
+    encodeTokensWith(df, id, text, merges,
+      w => w.map(_.toString) :+ EndOfWord)
+
+  /** [[encodeTokens]] with a pluggable initial alphabet — the shared
+    * stamp-join + in-order reassembly used by both the char-level and
+    * byte-level ([[ByteBpe]]) tokenizers. */
+  private[graft] def encodeTokensWith(df: DataFrame, id: String, text: String,
+                                      merges: Seq[(String, String)],
+                                      toSyms: String => Seq[String]): DataFrame = {
+    val (words, dict) = wordsAndDictWith(df, id, text, merges, toSyms)
     words.join(dict, Seq("w"))
       .groupBy(col(id)).agg(
         flatten(transform(
@@ -230,8 +239,16 @@ object Bpe {
     * arrays (the cheap pre-pack statistic): stamps each word's dict
     * token COUNT instead of its tokens and sums. */
   def encodedTokenCount(df: DataFrame, id: String, text: String,
-                        merges: Seq[(String, String)]): DataFrame = {
-    val (words, dict) = wordsAndDict(df, id, text, merges)
+                        merges: Seq[(String, String)]): DataFrame =
+    encodedTokenCountWith(df, id, text, merges,
+      w => w.map(_.toString) :+ EndOfWord)
+
+  /** [[encodedTokenCount]] with a pluggable initial alphabet. */
+  private[graft] def encodedTokenCountWith(df: DataFrame, id: String,
+                                           text: String,
+                                           merges: Seq[(String, String)],
+                                           toSyms: String => Seq[String]): DataFrame = {
+    val (words, dict) = wordsAndDictWith(df, id, text, merges, toSyms)
     words.join(dict.select(col("w"), size(col("toks")).as("nt")), Seq("w"))
       .groupBy(col(id)).agg(sum(col("nt")).as("n_bpe_tokens"))
   }

@@ -90,23 +90,14 @@ object ByteBpe {
     * (id, tokens array<string>) — [[Bpe.encodeTokens]]'s relational
     * stamp with the byte alphabet. */
   def encodeTokens(df: DataFrame, id: String, text: String,
-                   merges: Seq[(String, String)]): DataFrame = {
-    val (words, dict) = Bpe.wordsAndDictWith(df, id, text, merges, byteSymbols)
-    words.join(dict, Seq("w"))
-      .groupBy(col(id)).agg(
-        flatten(transform(
-          array_sort(collect_list(struct(col("pos"), col("toks")))),
-          x => x.getField("toks"))).as("tokens"))
-  }
+                   merges: Seq[(String, String)]): DataFrame =
+    Bpe.encodeTokensWith(df, id, text, merges, byteSymbols)
 
   /** encoded-token count per document without materializing per-doc
     * arrays — [[Bpe.encodedTokenCount]]'s shape. */
   def encodedTokenCount(df: DataFrame, id: String, text: String,
-                        merges: Seq[(String, String)]): DataFrame = {
-    val (words, dict) = Bpe.wordsAndDictWith(df, id, text, merges, byteSymbols)
-    words.join(dict.select(col("w"), size(col("toks")).as("nt")), Seq("w"))
-      .groupBy(col(id)).agg(sum(col("nt")).as("n_bpe_tokens"))
-  }
+                        merges: Seq[(String, String)]): DataFrame =
+    Bpe.encodedTokenCountWith(df, id, text, merges, byteSymbols)
 
   /** decode an encoded corpus back to text: (id, recon_text) — the
     * lossless round trip. The per-doc byte-remap is a UDF by design:

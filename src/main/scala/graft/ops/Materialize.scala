@@ -70,4 +70,27 @@ object Materialize {
     * `materialize` flag). */
   private[graft] def pin(df: DataFrame, enabled: Boolean): DataFrame =
     if (enabled) strategy.pinFrame(df) else df
+
+  private val batchLock = new Object
+
+  /** Run `body` with exclusive pin-and-release rights on the shared
+    * SparkContext: snapshot the CONTEXT-GLOBAL persistent-RDD map, run
+    * the body, release exactly the RDDs it added (never the caller's
+    * standing pins — broadcast model tables are not persistent RDDs
+    * and are untouched). The JVM-wide lock is what makes the global
+    * diff SOUND: two interleaved foreachBatch bodies on one context
+    * would otherwise release each other's in-flight pins, and a
+    * localCheckpoint whose blocks are dropped mid-job is unrecoverable
+    * by construction (lineage is truncated). Micro-batches are short;
+    * serializing them is the correct trade. */
+  private[graft] def withBatchRelease[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    batchLock.synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      try body
+      finally sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
+        if (!before.contains(rddId)) rdd.unpersist(blocking = false)
+      }
+    }
 }

@@ -693,10 +693,15 @@ object TextAnalysis {
     val occ = scoreArrays
       .select(col(id), explode_outer(col("bs")).as("b"))
       .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
-    val seen = model.filter(col("h12").isNotNull)
+    // the model is read three times (c12, c1, V) — pinned so an
+    // INLINE fit plan (the [[bigramLmScore]] delegation) is computed
+    // once, not re-aggregated per consumer; a ModelStore-loaded table
+    // pins to a trivial scan
+    val m = Materialize.pin(model, materialize)
+    val seen = m.filter(col("h12").isNotNull)
     val c12 = seen.select(col("h12"), col("c12"))
     val c1 = seen.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
-    val vocab = model.agg(max(col("v")).as("v"))
+    val vocab = m.agg(max(col("v")).as("v"))
     val lnp = round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
     val stypes = occ.groupBy("h12").agg(first(col("h1")).as("h1s"))
@@ -855,10 +860,13 @@ object TextAnalysis {
     val expanded = arrays.select(col(id), explode(col("bs")).as("b"))
       .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"),
         col("b.h2").as("h2"))
-    val left = model.groupBy(col("h1")).agg(
+    // four reads of the model (c12, left, right, n11) — pinned so an
+    // inline [[fitKnBigramLm]] plan aggregates the fit corpus once
+    val m = Materialize.pin(model, materialize)
+    val left = m.groupBy(col("h1")).agg(
       sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
-    val right = model.groupBy(col("h2")).agg(count(lit(1)).as("fanin"))
-    val n11 = model.agg(count(lit(1)).as("n11"))
+    val right = m.groupBy(col("h2")).agg(count(lit(1)).as("fanin"))
+    val n11 = m.agg(count(lit(1)).as("n11"))
     val stypes = expanded.groupBy("h12").agg(
       first(col("h1")).as("h1s"), first(col("h2")).as("h2s"))
     val p = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - discount,
@@ -1139,11 +1147,15 @@ object TextAnalysis {
                           lang: String, model: DataFrame,
                           materialize: Boolean = true): DataFrame = {
     val w = tokens(col(text))
-    val seen = model.filter(col("h12").isNotNull)
+    // three reads of the model (c12, c1, per-lang V) — pinned so an
+    // inline [[fitCcnetLm]] plan (the [[ccnetPerplexity]] delegation)
+    // aggregates the fit corpus once, not three times per score
+    val m = Materialize.pin(model, materialize)
+    val seen = m.filter(col("h12").isNotNull)
     val c12 = seen.select(col(lang).as("__lg"), col("h12"), col("c12"))
     val c1 = seen.groupBy(col(lang).as("__lg"), col("h1").as("h1s"))
       .agg(sum(col("c12")).as("c1"))
-    val vocabL = model.groupBy(col(lang).as("__lg"))
+    val vocabL = m.groupBy(col(lang).as("__lg"))
       .agg(max(col("v")).as("v"))
     val scoreOcc = ccnetExpand(Materialize.pin(ccnetBigramArrays(
       df.select(col(id), col(lang).as("__lg"), w.as("w"))), materialize))

@@ -3989,10 +3989,12 @@ object Pipeline {
     // rule. Spark keys bigrams by xxhash64 and assembles lnp on the
     // score-side TYPE table; the string-keyed per-occurrence oracle
     // hash-matches through the q99 collision convention.)
-        // r13 band: fresh-session QBench, quiet host — 5.49 s [5.06, 5.73]
-    // (7 iters, sf0.1; <0.1 s GC, no steal). The r12 shared-session
-    // 4.55-5.0 s sits just under the fresh-session floor, as expected
-    // for a fit+score query paying full codegen warmup here.
+        // r13 band: fresh-session QBench, quiet host — 4.62 s [4.55, 5.07]
+    // (7 iters, sf0.1; <0.1 s GC, no steal). An earlier r13 band read
+    // 5.49 [5.06, 5.73]: the delegation refactor had the scorer
+    // re-aggregating the UNPINNED inline model table per consumer
+    // (3x); ccnetPerplexityWith now pins the model and the band is
+    // back at the r12 shared-session level.
     "q196_ccnet_ppl_buckets" -> Q(
       (s, d) => {
         val all = docs(s, d)

@@ -84,15 +84,21 @@ object DedupStream {
                       (intraDrop: DataFrame => DataFrame)
                       (crossDrop: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val b = Materialize.pin(batch.select(cols.map(col): _*))
-    val intra = intraDrop(b)
-    val cross = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
-      case Some(seen) => crossDrop(b, seen)
-      case None => b.limit(0).select(col(id))
+    // withBatchRelease: the batch pin (and any operator-internal pins)
+    // are released once both writes land — a standing query would
+    // otherwise accumulate checkpoint blocks until driver GC; the
+    // shared lock keeps the release sound against concurrent recipes
+    Materialize.withBatchRelease(spark) {
+      val b = Materialize.pin(batch.select(cols.map(col): _*))
+      val intra = intraDrop(b)
+      val cross = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
+        case Some(seen) => crossDrop(b, seen)
+        case None => b.limit(0).select(col(id))
+      }
+      val kept = b.join(intra.union(cross).distinct(), Seq(id), "left_anti")
+      writeBatch(kept, outDir, batchId)
+      writeBatch(b, stateDir, batchId)
     }
-    val kept = b.join(intra.union(cross).distinct(), Seq(id), "left_anti")
-    writeBatch(kept, outDir, batchId)
-    writeBatch(b, stateDir, batchId)
   }
 
   /** one micro-batch of the MinHash+LSH recipe (exposed so tests and
@@ -140,20 +146,22 @@ object DedupStream {
                     threshold: Double,
                     maxCell: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
-    val b = Materialize.pin(batch.select(col(id), col(vec)))
-    val intraKept = Similarity.semanticDedup(b, centroids, id, vec,
-      threshold, maxCell).select(col(id))
-    val kept0 = b.join(intraKept, Seq(id), "left_semi")
-    val kept = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
-      case Some(seen) =>
-        kept0.join(
-          Similarity.semanticDedupIncremental(b, seen, centroids, id, vec,
-            threshold, maxCell).select(col(id)),
-          Seq(id), "left_semi")
-      case None => kept0
+    Materialize.withBatchRelease(spark) {
+      val b = Materialize.pin(batch.select(col(id), col(vec)))
+      val intraKept = Similarity.semanticDedup(b, centroids, id, vec,
+        threshold, maxCell).select(col(id))
+      val kept0 = b.join(intraKept, Seq(id), "left_semi")
+      val kept = readTable(spark, stateDir, b.schema, excludeBatch = batchId) match {
+        case Some(seen) =>
+          kept0.join(
+            Similarity.semanticDedupIncremental(b, seen, centroids, id, vec,
+              threshold, maxCell).select(col(id)),
+            Seq(id), "left_semi")
+        case None => kept0
+      }
+      writeBatch(kept, outDir, batchId)
+      writeBatch(b, stateDir, batchId)
     }
-    writeBatch(kept, outDir, batchId)
-    writeBatch(b, stateDir, batchId)
   }
 
   /** wire a per-batch function into a streaming query (AvailableNow —

@@ -38,20 +38,17 @@ object EnrichStream {
     * In a standing query each micro-batch's pins (localCheckpoint,
     * inside `f` or inside the operators it calls) would otherwise
     * accumulate blocks until driver GC lets the ContextCleaner reclaim
-    * them (the Soak.release lesson). The guard snapshots the
-    * persistent-RDD ids before `f` and releases exactly what the batch
-    * added after the write lands — never the caller's own pinned
-    * frames (the broadcast model tables are not persistent RDDs and
-    * are untouched). */
+    * them (the Soak.release lesson). [[Materialize.withBatchRelease]]
+    * snapshots the persistent-RDD ids before `f` and releases exactly
+    * what the batch added after the write lands, under the JVM-wide
+    * batch lock — so concurrent standing queries on the same context
+    * (this module's recipes, [[DedupStream]]'s) can never release each
+    * other's in-flight pins. */
   def enrichBatch(batch: DataFrame, batchId: Long, outDir: String)
-                 (f: DataFrame => DataFrame): Unit = {
-    val sc = batch.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    try f(batch).write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
-    finally sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
-      if (!before.contains(rddId)) rdd.unpersist(blocking = false)
+                 (f: DataFrame => DataFrame): Unit =
+    Materialize.withBatchRelease(batch.sparkSession) {
+      f(batch).write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
     }
-  }
 
   /** one micro-batch of the trained-language-ID recipe: stamp
     * (lang) from the persisted profile table onto every batch doc —
@@ -116,13 +113,24 @@ object EnrichStream {
                       outDir: String): Unit =
     enrichBatch(batch, batchId, outDir) { raw =>
       val b = Materialize.pin(raw)
-      val scored = TextAnalysis.ccnetPerplexityWith(b, id, text, lang, model)
+      // pinned: consumed by both the bucket stamp and the final join —
+      // unpinned, the scoring subtree would inline into each (the q211
+      // lesson)
+      val scored = Materialize.pin(
+        TextAnalysis.ccnetPerplexityWith(b, id, text, lang, model))
+      // the bucket LEFT-joins back onto scored: a language covered by
+      // the model but absent from the threshold table (e.g. one whose
+      // fit slice had vocabulary but no 2-token docs — the sentinel
+      // case) keeps its REAL ppl with a null bucket, rather than
+      // having all its stamps nulled by bucketByThresholds' drop rule
       val stamped = thresholds match {
         case Some(t) =>
-          TextAnalysis.bucketByThresholds(scored, lang, col("ppl"), t)
-            .withColumn("bucket", element_at(
-              array(lit("head"), lit("middle"), lit("tail")),
-              col("bucket") + 1))
+          scored.join(
+            TextAnalysis.bucketByThresholds(scored, lang, col("ppl"), t)
+              .select(col(id), element_at(
+                array(lit("head"), lit("middle"), lit("tail")),
+                col("bucket") + 1).as("bucket")),
+            Seq(id), "left")
         case None => scored
       }
       b.join(stamped.drop(lang), Seq(id), "left")

@@ -567,7 +567,9 @@ class StreamingSpec extends SparkSpec {
       ("en", "a stitch in time saves nine every day"),
       ("en", "pack my box with five dozen liquor jugs"),
       ("de", "der schnelle fuchs springt heute sehr hoch"),
-      ("de", "die alte frau sagte nichts mehr dazu")).toDF("lang", "text")
+      ("de", "die alte frau sagte nichts mehr dazu"),
+      ("xx", "solo")  // vocab, no bigrams: model sentinel, NO thresholds
+    ).toDF("lang", "text")
     ModelStore.saveModelTable(TA.fitCcnetLm(fit, "text", "lang"), mdir)
     val model = ModelStore.loadModelTable(spark, mdir, "lang", "h12")
     // CCNet convention: terciles of the TRAINING ppl distribution
@@ -581,7 +583,8 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "en", "the quick fox jumps today"),
           (2L, "de", "der fuchs springt heute")),
       Seq((3L, "en", "a lazy dog saves time"),
-          (4L, "fr", "le renard saute haut")))   // uncovered language
+          (4L, "fr", "le renard saute haut"),    // uncovered language
+          (5L, "xx", "solo act here")))  // model-covered, NO thresholds
     val src = MemoryStream[(Long, String, String)]
     val q = src.toDF().toDF("doc_id", "lang", "text").writeStream
       .option("checkpointLocation", ckpt)
@@ -594,9 +597,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val all = batches.flatten.toDF("doc_id", "lang", "text")
     val scored = TA.ccnetPerplexityWith(all, "doc_id", "text", "lang", model)
-    val stamped = TA.bucketByThresholds(scored, "lang", col("ppl"), thr)
-      .withColumn("bucket", element_at(
-        array(lit("head"), lit("middle"), lit("tail")), col("bucket") + 1))
+    // mirror the recipe: the bucket LEFT-joins onto scored, so a
+    // model-covered language missing from the threshold table keeps
+    // its real ppl with a null bucket
+    val stamped = scored.join(
+      TA.bucketByThresholds(scored, "lang", col("ppl"), thr)
+        .select(col("doc_id"), element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          col("bucket") + 1).as("bucket")),
+      Seq("doc_id"), "left")
     val expected = all.join(stamped.drop("lang"), Seq("doc_id"), "left")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val schema = StructType(all.schema.fields ++ Seq(
@@ -610,6 +619,10 @@ class StreamingSpec extends SparkSpec {
       "uncovered-language row must survive with null stamps")
     assert(Seq("head", "middle", "tail").contains(
       byId(1L)(5).asInstanceOf[String]))
+    // model-covered language with no threshold row: REAL ppl (the
+    // sentinel's open-vocab fallback), null bucket — never all-null
+    assert(byId(5L)(4) != null && byId(5L)(5) == null,
+      s"sentinel-language doc must keep its ppl: ${byId(5L)}")
     EnrichStream.ccnetScoreBatch(
       batches(1).toDF("doc_id", "lang", "text"), 1L,
       "doc_id", "text", "lang", model, Some(thr), out)
