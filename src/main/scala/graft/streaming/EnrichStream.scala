@@ -144,4 +144,27 @@ object EnrichStream {
     DedupStream.start(stream, checkpointDir) { (b, bid) =>
       ccnetScoreBatch(b, bid, id, text, lang, model, thresholds, outDir)
     }
+
+  /** one micro-batch of the tokenizer-stamp recipe: count each doc's
+    * byte-level BPE tokens under TRAINED merges (ModelStore-loaded —
+    * the tokenizer is fit once, the stream counts forever; re-fitting
+    * per batch would change token identities mid-corpus). The dict
+    * encode runs once per distinct word of the batch, never per doc.
+    * LEFT join: a doc with no words keeps a null count. */
+  def tokenCountBatch(batch: DataFrame, batchId: Long, id: String,
+                      text: String, merges: Seq[(String, String)],
+                      outDir: String): Unit =
+    enrichBatch(batch, batchId, outDir) { raw =>
+      val b = Materialize.pin(raw)
+      b.join(graft.ops.ByteBpe.encodedTokenCount(b, id, text, merges),
+        Seq(id), "left")
+    }
+
+  /** wire the tokenizer-stamp recipe into a standing query. */
+  def tokenCountEnrich(stream: DataFrame, id: String, text: String,
+                       merges: Seq[(String, String)], checkpointDir: String,
+                       outDir: String): StreamingQuery =
+    DedupStream.start(stream, checkpointDir) { (b, bid) =>
+      tokenCountBatch(b, bid, id, text, merges, outDir)
+    }
 }

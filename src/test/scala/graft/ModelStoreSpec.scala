@@ -112,6 +112,23 @@ class ModelStoreSpec extends SparkSpec {
     assert(loaded.collect().map(_.toSeq).toSeq == pa && pa.nonEmpty)
   }
 
+  test("byte-BPE merges ride saveBpeMerges: order round-trips; " +
+    "load-then-encode equals fit-then-encode bit-for-bit (incl. " +
+    "multi-byte symbols in the merge table)") {
+    import graft.ops.ByteBpe
+    val dir = tmp("ms_bytebpe")
+    val docs = Seq((1L, "naïve café naïve café über alles"),
+      (2L, "der zug fährt über die brücke")).toDF("doc_id", "text")
+    val merges = ByteBpe.fit(docs, "text", numMerges = 12)
+    ModelStore.saveBpeMerges(spark, merges, dir)
+    val loaded = ModelStore.loadBpeMerges(spark, dir)
+    assert(loaded == merges, "merge table or its ORDER changed in transit")
+    def enc(m: Seq[(String, String)]) =
+      ByteBpe.encodeTokens(docs, "doc_id", "text", m)
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(enc(loaded) == enc(merges))
+  }
+
   test("bigram LM model table: save/load round-trips; load-then-score " +
     "equals fit-then-score bit-for-bit, on held-out AND on the fit " +
     "corpus (where it equals the self-fit scorer)") {

@@ -549,6 +549,51 @@ class StreamingSpec extends SparkSpec {
     assert(got() == expected, "batch replay duplicated enrichment rows")
   }
 
+  test("EnrichStream tokenizer-stamp recipe: streamed byte-BPE token " +
+    "counts from persisted merges equal batch; wordless docs keep a " +
+    "null count; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.{DedupStream, EnrichStream}
+    import graft.ops.{ByteBpe, ModelStore}
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt, mdir) =
+      (tmp("tc_out"), tmp("tc_ckpt"), tmp("tc_model") + "/m")
+    val fit = Seq("the quick brown fox jumps over the lazy dog",
+      "über die brücke fährt der zug").toDF("text")
+    ModelStore.saveBpeMerges(spark,
+      ByteBpe.fit(fit, "text", numMerges = 10), mdir)
+    val merges = ModelStore.loadBpeMerges(spark, mdir)
+    val batches = Seq(
+      Seq((1L, "the quick fox"), (2L, "über den zug")),
+      Seq((3L, "a lazy dog jumps"), (4L, " ")))   // wordless doc
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        EnrichStream.tokenCountBatch(df, bid, "doc_id", "text", merges, out))
+      .start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = all.join(
+        ByteBpe.encodedTokenCount(all, "doc_id", "text", merges),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val schema = StructType(all.schema.fields :+
+      StructField("n_bpe_tokens", LongType))
+    def got() = DedupStream.readTable(spark, out, schema).get
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got() == expected, "streamed token stamps diverged from batch")
+    assert(got().find(_.head == 4L).get(2) == null, "wordless doc count")
+    EnrichStream.tokenCountBatch(batches(1).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", merges, out)
+    assert(got() == expected, "batch replay duplicated enrichment rows")
+  }
+
   test("EnrichStream ccnet recipe: streamed perplexity + persisted-" +
     "threshold buckets equal batch; uncovered languages keep null " +
     "stamps; replay is idempotent") {
