@@ -549,6 +549,27 @@ class StreamingSpec extends SparkSpec {
     assert(got() == expected, "batch replay duplicated enrichment rows")
   }
 
+  test("enrichBatch releases exactly its own pins: the persistent-RDD " +
+    "map returns to baseline and a STANDING caller pin survives usable") {
+    import graft.streaming.EnrichStream
+    import graft.ops.Materialize
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val standing = Materialize.pin(
+      Seq((100L, "standing")).toDF("doc_id", "text"))
+    assert(standing.count() == 1)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val batch = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    EnrichStream.enrichBatch(batch, 0L, tmp("eb_out")) { raw =>
+      val b = Materialize.pin(raw)
+      b.join(b.groupBy("doc_id").count(), Seq("doc_id"))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "batch pins must be released when the write lands")
+    // the standing pin was NOT swept by the batch's release
+    assert(standing.count() == 1, "caller's standing pin must survive")
+  }
+
   test("EnrichStream tokenizer-stamp recipe: streamed byte-BPE token " +
     "counts from persisted merges equal batch; wordless docs keep a " +
     "null count; replay is idempotent") {
