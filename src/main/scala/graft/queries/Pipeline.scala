@@ -4654,7 +4654,63 @@ object Pipeline {
           FROM wds JOIN kept USING (doc_id) JOIN enc ON wds.w = enc.w
           GROUP BY 1)
         SELECT k.doc_id, k.lang, k.ppl, k.bucket, tok.n_bpe_tokens
-        FROM kept k JOIN tok USING (doc_id) ORDER BY k.doc_id"""))
+        FROM kept k JOIN tok USING (doc_id) ORDER BY k.doc_id""")),
+
+    // --- GPT-3-style quality classifier --------------------------------------
+    // (QualityClassifier.fitLogReg — Brown et al. 2020 §A's recipe:
+    // logistic regression separating a trusted slice (src0/src1) from
+    // the rest, then a scan-stage score over everything. Training is
+    // ONE corpus aggregate per GD round with a driver-held weight
+    // vector (d = 3); gradients accumulate via the exact decimal sum,
+    // so the weight trajectory is partitioning-independent and the
+    // oracle replays all three rounds SYMBOLICALLY — each w_k is a
+    // 1-row CTE cross-joined into the next round's gradient, the same
+    // unrolled-iteration convention as the PageRank/MMR oracles.
+    // Gradient terms quantize via floor(t*1e6 + 0.5) summed as exact
+    // LONGS — pure IEEE both engines; the decimal-cast convention
+    // diverges here (Spark string-HALF_UP vs DuckDB binary) because
+    // iteration-1 terms are structurally short decimals. The sigmoid's
+    // libm exp carries the 9-dp guard on input and output.)
+    "q212_quality_logreg" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val ntok = size(split(col("text"), " ")).cast("double")
+        val feats = Seq(lit(1.0), ntok / lit(100.0),
+          length(regexp_replace(col("text"), " ", "")).cast("double") / ntok)
+        val y = when(col("source").isin("src0", "src1"), 1.0).otherwise(0.0)
+        val w = graft.ops.QualityClassifier.fitLogReg(
+          all, feats, y, iters = 3, lr = 0.5)
+        all.select(col("doc_id"), y.as("label"),
+            graft.ops.QualityClassifier.scoreCol(feats, w.toSeq).as("score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val z = "round(x0*a + x1*b + x2*c, 9)"
+        val sig = s"round(1.0/(1.0+exp(-($z))), 9)"
+        def gsum(x: String) =
+          s"CAST(SUM(CAST(floor($x*($sig - y)*1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        val iterCtes = (1 to 3).map { k =>
+          s"""g$k AS (SELECT ${gsum("x0")} AS g0,
+            ${gsum("x1")} AS g1,
+            ${gsum("x2")} AS g2,
+            COUNT(*) AS n FROM feats CROSS JOIN w${k - 1}),
+          w$k AS (SELECT a - 0.5*(CAST(g0 AS DOUBLE)/1000000.0/n) AS a,
+            b - 0.5*(CAST(g1 AS DOUBLE)/1000000.0/n) AS b,
+            c - 0.5*(CAST(g2 AS DOUBLE)/1000000.0/n) AS c
+          FROM g$k CROSS JOIN w${k - 1})"""
+        }.mkString(",\n          ")
+        s"""WITH feats AS (SELECT doc_id,
+            CASE WHEN source IN ('src0','src1') THEN 1.0 ELSE 0.0 END AS y,
+            1.0 AS x0,
+            len(string_split(text, ' ')) / 100.0 AS x1,
+            CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+              len(string_split(text, ' ')) AS x2
+          FROM documents),
+          w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+          $iterCtes
+          SELECT doc_id, y AS label, $sig AS score
+          FROM feats CROSS JOIN w3 ORDER BY doc_id"""
+      })
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

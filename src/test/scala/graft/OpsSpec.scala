@@ -1680,6 +1680,35 @@ class OpsSpec extends SparkSpec {
     assert(g2 == r2)
   }
 
+  test("QualityClassifier: hand-computed GD trajectory; separating " +
+    "feature gains weight; scores order by class; partitioning-" +
+    "invariant; weights round-trip ModelStore") {
+    import graft.ops.{ModelStore, QualityClassifier => QC}
+    // 2 docs, bias + one feature x = ±2: with w = 0, σ = 0.5 exactly,
+    // so g_bias = (0.5−1) + (0.5−0) = 0 and
+    // g_x = ⌊2·(−0.5)·1e6 + ½⌋ + ⌊−2·0.5·1e6 + ½⌋ = −2e6
+    // → w1 = (0, −0.5·(−2/2)) = (0, 0.5)
+    val d = Seq((1L, 2.0, 1.0), (2L, -2.0, 0.0)).toDF("id", "x", "y")
+    val feats = Seq(lit(1.0), col("x"))
+    val w1 = QC.fitLogReg(d, feats, col("y"), iters = 1, lr = 0.5)
+    assert(w1.toSeq == Seq(0.0, 0.5), s"got ${w1.toSeq}")
+    val w3 = QC.fitLogReg(d, feats, col("y"), iters = 3, lr = 0.5)
+    assert(w3(1) > 0.5 && w3(0) == 0.0,
+      "separating feature must keep gaining weight; symmetric bias stays 0")
+    // partitioning invariance (the long-sum gradient is exact)
+    assert(QC.fitLogReg(d.repartition(7), feats, col("y"),
+      iters = 3, lr = 0.5).toSeq == w3.toSeq)
+    val scores = d.select(col("id"),
+        QC.scoreCol(feats, w3.toSeq).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.5 && scores(2L) < 0.5)
+    // persisted weights round-trip bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("qc").toString + "/w"
+    ModelStore.saveModelTable(QC.weightsTable(spark, w3.toSeq), dir)
+    assert(QC.loadWeights(ModelStore.loadModelTable(spark, dir, "pos"))
+      .toSeq == w3.toSeq)
+  }
+
   test("groupHoldout: group-atomic assignment, partitioning-stable, " +
     "expectation tracks the fraction") {
     import graft.ops.Mixture

@@ -729,6 +729,16 @@ class PlanSpec extends SparkSpec {
       "the |groups|-row threshold table must broadcast")
   }
 
+  test("q212 quality classifier: scoring is PURE scan-stage — the " +
+    "trained weights are literals; no join, no window, one scan") {
+    val qe = SparkEntry.queries("q212_quality_logreg")(spark, sfSmoke)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "score pass reads the corpus exactly once")
+  }
+
   test("q211 pipeline v5: the survivor set is pinned, so the final " +
     "plan carries ONE occurrence-stream join (the BPE dict stamp) — " +
     "no window, no cartesian") {
