@@ -4671,6 +4671,9 @@ object Pipeline {
     // diverges here (Spark string-HALF_UP vs DuckDB binary) because
     // iteration-1 terms are structurally short decimals. The sigmoid's
     // libm exp carries the 9-dp guard on input and output.)
+    // r13 band: fresh-session QBench, quiet host — 0.96 s [0.80, 1.27]
+    // (7 iters, sf0.1): three 1-row training aggregates + one
+    // scan-stage score pass.
     "q212_quality_logreg" -> Q(
       (s, d) => {
         val all = docs(s, d)
