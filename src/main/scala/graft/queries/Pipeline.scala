@@ -4562,6 +4562,11 @@ object Pipeline {
     // model and cuts are TABLES that could round-trip ModelStore
     // between the fit and the stamp (bit-equality pinned in
     // ModelStoreSpec).)
+    // r13 band: fresh-session QBench, quiet host — 7.02 s [6.44, 7.79]
+    // (7 iters, sf0.1; <0.1 s GC). Five composed stages paying full
+    // codegen warmup; the shared-session bench median is 5.97 s —
+    // compare future QBench runs against THIS band (the q186/q196
+    // convention).
     "q211_pipeline_v5" -> Q(
       (s, d) => {
         val all = docs(s, d)
