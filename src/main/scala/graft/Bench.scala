@@ -255,7 +255,8 @@ object Bench {
     "q209_kn_lm_heldout" -> SparkEntry.queries("q209_kn_lm_heldout"),
     "q210_threshold_apply" -> SparkEntry.queries("q210_threshold_apply"),
     "q211_pipeline_v5" -> SparkEntry.queries("q211_pipeline_v5"),
-    "q212_quality_logreg" -> SparkEntry.queries("q212_quality_logreg"))
+    "q212_quality_logreg" -> SparkEntry.queries("q212_quality_logreg"),
+    "q213_tokenizer_fertility" -> SparkEntry.queries("q213_tokenizer_fertility"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

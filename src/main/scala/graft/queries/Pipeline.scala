@@ -4718,7 +4718,59 @@ object Pipeline {
           $iterCtes
           SELECT doc_id, y AS label, $sig AS score
           FROM feats CROSS JOIN w3 ORDER BY doc_id"""
-      })
+      }),
+
+    // --- tokenizer fertility per language ------------------------------------
+    // (The standard tokenizer-evaluation metric: BPE tokens per word,
+    // by language — how much a tokenizer fragments each language's
+    // text (SentencePiece/XLM-R literature calls this fertility). One
+    // byte-BPE pass (1 merge — q207's fully-SQL regime) + one doc_id
+    // equi-join to stamp lang + one hash aggregate; the per-word
+    // encode is vocabulary-bounded as always. Docs with no words have
+    // no tokens and are absent (the q207 convention).)
+    "q213_tokenizer_fertility" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val merges = graft.ops.ByteBpe.fit(all, "text", numMerges = 1)
+        val counts = graft.ops.ByteBpe.encodedTokenCount(
+          all, "doc_id", "text", merges)
+        val nw = size(filter(split(col("text"), " "), w => w =!= ""))
+        all.select(col("doc_id"), col("lang"), nw.cast("long").as("nw"))
+          .join(counts, Seq("doc_id"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("total_words"),
+            sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+            round(sum(col("n_bpe_tokens")).cast("double") /
+              sum(col("nw")), 9).as("fertility"))
+          .orderBy("lang")
+      },
+      Some("""WITH wds AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w),
+        s AS (SELECT w, c, list_append(string_split(w, ''), '</w>') AS syms
+          FROM wc),
+        p AS (SELECT c, unnest(list_transform(range(1, len(syms)),
+            i -> {'p1': syms[i], 'p2': syms[i + 1]})) AS pr FROM s),
+        top1 AS (SELECT pr.p1 AS p1, pr.p2 AS p2 FROM p GROUP BY 1, 2
+          HAVING SUM(c) >= 2 ORDER BY SUM(c) DESC, p1, p2 LIMIT 1),
+        enc AS (SELECT s.w, CAST(len(syms) - COALESCE(
+            len(array_to_string(syms, chr(1))) -
+            len(replace(array_to_string(syms, chr(1)),
+              t.p1 || chr(1) || t.p2, t.p1 || t.p2)), 0) AS INTEGER) AS nt
+          FROM s LEFT JOIN top1 t ON 1 = 1),
+        perdoc AS (SELECT wds.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS nw,
+            CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+          FROM wds JOIN enc ON wds.w = enc.w GROUP BY 1)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(nw) AS BIGINT) AS total_words,
+          CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+          round(CAST(SUM(n_bpe_tokens) AS DOUBLE) / SUM(nw), 9)
+            AS fertility
+        FROM perdoc JOIN documents USING (doc_id)
+        GROUP BY lang ORDER BY lang"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

@@ -701,7 +701,8 @@ class PlanSpec extends SparkSpec {
   test("q207/q208 byte-BPE: the corpus side is ONE dict-stamp " +
     "occurrence join — the merge loop never touches documents; no " +
     "cartesian, no window") {
-    for (q <- Seq("q207_bytebpe_encode1", "q208_bytebpe_roundtrip")) {
+    for (q <- Seq("q207_bytebpe_encode1", "q208_bytebpe_roundtrip",
+        "q213_tokenizer_fertility")) {
       val qe = SparkEntry.queries(q)(spark, sfSmoke).queryExecution
       val n = occurrenceStreamJoins(qe.optimizedPlan)
       assert(n == 1, s"$q: expected 1 occurrence-stream join, got $n")
