@@ -34,8 +34,10 @@ con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '40GB')}'")
 # per-run spill dir: DuckDB temp file names carry no process
 # discriminator, so two concurrent gate runs sharing a dir would
 # clobber each other's spill blocks
-import tempfile
-con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
+import atexit, shutil, tempfile
+_spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+atexit.register(shutil.rmtree, _spill, ignore_errors=True)
+con.execute(f"SET temp_directory='{_spill}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -253,6 +253,17 @@ object Bpe {
       .groupBy(col(id)).agg(sum(col("nt")).as("n_bpe_tokens"))
   }
 
+  /** [[encodedTokenCountWith]] over a pre-broadcast rank table (the
+    * standing-query form — see [[broadcastRanks]]). */
+  private[graft] def encodedTokenCountB(df: DataFrame, id: String,
+                                        text: String,
+                                        bRanks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+                                        toSyms: String => Seq[String]): DataFrame = {
+    val (words, dict) = wordsAndDictB(df, id, text, bRanks, toSyms)
+    words.join(dict.select(col("w"), size(col("toks")).as("nt")), Seq("w"))
+      .groupBy(col(id)).agg(sum(col("nt")).as("n_bpe_tokens"))
+  }
+
   private def wordsAndDict(df: DataFrame, id: String, text: String,
                            merges: Seq[(String, String)]): (DataFrame, DataFrame) =
     wordsAndDictWith(df, id, text, merges,
@@ -265,9 +276,25 @@ object Bpe {
   private[graft] def wordsAndDictWith(df: DataFrame, id: String, text: String,
                                       merges: Seq[(String, String)],
                                       toSyms: String => Seq[String]
-                                     ): (DataFrame, DataFrame) = {
-    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
-    val bRanks = df.sparkSession.sparkContext.broadcast(ranks)
+                                     ): (DataFrame, DataFrame) =
+    wordsAndDictB(df, id, text, broadcastRanks(df, merges), toSyms)
+
+  /** Broadcast the merge-rank table once. Standing queries
+    * ([[graft.streaming.EnrichStream.tokenCountEnrich]]) call this at
+    * wiring time and reuse the handle across micro-batches — a fresh
+    * broadcast per batch would accumulate driver/executor blocks until
+    * GC (broadcasts are not persistent RDDs, so the batch-release
+    * sweep cannot reclaim them). */
+  private[graft] def broadcastRanks(df: DataFrame, merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] =
+    df.sparkSession.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+
+  /** [[wordsAndDictWith]] over a pre-broadcast rank table. */
+  private[graft] def wordsAndDictB(df: DataFrame, id: String, text: String,
+                                   bRanks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+                                   toSyms: String => Seq[String]
+                                  ): (DataFrame, DataFrame) = {
     val encUdf = udf((w: String) =>
       if (w.isEmpty) Seq.empty[String] else encodeFrom(toSyms(w), bRanks.value))
     val words = df.select(col(id),

@@ -99,6 +99,14 @@ object ByteBpe {
                         merges: Seq[(String, String)]): DataFrame =
     Bpe.encodedTokenCountWith(df, id, text, merges, byteSymbols)
 
+  /** [[encodedTokenCount]] over a pre-broadcast rank table
+    * ([[Bpe.broadcastRanks]]) — the standing-query form: one broadcast
+    * for the life of the query instead of one per micro-batch. */
+  private[graft] def encodedTokenCountB(df: DataFrame, id: String,
+                                        text: String,
+                                        bRanks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]]): DataFrame =
+    Bpe.encodedTokenCountB(df, id, text, bRanks, byteSymbols)
+
   /** decode an encoded corpus back to text: (id, recon_text) — the
     * lossless round trip. The per-doc byte-remap is a UDF by design:
     * decode is the validation/export path, and unlike fit/encode the

@@ -63,34 +63,58 @@ object Materialize {
 
   @volatile var strategy: Strategy = Local
 
+  /** Per-thread pin registry: when a [[withBatchRelease]] scope is
+    * active on this thread, every pin made inside it registers the
+    * persistent RDDs it created so the scope can release EXACTLY its
+    * own pins. Tracking per invocation (not diffing the context-global
+    * persistent-RDD map) means a pin created concurrently by any OTHER
+    * thread — e.g. the driver pinning a new model table while a
+    * micro-batch is in flight — is never swept; a localCheckpoint
+    * whose blocks drop mid-use is unrecoverable (lineage truncated),
+    * so sweeping a foreign pin is a job-killing bug, not a leak. */
+  private val batchPins =
+    new ThreadLocal[java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]()
+
+  /** The persistent RDDs backing a pinned frame: localCheckpoint
+    * returns a Dataset over a LogicalRDD whose RDD holds the blocks.
+    * Reliable checkpoints live on DFS (storage level NONE here) and
+    * register nothing. */
+  private def pinnedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        l.rdd
+    }
+
   /** Pin `df` per the current strategy. */
-  private[graft] def pin(df: DataFrame): DataFrame = strategy.pinFrame(df)
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    val pinned = strategy.pinFrame(df)
+    val reg = batchPins.get()
+    if (reg != null && (pinned ne df)) pinnedRdds(pinned).foreach(reg.add)
+    pinned
+  }
 
   /** Pin `df` per the current strategy iff `enabled` (the operators'
     * `materialize` flag). */
   private[graft] def pin(df: DataFrame, enabled: Boolean): DataFrame =
-    if (enabled) strategy.pinFrame(df) else df
+    if (enabled) pin(df) else df
 
-  private val batchLock = new Object
-
-  /** Run `body` with exclusive pin-and-release rights on the shared
-    * SparkContext: snapshot the CONTEXT-GLOBAL persistent-RDD map, run
-    * the body, release exactly the RDDs it added (never the caller's
-    * standing pins — broadcast model tables are not persistent RDDs
-    * and are untouched). The JVM-wide lock is what makes the global
-    * diff SOUND: two interleaved foreachBatch bodies on one context
-    * would otherwise release each other's in-flight pins, and a
-    * localCheckpoint whose blocks are dropped mid-job is unrecoverable
-    * by construction (lineage is truncated). Micro-batches are short;
-    * serializing them is the correct trade. */
+  /** Run `body` and release exactly the pins IT created (standing pins
+    * made by other threads, and broadcast model tables — which are not
+    * persistent RDDs — are untouched). Registration is thread-local in
+    * [[pin]], so concurrent foreachBatch bodies of distinct standing
+    * queries are safe without serializing them. `spark` is unused but
+    * kept so call sites read as "scoped to this session's batch". */
   private[graft] def withBatchRelease[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
-    batchLock.synchronized {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      try body
-      finally sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
-        if (!before.contains(rddId)) rdd.unpersist(blocking = false)
-      }
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val _ = spark
+    val reg = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()
+    val outer = batchPins.get()
+    batchPins.set(reg)
+    try body
+    finally {
+      if (outer != null) batchPins.set(outer) else batchPins.remove()
+      reg.forEach(rdd => rdd.unpersist(blocking = false))
     }
+  }
 }

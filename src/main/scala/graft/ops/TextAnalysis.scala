@@ -875,7 +875,7 @@ object TextAnalysis {
     val lnp = when(col("c1").isNotNull && col("fanin").isNotNull,
       round(log(p), 9))
     val types = stypes
-      .join(model.select(col("h12"), col("c12")), Seq("h12"), "left")
+      .join(m.select(col("h12"), col("c12")), Seq("h12"), "left")
       .join(left, stypes("h1s") === left("h1"), "left")
       .join(right, stypes("h2s") === right("h2"), "left")
       .crossJoin(broadcast(n11))

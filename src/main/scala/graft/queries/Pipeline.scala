@@ -72,6 +72,23 @@ object Pipeline {
   }
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Gate guard for the byte-BPE oracles (q207/q211/q213): their
+    * DuckDB replay splits CHARS while the engine splits BYTES, which
+    * coincide only while the corpus is printable ASCII. Assert that
+    * premise at query-build time — char length == octet length for
+    * every doc — so non-ASCII test data added later fails FAST with
+    * this message instead of silently hash-mismatching the oracle.
+    * One cheap scan of the text column, gate-side only. */
+  private def assertAsciiDocs(df: DataFrame, text: String): DataFrame = {
+    val nonAscii =
+      df.filter(length(col(text)) =!= octet_length(col(text))).limit(1).count()
+    require(nonAscii == 0L,
+      "byte-BPE oracle premise violated: documents." + text +
+        " contains non-ASCII text, so the char-split SQL oracle no longer " +
+        "replays the byte path (q207/q211/q213)")
+    df
+  }
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
@@ -4405,7 +4422,7 @@ object Pipeline {
     // hash.)
     "q207_bytebpe_encode1" -> Q(
       (s, d) => {
-        val corpus = docs(s, d)
+        val corpus = assertAsciiDocs(docs(s, d), "text")
         val merges = graft.ops.ByteBpe.fit(corpus, "text", numMerges = 1)
         graft.ops.ByteBpe.encodedTokenCount(corpus, "doc_id", "text", merges)
           .orderBy("doc_id")
@@ -4569,7 +4586,7 @@ object Pipeline {
     // convention).
     "q211_pipeline_v5" -> Q(
       (s, d) => {
-        val all = docs(s, d)
+        val all = assertAsciiDocs(docs(s, d), "text")
         val fit = all.filter(
           col("source").isin("src0", "src1", "src2", "src3"))
         val model = graft.ops.Materialize.pin(
@@ -4730,7 +4747,7 @@ object Pipeline {
     // no tokens and are absent (the q207 convention).)
     "q213_tokenizer_fertility" -> Q(
       (s, d) => {
-        val all = docs(s, d)
+        val all = assertAsciiDocs(docs(s, d), "text")
         val merges = graft.ops.ByteBpe.fit(all, "text", numMerges = 1)
         val counts = graft.ops.ByteBpe.encodedTokenCount(
           all, "doc_id", "text", merges)

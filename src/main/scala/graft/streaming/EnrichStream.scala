@@ -39,11 +39,11 @@ object EnrichStream {
     * inside `f` or inside the operators it calls) would otherwise
     * accumulate blocks until driver GC lets the ContextCleaner reclaim
     * them (the Soak.release lesson). [[Materialize.withBatchRelease]]
-    * snapshots the persistent-RDD ids before `f` and releases exactly
-    * what the batch added after the write lands, under the JVM-wide
-    * batch lock — so concurrent standing queries on the same context
-    * (this module's recipes, [[DedupStream]]'s) can never release each
-    * other's in-flight pins. */
+    * registers each pin the batch body makes (thread-locally) and
+    * releases exactly those after the write lands — so concurrent
+    * standing queries on the same context (this module's recipes,
+    * [[DedupStream]]'s), and any pins the driver makes mid-batch,
+    * can never be released by someone else's batch. */
   def enrichBatch(batch: DataFrame, batchId: Long, outDir: String)
                  (f: DataFrame => DataFrame): Unit =
     Materialize.withBatchRelease(batch.sparkSession) {
@@ -153,18 +153,36 @@ object EnrichStream {
     * LEFT join: a doc with no words keeps a null count. */
   def tokenCountBatch(batch: DataFrame, batchId: Long, id: String,
                       text: String, merges: Seq[(String, String)],
-                      outDir: String): Unit =
+                      outDir: String): Unit = {
+    // one-off (non-standing) form: the broadcast lives for this batch
+    // only, so creating it here is fine — standing queries go through
+    // tokenCountEnrich, which broadcasts ONCE at wiring time
+    val bRanks = graft.ops.Bpe.broadcastRanks(batch, merges)
+    try tokenCountBatchB(batch, batchId, id, text, bRanks, outDir)
+    finally bRanks.destroy()
+  }
+
+  private def tokenCountBatchB(
+      batch: DataFrame, batchId: Long, id: String, text: String,
+      bRanks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+      outDir: String): Unit =
     enrichBatch(batch, batchId, outDir) { raw =>
       val b = Materialize.pin(raw)
-      b.join(graft.ops.ByteBpe.encodedTokenCount(b, id, text, merges),
+      b.join(graft.ops.ByteBpe.encodedTokenCountB(b, id, text, bRanks),
         Seq(id), "left")
     }
 
-  /** wire the tokenizer-stamp recipe into a standing query. */
+  /** wire the tokenizer-stamp recipe into a standing query. The
+    * merge-rank table broadcasts ONCE here and every micro-batch
+    * reuses the handle — a per-batch broadcast is driver/executor
+    * memory that nothing releases until GC (broadcasts are not
+    * persistent RDDs; the batch-release sweep cannot reclaim them). */
   def tokenCountEnrich(stream: DataFrame, id: String, text: String,
                        merges: Seq[(String, String)], checkpointDir: String,
-                       outDir: String): StreamingQuery =
+                       outDir: String): StreamingQuery = {
+    val bRanks = graft.ops.Bpe.broadcastRanks(stream, merges)
     DedupStream.start(stream, checkpointDir) { (b, bid) =>
-      tokenCountBatch(b, bid, id, text, merges, outDir)
+      tokenCountBatchB(b, bid, id, text, bRanks, outDir)
     }
+  }
 }
