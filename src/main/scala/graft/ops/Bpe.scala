@@ -127,9 +127,20 @@ object Bpe {
     * the same counts and the same UTF8-binary tie-break, so they
     * produce IDENTICAL merges (asserted in BpeSpec). */
   def fit(df: DataFrame, text: String, numMerges: Int,
-          localVocabCap: Int = 1 << 20): Seq[(String, String)] = {
+          localVocabCap: Int = 1 << 20,
+          minWordCount: Long = 1L): Seq[(String, String)] = {
     require(numMerges >= 1, "Bpe.fit: numMerges must be >= 1")
-    val wc = Materialize.pin(wordCounts(df, text))
+    require(minWordCount >= 1L, "Bpe.fit: minWordCount must be >= 1")
+    // frequency-floor prune: at crawl scale the word-count table has a
+    // huge singleton tail (typos, ids, URLs) that contributes almost
+    // nothing to pair counts but dominates the vocabulary table's row
+    // count. The floor applies BEFORE the local/distributed dispatch,
+    // so both paths see identical counts (identical merges under the
+    // same floor); floor > 1 is a deliberate, documented change to the
+    // fit corpus, not an approximation of it.
+    val wc0 = Materialize.pin(wordCounts(df, text))
+    val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
+             else wc0
     if (wc.count() <= localVocabCap) {
       val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
       fitLocal(rows, numMerges)
@@ -185,28 +196,117 @@ object Bpe {
     merges.result()
   }
 
+  /** Distributed fit with EXACT batched rounds: each job round ranks
+    * the full pair table once (cnt desc, p1, p2 — the sequential
+    * order) and admits a PREFIX of up to `batchCap` pairs that
+    * provably reproduces the sequential merge list. Per ~B admitted
+    * merges this costs 1 aggregate job (+ a pin every `pinEvery`
+    * rounds) instead of sequential's 2 jobs per merge — the difference
+    * between a 30k-merge fit being 60k vocabulary-table jobs and a few
+    * thousand at crawl scale.
+    *
+    * Why the admitted prefix is exactly what sequential BPE picks —
+    * merging (c,d) into S=cd can only change pair counts three ways:
+    * pairs (x,c) lose the sites where the merge applied, pairs (d,y)
+    * likewise, and pairs involving S are created. So candidate r_i
+    * (rank order, i > 0) is admitted only while
+    *   1. r_i.p2 is no admitted pair's LEFT symbol and r_i.p1 no
+    *      admitted pair's RIGHT symbol (r_i's own count is untouched —
+    *      note this is sharper than symbol-disjointness: (a,n) and
+    *      (i,n) coexist, their sites cannot overlap);
+    *   2. neither of r_i's symbols is an admitted concat, and r_i's
+    *      concat is a BRAND-NEW string (not an existing vocabulary
+    *      symbol — tracked driver-side: initial alphabet + concats —
+    *      nor an earlier admitted concat), so no existing pair's count
+    *      is ever boosted by merge-created symbols;
+    *   3. r_i is not a self-pair (a,a) — a self-pair's created (aa,aa)
+    *      count is bounded only by c_i/2, so it is admitted and then
+    *      CLOSES the batch.
+    * The first candidate failing these stops the batch (skipping is
+    * unsound: a skipped pair's count may be UNchanged and outrank
+    * later picks). Every created pair's count is then bounded by the
+    * old count of a destroyed pair, which — sharing a symbol with an
+    * admitted pair — was itself inadmissible and therefore ranks at or
+    * below the stop row; trimming the admitted prefix to counts
+    * STRICTLY above the stop row's count makes every admitted pair
+    * dominate all created pairs and all non-admitted survivors at its
+    * sequential step (ties lose to the admitted pair's earlier rank).
+    * BpeSpec asserts the identity against [[fitLocal]], including
+    * tie, self-pair, and concat-collision adversaries. */
   private[graft] def fitDistributed(wc: DataFrame, numMerges: Int,
-                                    toSymsCol: Column => Column = symbols
+                                    toSymsCol: Column => Column = symbols,
+                                    batchCap: Int = 64,
+                                    pinEvery: Int = 4
                                    ): Seq[(String, String)] = {
+    require(batchCap >= 1, "Bpe.fitDistributed: batchCap must be >= 1")
+    require(pinEvery >= 1, "Bpe.fitDistributed: pinEvery must be >= 1")
     var vocab = Materialize.pin(
       wc.withColumn("syms", toSymsCol(col("w"))).drop("w"))
+    // driver-side inventory of CURRENT symbol strings (initial
+    // alphabet once — a tiny distinct — plus every admitted concat):
+    // powers admission rule 2. Bounded by |alphabet| + numMerges.
+    val symbolSet = scala.collection.mutable.HashSet[String]()
+    vocab.select(explode(col("syms")).as("s")).distinct()
+      .collect().foreach(r => symbolSet += r.getString(0))
     val merges = Seq.newBuilder[(String, String)]
-    var round = 0
+    var total = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val top = pairCounts(vocab)
+    var sincePin = 0
+    while (total < numMerges && !exhausted) {
+      val want = math.min(batchCap, numMerges - total)
+      val rows = pairCounts(vocab)
         .filter(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(want + 1)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (rows.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
-        vocab = Materialize.pin(
-          vocab.select(mergeUdf(col("syms")).as("syms"), col("c")))
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val leftS = scala.collection.mutable.HashSet[String]()
+        val rightS = scala.collection.mutable.HashSet[String]()
+        val catS = scala.collection.mutable.HashSet[String]()
+        // stop bound = count of the first non-admitted row; defaults:
+        // the witness row when the list was truncated at the cap, or 1
+        // when the whole cnt>=2 table fit in the collect (anything
+        // outside it cannot be merged at all)
+        var stopCnt = if (rows.length > want) rows(want)._3 else 1L
+        var i = 0
+        var open = true
+        while (open && i < math.min(want, rows.length)) {
+          val (a, b, c) = rows(i)
+          val cat = a + b
+          val conflict = i > 0 && (leftS(b) || rightS(a) ||
+            catS(a) || catS(b) || symbolSet(cat) || catS(cat))
+          if (conflict) { stopCnt = c; open = false }
+          else {
+            admitted += ((a, b, c))
+            leftS += a; rightS += b; catS += cat
+            // self-pair, or a concat colliding with an existing symbol
+            // on the very first row: admit, then close the batch
+            if (a == b || symbolSet(cat)) {
+              open = false
+              if (i + 1 < rows.length) stopCnt = rows(i + 1)._3
+            }
+            i += 1
+          }
+        }
+        val keptStrict = admitted.takeWhile(_._3 > stopCnt)
+        val kept = if (keptStrict.isEmpty) admitted.take(1) else keptStrict
+        val batch = kept.map(t => (t._1, t._2)).toList
+        batch.foreach { case (a, b) => symbolSet += a + b }
+        merges ++= batch
+        total += batch.size
+        val mergeUdf = udf((syms: Seq[String]) => {
+          var s = syms
+          batch.foreach { case (a, b) => s = applyMerge(s, a, b) }
+          s
+        })
+        vocab = vocab.select(mergeUdf(col("syms")).as("syms"), col("c"))
+        sincePin += 1
+        if (sincePin >= pinEvery) {
+          vocab = Materialize.pin(vocab); sincePin = 0
+        }
       }
-      round += 1
     }
     merges.result()
   }

@@ -74,9 +74,13 @@ object ByteBpe {
     * local/distributed split and UTF8-binary tie-break as [[Bpe.fit]]
     * (identical merges on both paths — BpeSpec). */
   def fit(df: DataFrame, text: String, numMerges: Int,
-          localVocabCap: Int = 1 << 20): Seq[(String, String)] = {
+          localVocabCap: Int = 1 << 20,
+          minWordCount: Long = 1L): Seq[(String, String)] = {
     require(numMerges >= 1, "ByteBpe.fit: numMerges must be >= 1")
-    val wc = Materialize.pin(Bpe.wordCounts(df, text))
+    require(minWordCount >= 1L, "ByteBpe.fit: minWordCount must be >= 1")
+    val wc0 = Materialize.pin(Bpe.wordCounts(df, text))
+    val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
+             else wc0
     if (wc.count() <= localVocabCap) {
       val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
       Bpe.fitLocal(rows, numMerges, byteSymbols)

@@ -636,6 +636,16 @@ object Dedup {
     (r.getInt(0), r.getInt(1))
   }
 
+  /** Conservative default band-bucket cap for [[minhashLsh]] /
+    * [[minhashLshIncremental]]: bounds any one bucket's pairing work at
+    * ~cap²/2 ≈ 8.4M candidate pairs. Organic band collisions (docs
+    * that share one 2-row band signature WITHOUT being near-dups) form
+    * buckets orders of magnitude smaller; a bucket past this cap is a
+    * near-identical clique — boilerplate, mirrored pages — whose
+    * pairing is quadratic in the clique and melts the bucket join at
+    * crawl scale (one 1M-doc clique = 5·10¹¹ pairs × 32 bands). */
+  val DefaultMaxBucket = 4096
+
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
     * then verify candidates with exact Jaccard (no false positives; miss
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs
@@ -644,12 +654,24 @@ object Dedup {
     * `maxBucket`: skip band buckets holding more than maxBucket docs.
     * A mega-bucket means many documents share a band signature — in a
     * duplicate-heavy corpus that's a clique of near-identical docs, and
-    * pairing it is quadratic in the clique size. Documents dropped from
-    * one band usually still pair through their other bands, but recall
-    * is no longer guaranteed — default stays exact. */
+    * pairing it is quadratic in the clique size. Capping is the DEFAULT
+    * ([[DefaultMaxBucket]]) because one planted clique otherwise turns
+    * the bucket join quadratic at corpus scale; pass `None` to opt out
+    * and restore exact banding recall. RECALL CONTRACT under a cap: a
+    * pair is lost only if EVERY band bucket containing it is over-cap.
+    * For a clique of near-identical docs all 32 buckets are the same
+    * clique, so cliques larger than the cap report no pairs at all —
+    * run [[exact]] dedup first (the standard pipeline order) so
+    * identical-text cliques never reach the LSH stage, and size the
+    * cap with [[lshTune]]/bucket stats if near-identical cliques above
+    * 4096 are expected. When a cap is active and `materialize` is on,
+    * the number of dropped buckets is computed once from the pinned
+    * bucket-size table and logged (warn) — silent truncation reads as
+    * full recall when it isn't. */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  threshold: Double, numPerms: Int = 64,
-                 bands: Int = 32, maxBucket: Option[Int] = None,
+                 bands: Int = 32,
+                 maxBucket: Option[Int] = Some(DefaultMaxBucket),
                  materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
       s"minhashLsh: bands=$bands must divide numPerms=$numPerms " +
@@ -674,9 +696,16 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val banded = maxBucket match {
       case Some(cap) =>
-        val keep = banded0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
-          .select("band", "bucket")
+        val sizes = Materialize.pin(banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bn")), materialize)
+        if (materialize) {
+          val dropped = sizes.filter(col("bn") > cap).count()
+          if (dropped > 0)
+            org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+              s"minhashLsh: dropping $dropped band buckets over " +
+                s"maxBucket=$cap (recall contract in scaladoc)")
+        }
+        val keep = sizes.filter(col("bn") <= cap).select("band", "bucket")
         banded0.join(keep, Seq("band", "bucket"), "left_semi")
       case None => banded0
     }
@@ -709,14 +738,15 @@ object Dedup {
     *
     * `maxSeenBucket` skips seen-side mega-buckets (a hot bucket makes
     * every future ingest pay |newBucket|×|seenBucket| candidates —
-    * same guard and trade as [[minhashLsh]]'s maxBucket). Ids must be
+    * same guard, default ([[DefaultMaxBucket]]), recall contract, and
+    * `None` opt-out as [[minhashLsh]]'s maxBucket). Ids must be
     * disjoint across the two frames. Returns (d1 ∈ new, d2 ∈ seen,
     * jac ≥ threshold), exact-verified: no false positives, misses with
     * the banding probability (1-J^rows)^bands. */
   def minhashLshIncremental(newDf: DataFrame, seenDf: DataFrame,
                             id: String, text: String, threshold: Double,
                             numPerms: Int = 64, bands: Int = 32,
-                            maxSeenBucket: Option[Int] = None,
+                            maxSeenBucket: Option[Int] = Some(DefaultMaxBucket),
                             materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
       s"minhashLshIncremental: bands=$bands must divide numPerms=$numPerms " +

@@ -109,18 +109,25 @@ object WordPiece {
     * [[encodeTokens]] and [[ModelStore.saveWordPieceVocab]]. Stops
     * early when no pair occurs twice (the [[Bpe.fit]] support floor). */
   def fit(df: DataFrame, text: String, numMerges: Int,
-          localVocabCap: Int = 1 << 20): Seq[String] = {
+          localVocabCap: Int = 1 << 20,
+          minWordCount: Long = 1L,
+          batchCap: Int = 1): Seq[String] = {
     require(numMerges >= 1, "WordPiece.fit: numMerges must be >= 1")
-    val wc = Materialize.pin(wordCounts(df, text))
+    require(minWordCount >= 1L, "WordPiece.fit: minWordCount must be >= 1")
+    // frequency-floor prune before the loop (see Bpe.fit) — applies to
+    // both paths, so local ≡ distributed still holds under a floor
+    val wc0 = Materialize.pin(wordCounts(df, text))
+    val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
+             else wc0
     val alphabet = wc
       .select(explode(symbolsCol(col("w"))).as("s"))
       .distinct().orderBy("s")
       .collect().map(_.getString(0)).toSeq
     val merges =
-      if (wc.count() <= localVocabCap) {
+      if (batchCap == 1 && wc.count() <= localVocabCap) {
         val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
         fitLocal(rows, numMerges)
-      } else fitDistributed(wc, numMerges)
+      } else fitDistributed(wc, numMerges, batchCap)
     // two different merge rounds can yield the same surface token
     // (('ab','##c') and ('a','##bc') both produce 'abc'); keep the
     // first occurrence so ModelStore never persists one piece under
@@ -175,14 +182,45 @@ object WordPiece {
     merged.result()
   }
 
+  /** Distributed fit. `batchCap = 1` (default) is the EXACT sequential
+    * loop — one argmax per job round, identical merges to
+    * [[fitLocal]]. `batchCap > 1` is the batched SCALE VARIANT: each
+    * job round ranks pairs once by the current likelihood score and
+    * admits a prefix of up to `batchCap` pairs that are pairwise
+    * symbol-DISJOINT with brand-new merged tokens (stopping at the
+    * first conflict or self-pair).
+    *
+    * Unlike [[Bpe.fitDistributed]]'s count-based batches, batched
+    * WordPiece is NOT guaranteed to replay the sequential pick order:
+    * the likelihood score's denominators (symbol unigram counts)
+    * shrink for every symbol a merge consumes, and a newly-created
+    * low-count symbol can legitimately win the very next sequential
+    * round — information only the next aggregate can reveal. The
+    * batched variant is therefore a deliberate, deterministic,
+    * partitioning-invariant TRAINING VARIANT for crawl-scale fits
+    * (where 2 jobs per merge × 30k merges is the difference between
+    * hours and days), not an equivalent implementation — pinned as
+    * such in WordPieceSpec. Within a batch every admitted pair's score
+    * is its true current score (disjointness keeps all three counts
+    * untouched), so each batch is a set of simultaneously-justified
+    * merges under the round's distribution. */
   private[graft] def fitDistributed(wc: DataFrame,
-                                    numMerges: Int): Seq[String] = {
+                                    numMerges: Int,
+                                    batchCap: Int = 1): Seq[String] = {
+    require(batchCap >= 1, "WordPiece.fitDistributed: batchCap must be >= 1")
     var vocab = Materialize.pin(
       wc.withColumn("syms", symbolsCol(col("w"))).drop("w"))
+    // current symbol inventory (batched admission rule): initial
+    // alphabet + every merged token produced so far
+    val symbolSet = scala.collection.mutable.HashSet[String]()
+    if (batchCap > 1)
+      vocab.select(explode(col("syms")).as("s")).distinct()
+        .collect().foreach(r => symbolSet += r.getString(0))
     val merged = Seq.newBuilder[String]
-    var round = 0
+    var total = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (total < numMerges && !exhausted) {
+      val want = math.min(batchCap, numMerges - total)
       val singles = vocab
         .select(col("c"), explode(col("syms")).as("s"))
         .groupBy("s").agg(sum(col("c")).as("cs"))
@@ -199,17 +237,40 @@ object WordPiece {
         .withColumn("score", col("cnt").cast("double") /
           (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(col("score").desc, col("p1"), col("p2"))
-        .limit(1).select("p1", "p2").collect()
+        .limit(want).select("p1", "p2").collect()
       if (top.isEmpty) exhausted = true
       else {
         // joins reorder key columns; read by name
-        val (a, b) = (top(0).getAs[String]("p1"), top(0).getAs[String]("p2"))
-        merged += a + strip(b)
-        val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        var i = 0
+        var open = true
+        while (open && i < top.length) {
+          val (a, b) = (top(i).getAs[String]("p1"), top(i).getAs[String]("p2"))
+          val tok = a + strip(b)
+          val collide = symbolSet(tok) // checked BEFORE registering tok
+          if (i > 0 && (used(a) || used(b) || collide)) open = false
+          else {
+            admitted += ((a, b))
+            used += a; used += b; used += tok
+            symbolSet += tok
+            // self-pair, or (first row only) a merged token colliding
+            // with an existing symbol: admit, then close the batch
+            if (a == b || collide) open = false
+            i += 1
+          }
+        }
+        val batch = admitted.toList
+        batch.foreach { case (a, b) => merged += a + strip(b) }
+        total += batch.size
+        val mergeUdf = udf((syms: Seq[String]) => {
+          var s = syms
+          batch.foreach { case (a, b) => s = applyMerge(s, a, b) }
+          s
+        })
         vocab = Materialize.pin(
           vocab.select(mergeUdf(col("syms")).as("syms"), col("c")))
       }
-      round += 1
     }
     merged.result()
   }

@@ -76,6 +76,80 @@ object DedupStream {
   private def writeBatch(df: DataFrame, dir: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$dir/batch-$batchId")
 
+  /** numeric key of a state subdir: `batch-7` → 7, `batch-7-compact`
+    * (a compaction product covering batches ≤ 7) → 7. */
+  private def dirKey(name: String): Long =
+    name.stripPrefix("batch-").stripSuffix("-compact").toLong
+
+  /** Compact a batch-subdir state (or output) table: rewrite every
+    * committed `batch-N/` into ONE `batch-K-compact/` dir (K = the
+    * largest compacted id) with a bounded file count, then delete the
+    * originals. Months of micro-batches otherwise accumulate millions
+    * of small parquet files that every ingest's state read must list
+    * and open.
+    *
+    * IDEMPOTENCE CONTRACT preserved: the HIGHEST-numbered batch subdir
+    * is never compacted — it is the only batch the streaming engine
+    * could still retry (anything below it is checkpoint-committed), so
+    * its rows must stay excludable via [[readTable]]'s `excludeBatch`;
+    * folding them into a compact blob would make a retry see its own
+    * half-written first attempt as "seen" and self-dedup the batch
+    * away. `upToBatch` tightens the bound when the caller knows the
+    * last committed id. Safe to run between [[start]] drains (the
+    * AvailableNow posture); do not run concurrently with an active
+    * micro-batch of the same stateDir.
+    *
+    * Crash-safe: the compacted table is fully written to a dot-temp
+    * dir, renamed into place, and only then are sources deleted. A
+    * crash between rename and deletes leaves rows present in both the
+    * compact dir and a not-yet-deleted source — the NEXT compaction
+    * (or any call) heals this by deleting raw dirs whose key is ≤ an
+    * existing compact dir's key instead of re-reading them (the
+    * incremental joins themselves are duplicate-tolerant: candidate
+    * pairs are distinct()ed / semi-joined).
+    *
+    * `targetFileBytes` sizes the rewrite: output files ≈ input bytes /
+    * targetFileBytes, min 1 (default 128 MiB — the parquet row-group
+    * sweet spot). Returns the number of subdirs compacted (0 = no-op). */
+  def compactState(spark: SparkSession, stateDir: String, schema: StructType,
+                   upToBatch: Long = Long.MaxValue,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val (p, hfs) = fs(spark, stateDir)
+    if (!hfs.exists(p)) return 0
+    val all = hfs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("batch-"))
+    if (all.isEmpty) return 0
+    // heal a crashed previous compaction: raw dirs at or below an
+    // existing compact dir's key are already contained in it
+    val compactKeys = all.filter(_.getName.endsWith("-compact"))
+      .map(q => dirKey(q.getName))
+    val healed = if (compactKeys.isEmpty) all else {
+      val ck = compactKeys.max
+      val (redundant, live) = all.partition(q =>
+        !q.getName.endsWith("-compact") && dirKey(q.getName) <= ck)
+      redundant.foreach(q => hfs.delete(q, true))
+      live
+    }
+    val maxKey = healed.map(q => dirKey(q.getName)).max
+    val sources = healed.filter(q =>
+      dirKey(q.getName) < maxKey && dirKey(q.getName) <= upToBatch)
+    if (sources.length <= 1) return 0
+    val k = sources.map(q => dirKey(q.getName)).max
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s".compact-$k-tmp")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    val bytes = sources.map(q => hfs.getContentSummary(q).getLength).sum
+    val nFiles = math.max(1L, bytes / targetFileBytes).toInt
+    spark.read.schema(schema).parquet(sources.map(_.toString).toSeq: _*)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(stateDir, s"batch-$k-compact")
+    if (!hfs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compactState: rename $tmp -> $target failed")
+    sources.foreach(q => hfs.delete(q, true))
+    sources.length
+  }
+
   /** shared recipe skeleton: pin the projected batch, drop intra-batch
     * pair losers and cross-vs-state losers, write survivors + state
     * idempotently. `intraDrop`/`crossDrop` return id-column frames. */

@@ -124,6 +124,21 @@ object Soak {
       "minhash_lsh" -> (() =>
         graft.ops.Dedup.minhashLsh(big, "doc_id", "text", 0.8,
           maxBucket = Some(2 * copies)).count()),
+      // planted mega-bucket under the DEFAULT cap (r13 item 2): 10k
+      // IDENTICAL docs alongside the organic corpus. Uncapped this is
+      // a 10k-clique → 5·10⁷ pairs × 32 bands in one bucket; the
+      // DefaultMaxBucket guard must drop the clique's buckets (warn
+      // log) and finish flat at organic cost
+      "minhash_megabucket" -> (() => {
+        val planted = spark.range(10_000).select(
+          (col("id") + lit(900_000_000L)).as("doc_id"),
+          lit("planted mega bucket boilerplate page body shared by " +
+            "the whole mirror farm with identical words throughout")
+            .as("text"))
+        graft.ops.Dedup.minhashLsh(
+          big.select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", 0.8).count()
+      }),
       // simhash near-dup (pigeonhole blocking), same clique pressure
       "simhash" -> (() =>
         graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count()),

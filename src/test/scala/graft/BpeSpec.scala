@@ -230,4 +230,65 @@ class BpeSpec extends SparkSpec {
         "text", merges)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq == counted)
   }
+
+  // ---- exact batched distributed fit (the crawl-scale job shape) ----
+
+  private def distBatched(df: org.apache.spark.sql.DataFrame, n: Int,
+                          cap: Int): Seq[(String, String)] =
+    Bpe.fitDistributed(Bpe.wordCounts(df, "text").localCheckpoint(), n,
+      batchCap = cap)
+
+  test("batched distributed fit reproduces the sequential merge list " +
+    "exactly, at every batch cap") {
+    // a corpus rich in conflicting top pairs: shared symbols, chains
+    val corpus = Seq(
+      (0L, "the then there that this those them themes"),
+      (1L, "low lower lowest slow slower glow glowing"),
+      (2L, "in on an and band bind bond sand sound"),
+      (3L, "rate rather gather lather together tether"),
+      (4L, "the the the there there low low an an an")).toDF("doc_id", "text")
+    val seq40 = Bpe.fitLocal(
+      Bpe.wordCounts(corpus, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1))), 40)
+    for (cap <- Seq(1, 2, 5, 16, 64))
+      assert(distBatched(corpus, 40, cap) == seq40,
+        s"batchCap=$cap diverged from sequential")
+  }
+
+  test("batched fit survives the adversaries: count ties, self-pairs, " +
+    "and concat collisions") {
+    // ties: every pair count equal → tie-break order must survive trim
+    val ties = Seq((0L, "ab ab cd cd ef ef gh gh")).toDF("doc_id", "text")
+    assert(distBatched(ties, 6, 64) == Bpe.fit(ties, "text", 6))
+    // self-pairs: runs of one symbol — (a,a) creates (aa,aa) pairs
+    // whose count is NOT bounded by the stop row; the batch must close
+    val runs = Seq((0L, "aaaaaaaa aaaa bb bbbb cc")).toDF("doc_id", "text")
+    assert(distBatched(runs, 8, 64) == Bpe.fit(runs, "text", 8))
+    // concat collision: merging (b,c) creates "bc"; words also contain
+    // the 2-char spelling that merges to the same string via (a,b);
+    // and "x bc" pairs exist that a colliding creation would boost
+    val collide = Seq(
+      (0L, "abc abc abc xbc xbc ab ab bc bc bc a a")).toDF("doc_id", "text")
+    assert(distBatched(collide, 10, 64) == Bpe.fit(collide, "text", 10))
+    // byte path through the same batched loop
+    val bytes = Seq(
+      (0L, "naïve café naïve café über alles alles alles"),
+      (1L, "日本語 テスト 日本語 テスト")).toDF("doc_id", "text")
+    assert(ByteBpe.fit(bytes, "text", 12, localVocabCap = 0)
+      == ByteBpe.fit(bytes, "text", 12))
+  }
+
+  test("minWordCount floor prunes the singleton tail identically on " +
+    "both paths") {
+    val corpus = Seq(
+      (0L, "common common common common rare1 rare2 rare3"),
+      (1L, "common shared shared rare4")).toDF("doc_id", "text")
+    val local = Bpe.fit(corpus, "text", 5, minWordCount = 2L)
+    assert(Bpe.fit(corpus, "text", 5, localVocabCap = 0, minWordCount = 2L)
+      == local)
+    // the floor really removed the singletons: no merge can come from
+    // a rare-only pair ("1".."4" appear only in singletons)
+    assert(local.forall { case (a, b) =>
+      !Seq("1", "2", "3", "4").exists(d => (a + b).contains(d)) })
+  }
 }

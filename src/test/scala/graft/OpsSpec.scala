@@ -68,6 +68,37 @@ class OpsSpec extends SparkSpec {
     assert(openLsh.count() == 20L * 19 / 2)
   }
 
+  test("LSH bucket capping is the DEFAULT: a clique past DefaultMaxBucket " +
+    "reports no pairs while organic near-dups are unaffected; None opts " +
+    "back into exact banding recall") {
+    // recall contract (scaladoc): a pair is lost only if EVERY band
+    // bucket holding it is over-cap — for a near-identical clique all
+    // 32 buckets ARE the clique, so a clique > 4096 vanishes entirely,
+    // and nothing else is touched
+    val cliqueText = "replicated boilerplate page body shared by the " +
+      "whole mirror farm with identical words throughout"
+    val clique = (1 to Dedup.DefaultMaxBucket + 40).map(i =>
+      (10_000L + i, cliqueText))
+    val organic = Seq((1L, doc0Text), (2L, doc0Text + " extra"))
+    val d = (clique ++ organic).toDF("doc_id", "text")
+    val res = Dedup.minhashLsh(d, "doc_id", "text", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(res == Set((1L, 2L)),
+      s"default cap should suppress the clique and keep the organic pair: $res")
+    // None opt-out restores the full pairing (small clique so the
+    // quadratic stays testable)
+    val small = (1 to 20).map(i => (i.toLong, cliqueText)).toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(small, "doc_id", "text", 0.8, maxBucket = None)
+      .count() == 20L * 19 / 2)
+    // incremental shares the contract: a seen-side mega-clique is
+    // dropped by default, the organic seen match still surfaces
+    val seen = (clique :+ (2L, doc0Text + " extra")).toDF("doc_id", "text")
+    val fresh = Seq((1L, doc0Text)).toDF("doc_id", "text")
+    val inc = Dedup.minhashLshIncremental(fresh, seen, "doc_id", "text", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(inc == Set((1L, 2L)), s"incremental default cap: $inc")
+  }
+
   test("minhash signature length and determinism") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
     val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

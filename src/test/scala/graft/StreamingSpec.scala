@@ -360,6 +360,58 @@ class StreamingSpec extends SparkSpec {
       "batch replay duplicated state rows")
   }
 
+  test("compactState folds committed batch subdirs into one compact " +
+    "dir: survivors and state unchanged, subdir count bounded, the " +
+    "max batch stays retry-safe, repeated compaction converges") {
+    import graft.streaming.DedupStream
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out) = (tmp("cs_state"), tmp("cs_out"))
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+          (2L, "completely different sentence about spark engines here")),
+      Seq((3L, "another unique line of text with no twin at all")),
+      Seq((4L, "the quick brown fox jumps over the lazy dog tonight")),
+      Seq((5L, "an entirely fresh document that matches nothing else ever")),
+      // batch 4 dups batch 0's doc 1 — provable only if the COMPACTED
+      // state is still consulted — and batch 3's doc 5
+      Seq((6L, "the quick brown fox jumps over the lazy dog forever"),
+          (7L, "an entirely fresh document that matches nothing else today")))
+    def runBatch(i: Int): Unit =
+      DedupStream.minhashBatch(batches(i).toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", state, out, threshold = 0.5)
+    (0 until 4).foreach(runBatch)
+    val schema = batches.head.toDF("doc_id", "text").schema
+    def stateDirs() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("batch-")).toSet
+    // compacts batches 0..2; batch 3 (max) must stay a separate subdir
+    assert(DedupStream.compactState(spark, state, schema) == 3)
+    assert(stateDirs() == Set("batch-2-compact", "batch-3"), stateDirs())
+    // retry of the max batch AFTER compaction: still idempotent (its
+    // own prior state write is still excludable)
+    runBatch(3)
+    // ingest continues against the compacted state
+    runBatch(4)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val drop = graft.ops.Dedup.minhashLsh(all, "doc_id", "text", 0.5)
+      .select("d2").as[Long].collect().toSet
+    val expected = batches.flatten.map(_._1).toSet -- drop
+    val got = DedupStream.readTable(spark, out, schema).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"stream kept $got, batch kept $expected")
+    assert(!got.contains(6L) && !got.contains(7L),
+      "cross-compaction dups not dropped — compacted state unread?")
+    assert(DedupStream.readTable(spark, state, schema).get.count() ==
+      batches.flatten.size.toLong)
+    // second compaction folds the previous compact dir + batch 3
+    assert(DedupStream.compactState(spark, state, schema) == 2)
+    assert(stateDirs() == Set("batch-3-compact", "batch-4"), stateDirs())
+    assert(DedupStream.readTable(spark, state, schema).get.count() ==
+      batches.flatten.size.toLong)
+    // nothing left to fold: no-op
+    assert(DedupStream.compactState(spark, state, schema) == 0)
+  }
+
   test("DedupStream exact recipe: min-id per key across batches; " +
     "cross join ships keys only") {
     import graft.streaming.DedupStream

