@@ -308,7 +308,14 @@ object Bench {
       (s(s.length / 2), s.head, s.last)
     }
 
-    val results = headline.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q186_...,q211_... restricts the run (the
+    // sf1 lane: the full battery at 6M rows would take hours; the lane
+    // runs the most expensive queries only). Driver runs leave it
+    // unset → full battery, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = headline.filter { case (n, _) => only.forall(_(n)) }
+    val results = selected.map { case (name, fn) =>
       val r = run(fn)
       // Full GC between queries: Spark's ContextCleaner reclaims
       // broadcast/shuffle/accumulator state only when driver GC runs,
@@ -331,7 +338,9 @@ object Bench {
     // line-oriented JSON parsing downstream — the file copy is canonical.
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      json + "\n")
     spark.stop()
   }
 }

@@ -4469,6 +4469,33 @@ object Pipeline {
         WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
         ORDER BY doc_id""")),
 
+    // --- byte-BPE via the DISTRIBUTED BATCHED fit path -----------------------
+    // (r14: q208's lossless round trip with localVocabCap = 0, forcing
+    // the vocabulary-table merge loop — exact batched rounds, up to 64
+    // merges per job round (Bpe.fitDistributed's prefix-admission
+    // proof). BpeSpec pins batched ≡ sequential merge lists on
+    // adversarial corpora; THIS row gates the distributed path's whole
+    // plumbing (driver symbol inventory, batch UDF application,
+    // pin-every-4 lineage cuts) against real table data at every gate
+    // SF. Any divergence in merge choice, order, or application breaks
+    // the reconstruction hash exactly like q208.)
+    "q214_bytebpe_distfit" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val merges = graft.ops.ByteBpe.fit(corpus, "text", numMerges = 20,
+          localVocabCap = 0)
+        graft.ops.ByteBpe.decodeTokens(
+            graft.ops.ByteBpe.encodeTokens(corpus, "doc_id", "text", merges),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id""")),
+
     // --- held-out KN scoring against a persisted model -----------------------
     // (TextAnalysis.knBigramLmScoreWith over fitKnBigramLm — the
     // score-many half of the fluency scorer's train-once contract.

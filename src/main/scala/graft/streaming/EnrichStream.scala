@@ -28,6 +28,12 @@ import graft.ops.{Materialize, TextAnalysis}
   * before wiring the stream; every micro-batch's scoring join
   * broadcasts it. Model refresh = stop, reload, restart (a model that
   * changes mid-stream makes enrichment non-reproducible).
+  *
+  * Output dirs accumulate one `batch-N/` subdir per micro-batch —
+  * months of micro-batches are millions of small files. Fold them
+  * periodically with [[DedupStream.compactState]] (it works on ANY
+  * batch-subdir table and preserves the retry contract: the newest
+  * batch subdir is never folded).
   */
 object EnrichStream {
 

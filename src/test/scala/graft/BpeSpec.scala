@@ -278,6 +278,32 @@ class BpeSpec extends SparkSpec {
       == ByteBpe.fit(bytes, "text", 12))
   }
 
+  test("batched ≡ sequential on 10 seeded random corpora over a tiny " +
+    "alphabet (tie/self-pair/collision-dense regime)") {
+    // alphabet {a,b,c}: with ≤27 distinct trigrams and heavy repeats,
+    // almost every round has count ties, (x,x) self-pairs, and merged
+    // symbols colliding with existing spellings — the regime where an
+    // unsound admission rule diverges within a few merges
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 10) {
+      val words = Seq.fill(30 + rnd.nextInt(40)) {
+        val len = 1 + rnd.nextInt(6)
+        (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(9).toLong)
+      }
+      // collapse duplicate words (wordCounts would): sum the weights
+      val wc = words.groupBy(_._1).map { case (w, g) =>
+        (w, g.map(_._2).sum) }.toArray
+      val seqFit = Bpe.fitLocal(wc, 20)
+      val wcDf = wc.toSeq.toDF("w", "c").localCheckpoint()
+      for (cap <- Seq(3, 64)) {
+        val bat = Bpe.fitDistributed(wcDf, 20, batchCap = cap)
+        assert(bat == seqFit,
+          s"trial $trial cap $cap diverged:\n seq=$seqFit\n bat=$bat")
+      }
+    }
+  }
+
   test("minWordCount floor prunes the singleton tail identically on " +
     "both paths") {
     val corpus = Seq(

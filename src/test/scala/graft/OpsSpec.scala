@@ -517,6 +517,124 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == 20000)
   }
 
+  test("planted key skew (one shingle on 20% of docs): the posting-list " +
+    "self-join completes under AQE skew handling without a straggler " +
+    "task 10x the stage median") {
+    // PlanSpec pins shapes at PLANNING time; this is the runtime half:
+    // thresholds are lowered so the spec-sized corpus actually crosses
+    // AQE's skew-split limits (defaults are 256 MB — cluster-sized),
+    // and broadcast is disabled so the join is the sort-merge shape a
+    // corpus-scale run would use (both sides large).
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val buf = byStage.computeIfAbsent(e.stageId,
+          _ => scala.collection.mutable.ArrayBuffer[Long]())
+        buf.synchronized { buf += e.taskInfo.duration }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 5000 docs; every 5th carries the same hot header phrase →
+      // one shingle key holds 20% of the corpus → ~500k candidate
+      // pairs through a single shuffle key, dwarfing everything else
+      val docs = (0 until 5000).map { i =>
+        val hot =
+          if (i % 5 == 0) "the common boilerplate header phrase appears " +
+            "in every mirrored page "
+          else ""
+        (i.toLong,
+          hot + s"unique body $i with words ${i * 7} ${i * 13} ${i * 29}")
+      }.toDF("doc_id", "text")
+      // no dfCap: the skew must REACH the join for AQE to handle it
+      val n = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 0.9,
+        dfCap = None).count()
+      assert(n >= 0) // completion is half the assertion
+      Thread.sleep(1000) // listener bus drains asynchronously
+      val stages = scala.jdk.CollectionConverters
+        .MapHasAsScala(byStage).asScala
+        .map { case (sid, buf) => sid -> buf.synchronized(buf.toSeq) }
+      // the join stage is the heaviest MULTI-task stage; 1-task stages
+      // (driver collects, tiny pins) carry no spread to measure
+      val multi = stages.filter(_._2.length >= 2)
+      assert(multi.nonEmpty, "no multi-task stage ran — join not parallel")
+      val (heavy, ds) = multi.maxBy(_._2.sum)
+      val sorted = ds.sorted
+      val med = sorted(sorted.length / 2)
+      val mx = sorted.last
+      // only meaningful when tasks carry real work (ms-scale tasks
+      // make the ratio pure scheduler noise)
+      if (med >= 50L)
+        assert(mx <= 10 * med,
+          s"stage $heavy straggler: max ${mx}ms vs median ${med}ms " +
+            s"over ${ds.length} tasks — skew not split")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("z-order/Hilbert clustering makes READERS prune: a 2-D range " +
+    "predicate scans a fraction of the row groups the shuffled layout " +
+    "scans (parquet min/max row-group skipping)") {
+    // The q157/q187 tests pin per-file bboxes (writer side); this one
+    // asserts the read side actually benefits: parquet pushdown skips
+    // whole row groups by column stats, and the scan's numOutputRows
+    // counts only rows of SURVIVING row groups (record-level parquet
+    // filtering is off by default, so unskipped rows all surface and
+    // Spark's Filter trims them — making the metric a direct row-group
+    // -skipping probe).
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune")
+    val rnd = new scala.util.Random(47)
+    val df = Seq.fill(50000)((rnd.nextInt(100000).toLong,
+      rnd.nextInt(100000).toLong)).toDF("a", "b")
+    def writeTo(path: String, d: org.apache.spark.sql.DataFrame): Unit =
+      d.write
+        .option("parquet.block.size", (64 * 1024).toString) // many row groups
+        .option("parquet.page.size", (8 * 1024).toString)
+        .parquet(path)
+    val zdir = s"$dir/z"; val hdir = s"$dir/h"; val sdir = s"$dir/s"
+    val dims = Seq(($"a", 0.0, 100000.0), ($"b", 0.0, 100000.0))
+    writeTo(zdir, graft.ops.ZOrder.clusterByZOrder(df, dims,
+      bits = 5, bucketBits = 4))
+    writeTo(hdir, graft.ops.ZOrder.clusterByHilbert(df, dims(0), dims(1),
+      bits = 5, bucketBits = 4))
+    writeTo(sdir, df.repartition(16)) // unclustered: every file spans all
+    val pred = $"a" < 12500L && $"b" < 12500L // 1/8 × 1/8 corner region
+    def scanned(path: String): (Long, Set[(Long, Long)]) = {
+      // metrics live on the QueryExecution that actually RAN — derive
+      // the typed view first, then collect through that same instance
+      val q = spark.read.parquet(path).filter(pred).as[(Long, Long)]
+      val rows = q.collect().toSet
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (scan.metrics("numOutputRows").value, rows)
+    }
+    val (zScan, zRows) = scanned(zdir)
+    val (hScan, hRows) = scanned(hdir)
+    val (sScan, sRows) = scanned(sdir)
+    assert(zRows == sRows && hRows == sRows, "layouts changed the answer")
+    // unclustered layout: stats prune nothing — the scan reads ~all rows
+    assert(sScan > 40000L, s"shuffled layout unexpectedly pruned: $sScan")
+    // clustered layouts: the corner region lives in few row groups
+    assert(zScan * 4 < sScan, s"z-order scan $zScan vs shuffled $sScan")
+    assert(hScan * 4 < sScan, s"hilbert scan $hScan vs shuffled $sScan")
+  }
+
   test("compaction: rewrites many small files into the size-targeted count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
     val src = s"$dir/src"; val dst = s"$dir/dst"
