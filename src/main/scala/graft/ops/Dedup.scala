@@ -646,6 +646,52 @@ object Dedup {
     * crawl scale (one 1M-doc clique = 5·10¹¹ pairs × 32 bands). */
   val DefaultMaxBucket = 4096
 
+  private val observedSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Cap-filter a (id, band, bucket) frame to buckets with ≤ cap
+    * members, WITHOUT adding a Spark job: the dropped-bucket count
+    * rides the plan as an observed metric (`Dataset.observe` — an
+    * accumulator over the bucket-size rows, zero extra passes) and a
+    * once-per-session QueryExecutionListener warn-logs it when the
+    * query that finally executes the plan completes. An eager count
+    * here would cost a banding pass per call (measured +0.66 s on q45
+    * at sf0.1); silence would read as full recall — this is the
+    * no-job way to have both. */
+  private def cappedBuckets(banded0: DataFrame, cap: Int,
+                            what: String): DataFrame = {
+    val spark = banded0.sparkSession
+    if (observedSessions.add(spark))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_lsh_dropped")) {
+                val d = row.getAs[Long]("dropped_buckets")
+                if (d > 0)
+                  org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+                    s"$name: dropping $d band buckets over the bucket " +
+                      "cap (recall contract in minhashLsh scaladoc)")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    val keep = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      // unique observation name per call — two capped ops composed in
+      // one query must not collide (Spark rejects duplicate names)
+      .observe(s"graft_lsh_dropped_${what}_cap${cap}_${obsId.incrementAndGet()}",
+        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped_buckets"))
+      .filter(col("bn") <= cap).select("band", "bucket")
+    banded0.join(keep, Seq("band", "bucket"), "left_semi")
+  }
+
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
     * then verify candidates with exact Jaccard (no false positives; miss
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs
@@ -664,10 +710,11 @@ object Dedup {
     * run [[exact]] dedup first (the standard pipeline order) so
     * identical-text cliques never reach the LSH stage, and size the
     * cap with [[lshTune]]/bucket stats if near-identical cliques above
-    * 4096 are expected. When a cap is active and `materialize` is on,
-    * the number of dropped buckets is computed once from the pinned
-    * bucket-size table and logged (warn) — silent truncation reads as
-    * full recall when it isn't. */
+    * 4096 are expected. When a cap is active, the dropped-bucket count
+    * rides the plan as an observed metric and is warn-logged when the
+    * executing query completes (zero extra jobs — see
+    * [[cappedBuckets]]); silent truncation reads as full recall when
+    * it isn't. */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  threshold: Double, numPerms: Int = 64,
                  bands: Int = 32,
@@ -696,17 +743,12 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val banded = maxBucket match {
       case Some(cap) =>
-        val sizes = Materialize.pin(banded0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bn")), materialize)
-        if (materialize) {
-          val dropped = sizes.filter(col("bn") > cap).count()
-          if (dropped > 0)
-            org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
-              s"minhashLsh: dropping $dropped band buckets over " +
-                s"maxBucket=$cap (recall contract in scaladoc)")
-        }
-        val keep = sizes.filter(col("bn") <= cap).select("band", "bucket")
-        banded0.join(keep, Seq("band", "bucket"), "left_semi")
+        // the capped path consumes the banded frame on THREE branches
+        // (bucket-size aggregate + both join sides); pin the compact
+        // (id, band, bucket) rows so the signature expression runs
+        // once, not per branch
+        cappedBuckets(Materialize.pin(banded0, materialize), cap,
+          "minhashLsh")
       case None => banded0
     }
     val cand = banded.as("x").join(banded.as("y"),
@@ -768,10 +810,7 @@ object Dedup {
     val nb = band(newArrays)
     val sb0 = band(seenArrays)
     val sb = maxSeenBucket match {
-      case Some(cap) =>
-        val keep = sb0.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= cap).select("band", "bucket")
-        sb0.join(keep, Seq("band", "bucket"), "left_semi")
+      case Some(cap) => cappedBuckets(sb0, cap, "minhashLshIncremental")
       case None => sb0
     }
     val cand = nb.as("x").join(sb.as("y"),

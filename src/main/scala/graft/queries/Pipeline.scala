@@ -188,6 +188,14 @@ object Pipeline {
         ORDER BY d1, d2""")),
 
     // --- MinHash + LSH near-dup (verified: oracle = exact Jaccard >= 0.8) --------
+    // r14 band: fresh-session QBench, 7 iters, sf0.1 — 1.55 s
+    // [1.35, 1.79] WITH the now-default bucket cap (bucket-size
+    // aggregate + semi join + banded-frame pin; dropped-count rides an
+    // observed metric, zero extra jobs). The uncapped plan measures
+    // 1.07 s [0.98, 1.38] in the same harness — the ~0.5 s is the
+    // price of quadratic immunity, paid once per run and flat in the
+    // 10k-clique soak. Compare future q45 numbers against THIS band,
+    // not the pre-cap r13 0.92 s shared-session median.
     "q45_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", 0.8)
         .orderBy("d1", "d2"),
