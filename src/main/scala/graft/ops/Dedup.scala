@@ -692,6 +692,33 @@ object Dedup {
     banded0.join(keep, Seq("band", "bucket"), "left_semi")
   }
 
+  /** Band-bucket size DISTRIBUTION — the cap-sizing diagnostic the
+    * [[minhashLsh]] scaladoc points at: how many band buckets exist at
+    * each size, with the pair-work each size class would contribute
+    * (n_buckets · size·(size−1)/2). Read it before a corpus run: the
+    * tail row's `pair_work` IS the quadratic a mega-bucket would cost,
+    * and the smallest size with negligible organic mass is the cap.
+    * One banding pass + two vocabulary-scale aggregates — no joins, no
+    * pairing. Returns (bucket_size, n_buckets, pair_work) ordered by
+    * bucket_size. */
+  def lshBucketStats(df: DataFrame, id: String, text: String,
+                     numPerms: Int = 64, bands: Int = 32): DataFrame = {
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"lshBucketStats: bands=$bands must divide numPerms=$numPerms")
+    val rows = numPerms / bands
+    val sig = shingleHashArrays(df, id, text).select(col(id),
+      graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
+    sig.select(col(id),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pair_work", // integral div: stays exact past 2^53
+        expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)"))
+      .orderBy("bucket_size")
+  }
+
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
     * then verify candidates with exact Jaccard (no false positives; miss
     * probability (1-J^rows)^bands — with 32 bands × 2 rows, J=0.8 pairs

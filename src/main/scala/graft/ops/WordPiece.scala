@@ -200,10 +200,16 @@ object WordPiece {
     * partitioning-invariant TRAINING VARIANT for crawl-scale fits
     * (where 2 jobs per merge × 30k merges is the difference between
     * hours and days), not an equivalent implementation — pinned as
-    * such in WordPieceSpec. Within a batch every admitted pair's score
-    * is its true current score (disjointness keeps all three counts
-    * untouched), so each batch is a set of simultaneously-justified
-    * merges under the round's distribution. */
+    * such in WordPieceSpec. Because no sequential-identity claim is
+    * being protected, selection SKIPS conflicting candidates rather
+    * than stopping at the first one (greedy maximal independent set
+    * down the ranked list — under the likelihood score the top pairs
+    * cluster on shared rare symbols, and prefix-stop measured only
+    * 2.4× fewer jobs where skipping reaches the cap). Within a batch
+    * every admitted pair's score is its true current score
+    * (disjointness keeps all three counts untouched), so each batch is
+    * a set of simultaneously-justified merges under the round's
+    * distribution. */
   private[graft] def fitDistributed(wc: DataFrame,
                                     numMerges: Int,
                                     batchCap: Int = 1): Seq[String] = {
@@ -231,32 +237,35 @@ object WordPiece {
         .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .agg(sum(col("c")).as("cnt"))
         .filter(col("cnt") >= 2)
+      // over-collect 8×: skipping shared-symbol candidates down the
+      // ranked list needs slack to fill the batch (bounded: ≤ 8·cap
+      // rows on the driver — the likelihood score clusters top pairs
+      // on shared rare symbols, so skips are dense)
       val top = pairs
         .join(singles.select(col("s").as("p1"), col("cs").as("ca")), Seq("p1"))
         .join(singles.select(col("s").as("p2"), col("cs").as("cb")), Seq("p2"))
         .withColumn("score", col("cnt").cast("double") /
           (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(col("score").desc, col("p1"), col("p2"))
-        .limit(want).select("p1", "p2").collect()
+        .limit(if (batchCap == 1) 1 else 8 * want).select("p1", "p2").collect()
       if (top.isEmpty) exhausted = true
       else {
         // joins reorder key columns; read by name
         val admitted = scala.collection.mutable.ArrayBuffer[(String, String)]()
         val used = scala.collection.mutable.HashSet[String]()
         var i = 0
-        var open = true
-        while (open && i < top.length) {
+        while (admitted.length < want && i < top.length) {
           val (a, b) = (top(i).getAs[String]("p1"), top(i).getAs[String]("p2"))
           val tok = a + strip(b)
           val collide = symbolSet(tok) // checked BEFORE registering tok
-          if (i > 0 && (used(a) || used(b) || collide)) open = false
+          // rank 1 is always admitted (it IS the sequential pick);
+          // later candidates are skipped when they touch an admitted
+          // symbol or their token collides with an existing spelling
+          if (i > 0 && (used(a) || used(b) || collide)) { i += 1 }
           else {
             admitted += ((a, b))
             used += a; used += b; used += tok
             symbolSet += tok
-            // self-pair, or (first row only) a merged token colliding
-            // with an existing symbol: admit, then close the batch
-            if (a == b || collide) open = false
             i += 1
           }
         }

@@ -89,12 +89,37 @@ object SoakBpeFit {
       "batched fit diverged from sequential — exactness contract broken")
     require(mSeq.size == nMerges, s"fit exhausted early: ${mSeq.size}")
 
+    // WordPiece lane: the batched SCALE VARIANT (symbol-disjoint
+    // prefixes under the likelihood score — deterministic, but NOT the
+    // sequential pick order; WordPiece.fitDistributed scaladoc). The
+    // soak measures the job economics and pins determinism across
+    // runs; merge-list identity is deliberately not asserted.
+    def runWp(cap: Int): (Seq[String], Int, Double) = {
+      val counter = new JobCounter
+      spark.sparkContext.addSparkListener(counter)
+      val t0 = System.nanoTime()
+      val merged = graft.ops.Materialize.withBatchRelease(spark) {
+        graft.ops.WordPiece.fitDistributed(wc, nMerges, batchCap = cap)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(counter)
+      (merged, counter.n.get(), dt)
+    }
+    val (wB, wjB, wtB) = runWp(cap = 64)
+    val (wB2, _, _) = runWp(cap = 64)
+    require(wB == wB2, "batched WordPiece fit is not deterministic")
+    val (_, wjS, wtS) = runWp(cap = 1)
+
     val json =
       s"""{"soak":"bpe_fit","words":$distinct,"merges":$nMerges,""" +
         s""""seq_jobs":$jSeq,"batched_jobs":$jBat,""" +
         f""""job_ratio":${jSeq.toDouble / jBat}%.1f,""" +
         f""""seq_sec":$tSeq%.1f,"batched_sec":$tBat%.1f,""" +
-        s""""identical_merges":true}"""
+        s""""identical_merges":true,""" +
+        s""""wp_seq_jobs":$wjS,"wp_batched_jobs":$wjB,""" +
+        f""""wp_job_ratio":${wjS.toDouble / wjB}%.1f,""" +
+        f""""wp_seq_sec":$wtS%.1f,"wp_batched_sec":$wtB%.1f,""" +
+        s""""wp_batched_tokens":${wB.size},"wp_deterministic":true}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SOAK_LOCAL.json"), json + "\n",

@@ -99,6 +99,28 @@ class OpsSpec extends SparkSpec {
     assert(inc == Set((1L, 2L)), s"incremental default cap: $inc")
   }
 
+  test("lshBucketStats: size histogram mass equals banded rows, a " +
+    "planted clique surfaces as one size-N bucket per band, pair_work " +
+    "is the quadratic it would cost") {
+    val clique = (1 to 25).map(i => (100L + i, doc0Text))
+    val d = (clique ++ Seq(
+      (1L, "some organic text with its own words here"),
+      (2L, "another organic document again different words"))).toDF("doc_id", "text")
+    val stats = Dedup.lshBucketStats(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    // mass: Σ size·n_buckets = 32 bands × docs-with-shingles
+    assert(stats.map { case (sz, nb, _) => sz * nb }.sum == 32L * 27)
+    // the 25-clique: identical docs share every band signature →
+    // exactly 32 buckets of size 25 (one per band)
+    val big = stats.find(_._1 == 25L).get
+    assert(big._2 == 32L, s"clique buckets: $big")
+    assert(big._3 == 32L * (25L * 24 / 2), "pair_work = n·size·(size-1)/2")
+    // deterministic across partitionings
+    val again = Dedup.lshBucketStats(d.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == stats)
+  }
+
   test("minhash signature length and determinism") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
     val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -718,6 +718,18 @@ class PlanSpec extends SparkSpec {
     val n = occurrenceStreamJoins(qe.optimizedPlan)
     assert(n == 1, s"expected 1 occurrence-stream join, got $n")
     assert(!qe.executedPlan.toString.contains("Window"))
+    // every input of the final scoring plan is a PINNED frame (model
+    // and score arrays localCheckpoint during construction), so the
+    // executed plan must contain ZERO live parquet scans. A FileScan
+    // here means some model consumer joined the UNPINNED fit plan and
+    // re-aggregates the fit corpus per consumer — the r14 ADVICE
+    // regression (knBigramLmScoreWith's c12 read), which the
+    // occurrence-stream counter alone cannot see (the fit aggregate
+    // caps the Generate).
+    val scans = qe.executedPlan.toString.linesIterator
+      .count(_.contains("FileScan parquet"))
+    assert(scans == 0,
+      s"$scans live parquet scans — a model read bypassed the pin")
   }
 
   test("q210 threshold apply: the cuts broadcast back — no window, " +
