@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * the crawl shape. No corpus is scanned: fit-from-word-counts is
   * exactly the production entry point after the one corpus pass.
   *
+  * A second lane runs the same fit through WordPiece: sequential
+  * (cap 1) vs the batched maximal-independent-set VARIANT (cap 64) —
+  * job/wall economics plus a two-run determinism pin; merge-list
+  * identity is deliberately NOT asserted (see WordPiece.fitDistributed
+  * scaladoc for why exact batching is impossible under the likelihood
+  * score).
+  *
   * Run: sbt "runMain graft.tools.SoakBpeFit"
   * Env: SPARK_GRAFT_FIT_WORDS (default 1,300,000),
   *      SPARK_GRAFT_FIT_MERGES (default 100).
