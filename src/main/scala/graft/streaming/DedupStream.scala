@@ -119,14 +119,17 @@ object DedupStream {
     val all = hfs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("batch-"))
     if (all.isEmpty) return 0
-    // heal a crashed previous compaction: raw dirs at or below an
-    // existing compact dir's key are already contained in it
+    // heal a crashed previous compaction: the NEWEST compact dir
+    // contains every batch at or below its key, so any other dir —
+    // raw batch OR an older compact blob the crash left undeleted —
+    // with key ≤ that is redundant (undeleted older compacts would
+    // otherwise duplicate their rows into every future compaction)
     val compactKeys = all.filter(_.getName.endsWith("-compact"))
       .map(q => dirKey(q.getName))
     val healed = if (compactKeys.isEmpty) all else {
       val ck = compactKeys.max
       val (redundant, live) = all.partition(q =>
-        !q.getName.endsWith("-compact") && dirKey(q.getName) <= ck)
+        dirKey(q.getName) <= ck && q.getName != s"batch-$ck-compact")
       redundant.foreach(q => hfs.delete(q, true))
       live
     }

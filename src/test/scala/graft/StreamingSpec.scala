@@ -410,6 +410,19 @@ class StreamingSpec extends SparkSpec {
       batches.flatten.size.toLong)
     // nothing left to fold: no-op
     assert(DedupStream.compactState(spark, state, schema) == 0)
+    // crash healing: simulate a compaction that wrote its target but
+    // died before deleting sources — an OLDER compact blob survives
+    // alongside the newer one, duplicating its rows in every read
+    val total = batches.flatten.size.toLong
+    DedupStream.readTable(spark, state, schema).get
+      .write.parquet(s"$state/batch-2-compact") // stale remnant
+    assert(DedupStream.readTable(spark, state, schema).get.count() > total,
+      "remnant should duplicate state rows until healed")
+    // the next call heals even when there is nothing new to fold
+    assert(DedupStream.compactState(spark, state, schema) == 0)
+    assert(stateDirs() == Set("batch-3-compact", "batch-4"), stateDirs())
+    assert(DedupStream.readTable(spark, state, schema).get.count() == total,
+      "healing must remove the duplicated remnant")
   }
 
   test("DedupStream exact recipe: min-id per key across batches; " +
