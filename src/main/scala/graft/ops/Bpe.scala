@@ -138,7 +138,23 @@ object Bpe {
     // so both paths see identical counts (identical merges under the
     // same floor); floor > 1 is a deliberate, documented change to the
     // fit corpus, not an approximation of it.
-    val wc0 = Materialize.pin(wordCounts(df, text))
+    fitFromCounts(Materialize.pin(wordCounts(df, text)), numMerges,
+      localVocabCap, minWordCount)
+  }
+
+  /** [[fit]] from a PRECOMPUTED (w, c) word-count table — the
+    * production entry point at crawl scale: the corpus pass is the
+    * only job that touches 100 TB, so compute it once, persist it, and
+    * fit every tokenizer variant (merge counts, floors, byte vs char)
+    * against the same table without rescanning the corpus. The frame
+    * should be pinned or parquet-backed (each merge round re-reads
+    * it). Same dispatch and identical-merges contract as [[fit]]. */
+  def fitFromCounts(wc0: DataFrame, numMerges: Int,
+                    localVocabCap: Int = 1 << 20,
+                    minWordCount: Long = 1L): Seq[(String, String)] = {
+    require(numMerges >= 1, "Bpe.fitFromCounts: numMerges must be >= 1")
+    require(minWordCount >= 1L,
+      "Bpe.fitFromCounts: minWordCount must be >= 1")
     val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
              else wc0
     if (wc.count() <= localVocabCap) {

@@ -75,10 +75,18 @@ object ByteBpe {
     * (identical merges on both paths — BpeSpec). */
   def fit(df: DataFrame, text: String, numMerges: Int,
           localVocabCap: Int = 1 << 20,
-          minWordCount: Long = 1L): Seq[(String, String)] = {
-    require(numMerges >= 1, "ByteBpe.fit: numMerges must be >= 1")
-    require(minWordCount >= 1L, "ByteBpe.fit: minWordCount must be >= 1")
-    val wc0 = Materialize.pin(Bpe.wordCounts(df, text))
+          minWordCount: Long = 1L): Seq[(String, String)] =
+    fitFromCounts(Materialize.pin(Bpe.wordCounts(df, text)), numMerges,
+      localVocabCap, minWordCount)
+
+  /** [[fit]] from a precomputed (w, c) word-count table — see
+    * [[Bpe.fitFromCounts]]: one corpus pass, every tokenizer variant. */
+  def fitFromCounts(wc0: DataFrame, numMerges: Int,
+                    localVocabCap: Int = 1 << 20,
+                    minWordCount: Long = 1L): Seq[(String, String)] = {
+    require(numMerges >= 1, "ByteBpe.fitFromCounts: numMerges must be >= 1")
+    require(minWordCount >= 1L,
+      "ByteBpe.fitFromCounts: minWordCount must be >= 1")
     val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
              else wc0
     if (wc.count() <= localVocabCap) {

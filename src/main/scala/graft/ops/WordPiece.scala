@@ -111,12 +111,21 @@ object WordPiece {
   def fit(df: DataFrame, text: String, numMerges: Int,
           localVocabCap: Int = 1 << 20,
           minWordCount: Long = 1L,
-          batchCap: Int = 1): Seq[String] = {
-    require(numMerges >= 1, "WordPiece.fit: numMerges must be >= 1")
-    require(minWordCount >= 1L, "WordPiece.fit: minWordCount must be >= 1")
+          batchCap: Int = 1): Seq[String] =
+    fitFromCounts(Materialize.pin(wordCounts(df, text)), numMerges,
+      localVocabCap, minWordCount, batchCap)
+
+  /** [[fit]] from a precomputed (w, c) word-count table — see
+    * [[Bpe.fitFromCounts]]: one corpus pass, every tokenizer variant. */
+  def fitFromCounts(wc0: DataFrame, numMerges: Int,
+                    localVocabCap: Int = 1 << 20,
+                    minWordCount: Long = 1L,
+                    batchCap: Int = 1): Seq[String] = {
+    require(numMerges >= 1, "WordPiece.fitFromCounts: numMerges must be >= 1")
+    require(minWordCount >= 1L,
+      "WordPiece.fitFromCounts: minWordCount must be >= 1")
     // frequency-floor prune before the loop (see Bpe.fit) — applies to
     // both paths, so local ≡ distributed still holds under a floor
-    val wc0 = Materialize.pin(wordCounts(df, text))
     val wc = if (minWordCount > 1L) wc0.filter(col("c") >= minWordCount)
              else wc0
     val alphabet = wc

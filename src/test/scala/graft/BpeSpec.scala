@@ -304,6 +304,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fitFromCounts over one shared word-count table equals fit on " +
+    "the corpus, for all three tokenizers (the one-corpus-pass reuse)") {
+    val corpus = Seq(
+      (0L, "hug hug hug pug pug hugs the then there low lower"),
+      (1L, "the the low slow glow band bind bond")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(corpus, "text").localCheckpoint()
+    assert(Bpe.fitFromCounts(wc, 10) == Bpe.fit(corpus, "text", 10))
+    assert(Bpe.fitFromCounts(wc, 10, localVocabCap = 0)
+      == Bpe.fit(corpus, "text", 10))
+    assert(ByteBpe.fitFromCounts(wc, 10) == ByteBpe.fit(corpus, "text", 10))
+    assert(graft.ops.WordPiece.fitFromCounts(wc, 10)
+      == graft.ops.WordPiece.fit(corpus, "text", 10))
+    assert(Bpe.fitFromCounts(wc, 10, minWordCount = 2L)
+      == Bpe.fit(corpus, "text", 10, minWordCount = 2L))
+  }
+
   test("minWordCount floor prunes the singleton tail identically on " +
     "both paths") {
     val corpus = Seq(
