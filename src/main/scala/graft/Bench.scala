@@ -256,7 +256,13 @@ object Bench {
     "q210_threshold_apply" -> SparkEntry.queries("q210_threshold_apply"),
     "q211_pipeline_v5" -> SparkEntry.queries("q211_pipeline_v5"),
     "q212_quality_logreg" -> SparkEntry.queries("q212_quality_logreg"),
-    "q213_tokenizer_fertility" -> SparkEntry.queries("q213_tokenizer_fertility"))
+    "q213_tokenizer_fertility" -> SparkEntry.queries("q213_tokenizer_fertility"),
+    // round-15: the DISTRIBUTED batched tokenizer-fit paths get bench
+    // rows so a regression in the batched merge loop (per-round
+    // limit+collect, vocab UDF rewrite, pin cadence) surfaces
+    // round-over-round, not only in ad-hoc SoakBpeFit runs
+    "q214_bytebpe_distfit" -> SparkEntry.queries("q214_bytebpe_distfit"),
+    "q215_wordpiece_batchfit" -> SparkEntry.queries("q215_wordpiece_batchfit"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -314,6 +320,16 @@ object Bench {
     // unset → full battery, unchanged.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on unknown names: a typo would otherwise silently run
+    // zero queries and overwrite BENCH_LOCAL.json with an empty battery
+    only.foreach { names =>
+      val known = headline.map(_._1).toSet
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the headline list: " +
+          unknown.toSeq.sorted.mkString(", "))
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val selected = headline.filter { case (n, _) => only.forall(_(n)) }
     val results = selected.map { case (name, fn) =>
       val r = run(fn)

@@ -646,9 +646,20 @@ object Dedup {
     * crawl scale (one 1M-doc clique = 5·10¹¹ pairs × 32 bands). */
   val DefaultMaxBucket = 4096
 
-  private val observedSessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  // WEAK set (r15): the registry must not decide session lifetime. A
+  // strong set here pins every SparkSession a capped dedup ever ran on
+  // for the life of the JVM — irrelevant to a one-session batch job,
+  // a real leak in a long-lived multi-session server (each notebook
+  // session's whole state retained forever). The listener itself is
+  // registered ON the session's own listenerManager (session → listener
+  // edge, not listener → registry), so once the session is otherwise
+  // unreachable both it and the listener collect and the weak entry
+  // vanishes; a re-created session simply re-registers. WeakHashMap is
+  // not thread-safe → synchronizedSet.
+  private val observedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Cap-filter a (id, band, bucket) frame to buckets with ≤ cap
@@ -717,6 +728,56 @@ object Dedup {
       .withColumn("pair_work", // integral div: stays exact past 2^53
         expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)"))
       .orderBy("bucket_size")
+  }
+
+  /** Programmatic cap sizing — [[lshBucketStats]]'s scaladoc rule
+    * ("the smallest size with negligible organic mass is the cap")
+    * made executable, so pipelines can size `maxBucket` without a
+    * human reading the histogram. Organic band collisions (docs that
+    * share one band signature WITHOUT being near-dups) form a
+    * decaying size distribution; near-identical cliques land as
+    * outlier size classes far above it, separated by a gap. The
+    * advisor walks the size classes ascending and returns a cap at
+    * the FIRST point where (a) at least `organicFraction` of all band
+    * buckets lie at or below this size — so everything above is
+    * negligible-mass tail, not the organic body — and (b) the next
+    * observed size class is ≥ `gapFactor`× larger — a distributional
+    * gap, the clique-mode signature. The returned cap is
+    * `min(2·size, nextSize − 1)`: 2× headroom over the last organic
+    * class so organic growth between the diagnostic run and the
+    * corpus run doesn't clip, while staying strictly below the clique
+    * mode.
+    *
+    * Returns None when no qualifying gap exists — a unimodal
+    * distribution has no clique evidence and no data-driven cap; keep
+    * [[DefaultMaxBucket]] (pair-work insurance) or None as policy
+    * dictates. Driver-side cost: one [[lshBucketStats]] pass plus a
+    * bounded collect (one row per distinct bucket size). */
+  def suggestBucketCap(df: DataFrame, id: String, text: String,
+                       numPerms: Int = 64, bands: Int = 32,
+                       gapFactor: Double = 4.0,
+                       organicFraction: Double = 0.999): Option[Int] = {
+    require(gapFactor > 1.0, s"suggestBucketCap: gapFactor=$gapFactor must be > 1")
+    require(organicFraction > 0.0 && organicFraction <= 1.0,
+      s"suggestBucketCap: organicFraction=$organicFraction must be in (0, 1]")
+    val stats = lshBucketStats(df, id, text, numPerms, bands)
+      .select("bucket_size", "n_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (stats.length < 2) return None
+    val totalBuckets = stats.map(_._2).sum
+    var cum = 0L
+    var i = 0
+    while (i < stats.length - 1) {
+      cum += stats(i)._2
+      val size = stats(i)._1
+      val next = stats(i + 1)._1
+      if (cum >= organicFraction * totalBuckets && next >= gapFactor * size) {
+        val cap = math.min(math.min(2L * size, next - 1L), Int.MaxValue.toLong)
+        return Some(cap.toInt)
+      }
+      i += 1
+    }
+    None
   }
 
   /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join,
@@ -905,10 +966,6 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
-  /** near-duplicate dedup keep-list: MinHash-LSH pairs → connected
-    * components → keep the minimum id per component (plus every doc in
-    * no near-dup pair). The end-to-end corpus dedup a training-data
-    * pipeline actually runs. */
   /** Duplicate-cluster size report — the standard dedup audit table
     * (how many 2-clusters, 3-clusters, ...; mirror-heavy crawls show a
     * long tail of large clusters): [[connectedComponents]] over the
@@ -922,10 +979,26 @@ object Dedup {
       .groupBy("component").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
 
+  /** near-duplicate dedup keep-list: MinHash-LSH pairs → connected
+    * components → keep the minimum id per component (plus every doc in
+    * no near-dup pair). The end-to-end corpus dedup a training-data
+    * pipeline actually runs — which is exactly why it inherits
+    * [[minhashLsh]]'s DEFAULT bucket cap ([[DefaultMaxBucket]]) rather
+    * than bypassing it: the production entry point is the path that
+    * must be quadratic-immune by default. CONSEQUENCE of the capped
+    * recall contract at this level: a near-identical clique LARGER
+    * than the cap occupies every one of its band buckets, so the
+    * clique reports no pairs and ALL its members survive the dedup
+    * (warn-logged via the observed dropped-bucket metric). For
+    * identical-text cliques the mitigation is the standard pipeline
+    * order — run [[exact]] dedup first, so such cliques never reach
+    * the LSH stage; for near-identical boilerplate families above
+    * 4096, size the cap with [[lshBucketStats]]/[[suggestBucketCap]]
+    * or pass `maxBucket = None` to restore exact banding recall. */
   def dedupNearMinhash(df: DataFrame, id: String, text: String,
                        threshold: Double, numPerms: Int = 64,
                        bands: Int = 32,
-                       maxBucket: Option[Int] = None): DataFrame = {
+                       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("node") =!= col("component"))
@@ -950,11 +1023,20 @@ object Dedup {
     * back for the achievers, min(id) among them) rather than a
     * max_by struct, so id and quality keep their exact types and the
     * tie-break is explicit. Component tables are cluster-sized (tiny
-    * vs the corpus); the final keep is one left_anti join. */
+    * vs the corpus); the final keep is one left_anti join.
+    *
+    * Inherits [[minhashLsh]]'s DEFAULT bucket cap
+    * ([[DefaultMaxBucket]]) — see [[dedupNearMinhash]] for the
+    * wrapper-level recall contract: a near-identical clique larger
+    * than the cap is suppressed entirely (all members survive,
+    * warn-logged); run [[exact]] dedup first so identical-text cliques
+    * never reach the LSH stage, size the cap with
+    * [[lshBucketStats]]/[[suggestBucketCap]], or pass `None` to
+    * restore exact banding recall. */
   def dedupNearCanonical(df: DataFrame, id: String, text: String,
                          quality: Column, threshold: Double,
                          numPerms: Int = 64, bands: Int = 32,
-                         maxBucket: Option[Int] = None): DataFrame = {
+                         maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val scored = comps.join(

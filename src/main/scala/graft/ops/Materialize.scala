@@ -99,6 +99,24 @@ object Materialize {
   private[graft] def pin(df: DataFrame, enabled: Boolean): DataFrame =
     if (enabled) pin(df) else df
 
+  /** Pin for a LINEAGE GATE that must exist even under [[Off]]
+    * (ZOrder.hilbertGate's pushdown barrier: an un-pinned gate is not
+    * a gate). Off gets a LAZY local checkpoint — truncates the logical
+    * plan at LogicalRDD without materializing until the first action —
+    * and, unlike a direct `localCheckpoint(false)` at the call site,
+    * the gate's blocks REGISTER with any active [[withBatchRelease]]
+    * scope exactly like a normal pin: a standing query whose batch
+    * body routes through a gate would otherwise leak one block set per
+    * micro-batch (the release sweeps only registered pins). */
+  private[graft] def pinGate(df: DataFrame): DataFrame = strategy match {
+    case Off =>
+      val pinned = df.localCheckpoint(false)
+      val reg = batchPins.get()
+      if (reg != null) pinnedRdds(pinned).foreach(reg.add)
+      pinned
+    case _ => pin(df)
+  }
+
   /** Run `body` and release exactly the pins IT created (standing pins
     * made by other threads, and broadcast model tables — which are not
     * persistent RDDs — are untouched). Registration is thread-local in

@@ -277,10 +277,12 @@ object ZOrder {
     val walked =
       if (cells.length == 2) hilbertValue2D(df, cells(0), cells(1), bits, out)
       else hilbertValueND(df, cells, bits, out)
-    Materialize.strategy match {
-      case Materialize.Off => walked.localCheckpoint(false)
-      case _ => Materialize.pin(walked)
-    }
+    // pinGate, not a direct localCheckpoint: under Off the gate still
+    // erects the lazy barrier, but its blocks register with any active
+    // withBatchRelease scope so a standing query's per-batch sweep can
+    // release them (a raw localCheckpoint here escaped the sweep —
+    // one leaked block set per micro-batch)
+    Materialize.pinGate(walked)
   }
 
   /** [[hilbertValueND]] as a chain of SQL CTEs — the q199 oracle

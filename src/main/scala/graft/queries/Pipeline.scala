@@ -4504,6 +4504,37 @@ object Pipeline {
         WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
         ORDER BY doc_id""")),
 
+    // --- WordPiece via the BATCHED distributed fit variant -------------------
+    // (r15: q197's losslessness contract through fit(batchCap = 64) —
+    // the deterministic batched SCALE VARIANT (greedy max-independent-
+    // set admission; NOT sequential-identical, by the likelihood
+    // score's nature — the contract WordPieceSpec pins). The batched
+    // fit produces a DIFFERENT but valid vocabulary; greedy
+    // longest-match encode is lossless under ANY self-fit vocabulary
+    // (the alphabet alone reconstructs), so the reconstruction oracle
+    // gates the batched loop's whole plumbing — ranked admission,
+    // symbol-collision skips, batch UDF rewrite, pin cadence — without
+    // claiming merge-list identity: any nondeterminism or corruption
+    // in the batched path breaks the hash via the tokens it emits.)
+    "q215_wordpiece_batchfit" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val vocab = graft.ops.WordPiece.fit(corpus, "text", numMerges = 20,
+          batchCap = 64)
+        graft.ops.WordPiece.encodeTokens(corpus, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            ltrim(concat_ws("", transform(col("tokens"), t =>
+              when(t.startsWith("##"), t.substr(lit(3), length(t)))
+                .otherwise(concat(lit(" "), t))))).as("recon_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            w -> w <> ''), ' ') AS recon_text
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        ORDER BY doc_id""")),
+
     // --- held-out KN scoring against a persisted model -----------------------
     // (TextAnalysis.knBigramLmScoreWith over fitKnBigramLm — the
     // score-many half of the fluency scorer's train-once contract.

@@ -116,8 +116,17 @@ object DedupStream {
                    targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val (p, hfs) = fs(spark, stateDir)
     if (!hfs.exists(p)) return 0
-    val all = hfs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("batch-"))
+    val listing = hfs.listStatus(p).map(_.getPath)
+    // heal ALL orphaned dot-temp dirs, not just the current k's: a
+    // crash during a previous tmp write leaves `.compact-<j>-tmp` for
+    // whatever j that run targeted — hidden from readTable (no
+    // `batch-` prefix) but accumulating on the state filesystem
+    // forever if only a matching-k sweep ran. Runs before the no-op
+    // early returns so even a nothing-to-fold call heals.
+    listing.filter(q => q.getName.startsWith(".compact-") &&
+        q.getName.endsWith("-tmp"))
+      .foreach(q => hfs.delete(q, true))
+    val all = listing.filter(_.getName.startsWith("batch-"))
     if (all.isEmpty) return 0
     // heal a crashed previous compaction: the NEWEST compact dir
     // contains every batch at or below its key, so any other dir —
@@ -139,7 +148,6 @@ object DedupStream {
     if (sources.length <= 1) return 0
     val k = sources.map(q => dirKey(q.getName)).max
     val tmp = new org.apache.hadoop.fs.Path(stateDir, s".compact-$k-tmp")
-    if (hfs.exists(tmp)) hfs.delete(tmp, true)
     val bytes = sources.map(q => hfs.getContentSummary(q).getLength).sum
     val nFiles = math.max(1L, bytes / targetFileBytes).toInt
     spark.read.schema(schema).parquet(sources.map(_.toString).toSeq: _*)
@@ -163,8 +171,11 @@ object DedupStream {
     val spark = batch.sparkSession
     // withBatchRelease: the batch pin (and any operator-internal pins)
     // are released once both writes land — a standing query would
-    // otherwise accumulate checkpoint blocks until driver GC; the
-    // shared lock keeps the release sound against concurrent recipes
+    // otherwise accumulate checkpoint blocks until driver GC. The
+    // release sweeps EXACTLY this invocation's pins via Materialize's
+    // thread-local pin registry, so concurrent recipes (other standing
+    // queries' foreachBatch threads, or the driver pinning a model
+    // table mid-batch) are never swept.
     Materialize.withBatchRelease(spark) {
       val b = Materialize.pin(batch.select(cols.map(col): _*))
       val intra = intraDrop(b)
@@ -179,15 +190,30 @@ object DedupStream {
   }
 
   /** one micro-batch of the MinHash+LSH recipe (exposed so tests and
-    * existing foreachBatch wirings can call it directly). */
+    * existing foreachBatch wirings can call it directly).
+    *
+    * `maxBucket` is EXPLICIT here (not silently inherited): it feeds
+    * both the intra-batch [[Dedup.minhashLsh]] cap and the cross-batch
+    * [[Dedup.minhashLshIncremental]] seen-side cap. Under the default
+    * ([[Dedup.DefaultMaxBucket]]) a near-identical clique larger than
+    * the cap — within one batch, or accreting in the seen state across
+    * batches — reports no pairs and every member SURVIVES (warn-logged
+    * via the observed metric). This recipe does not run an exact-dedup
+    * pre-stage itself; a production wiring that expects identical-text
+    * mega-cliques should compose [[exactBatch]] (on a content-hash
+    * key) upstream — the standard pipeline order the
+    * [[Dedup.minhashLsh]] contract prescribes — or pass
+    * `maxBucket = None` to restore exact banding recall at quadratic
+    * risk. */
   def minhashBatch(batch: DataFrame, batchId: Long, id: String, text: String,
                    stateDir: String, outDir: String, threshold: Double,
-                   numPerms: Int = 64, bands: Int = 32): Unit =
+                   numPerms: Int = 64, bands: Int = 32,
+                   maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): Unit =
     runBatch(batch, batchId, id, Seq(id, text), stateDir, outDir)(b =>
-      Dedup.minhashLsh(b, id, text, threshold, numPerms, bands)
+      Dedup.minhashLsh(b, id, text, threshold, numPerms, bands, maxBucket)
         .select(col("d2").as(id)))((b, seen) =>
       Dedup.minhashLshIncremental(b, seen, id, text, threshold,
-        numPerms, bands).select(col("d1").as(id)))
+        numPerms, bands, maxBucket).select(col("d1").as(id)))
 
   /** one micro-batch of the SimHash recipe: pigeonhole-blocked Hamming
     * pairs intra-batch, [[Dedup.simhashPairsIncremental]] against the
@@ -242,12 +268,42 @@ object DedupStream {
   }
 
   /** wire a per-batch function into a streaming query (AvailableNow —
-    * drain-and-stop; swap the trigger for a continuous ingest). */
-  def start(stream: DataFrame, checkpointDir: String)
-           (batchFn: (DataFrame, Long) => Unit): StreamingQuery =
+    * drain-and-stop; swap the trigger for a continuous ingest).
+    *
+    * Opt-in auto-compaction: `compactEvery = N` runs [[compactState]]
+    * over each `(dir, schema)` in `compactDirs` (typically the recipe's
+    * stateDir; the outDir can ride along too) after every Nth
+    * micro-batch's writes have landed — same thread, INSIDE the
+    * foreachBatch body, so the streaming engine commits the batch only
+    * after compaction returns and no concurrent micro-batch of the
+    * same stateDir can overlap it (the [[compactState]] precondition).
+    * AvailableNow-safe and retry-safe by [[compactState]]'s own
+    * contract: the highest-numbered batch dir — the only one a retry
+    * can rewrite — is never folded, and a crash mid-compaction heals
+    * on the next trigger. A compaction failure fails the batch (and
+    * the retry re-runs both), which is the correct posture: a state
+    * dir that cannot be listed/rewritten is a storage problem the
+    * stream must surface, not swallow. Default 0 = never compact
+    * (existing behavior). */
+  def start(stream: DataFrame, checkpointDir: String,
+            compactEvery: Int = 0,
+            compactDirs: Seq[(String, StructType)] = Nil)
+           (batchFn: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"DedupStream.start: compactEvery=$compactEvery must be >= 0")
+    require(compactEvery == 0 || compactDirs.nonEmpty,
+      "DedupStream.start: compactEvery > 0 needs at least one " +
+        "(dir, schema) in compactDirs")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((df: DataFrame, bid: Long) => batchFn(df, bid))
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        batchFn(df, bid)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          compactDirs.foreach { case (dir, schema) =>
+            compactState(df.sparkSession, dir, schema)
+          }
+      }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -139,6 +139,38 @@ object Soak {
           big.select("doc_id", "text").unionByName(planted),
           "doc_id", "text", 0.8).count()
       }),
+      // r15: the megabucket guard THROUGH the end-to-end wrapper —
+      // the r14 soak capped minhashLsh only; dedupNearCanonical now
+      // inherits the default cap, so the planted 10k identical-text
+      // clique must be suppressed (buckets dropped, warn-logged →
+      // every member SURVIVES: the wrapper recall contract; exact
+      // dedup first is the documented mitigation) while the organic
+      // copies-cliques still dedup to their argmax-n_chars
+      // representative. Runtime must stay flat at organic cost.
+      "dedup_near_canonical" -> (() => {
+        val planted = spark.range(10_000).select(
+          (col("id") + lit(900_000_000L)).as("doc_id"),
+          lit("planted mega bucket boilerplate page body shared by " +
+            "the whole mirror farm with identical words throughout")
+            .as("text"),
+          lit("en").as("lang"), lit("planted").as("source"),
+          lit(100L).cast(big.schema("n_chars").dataType).as("n_chars"))
+        graft.ops.Dedup.dedupNearCanonical(big.unionByName(planted),
+          "doc_id", "text", col("n_chars"), threshold = 0.8).count()
+      }),
+      // r15: one at-scale record of the RELIABLE materialization
+      // strategy (DFS checkpoint per pin instead of executor-local
+      // blocks — the executor-loss-tolerant 100-TB posture). Same op
+      // + cap as the minhash_lsh row, so the SOAK_LOCAL pair is a
+      // direct Local-vs-Reliable pin-overhead A/B.
+      "minhash_reliable" -> (() => {
+        val prev = graft.ops.Materialize.strategy
+        graft.ops.Materialize.strategy =
+          graft.ops.Materialize.Reliable(s"$out/reliable_ckpt")
+        try graft.ops.Dedup.minhashLsh(big, "doc_id", "text", 0.8,
+          maxBucket = Some(2 * copies)).count()
+        finally graft.ops.Materialize.strategy = prev
+      }),
       // simhash near-dup (pigeonhole blocking), same clique pressure
       "simhash" -> (() =>
         graft.ops.Dedup.simhashPairs(big, "doc_id", "text", 3).count()),

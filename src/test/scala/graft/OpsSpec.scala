@@ -2149,6 +2149,123 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L), s"got $kept")
   }
 
+  test("dedupNear* wrappers INHERIT the default bucket cap: a clique " +
+    "past DefaultMaxBucket is suppressed through the end-to-end entry " +
+    "points (every member survives), organic near-dups still dedup") {
+    // r15: the r14 default cap landed on minhashLsh but the production
+    // wrappers declared maxBucket = None and bypassed it — the exact
+    // quadratic exposure the cap exists to close. This pins default
+    // INHERITANCE: no explicit maxBucket anywhere below.
+    val cliqueText = "replicated boilerplate page body shared by the " +
+      "whole mirror farm with identical words throughout"
+    val clique = (1 to Dedup.DefaultMaxBucket + 40).map(i =>
+      (10_000L + i, cliqueText, 1.0))
+    val organic = Seq(
+      (1L, doc0Text, 1.0),
+      (2L, doc0Text + " extra", 9.0), // near-dup of 1, higher quality
+      (3L, "completely different words describing an unrelated subject entirely here", 0.0))
+    val d = (clique ++ organic).toDF("doc_id", "text", "q")
+    val keptC = Dedup.dedupNearCanonical(d, "doc_id", "text", $"q", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptC.count(_ >= 10_000L) == Dedup.DefaultMaxBucket + 40,
+      "suppressed clique must survive whole (wrapper recall contract)")
+    assert(!keptC.contains(1L) && keptC.contains(2L) && keptC.contains(3L),
+      s"organic cluster must still keep its argmax-quality doc: $keptC")
+    val keptM = Dedup.dedupNearMinhash(d.select("doc_id", "text"),
+        "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptM.count(_ >= 10_000L) == Dedup.DefaultMaxBucket + 40)
+    assert(keptM.contains(1L) && !keptM.contains(2L) && keptM.contains(3L),
+      s"organic cluster must still keep its min-id doc: $keptM")
+  }
+
+  test("dedupNearCanonical cap-vs-components differential: a planted " +
+    ">cap clique is suppressed whole while None dedups it to one; " +
+    "survivors outside the clique identical either way") {
+    val cliqueText = "replicated boilerplate page body shared by the " +
+      "whole mirror farm with identical words throughout"
+    val clique = (1 to 60).map(i => (1_000L + i, cliqueText, i.toDouble))
+    val organic = Seq(
+      (1L, doc0Text, 1.0),
+      (2L, doc0Text + " extra", 9.0),
+      (3L, "completely different words describing an unrelated subject entirely here", 0.0))
+    val d = (clique ++ organic).toDF("doc_id", "text", "q")
+    val capped = Dedup.dedupNearCanonical(d, "doc_id", "text", $"q", 0.8,
+        maxBucket = Some(20))
+      .select("doc_id").as[Long].collect().toSet
+    val open = Dedup.dedupNearCanonical(d, "doc_id", "text", $"q", 0.8,
+        maxBucket = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clique.forall(c => capped.contains(c._1)),
+      "capped: clique suppressed → all members survive")
+    assert(open.filter(_ >= 1_000L) == Set(1_060L),
+      s"uncapped: argmax-quality member only: ${open.filter(_ >= 1_000L)}")
+    assert(capped.filter(_ < 1_000L) == open.filter(_ < 1_000L),
+      "survivors outside the clique must not depend on the cap")
+  }
+
+  test("suggestBucketCap: bimodal bucket distribution → cap above the " +
+    "organic mode and below the clique mode; organic-only → None") {
+    val cliqueText = "replicated boilerplate page body shared by the " +
+      "whole mirror farm with identical words throughout"
+    // 2000 organic docs with disjoint vocabularies → singleton (or
+    // rare size-2) band buckets; one 500-doc identical clique → 32
+    // size-500 buckets, a clean second mode past the gap factor
+    val organic = (1 to 2000).map(i =>
+      (i.toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+    val clique = (1 to 500).map(i => (100_000L + i, cliqueText))
+    val cap = Dedup.suggestBucketCap(
+      (organic ++ clique).toDF("doc_id", "text"), "doc_id", "text")
+    assert(cap.isDefined, "bimodal distribution must yield a cap")
+    assert(cap.get >= 1 && cap.get < 500,
+      s"cap must sit between the organic and clique modes: $cap")
+    // organic-only: unimodal, no clique evidence, no data-driven cap
+    assert(Dedup.suggestBucketCap(
+      organic.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+  }
+
+  test("capped-dedup session registry holds sessions WEAKLY: the " +
+    "backing map is a WeakHashMap, so the registry never decides " +
+    "session lifetime") {
+    // A full GC-reachability test is NOT writable here: Spark's
+    // active-session InheritableThreadLocal leaves strong copies in
+    // long-lived pool threads (AQE/broadcast executors) that pin a
+    // used session regardless of this registry, so collectability
+    // can't be asserted from outside. What IS this module's contract —
+    // the registry itself must not add a strong edge — is structural:
+    // assert the set is backed by a WeakHashMap.
+    // First make sure the registry is populated (a capped op on the
+    // suite session registers it).
+    val d = Seq((1L, doc0Text), (2L, doc0Text + " extra"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(d, "doc_id", "text", 0.8,
+      materialize = false).count() == 1L)
+    def hidden(o: AnyRef, name: String): AnyRef = {
+      var c: Class[_] = o.getClass
+      var f: java.lang.reflect.Field = null
+      while (f == null && c != null) {
+        f = c.getDeclaredFields.find(_.getName == name).orNull
+        if (f == null) c = c.getSuperclass
+      }
+      assert(f != null, s"field $name not found on ${o.getClass}")
+      f.setAccessible(true) // build.sbt opens java.base/java.util
+      f.get(o)
+    }
+    val regField = Dedup.getClass.getDeclaredFields
+      .find(_.getName.toLowerCase.contains("observedsessions"))
+    assert(regField.isDefined, "observedSessions registry field missing")
+    regField.get.setAccessible(true)
+    val synced = regField.get.get(Dedup)
+    // Collections.synchronizedSet wrapper → backing collection "c"
+    // (SetFromMap) → backing map "m"
+    val backing = hidden(hidden(synced.asInstanceOf[AnyRef], "c"), "m")
+    assert(backing.isInstanceOf[java.util.WeakHashMap[_, _]],
+      s"registry backed by ${backing.getClass} — must be WeakHashMap so " +
+        "dead sessions are collectable")
+    assert(!backing.asInstanceOf[java.util.WeakHashMap[_, _]].isEmpty,
+      "registry should contain the suite session after a capped op")
+  }
+
   test("knBigramLmScore: hand-computed interpolated KN probabilities; " +
     "sub-bigram docs absent") {
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))

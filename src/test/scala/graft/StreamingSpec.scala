@@ -425,6 +425,75 @@ class StreamingSpec extends SparkSpec {
       "healing must remove the duplicated remnant")
   }
 
+  test("start(compactEvery = 2): auto-compaction wired into the drain " +
+    "loop — survivors equal the one-shot batch dedup across 6 batches, " +
+    "state subdirs stay bounded, a replayed max batch stays idempotent, " +
+    "orphaned .compact-*-tmp dirs are healed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    implicit val sc = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (state, out, ckpt) = (tmp("ac_state"), tmp("ac_out"), tmp("ac_ckpt"))
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+          (2L, "completely different sentence about spark engines here")),
+      Seq((3L, "another unique line of text with no twin at all")),
+      Seq((4L, "the quick brown fox jumps over the lazy dog tonight")),
+      Seq((5L, "an entirely fresh document that matches nothing else ever")),
+      Seq((6L, "some words about streaming state compaction cadence now")),
+      // dups of batch-0/batch-3 docs: provable only if the COMPACTED
+      // state is still consulted by the later ingest
+      Seq((7L, "the quick brown fox jumps over the lazy dog forever"),
+          (8L, "an entirely fresh document that matches nothing else today")))
+    val schema = batches.head.toDF("doc_id", "text").schema
+    val src = MemoryStream[(Long, String)]
+    // one AvailableNow drain per logical batch (the between-drains
+    // posture compactState documents): batchIds increment across
+    // restarts via the shared checkpoint, and compaction fires INSIDE
+    // the foreachBatch body after every 2nd batch's writes land
+    batches.zipWithIndex.foreach { case (b, i) =>
+      // plant an orphaned crash remnant before the drain that compacts
+      if (i == 5) {
+        val orphan = new java.io.File(state, ".compact-99-tmp")
+        orphan.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(orphan, "junk").toPath, "x")
+      }
+      src.addData(b: _*)
+      val q = DedupStream.start(src.toDF().toDF("doc_id", "text"), ckpt,
+        compactEvery = 2, compactDirs = Seq(state -> schema)) {
+        (df, bid) => DedupStream.minhashBatch(df, bid, "doc_id", "text",
+          state, out, threshold = 0.5)
+      }
+      q.awaitTermination()
+    }
+    def stateDirs() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(!_.startsWith(".")).toSet
+    // after bid 5's compaction: batches ≤ 4 folded, max batch intact
+    assert(stateDirs() == Set("batch-4-compact", "batch-5"), stateDirs())
+    assert(!new java.io.File(state, ".compact-99-tmp").exists(),
+      "orphaned tmp dir must be healed by the wired compaction")
+    val all = batches.flatten.toDF("doc_id", "text")
+    val drop = graft.ops.Dedup.minhashLsh(all, "doc_id", "text", 0.5)
+      .select("d2").as[Long].collect().toSet
+    val expected = batches.flatten.map(_._1).toSet -- drop
+    def kept() = DedupStream.readTable(spark, out, schema).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept() == expected, s"stream kept ${kept()}, batch kept $expected")
+    assert(!kept().contains(7L) && !kept().contains(8L),
+      "cross-compaction dups not dropped — compacted state unread?")
+    assert(DedupStream.readTable(spark, state, schema).get.count() ==
+      batches.flatten.size.toLong)
+    // retry idempotence: replay the max batch (its subdir was never
+    // folded); output and state must be unchanged
+    DedupStream.minhashBatch(batches(5).toDF("doc_id", "text"), 5L,
+      "doc_id", "text", state, out, threshold = 0.5)
+    assert(kept() == expected, "max-batch replay changed the survivor set")
+    assert(DedupStream.readTable(spark, state, schema).get.count() ==
+      batches.flatten.size.toLong, "max-batch replay duplicated state rows")
+  }
+
   test("DedupStream exact recipe: min-id per key across batches; " +
     "cross join ships keys only") {
     import graft.streaming.DedupStream
