@@ -151,6 +151,26 @@ object Dedup {
     df.join(keep, Seq(id, key), "left_semi")
   }
 
+  /** EXACT dedup keeping the BEST-QUALITY representative per identical
+    * key — the canonical-keep analog of [[exact]] (which keeps min id)
+    * and the exact-stage partner of [[dedupNearCanonical]]: per key,
+    * keep the argmax of `quality`, ties broken by MINIMUM id; a group
+    * whose every member has null quality falls back to min-id keep
+    * (the same null-safe `<=>` convention as the near-dup wrapper, so
+    * composing the two stages preserves the keep rule end-to-end).
+    * One hash aggregate on the key + the cluster-sized achiever join;
+    * the argmax is the two-aggregate form so id and quality keep
+    * their exact types. */
+  def exactCanonical(df: DataFrame, id: String, key: String,
+                     quality: Column): DataFrame = {
+    val scored = df.select(col(id), col(key), quality.as("__q"))
+    val best = scored.groupBy(col(key)).agg(max(col("__q")).as("__bq"))
+    val keep = scored.join(best, Seq(key))
+      .filter(col("__q") <=> col("__bq"))
+      .groupBy(col(key)).agg(min(col(id)).as(id))
+    df.join(keep.select(col(id), col(key)), Seq(id, key), "left_semi")
+  }
+
   /** Incremental exact dedup — the shape a STANDING ingestion pipeline
     * runs: dedup the new batch internally (min-id per key), then
     * anti-join against the already-ingested corpus's keys. The seen
@@ -994,16 +1014,31 @@ object Dedup {
     * order — run [[exact]] dedup first, so such cliques never reach
     * the LSH stage; for near-identical boilerplate families above
     * 4096, size the cap with [[lshBucketStats]]/[[suggestBucketCap]]
-    * or pass `maxBucket = None` to restore exact banding recall. */
+    * or pass `maxBucket = None` to restore exact banding recall.
+    *
+    * `exactFirst = true` runs that standard order IN here: [[exact]]
+    * dedup on the text first (min-id keep — the same rule), LSH over
+    * the exact survivors. An identical-text clique of ANY size then
+    * collapses to one doc before banding, so the over-cap suppression
+    * can never trigger for identical text — only genuinely DISTINCT
+    * near-identical families can exceed the cap. Keep-set equivalence:
+    * identical docs carry identical shingle sets, hence identical
+    * pairs, so for under-cap corpora the survivors equal the
+    * one-stage run EXCEPT for sub-shingle docs (fewer than n words
+    * never pair in the LSH stage, so exactFirst additionally dedups
+    * identical short texts — a semantic strengthening, which is why
+    * it is opt-in rather than the default). */
   def dedupNearMinhash(df: DataFrame, id: String, text: String,
                        threshold: Double, numPerms: Int = 64,
                        bands: Int = 32,
-                       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
+                       maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                       exactFirst: Boolean = false): DataFrame = {
+    val base = if (exactFirst) exact(df, id, text) else df
+    val pairs = minhashLsh(base, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("node") =!= col("component"))
       .select(col("node").as(id))
-    df.join(drop, Seq(id), "left_anti")
+    base.join(drop, Seq(id), "left_anti")
   }
 
   /** near-duplicate dedup keeping the BEST-QUALITY representative per
@@ -1032,15 +1067,27 @@ object Dedup {
     * warn-logged); run [[exact]] dedup first so identical-text cliques
     * never reach the LSH stage, size the cap with
     * [[lshBucketStats]]/[[suggestBucketCap]], or pass `None` to
-    * restore exact banding recall. */
+    * restore exact banding recall.
+    *
+    * `exactFirst = true` runs the standard order in here via
+    * [[exactCanonical]] — argmax-quality per IDENTICAL text first
+    * (same keep rule, so the composition preserves canonical-keep
+    * end-to-end: the identical-group argmax carries the group's
+    * links into the LSH stage and can still win the component
+    * argmax), then LSH over the survivors. Identical-text cliques of
+    * any size collapse before banding — see [[dedupNearMinhash]] for
+    * the equivalence statement and the sub-shingle caveat that makes
+    * this opt-in. */
   def dedupNearCanonical(df: DataFrame, id: String, text: String,
                          quality: Column, threshold: Double,
                          numPerms: Int = 64, bands: Int = 32,
-                         maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val pairs = minhashLsh(df, id, text, threshold, numPerms, bands, maxBucket)
+                         maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                         exactFirst: Boolean = false): DataFrame = {
+    val df0 = if (exactFirst) exactCanonical(df, id, text, quality) else df
+    val pairs = minhashLsh(df0, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val scored = comps.join(
-      df.select(col(id).as("node"), quality.as("__q")), Seq("node"))
+      df0.select(col(id).as("node"), quality.as("__q")), Seq("node"))
     val best = scored.groupBy(col("component")).agg(max(col("__q")).as("__bq"))
     // null-SAFE achiever match: in a component whose every member has
     // NULL quality, max(__q) is null and a plain === would match
@@ -1054,7 +1101,7 @@ object Dedup {
     val drop = comps.select(col("node"))
       .join(keepNodes, Seq("node"), "left_anti")
       .select(col("node").as(id))
-    df.join(drop, Seq(id), "left_anti")
+    df0.join(drop, Seq(id), "left_anti")
   }
 
   /** 64-bit SimHash on xxhash64 word hashes — the production path. */

@@ -4535,6 +4535,50 @@ object Pipeline {
         WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
         ORDER BY doc_id""")),
 
+    // --- exact-first near-dup dedup (the standard pipeline order) -----------
+    // (r15: Dedup.dedupNearMinhash(exactFirst = true) — exact min-id
+    // dedup on the text FIRST, then LSH pairs → components → min-id
+    // keep over the exact survivors. This is the composition the cap
+    // scaladocs prescribe: identical-text cliques of any size collapse
+    // before banding, so the over-cap suppression can never fire for
+    // identical text. Also the first ORACLE row for the min-id
+    // end-to-end wrapper itself (previously spec-only). The oracle
+    // replays both stages: group-by-text min-id keep, then q64's
+    // exact-Jaccard recursive-CTE closure restricted to the exact
+    // survivors, then the min-id component drop.)
+    "q216_dedup_exact_first" -> Q(
+      (s, d) => Dedup.dedupNearMinhash(docs(s, d), "doc_id", "text",
+          threshold = 0.8, exactFirst = true)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE ek AS (SELECT MIN(doc_id) AS doc_id
+            FROM documents GROUP BY text),
+        base AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN ek ON d.doc_id = ek.doc_id),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (SELECT node, node AS r FROM nodes
+          UNION SELECT e.a AS node, reach.r FROM edges e
+            JOIN reach ON e.b = reach.node),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        dropn AS (SELECT node FROM comp WHERE node <> component)
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM ek)
+          AND doc_id NOT IN (SELECT node FROM dropn)
+        ORDER BY doc_id""")),
+
     // --- held-out KN scoring against a persisted model -----------------------
     // (TextAnalysis.knBigramLmScoreWith over fitKnBigramLm — the
     // score-many half of the fluency scorer's train-once contract.

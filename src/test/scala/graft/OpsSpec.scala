@@ -2204,6 +2204,64 @@ class OpsSpec extends SparkSpec {
       "survivors outside the clique must not depend on the cap")
   }
 
+  test("exactCanonical: argmax-quality per identical key, ties to min " +
+    "id, all-null group falls back to min id") {
+    val d = Seq(
+      (1L, "k1", Some(2.0)), (2L, "k1", Some(9.0)), (3L, "k1", Some(9.0)),
+      (4L, "k2", None: Option[Double]), (5L, "k2", None: Option[Double]),
+      (6L, "k3", Some(1.0))
+    ).toDF("id", "k", "q")
+    val kept = Dedup.exactCanonical(d, "id", "k", $"q")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L), s"got $kept")
+  }
+
+  test("exactFirst composition: an identical-text clique past the cap " +
+    "is properly DEDUPED (not suppressed) through both wrappers; " +
+    "under-cap shingled survivors equal the one-stage run; identical " +
+    "sub-shingle docs additionally dedup (the documented strengthening)") {
+    val cliqueText = "replicated boilerplate page body shared by the " +
+      "whole mirror farm with identical words throughout"
+    val clique = (1 to 60).map(i => (1_000L + i, cliqueText, i.toDouble))
+    val organic = Seq(
+      (1L, doc0Text, 1.0),
+      (2L, doc0Text + " extra", 9.0),
+      (3L, "completely different words describing an unrelated subject entirely here", 0.0),
+      (20L, "tiny one", 5.0), (21L, "tiny one", 7.0)) // identical, sub-shingle
+    val d = (clique ++ organic).toDF("doc_id", "text", "q")
+    // min-id wrapper, cap 20 < clique 60: exactFirst collapses the
+    // clique to its min id BEFORE banding, so suppression never fires
+    val m = Dedup.dedupNearMinhash(d.select("doc_id", "text"), "doc_id",
+        "text", 0.8, maxBucket = Some(20), exactFirst = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.filter(_ >= 1_000L) == Set(1_001L),
+      s"clique must dedup to its min id, not survive suppressed: $m")
+    assert(m.contains(1L) && !m.contains(2L) && m.contains(3L))
+    assert(m.contains(20L) && !m.contains(21L),
+      "identical sub-shingle docs dedup under exactFirst")
+    // canonical wrapper: the clique collapses to its argmax-quality
+    // member; the organic near-dup cluster still keeps its argmax
+    val c = Dedup.dedupNearCanonical(d, "doc_id", "text", $"q", 0.8,
+        maxBucket = Some(20), exactFirst = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.filter(_ >= 1_000L) == Set(1_060L),
+      s"clique must keep its argmax-quality member: $c")
+    assert(!c.contains(1L) && c.contains(2L) && c.contains(3L))
+    assert(!c.contains(20L) && c.contains(21L),
+      "canonical exactFirst keeps the higher-quality identical twin")
+    // equivalence on a shingle-bearing under-cap corpus: identical
+    // docs carry identical shingle sets, so exactFirst on/off agree
+    val under = (clique.take(10) ++ organic.take(3))
+      .toDF("doc_id", "text", "q").select("doc_id", "text")
+    val a1 = Dedup.dedupNearMinhash(under, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val a2 = Dedup.dedupNearMinhash(under, "doc_id", "text", 0.8,
+        exactFirst = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == a2,
+      s"exactFirst must not change under-cap shingled survivors: $a1 vs $a2")
+  }
+
   test("suggestBucketCap: bimodal bucket distribution → cap above the " +
     "organic mode and below the clique mode; organic-only → None") {
     val cliqueText = "replicated boilerplate page body shared by the " +
