@@ -262,7 +262,10 @@ object Bench {
     // limit+collect, vocab UDF rewrite, pin cadence) surfaces
     // round-over-round, not only in ad-hoc SoakBpeFit runs
     "q214_bytebpe_distfit" -> SparkEntry.queries("q214_bytebpe_distfit"),
-    "q215_wordpiece_batchfit" -> SparkEntry.queries("q215_wordpiece_batchfit"))
+    "q215_wordpiece_batchfit" -> SparkEntry.queries("q215_wordpiece_batchfit"),
+    // round-15: the Bloom-prefiltered standing-ingestion dedup — tracks
+    // the scalar-subquery bloom build + double scan-stage prune
+    "q217_dedup_incr_bloom" -> SparkEntry.queries("q217_dedup_incr_bloom"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

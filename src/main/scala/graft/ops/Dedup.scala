@@ -182,6 +182,102 @@ object Dedup {
     exact(newBatch, id, key)
       .join(seen.select(col(key)).distinct(), Seq(key), "left_anti")
 
+  /** Lazily-built Bloom filter over xxhash64 of `c` — one-row frame
+    * holding the serialized filter, for [[bloomMight]] probes via an
+    * uncorrelated scalar subquery (the `Skew.bloomPrunedJoin`
+    * machinery: nothing collects at call time; the build runs as a
+    * stage of the consuming job and ships as the subquery's broadcast
+    * value). Hashing to 64 bits first makes the filter type-agnostic;
+    * the ~n²/2⁶⁵ hash-collision mass only ever ADDS false positives,
+    * which every caller discards with an exact confirm join. */
+  private def bloomOver(df: DataFrame, c: Column, expected: Long,
+                        fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expected, fpp)
+    val build = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(c)),
+      Literal(expected), Literal(numBits)).toAggregateExpression()
+    df.select(ColumnBridge.column(build).as("__graft_bf"))
+  }
+
+  /** might-contain probe against a [[bloomOver]] frame. NULL when the
+    * probe value is null OR the filter side aggregated zero rows
+    * (BloomFilterAggregate of an empty input is null) — callers must
+    * coalesce to the semantics they need. */
+  private def bloomMight(bf: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, InternalBridge}
+    ColumnBridge.column(BloomFilterMightContain(
+      InternalBridge.scalarSubquery(bf),
+      ColumnBridge.expression(xxhash64(c))))
+  }
+
+  /** [[exactIncremental]] with Bloom filters on BOTH sides of the
+    * seen-index anti join — the corpus-scale form, result-identical.
+    *
+    * The plain incremental dedup shuffles the whole batch AND the
+    * whole historical key index into the anti join every run; at
+    * 100 TB of history that shuffle IS the job, even though almost
+    * every new document is genuinely new. Here:
+    *
+    *  1. the batch dedups internally (min id per key, as [[exact]]);
+    *  2. a Bloom filter over the SEEN keys splits the batch in the
+    *     scan stage: definitely-unseen rows (no false negatives) pass
+    *     straight to the output without ever touching a join, and only
+    *     the might-be-seen candidates — true re-ingests plus ~fpp of
+    *     the batch — go on;
+    *  3. a second Bloom filter over the CANDIDATE keys prunes the seen
+    *     index in ITS scan stage, so history contributes only keys
+    *     that might match this batch;
+    *  4. an exact anti join over the two pruned sides discards the
+    *     false positives from both filters.
+    *
+    * Both filters are lazy `BloomFilterAggregate`s in scalar
+    * subqueries (no driver collect; the serialized filter broadcasts —
+    * ~9.6 bits/key at fpp 0.01, so 10⁹ seen keys ≈ 1.2 GB: size
+    * `expectedSeen` honestly and raise `fpp` if the index is truly
+    * enormous, correctness never changes). Null-key rows are dropped
+    * by the in-batch [[exact]] stage (its key semi join cannot match
+    * null) — identical to [[exactIncremental]]; the null routing
+    * below is a refactor guard, spec-pinned against the plain
+    * variant. When it pays: low re-ingest rates AND a historical
+    * index whose shuffle is network-bound — the 1000-executor case
+    * this exists for. At local[32], where a shuffle is a memcpy, the
+    * two filter builds cost more than they save (soak A/B at 200k
+    * docs, 3 iters: plain 1.26 s vs bloom 1.98 s, identical 99 720
+    * survivors — SOAK_LOCAL.json) — the pre-filter is bought for the
+    * cluster regime, exactly like [[decontaminationReportBloom]]'s
+    * measured trade. A batch that is mostly re-crawls probes without
+    * pruning; use [[exactIncremental]] there. */
+  def exactIncrementalBloom(newBatch: DataFrame, seen: DataFrame,
+                            id: String, key: String,
+                            expectedSeen: Long = 1L << 22,
+                            expectedBatch: Long = 1L << 20,
+                            fpp: Double = 0.01,
+                            materialize: Boolean = true): DataFrame = {
+    require(expectedSeen > 0 && expectedBatch > 0 && fpp > 0 && fpp < 1,
+      "exactIncrementalBloom: need expected counts > 0, 0 < fpp < 1")
+    // pinned: consumed by the definite filter, the candidate filter,
+    // and (via candidates) the candidate-side Bloom build.
+    val uniq = Materialize.pin(exact(newBatch, id, key), materialize)
+    val seenKeys = seen.select(col(key))
+    val seenMight = bloomMight(bloomOver(seenKeys, col(key),
+      expectedSeen, fpp), col(key))
+    // empty seen ⇒ probe is null ⇒ coalesce(false): everything is new.
+    val definite = uniq.filter(col(key).isNull ||
+      !coalesce(seenMight, lit(false)))
+    val cand = uniq.filter(coalesce(seenMight, lit(false)))
+    val candMight = bloomMight(bloomOver(cand.select(col(key)), col(key),
+      expectedBatch, fpp), col(key))
+    // empty candidate set ⇒ null probe ⇒ prune ALL of seen (vacuous).
+    val seenPruned = seenKeys.filter(coalesce(candMight, lit(false)))
+      .distinct()
+    definite.unionByName(cand.join(seenPruned, Seq(key), "left_anti"))
+  }
+
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     * Returns (d1, d2, jac). Candidates only for docs sharing >= 1 shingle.
     *
@@ -1311,6 +1407,60 @@ object Dedup {
     if (!keepEmpty) kept
     else df.select(col(id)).join(kept, Seq(id), "left")
       .select(col(id), coalesce(col(text), lit("")).as(text))
+  }
+
+  /** [[removeRepeatedLines]] scoped per group — the CCNet/RefinedWeb
+    * per-DOMAIN boilerplate rule: a line is boilerplate for documents
+    * of group g when it occurs in at least `minDocs` distinct docs OF
+    * GROUP g, and (when `minFrac` is set) in at least `minFrac` of the
+    * group's documents. Both thresholds must hold — `minDocs` floors
+    * tiny groups (2 of 2 docs sharing a line is not evidence at
+    * minFrac 0.1), `minFrac` scales the rule to big domains the way a
+    * fixed count cannot (a nav bar on 1% of a million-page site is
+    * still boilerplate to a count rule; frac says keep it). The same
+    * line appearing once per group across many groups is NOT removed
+    * anywhere — cross-domain repetition is [[removeRepeatedLines]]'s
+    * (deliberate) rule, not this one's.
+    *
+    * Scale shape: one explode over (group, id, line-hash), one
+    * distinct + count aggregate keyed by (group, lh), a broadcastable
+    * one-row-per-group size table, and a left-anti back-join on
+    * (group, lh) — 8-byte hashes ride every shuffle, never line text;
+    * group skew is ordinary aggregate skew (AQE's problem, no
+    * quadratic anywhere). Returns (id, group, text); `keepEmpty`
+    * retains all-boilerplate docs as empty strings. */
+  def removeRepeatedLinesPerGroup(df: DataFrame, id: String,
+                                  group: String, text: String,
+                                  minDocs: Int = 2,
+                                  minFrac: Option[Double] = None,
+                                  sep: String = "\n",
+                                  keepEmpty: Boolean = false): DataFrame = {
+    require(minDocs >= 2, "removeRepeatedLinesPerGroup: minDocs must be >= 2")
+    minFrac.foreach(f => require(f > 0 && f <= 1,
+      "removeRepeatedLinesPerGroup: minFrac must be in (0, 1]"))
+    val lines = df.select(col(id), col(group), posexplode(split(col(text),
+      java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val counts = lines.select(col(group), col(id), col("lh")).distinct()
+      .groupBy(col(group), col("lh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val repeated = minFrac match {
+      case None => counts.select(col(group), col("lh"))
+      case Some(f) =>
+        val sizes = df.groupBy(col(group)).agg(
+          count(lit(1)).as("__gn"))
+        counts.join(broadcast(sizes), Seq(group))
+          .filter(col("nd") >= ceil(col("__gn") * f))
+          .select(col(group), col("lh"))
+    }
+    val kept = lines.join(repeated, Seq(group, "lh"), "left_anti")
+      .groupBy(col(id), col(group)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as(text))
+    if (!keepEmpty) kept
+    else df.select(col(id), col(group)).join(kept, Seq(id, group), "left")
+      .select(col(id), col(group), coalesce(col(text), lit("")).as(text))
   }
 
   /** Exact edit-distance similarity join over a string key: every pair

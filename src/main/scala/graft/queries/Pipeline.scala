@@ -4579,6 +4579,85 @@ object Pipeline {
           AND doc_id NOT IN (SELECT node FROM dropn)
         ORDER BY doc_id""")),
 
+    // --- Bloom-prefiltered incremental exact dedup ---------------------------
+    // (r15: Dedup.exactIncrementalBloom — q84's standing-ingestion
+    // semantics through the corpus-scale plan: a lazy seen-side Bloom
+    // splits the batch in the scan stage (definitely-new rows never
+    // join), a candidate-side Bloom prunes the historical index in
+    // ITS scan stage, and the exact anti join only ever sees the
+    // might-match slivers of both sides. Result-identical to
+    // exactIncremental by construction (no false negatives; false
+    // positives die in the confirm join) — the oracle replays the
+    // PLAIN incremental rule, so any bloom-path defect (null routing,
+    // empty-filter coalescing, union column drift) breaks the hash.
+    // Filters deliberately undersized for the sf row counts
+    // (expected=1024 at sf0.01's ~6k docs) so the gate exercises the
+    // saturated-filter regime, not just the roomy one.)
+    "q217_dedup_incr_bloom" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val seen = all.filter(col("doc_id") % 4 === 1).select("text")
+        graft.ops.Dedup.exactIncrementalBloom(
+          all.select("doc_id", "text"), seen, "doc_id", "text",
+          expectedSeen = 1024, expectedBatch = 1024)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents dn
+        WHERE doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                        WHERE d2.text = dn.text)
+          AND NOT EXISTS (SELECT 1 FROM documents ds
+                          WHERE ds.doc_id % 4 = 1 AND ds.text = dn.text)
+        ORDER BY doc_id""")),
+
+    // --- per-group (per-domain) repeated-line boilerplate removal -----------
+    // (r15: Dedup.removeRepeatedLinesPerGroup — the CCNet/RefinedWeb
+    // per-HOST rule q102's corpus-global variant cannot express: "nav"
+    // is boilerplate on host A (3/3 docs) but content on host B (1
+    // doc), so it must drop from A's docs and survive B's. Planted
+    // multi-line VALUES docs (q102's convention — the sf documents are
+    // single-line word soup); covers group scoping, order
+    // preservation, the shared-across-groups-but-once-per-group line,
+    // and keepEmpty restoring an all-boilerplate doc as ''.)
+    "q218_repeated_lines_grp" -> Q(
+      (s, _) => {
+        val df = graft.api.Frame.fromNamedColumns(s, Seq(
+          "id" -> Seq(1, 2, 3, 4, 5, 6, 7),
+          "host" -> Seq("A", "A", "A", "B", "B", "B", "A"),
+          "txt" -> Seq(
+            "nav\nalpha\nfoot",
+            "nav\nbeta\nfoot",
+            "nav\ngamma",
+            "nav\ndelta",
+            "epsilon\nzeta",
+            "epsilon\nfoot",
+            "nav\nfoot"))).df
+        graft.ops.Dedup.removeRepeatedLinesPerGroup(df, "id", "host",
+          "txt", minDocs = 2, keepEmpty = true).orderBy("id")
+      },
+      Some("""WITH t(id, host, txt) AS (VALUES
+          (1, 'A', 'nav' || chr(10) || 'alpha' || chr(10) || 'foot'),
+          (2, 'A', 'nav' || chr(10) || 'beta' || chr(10) || 'foot'),
+          (3, 'A', 'nav' || chr(10) || 'gamma'),
+          (4, 'B', 'nav' || chr(10) || 'delta'),
+          (5, 'B', 'epsilon' || chr(10) || 'zeta'),
+          (6, 'B', 'epsilon' || chr(10) || 'foot'),
+          (7, 'A', 'nav' || chr(10) || 'foot')),
+        l AS (SELECT id, host,
+            generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+            unnest(string_split(txt, chr(10))) AS line FROM t),
+        rep AS (SELECT host, line FROM
+          (SELECT host, line, COUNT(DISTINCT id) AS nd
+           FROM l GROUP BY host, line)
+          WHERE nd >= 2),
+        k AS (SELECT l.id, l.host, l.pos, l.line FROM l
+          LEFT JOIN rep ON l.host = rep.host AND l.line = rep.line
+          WHERE rep.line IS NULL),
+        r AS (SELECT id, host, string_agg(line, chr(10) ORDER BY pos) AS txt
+          FROM k GROUP BY id, host)
+        SELECT t.id, t.host, COALESCE(r.txt, '') AS txt FROM t
+        LEFT JOIN r ON t.id = r.id AND t.host = r.host
+        ORDER BY t.id""")),
+
     // --- held-out KN scoring against a persisted model -----------------------
     // (TextAnalysis.knBigramLmScoreWith over fitKnBigramLm — the
     // score-many half of the fluency scorer's train-once contract.

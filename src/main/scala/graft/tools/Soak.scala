@@ -220,6 +220,24 @@ object Soak {
           big.filter(col("doc_id") % 2 === 1),
           big.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", 0.8, maxSeenBucket = Some(2 * copies)).count()),
+      // incremental EXACT dedup, plain vs Bloom-prefiltered: odd-id half
+      // ingests against the even-id seen texts. Replicated texts are
+      // unique per (copy, original), so the re-ingest rate is ~0 — the
+      // bloom variant's favorable regime (almost the whole batch passes
+      // scan-stage; the anti join sees only fpp slivers of both sides).
+      // The A/B pair records what the pre-filter buys at this scale.
+      "exact_incremental" -> (() =>
+        graft.ops.Dedup.exactIncremental(
+          big.filter(col("doc_id") % 2 === 1),
+          big.filter(col("doc_id") % 2 === 0).select("text"),
+          "doc_id", "text").count()),
+      "exact_incremental_bloom" -> (() =>
+        graft.ops.Dedup.exactIncrementalBloom(
+          big.filter(col("doc_id") % 2 === 1),
+          big.filter(col("doc_id") % 2 === 0).select("text"),
+          "doc_id", "text",
+          expectedSeen = nDocs / 2 + 1, expectedBatch = nDocs / 2 + 1)
+          .count()),
       // incremental SimHash: same boundary split; the replicated copies
       // are hamming-0 cliques, so every chunk bucket carries the full
       // clique pressure (the pigeonhole analog of the LSH mega-bucket)

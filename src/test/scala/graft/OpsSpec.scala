@@ -3311,4 +3311,77 @@ class OpsSpec extends SparkSpec {
     assert(s2.getLong(1) == 2 && s2.getDouble(9) == 0.0)
     assert(s2.getDouble(5) == 4.0, "p50 of {1,7} interpolates to 4")
   }
+
+  test("exactIncrementalBloom ≡ exactIncremental: dup keys in batch, " +
+    "seen overlap, null keys, empty seen, empty batch, tiny filters") {
+    import org.apache.spark.sql.DataFrame
+    val batch = Seq(
+      (1L, Option("aa")), (2L, Option("aa")),   // in-batch dup, unseen
+      (3L, Option("bb")),                       // seen → drop
+      (4L, Option("cc")),                       // unseen
+      (5L, Option.empty[String]),               // null key: exact() drops —
+      (6L, Option.empty[String]),               //   its semi join can't match
+      (7L, Option("dd"))                        // seen → drop
+    ).toDF("id", "k")
+    val seen = Seq("bb", "dd", "zz").toDF("k")
+    def ids(df: DataFrame) = df.select("id").collect().map(_.getLong(0)).toSet
+    val plain = ids(Dedup.exactIncremental(batch, seen, "id", "k"))
+    assert(plain == Set(1L, 4L),
+      "exact()'s key semi join drops null-key rows — pinned so the bloom " +
+        "variant's agreement below is meaningful")
+    // identical result at generous AND at deliberately undersized
+    // filter capacities (undersizing only raises fpp → more confirm-join
+    // work, never a different answer)
+    for ((es, eb) <- Seq((1L << 20, 1L << 20), (2L, 2L), (1L, 1L))) {
+      val bloom = Dedup.exactIncrementalBloom(batch, seen, "id", "k",
+        expectedSeen = es, expectedBatch = eb, fpp = 0.5)
+      assert(ids(bloom) == plain, s"mismatch at expected=($es,$eb)")
+      assert(bloom.columns.toSeq == Seq("id", "k"))
+    }
+    // empty seen index: everything new
+    val noSeen = Dedup.exactIncrementalBloom(batch,
+      seen.filter(lit(false)), "id", "k")
+    assert(ids(noSeen) == Set(1L, 3L, 4L, 7L))
+    // empty batch: empty out
+    assert(Dedup.exactIncrementalBloom(batch.filter(lit(false)), seen,
+      "id", "k").count() == 0)
+  }
+
+  test("removeRepeatedLinesPerGroup: group-scoped boilerplate, cross-" +
+    "group singletons survive, minFrac scales, keepEmpty restores") {
+    val df = Seq(
+      // host A: "nav" in 3/3 docs, "foot" in 2/3
+      (1L, "A", "nav\nalpha\nfoot"),
+      (2L, "A", "nav\nbeta\nfoot"),
+      (3L, "A", "nav\ngamma"),
+      // host B: "nav" appears in ONE doc only → stays (group scope)
+      (4L, "B", "nav\ndelta"),
+      (5L, "B", "epsilon\nzeta"),
+      (6L, "B", "epsilon\neta")                 // "epsilon" in 2/3 of B
+    ).toDF("id", "host", "txt")
+    def textOf(got: Array[org.apache.spark.sql.Row]) =
+      got.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byCount = textOf(Dedup.removeRepeatedLinesPerGroup(
+      df, "id", "host", "txt").orderBy("id").collect())
+    assert(byCount(1L) == "alpha" && byCount(2L) == "beta" &&
+      byCount(3L) == "gamma", "A's nav+foot are group boilerplate")
+    assert(byCount(4L) == "nav\ndelta",
+      "nav occurs once in B — group scope keeps it")
+    assert(byCount(5L) == "zeta" && byCount(6L) == "eta")
+    // minFrac = 0.9: "foot" (2/3 of A) and "epsilon" (2/3 of B) now
+    // BELOW the fraction bar; only A's nav (3/3) is removed
+    val byFrac = textOf(Dedup.removeRepeatedLinesPerGroup(
+      df, "id", "host", "txt", minFrac = Some(0.9)).orderBy("id").collect())
+    assert(byFrac(1L) == "alpha\nfoot" && byFrac(3L) == "gamma")
+    assert(byFrac(5L) == "epsilon\nzeta")
+    // all-boilerplate doc: drops without keepEmpty, '' with it
+    val allBp = Seq((1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y\nz"))
+      .toDF("id", "host", "txt")
+    val dropped = Dedup.removeRepeatedLinesPerGroup(allBp, "id", "host", "txt")
+    assert(dropped.count() == 1)
+    val kept = Dedup.removeRepeatedLinesPerGroup(allBp, "id", "host", "txt",
+      keepEmpty = true).orderBy("id").collect()
+    assert(kept.length == 3 && kept(0).getString(2) == "" &&
+      kept(1).getString(2) == "" && kept(2).getString(2) == "y\nz")
+  }
 }
