@@ -143,6 +143,33 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), "no nested loops")
   }
 
+  test("q217 incremental bloom dedup: every bloom probe is a codegen " +
+    "scan-stage filter — no shuffle beneath any probe, no UDF") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q217_dedup_incr_bloom")(spark, sfSmoke)
+    // sparkPlan = the pre-AQE physical plan: the shape we authored,
+    // inspectable without executing
+    val plan = df.queryExecution.sparkPlan
+    val probes = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    // definite-new split + candidate split on the batch side, seen-index
+    // prune on the history side
+    assert(probes.size >= 3,
+      s"expected the three bloom probe filters, found ${probes.size}")
+    probes.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "a bloom probe sits above a shuffle — the pre-filter must run " +
+          "in the scan stage, before any exchange:\n" + f.toString)
+    }
+    val s = plan.toString
+    assert(!s.contains("UDF"), "bloom probe must not be a UDF")
+    assert(s.contains("LeftAnti"), "confirm join must stay an anti join")
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), "no nested loops")
+  }
+
   test("q137 TPC-H Q1: one scan, pushed date filter, partial agg, no join") {
     val plan = SparkEntry.queries("q137_tpch_q1")(spark, sfSmoke)
       .queryExecution.executedPlan.toString
