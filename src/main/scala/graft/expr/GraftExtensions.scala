@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Int128SumMicros(args.head, scale)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName,
+        "graft_compression_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_compression_ratio(text) takes one string column")
+        CompressionRatio(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
       (args: Seq[Expression]) => {

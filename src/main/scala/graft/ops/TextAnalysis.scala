@@ -145,6 +145,18 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** zlib compression ratio (deflated/raw UTF-8 bytes, NULL for empty
+    * strings) — the degenerate-text detector: looping/boilerplate text
+    * compresses far below prose, random junk refuses to compress; both
+    * tails get threshold-filtered (size thresholds from
+    * [[quantileThresholds]] on a sample, not magic constants). Codegen
+    * Catalyst expression ([[graft.expr.CompressionRatio]]) — stays in
+    * the scan-stage quality chain, never a UDF. Not SQL-expressible in
+    * the DuckDB oracle (no zlib surface there): covered by the ExprSpec
+    * differential against `java.util.zip` directly. */
+  def compressionRatio(text: Column): Column =
+    graft.expr.StringExpressions.compressionRatio(text)
+
   def langScore(text: Column, markers: Seq[String]): Column = {
     val stops = markers.toSet
     size(filter(tokens(text), w => stops.map(s => w === lit(s)).reduce(_ || _)))

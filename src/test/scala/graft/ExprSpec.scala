@@ -283,4 +283,61 @@ class ExprSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getString(1))
     assert(round.toSeq == Seq("""{"k":7,"s":"a"}""", """{"k":-3,"s":"b"}"""))
   }
+
+  test("compressionRatio: matches java.util.zip exactly, degenerate < " +
+    "prose < incompressible, empty/null → null, codegen ≡ interpreted") {
+    import graft.expr.{CompressionRatio, StringExpressions}
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders through a meadow describing various unrelated subjects " +
+      "with great enthusiasm while several other animals watch from a " +
+      "careful distance wondering what could possibly motivate such " +
+      "energetic behavior on an otherwise ordinary afternoon in the " +
+      "countryside where nothing much ever happens except the " +
+      "occasional passing storm"
+    val degenerate = "spam ham " * 60
+    // seeded LCG over printable ASCII — near-max per-char entropy for
+    // deflate (hex-soup style fixtures compress to ~0.56 via Huffman
+    // and would sort BELOW organic prose; 94 symbols stay above it)
+    val incompressible = {
+      var x = 88172645463325252L
+      val sb = new StringBuilder
+      (0 until 800).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append((33 + java.lang.Long.remainderUnsigned(x >>> 33, 94)).toChar)
+      }
+      sb.toString
+    }
+    val rows = Seq(
+      (1L, Option(prose)), (2L, Option(degenerate)),
+      (3L, Option(incompressible)), (4L, Option("")),
+      (5L, Option.empty[String]), (6L, Option("héllo wörld ünïcode")))
+      .toDF("id", "txt")
+    val got = rows.select($"id",
+        StringExpressions.compressionRatio($"txt").as("r"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // exact differential vs the JDK deflater on the same bytes
+    def direct(s: String): Double =
+      CompressionRatio.ratio(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(got(1L).contains(direct(prose)))
+    assert(got(2L).contains(direct(degenerate)))
+    assert(got(3L).contains(direct(incompressible)))
+    assert(got(6L).contains(direct("héllo wörld ünïcode")))
+    assert(got(4L).isEmpty, "empty string must be NULL")
+    assert(got(5L).isEmpty, "null must stay NULL")
+    // the signal's whole point: the tails separate
+    assert(got(2L).get < got(1L).get && got(1L).get < got(3L).get,
+      s"degenerate ${got(2L)} < prose ${got(1L)} < incompressible ${got(3L)}")
+    assert(got(2L).get < 0.2 && got(3L).get > 0.8)
+    // interpreted eval path agrees with the codegen path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = CompressionRatio(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(prose))).eval(null)
+    assert(interp == direct(prose))
+    // and the SQL registration resolves to the same kernel
+    val viaSql = spark.sql(
+      s"SELECT graft_compression_ratio('$degenerate') AS r").head.getDouble(0)
+    assert(viaSql == direct(degenerate))
+  }
 }
