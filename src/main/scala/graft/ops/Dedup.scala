@@ -278,6 +278,38 @@ object Dedup {
     definite.unionByName(cand.join(seenPruned, Seq(key), "left_anti"))
   }
 
+  /** ids of `batch` rows whose key appears in `seen` — the semi-join
+    * "already-ingested" membership list, with the
+    * [[exactIncrementalBloom]] double pre-filter: a seen-side Bloom
+    * drops definitely-unseen batch rows in the scan stage (they can't
+    * be members), a candidate-side Bloom prunes the seen index in ITS
+    * scan stage, and the exact semi join discards both filters' false
+    * positives. Result-identical to
+    * `batch ⋉ seen.select(key).distinct()` (null keys are members of
+    * nothing, on both paths). The streaming [[graft.streaming.DedupStream]]
+    * exact recipe uses this as its cross-batch drop list — the state
+    * table there grows for the life of the pipeline, which is exactly
+    * the huge-seen/low-hit-rate regime the pre-filter exists for.
+    * `batch` should be pinned by the caller if it feeds other
+    * consumers (the recipes pin it). */
+  def seenKeyIdsBloom(batch: DataFrame, seen: DataFrame,
+                      id: String, key: String,
+                      expectedSeen: Long, expectedBatch: Long = 0L,
+                      fpp: Double = 0.01): DataFrame = {
+    require(expectedSeen > 0 && fpp > 0 && fpp < 1,
+      "seenKeyIdsBloom: need expectedSeen > 0, 0 < fpp < 1")
+    val eb = if (expectedBatch > 0) expectedBatch else expectedSeen
+    val seenKeys = seen.select(col(key))
+    val seenMight = bloomMight(bloomOver(seenKeys, col(key),
+      expectedSeen, fpp), col(key))
+    val cand = batch.filter(coalesce(seenMight, lit(false)))
+    val candMight = bloomMight(bloomOver(cand.select(col(key)), col(key),
+      eb, fpp), col(key))
+    val seenPruned = seenKeys.filter(coalesce(candMight, lit(false)))
+      .distinct()
+    cand.join(seenPruned, Seq(key), "left_semi").select(col(id))
+  }
+
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     * Returns (d1, d2, jac). Candidates only for docs sharing >= 1 shingle.
     *
@@ -1428,7 +1460,11 @@ object Dedup {
     * (group, lh) — 8-byte hashes ride every shuffle, never line text;
     * group skew is ordinary aggregate skew (AQE's problem, no
     * quadratic anywhere). Returns (id, group, text); `keepEmpty`
-    * retains all-boilerplate docs as empty strings. */
+    * retains all-boilerplate docs as empty strings. NULL-group docs
+    * keep every line: the back-join's equi keys never match null
+    * (standard SQL semantics), i.e. ungrouped documents have no
+    * boilerplate evidence — route them through
+    * [[removeRepeatedLines]] if the corpus-global rule is wanted. */
   def removeRepeatedLinesPerGroup(df: DataFrame, id: String,
                                   group: String, text: String,
                                   minDocs: Int = 2,
