@@ -119,6 +119,7 @@ object Dedup {
       .select(explode_outer(col("hs")).as("g")).distinct()
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedGrams, fpp)
+    Skew.ensureBloomConf(corpus.sparkSession, expectedGrams, numBits)
     val build = new BloomFilterAggregate(ColumnBridge.expression(col("g")),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
     val bfFrame = bg.select(ColumnBridge.column(build).as("__graft_bf"))
@@ -197,6 +198,9 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expected, fpp)
+    // Spark clamps BloomFilterAggregate args to session confs with
+    // Math.min — raise them or a big filter silently saturates
+    Skew.ensureBloomConf(df.sparkSession, expected, numBits)
     val build = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(c)),
       Literal(expected), Literal(numBits)).toAggregateExpression()
@@ -239,7 +243,11 @@ object Dedup {
     * subqueries (no driver collect; the serialized filter broadcasts —
     * ~9.6 bits/key at fpp 0.01, so 10⁹ seen keys ≈ 1.2 GB: size
     * `expectedSeen` honestly and raise `fpp` if the index is truly
-    * enormous, correctness never changes). Null-key rows are dropped
+    * enormous, correctness never changes). The session's
+    * runtime-bloom-filter capacity confs are raised automatically to
+    * fit the requested size (`Skew.ensureBloomConf`) — Spark's
+    * aggregate otherwise Math.min-clamps the build at 4M items / 8 MB
+    * SILENTLY and a saturated filter stops pruning. Null-key rows are dropped
     * by the in-batch [[exact]] stage (its key semi join cannot match
     * null) — identical to [[exactIncremental]]; the null routing
     * below is a refactor guard, spec-pinned against the plain

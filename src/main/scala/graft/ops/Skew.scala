@@ -18,6 +18,37 @@ object Skew {
 
   private val Salt = "__graft_salt"
 
+  /** Raise the session's runtime-bloom-filter capacity confs to at
+    * least the requested build size. Spark's `BloomFilterAggregate`
+    * SILENTLY clamps both its arguments with
+    * `Math.min(requested, conf)` — defaults
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` = 4×10⁶ and
+    * `...maxNumBits` = 67 108 864 (8 MB) — so a filter sized for a
+    * 10⁸-key seen index would saturate at 8 MB and quietly stop
+    * pruning (correctness is unaffected — a saturated filter only
+    * passes everything — but the pre-filter the caller paid for
+    * vanishes). Every graft bloom builder calls this with its computed
+    * size; the confs are only ever raised, never lowered, and raising
+    * them has no effect on Spark's own injected runtime filters unless
+    * their stats-derived sizes actually exceed the old caps. Warn-logs
+    * on change so the session mutation is visible. */
+  private[graft] def ensureBloomConf(spark: org.apache.spark.sql.SparkSession,
+                                     expectedItems: Long,
+                                     numBits: Long): Unit = {
+    def raise(key: String, needed: Long): Unit = {
+      // registered SQLConf entries resolve their defaults through get
+      val cur = spark.conf.get(key).toLong
+      if (cur < needed) {
+        org.slf4j.LoggerFactory.getLogger("graft.ops.Skew").warn(
+          s"raising $key $cur -> $needed (the bloom build would be " +
+            "silently clamped below the requested capacity otherwise)")
+        spark.conf.set(key, needed)
+      }
+    }
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+  }
+
   /** inner/left equi-join with salting. The left salt is derived from
     * the CONTENT of the whole left row (xxhash64 over every column), so
     * it is stable across task retries and speculation — partition-id /
@@ -67,6 +98,7 @@ object Skew {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, InternalBridge}
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    ensureBloomConf(big.sparkSession, expectedItems, numBits)
     val build = new BloomFilterAggregate(
       ColumnBridge.expression(col(key).cast("long")),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

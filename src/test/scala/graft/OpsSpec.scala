@@ -3347,6 +3347,34 @@ class OpsSpec extends SparkSpec {
       "id", "k").count() == 0)
   }
 
+  test("bloom builders raise the session clamp confs: a capacity above " +
+    "Spark's silent Math.min caps survives the build") {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      // plant caps far below the build size: without ensureBloomConf
+      // the aggregate clamps here SILENTLY and the filter saturates
+      spark.conf.set(itemsKey, 100L)
+      spark.conf.set(bitsKey, 1024L)
+      val batch = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "k")
+      val seen = Seq("bb").toDF("k")
+      val got = Dedup.exactIncrementalBloom(batch, seen, "id", "k",
+        expectedSeen = 1L << 22, expectedBatch = 1L << 22)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L))
+      assert(spark.conf.get(itemsKey).toLong >= (1L << 22),
+        "maxNumItems must be raised to the requested capacity")
+      val needBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(1L << 22, 0.01)
+      assert(spark.conf.get(bitsKey).toLong >= needBits,
+        "maxNumBits must be raised to the requested capacity")
+    } finally {
+      spark.conf.set(itemsKey, items0)
+      spark.conf.set(bitsKey, bits0)
+    }
+  }
+
   test("removeRepeatedLinesPerGroup: group-scoped boilerplate, cross-" +
     "group singletons survive, minFrac scales, keepEmpty restores") {
     val df = Seq(
