@@ -1169,7 +1169,10 @@ object Dedup {
                        bands: Int = 32,
                        maxBucket: Option[Int] = Some(DefaultMaxBucket),
                        exactFirst: Boolean = false): DataFrame = {
-    val base = if (exactFirst) exact(df, id, text) else df
+    // pinned for the same reason as dedupNearCanonical's df0: the
+    // exact pre-stage (text-keyed aggregate + semi join) feeds both
+    // the banding input and the final anti join
+    val base = if (exactFirst) Materialize.pin(exact(df, id, text)) else df
     val pairs = minhashLsh(base, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("node") =!= col("component"))
@@ -1219,7 +1222,14 @@ object Dedup {
                          numPerms: Int = 64, bands: Int = 32,
                          maxBucket: Option[Int] = Some(DefaultMaxBucket),
                          exactFirst: Boolean = false): DataFrame = {
-    val df0 = if (exactFirst) exactCanonical(df, id, text, quality) else df
+    // the exact pre-stage is two aggregates + an achiever join with the
+    // full TEXT riding the shuffle — and df0 feeds three consumers
+    // (banding, the quality join, the final anti join): pin it, or the
+    // pre-stage recomputes per consumer. Same-session 40×/200k+10k-
+    // clique soak A/B: default 32.4 s vs exactFirst 41.2 s — the +27%
+    // is the pre-stage price, paid once under this pin.
+    val df0 = if (exactFirst) Materialize.pin(
+      exactCanonical(df, id, text, quality)) else df
     val pairs = minhashLsh(df0, id, text, threshold, numPerms, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val scored = comps.join(

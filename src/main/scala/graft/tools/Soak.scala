@@ -158,6 +158,25 @@ object Soak {
         graft.ops.Dedup.dedupNearCanonical(big.unionByName(planted),
           "doc_id", "text", col("n_chars"), threshold = 0.8).count()
       }),
+      // r15: the documented mitigation for identical-text mega-cliques,
+      // at scale — exactFirst collapses the planted 10k clique to ONE
+      // doc BEFORE banding, so the cap never fires for it and the keep
+      // count drops by ~9 999 vs the suppressed-whole lane above (the
+      // lone survivor may still near-dup-match organic copies of its
+      // family). Runtime must stay flat: the exact pre-stage is one
+      // hash aggregate + achiever join.
+      "dedup_near_canonical_exactfirst" -> (() => {
+        val planted = spark.range(10_000).select(
+          (col("id") + lit(900_000_000L)).as("doc_id"),
+          lit("planted mega bucket boilerplate page body shared by " +
+            "the whole mirror farm with identical words throughout")
+            .as("text"),
+          lit("en").as("lang"), lit("planted").as("source"),
+          lit(100L).cast(big.schema("n_chars").dataType).as("n_chars"))
+        graft.ops.Dedup.dedupNearCanonical(big.unionByName(planted),
+          "doc_id", "text", col("n_chars"), threshold = 0.8,
+          exactFirst = true).count()
+      }),
       // r15: one at-scale record of the RELIABLE materialization
       // strategy (DFS checkpoint per pin instead of executor-local
       // blocks — the executor-loss-tolerant 100-TB posture). Same op
