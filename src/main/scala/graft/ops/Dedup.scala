@@ -1473,12 +1473,20 @@ object Dedup {
     * (deliberate) rule, not this one's.
     *
     * Scale shape: one explode over (group, id, line-hash), one
-    * distinct + count aggregate keyed by (group, lh), a broadcastable
-    * one-row-per-group size table, and a left-anti back-join on
-    * (group, lh) — 8-byte hashes ride every shuffle, never line text;
-    * group skew is ordinary aggregate skew (AQE's problem, no
-    * quadratic anywhere). Returns (id, group, text); `keepEmpty`
-    * retains all-boilerplate docs as empty strings. NULL-group docs
+    * distinct + count aggregate keyed by (group, lh), a two-column
+    * one-row-per-DISTINCT-group size table (per registrable domain on
+    * a crawl that is tens of millions of rows — deliberately NOT
+    * hint-broadcast; Catalyst's size estimate decides, so a
+    * million-domain corpus plans a shuffle join instead of OOMing the
+    * driver), and a left-anti back-join on (group, lh) — 8-byte
+    * hashes ride every shuffle, never line text; group skew is
+    * ordinary aggregate skew (AQE's problem, no quadratic anywhere).
+    * The minFrac denominator is the group's DISTINCT document count
+    * (the same basis as the `nd` numerator), so duplicate (id, group)
+    * input rows cannot inflate the bar. Returns (id, group, text);
+    * `keepEmpty` retains all-boilerplate docs as empty strings (the
+    * restore join matches the group null-safely, so a NULL-group doc
+    * gets its kept text back, never a spurious ''). NULL-group docs
     * keep every line: the back-join's equi keys never match null
     * (standard SQL semantics), i.e. ungrouped documents have no
     * boilerplate evidence — route them through
@@ -1501,9 +1509,13 @@ object Dedup {
     val repeated = minFrac match {
       case None => counts.select(col(group), col("lh"))
       case Some(f) =>
+        // distinct-doc denominator (same basis as the nd numerator);
+        // no broadcast hint — one row per distinct group can be tens
+        // of millions on a per-domain crawl, so stats/AQE must be free
+        // to plan a shuffle join there
         val sizes = df.groupBy(col(group)).agg(
-          count(lit(1)).as("__gn"))
-        counts.join(broadcast(sizes), Seq(group))
+          countDistinct(col(id)).as("__gn"))
+        counts.join(sizes, Seq(group))
           .filter(col("nd") >= ceil(col("__gn") * f))
           .select(col(group), col("lh"))
     }
@@ -1513,8 +1525,18 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), sep).as(text))
     if (!keepEmpty) kept
-    else df.select(col(id), col(group)).join(kept, Seq(id, group), "left")
-      .select(col(id), col(group), coalesce(col(text), lit("")).as(text))
+    else {
+      // null-safe on the group: a NULL-group doc keeps every line (no
+      // boilerplate evidence above), so its kept text must match back
+      // here too — a plain equi key would blank it to ''
+      val base = df.select(col(id), col(group))
+      val k = kept.select(col(id).as("__kid"), col(group).as("__kg"),
+        col(text).as("__kt"))
+      base.join(k, base(id) === k("__kid") && base(group) <=> k("__kg"),
+          "left")
+        .select(base(id), base(group),
+          coalesce(col("__kt"), lit("")).as(text))
+    }
   }
 
   /** Exact edit-distance similarity join over a string key: every pair

@@ -18,6 +18,16 @@ object Skew {
 
   private val Salt = "__graft_salt"
 
+  /** Session conf capping the serialized size a graft-built Bloom
+    * filter may reach (bytes; default 512 MB). The filter broadcasts
+    * to every executor AND lives on the driver while it merges — a
+    * 10¹⁰-key build at fpp 0.01 is ~12 GB, which dies in broadcast
+    * long after the caller stopped watching. Above the budget the
+    * builder REFUSES up front with the fix spelled out (raise `fpp`,
+    * or opt in by raising this conf). */
+  val MaxFilterBytesConf = "graft.bloom.maxFilterBytes"
+  val DefaultMaxFilterBytes: Long = 512L << 20
+
   /** Raise the session's runtime-bloom-filter capacity confs to at
     * least the requested build size. Spark's `BloomFilterAggregate`
     * SILENTLY clamps both its arguments with
@@ -31,10 +41,31 @@ object Skew {
     * size; the confs are only ever raised, never lowered, and raising
     * them has no effect on Spark's own injected runtime filters unless
     * their stats-derived sizes actually exceed the old caps. Warn-logs
-    * on change so the session mutation is visible. */
+    * on change so the session mutation is visible. NOTE the raise is
+    * session-global and PERMANENT (it outlives the build that asked
+    * for it) — deliberate, since a later identical build must not be
+    * re-clamped, but callers sharing a session should know.
+    *
+    * Also enforces the [[MaxFilterBytesConf]] serialized-size budget:
+    * refuses (IllegalArgumentException) before any job runs when the
+    * requested bits exceed it — a sizing mistake should fail at call
+    * time, not as an executor OOM mid-broadcast.
+    *
+    * Thread-safe: the check-then-set races under concurrent builds on
+    * one session (a smaller concurrent raise could overwrite a larger
+    * one, re-introducing the silent clamp), so both raises run inside
+    * one session-scoped lock. */
   private[graft] def ensureBloomConf(spark: org.apache.spark.sql.SparkSession,
                                      expectedItems: Long,
                                      numBits: Long): Unit = {
+    val budget = spark.conf.getOption(MaxFilterBytesConf)
+      .map(_.toLong).getOrElse(DefaultMaxFilterBytes)
+    val bytes = numBits / 8
+    require(bytes <= budget,
+      s"bloom filter sized at $bytes serialized bytes ($numBits bits for " +
+        s"$expectedItems items) exceeds the $budget-byte budget — raise " +
+        s"fpp (bits scale with ln(1/fpp)), or opt in by setting " +
+        s"$MaxFilterBytesConf above $bytes")
     def raise(key: String, needed: Long): Unit = {
       // registered SQLConf entries resolve their defaults through get
       val cur = spark.conf.get(key).toLong
@@ -45,8 +76,10 @@ object Skew {
         spark.conf.set(key, needed)
       }
     }
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    spark.synchronized {
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+      raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    }
   }
 
   /** inner/left equi-join with salting. The left salt is derived from

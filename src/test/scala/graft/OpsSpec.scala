@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis => TA}
 
 /** dedup / similarity / text-analysis semantics on small controlled data. */
 class OpsSpec extends SparkSpec {
@@ -3411,5 +3411,63 @@ class OpsSpec extends SparkSpec {
       keepEmpty = true).orderBy("id").collect()
     assert(kept.length == 3 && kept(0).getString(2) == "" &&
       kept(1).getString(2) == "" && kept(2).getString(2) == "y\nz")
+  }
+
+  test("removeRepeatedLinesPerGroup: keepEmpty restores a NULL-group " +
+    "doc's kept text (null-safe restore join), and minFrac's " +
+    "denominator is distinct docs, not rows") {
+    // NULL-group doc 7 has no boilerplate evidence → keeps every line;
+    // before the null-safe restore, keepEmpty's (id, group) equi join
+    // never matched null and blanked it to ''
+    val df = Seq(
+      (1L, Option("A"), "nav\nalpha"),
+      (2L, Option("A"), "nav\nbeta"),
+      (7L, Option.empty[String], "nav\nomega")
+    ).toDF("id", "host", "txt")
+    val got = Dedup.removeRepeatedLinesPerGroup(df, "id", "host", "txt",
+        keepEmpty = true).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "alpha" && got(2L) == "beta")
+    assert(got(7L) == "nav\nomega",
+      s"null-group doc must keep its text under keepEmpty, got ${got(7L)}")
+    // minFrac bar on distinct docs: host A has 3 distinct docs (doc 1
+    // duplicated → 4 rows); "nav" sits in 2/3 distinct docs = 0.667 ≥
+    // 0.6 → removed. A row-count denominator (4) would demand
+    // ceil(2.4)=3 occurrences and silently keep it.
+    val dup = Seq(
+      (1L, "A", "nav\na"), (1L, "A", "nav\na"),
+      (2L, "A", "nav\nb"), (3L, "A", "c")
+    ).toDF("id", "host", "txt")
+    val byFrac = Dedup.removeRepeatedLinesPerGroup(dup, "id", "host",
+        "txt", minDocs = 2, minFrac = Some(0.6)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byFrac(2L) == "b",
+      s"minFrac must use the distinct-doc denominator, got ${byFrac(2L)}")
+  }
+
+  test("ensureBloomConf: serialized-size budget refuses oversized " +
+    "builds up front, conf opt-in lifts it") {
+    import org.apache.spark.sql.functions.col
+    val big = Seq((1L, 10L), (2L, 20L)).toDF("id", "k")
+    val small = Seq(Tuple1(10L)).toDF("k")
+    // 10^10 items at fpp 0.01 ≈ 12 GB — must refuse at CALL time
+    val e = intercept[IllegalArgumentException] {
+      Skew.bloomPrunedJoin(big, small, "k", expectedItems = 10000000000L)
+    }
+    assert(e.getMessage.contains(Skew.MaxFilterBytesConf),
+      s"refusal must name the opt-in conf: ${e.getMessage}")
+    // a tiny explicit budget rejects even a modest build; raising the
+    // conf (the documented opt-in) lets the same build proceed
+    spark.conf.set(Skew.MaxFilterBytesConf, "1000")
+    try {
+      intercept[IllegalArgumentException] {
+        Skew.bloomPrunedJoin(big, small, "k", expectedItems = 1L << 20)
+      }
+      spark.conf.set(Skew.MaxFilterBytesConf, (512L << 20).toString)
+      val got = Skew.bloomPrunedJoin(big, small, "k",
+          expectedItems = 1L << 20)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L))
+    } finally spark.conf.unset(Skew.MaxFilterBytesConf)
   }
 }

@@ -147,10 +147,19 @@ class PlanSpec extends SparkSpec {
     "scan-stage filter — no shuffle beneath any probe, no UDF") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = SparkEntry.queries("q217_dedup_incr_bloom")(spark, sfSmoke)
-    // sparkPlan = the pre-AQE physical plan: the shape we authored,
-    // inspectable without executing
-    val plan = df.queryExecution.sparkPlan
+    // AQE off for this plan: the shuffle-beneath-probe check must walk
+    // the POST-EnsureRequirements physical plan (sparkPlan predates it,
+    // so no ShuffleExchangeLike exists anywhere and the per-probe
+    // assertion would be vacuous), and with AQE on the executedPlan is
+    // an opaque AdaptiveSparkPlanExec wrapper collect() can't descend
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q217_dedup_incr_bloom")(spark, sfSmoke)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.exists { case e: ShuffleExchangeLike => true; case _ => false },
+      "sanity: the post-EnsureRequirements plan must contain the " +
+        "confirm join's shuffles somewhere, or the probe check is vacuous")
     val probes = plan.collect {
       case f: FilterExec if f.condition.toString.contains("might_contain") => f
     }
@@ -168,6 +177,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("LeftAnti"), "confirm join must stay an anti join")
     assert(!s.contains("BroadcastNestedLoopJoin") &&
       !s.contains("CartesianProduct"), "no nested loops")
+  }
+
+  test("removeRepeatedLinesPerGroup minFrac: the group-size join is " +
+    "NOT hint-forced to broadcast (per-domain size tables are tens of " +
+    "millions of rows at crawl scale — stats must decide)") {
+    import spark.implicits._
+    val df = Seq((1L, "A", "nav\nalpha"), (2L, "A", "nav\nbeta"),
+      (3L, "B", "x\ny")).toDF("id", "host", "txt")
+    // With the auto-broadcast threshold disabled, ONLY a hint can
+    // produce a BroadcastExchange — so any broadcast in this plan is a
+    // forced one, exactly the 100-TB failure mode under test.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try graft.ops.Dedup.removeRepeatedLinesPerGroup(df, "id", "host",
+          "txt", minDocs = 2, minFrac = Some(0.5), keepEmpty = true)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(!plan.contains("BroadcastExchange"),
+      "minFrac path forces a broadcast — the group-size table is " +
+        "unbounded at crawl scale:\n" + plan)
   }
 
   test("q137 TPC-H Q1: one scan, pushed date filter, partial agg, no join") {
