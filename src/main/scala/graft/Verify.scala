@@ -41,8 +41,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __GRAFT_OUT__ resolves to this run's dump directory: it lets an
+    // oracle replay composition logic over a column only Spark can
+    // compute (q221 reads q220's materialized zlib ratios — the
+    // two-paths/one-truth split one level up from q152's). Absolute,
+    // because the driver's DuckDB may run with a different cwd.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -92,6 +92,33 @@ object Pipeline {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** q220/q221's corpus: the real documents plus three planted rows
+    * pinning every compressionRatio branch — a looping doc (deflate
+    * collapses it far below any threshold), an empty doc (NULL
+    * ratio), and LCG character soup (near-incompressible). The soup
+    * comes from a FIXED linear congruential generator, so it is
+    * byte-identical in every plan instantiation (determinism is what
+    * q221's cross-plan gate rests on). */
+  private lazy val lcgSoup: String = {
+    val sb = new StringBuilder
+    var x = 123456789L
+    for (_ <- 1 to 400) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append((33 + java.lang.Long.remainderUnsigned(x >>> 33, 94)).toChar)
+    }
+    sb.toString
+  }
+  private def compressCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "__planted", Seq.fill(120)("loop the loop").mkString(" ")),
+      (-2L, "__planted", ""),
+      (-3L, "__planted", lcgSoup)
+    ).toDF("doc_id", "source", "text")
+    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      .unionByName(planted)
+  }
+
   val registry: Seq[(String, Q)] = Seq(
 
     // --- text analysis: token counting --------------------------------------
@@ -4976,7 +5003,93 @@ object Pipeline {
           round(CAST(SUM(n_bpe_tokens) AS DOUBLE) / SUM(nw), 9)
             AS fertility
         FROM perdoc JOIN documents USING (doc_id)
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // --- per-group repeated-line boilerplate at corpus scale -----------------
+    // (r16: q218 gates removeRepeatedLinesPerGroup on planted VALUES
+    // only; this row runs it over the real documents table grouped by
+    // `source` with sep=" " (the sf docs are single-line word soup, so
+    // words ARE the lines) and BOTH thresholds live: minDocs=3 floors,
+    // minFrac=0.3 scales with the 25-doc groups (bar = ceil(25·0.3) =
+    // 8 distinct docs). Exercises the r16 fixes at data scale: the
+    // distinct-doc denominator, the non-broadcast size-table join, and
+    // the null-safe keepEmpty restore. Spark counts line HASHES, the
+    // oracle line text — the q44 hash-collision convention.)
+    "q219_repeated_words_src" -> Q(
+      (s, d) => graft.ops.Dedup.removeRepeatedLinesPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source", "text",
+          minDocs = 3, minFrac = Some(0.3), sep = " ", keepEmpty = true)
+        .orderBy("doc_id"),
+      Some("""WITH l AS (SELECT doc_id, source,
+          generate_subscripts(string_split(text, ' '), 1) AS pos,
+          unnest(string_split(text, ' ')) AS line FROM documents),
+        gs AS (SELECT source, COUNT(DISTINCT doc_id) AS gn
+          FROM documents GROUP BY 1),
+        rep AS (SELECT c.source, c.line FROM
+            (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+             FROM l GROUP BY 1, 2) c
+          JOIN gs ON c.source = gs.source
+          WHERE nd >= 3 AND nd >= CEIL(gn * 0.3)),
+        k AS (SELECT l.doc_id, l.source, l.pos, l.line FROM l
+          LEFT JOIN rep ON l.source = rep.source AND l.line = rep.line
+          WHERE rep.line IS NULL),
+        r AS (SELECT doc_id, source,
+            string_agg(line, ' ' ORDER BY pos) AS text
+          FROM k GROUP BY 1, 2)
+        SELECT d.doc_id, d.source, COALESCE(r.text, '') AS text
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+          AND d.source = r.source
+        ORDER BY d.doc_id""")),
+
+    // --- zlib compression-ratio quality signal, materialized -----------------
+    // (r16: the CompressionRatio codegen kernel wired into the gate.
+    // zlib has no DuckDB surface, so the split follows q152's
+    // two-paths/one-truth convention at the NEXT level up: this row
+    // materializes per-doc ratios (rows-only check — it IS the
+    // materialization), and q221's oracle replays its threshold logic
+    // over THIS row's parquet via the __GRAFT_OUT__ substitution in
+    // Verify. The kernel's numeric truth stays pinned by the ExprSpec
+    // differential against java.util.zip (codegen ≡ interpreted ≡
+    // SQL). Planted rows exercise every branch deterministically: a
+    // looping doc (ratio ≪ threshold), an empty doc (NULL), an
+    // LCG-soup doc (high ratio).)
+    "q220_compress_ratios" -> Q(
+      (s, d) => compressCorpus(s, d)
+        .select(col("doc_id"), col("source"),
+          TA.compressionRatio(col("text")).as("cratio"))
+        .orderBy("doc_id"),
+      None),
+
+    // --- compression-ratio corpus report (gated composition) -----------------
+    // (r16: recomputes the ratios INDEPENDENTLY of q220 (a second plan
+    // instantiation — nondeterminism in the kernel or a codegen/
+    // interpreted split would break the hash against q220's
+    // materialized doubles) and aggregates the degenerate-text
+    // thresholds per source. The oracle reads q220's materialized
+    // column and replays the thresholds/min/max in DuckDB: Spark owns
+    // zlib, DuckDB owns the composition — both paths must agree
+    // bit-exactly on the same doubles. min/max are order-independent,
+    // so no decimal-sum machinery is needed.)
+    "q221_compress_report" -> Q(
+      (s, d) => compressCorpus(s, d)
+        .select(col("source"), TA.compressionRatio(col("text")).as("cratio"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("cratio").isNull, 1)).as("n_null"),
+          count(when(col("cratio") < 0.35, 1)).as("n_low"),
+          count(when(col("cratio") > 0.9, 1)).as("n_high"),
+          min(col("cratio")).as("min_ratio"),
+          max(col("cratio")).as("max_ratio"))
+        .orderBy("source"),
+      Some("""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q220_compress_ratios/*.parquet'))
+        SELECT source, COUNT(*) AS n_docs,
+          COUNT(CASE WHEN cratio IS NULL THEN 1 END) AS n_null,
+          COUNT(CASE WHEN cratio < 0.35 THEN 1 END) AS n_low,
+          COUNT(CASE WHEN cratio > 0.9 THEN 1 END) AS n_high,
+          MIN(cratio) AS min_ratio, MAX(cratio) AS max_ratio
+        FROM m GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
