@@ -11,6 +11,44 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
   initLogs()
 
+  // --- r16 flake instrumentation (VERDICT r15 #1) --------------------------
+  // One transient failure at the r15 218-row head never reproduced and was
+  // never attributed because the run's streaming internals were gone. Every
+  // query lifecycle event and per-batch progress (batchId, watermark, state
+  // rows, commit timing) now lands in a JSONL file under target/, so ANY
+  // future failure carries its own post-mortem. The listener bus is async
+  // and the file is append-only per run — cost is noise-level.
+  private val streamLog = {
+    val dir = java.nio.file.Paths.get("target", "streaming-progress")
+    java.nio.file.Files.createDirectories(dir)
+    dir.resolve(s"run-${System.currentTimeMillis}-${System.nanoTime % 100000}.jsonl")
+  }
+  private def logLine(s: String): Unit = synchronized {
+    java.nio.file.Files.writeString(streamLog, s + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      logLine(s"""{"ev":"start","t":${System.currentTimeMillis},""" +
+        s""""name":${Option(e.name).map("\"" + _ + "\"").getOrElse("null")},"runId":"${e.runId}"}""")
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      logLine(s"""{"ev":"progress","t":${System.currentTimeMillis},"p":${e.progress.json}}""")
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      logLine(s"""{"ev":"term","t":${System.currentTimeMillis},"runId":"${e.runId}",""" +
+        s""""exception":${e.exception.map(x =>
+          "\"" + x.replace("\\", "\\\\").replace("\"", "'")
+            .replace("\n", " ") + "\"").getOrElse("null")}}""")
+  })
+  /** per-batch (batchId → state rows) trail for state-bound assertions —
+    * inlined into the failure message so a flake self-attributes. */
+  private def stateTrail(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.recentProgress.map(p => s"b${p.batchId}:" +
+      p.stateOperators.map(_.numRowsTotal).mkString("[", ",", "]") +
+      s"@wm=${Option(p.eventTime).flatMap(m => Option(m.get("watermark"))).getOrElse("-")}")
+      .mkString(" ")
+
   test("streaming hourlyStats over parquet equals the batch result") {
     val batchEvents = Tables.events(spark, sfSmoke)
     // stage µs-normalized events so readStream sees a plain timestamp
@@ -156,7 +194,8 @@ class StreamingSpec extends SparkSpec {
       // bound: open windows within the watermark horizon (~2) plus one
       // in-flight — NEVER the 5 000 distinct items
       assert(maxStateRows <= 4,
-        s"state rows $maxStateRows — grows with item cardinality")
+        s"state rows $maxStateRows — grows with item cardinality; " +
+          s"trail: ${stateTrail(q)}")
     } finally q.stop()
   }
 
@@ -190,7 +229,8 @@ class StreamingSpec extends SparkSpec {
       // horizon = 30 min at one 400-key batch/hour: at most the last
       // batch plus one not-yet-cleaned batch may remain
       assert(finalStateRows <= 800,
-        s"state rows $finalStateRows — watermark expiry not bounding state")
+        s"state rows $finalStateRows — watermark expiry not bounding " +
+          s"state; trail: ${stateTrail(q)}")
     } finally q.stop()
   }
 
