@@ -2280,6 +2280,21 @@ class OpsSpec extends SparkSpec {
     // organic-only: unimodal, no clique evidence, no data-driven cap
     assert(Dedup.suggestBucketCap(
       organic.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+    // the full diagnose→size→cap loop, exactly as the README recipe
+    // spells it: feed the suggestion (default fallback) into the
+    // wrapper with the exactFirst mitigation. The identical-text
+    // clique folds to ONE representative in the exact pre-stage (so
+    // the data-driven cap never has to suppress it) and the organic
+    // docs — disjoint vocabularies, no pairs — all survive.
+    val corpus = (organic ++ clique).toDF("doc_id", "text")
+    val kept = Dedup.dedupNearMinhash(corpus, "doc_id", "text", 0.8,
+        maxBucket = cap.orElse(Some(Dedup.DefaultMaxBucket)),
+        exactFirst = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == organic.size + 1 &&
+      kept.count(_ > 100_000L) == 1,
+      s"suggested-cap + exactFirst run must fold the clique to one " +
+        s"rep and keep all organics: kept ${kept.size}")
   }
 
   test("capped-dedup session registry holds sessions WEAKLY: the " +
