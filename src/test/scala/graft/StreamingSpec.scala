@@ -757,14 +757,22 @@ class StreamingSpec extends SparkSpec {
     val standing = Materialize.pin(
       Seq((100L, "standing")).toDF("doc_id", "text"))
     assert(standing.count() == 1)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // SET difference, not size equality: the persistent-RDD map is
+    // global to the shared suite session, and Spark's ContextCleaner
+    // asynchronously reaps GC'd pins from EARLIER tests at any moment
+    // — a size captured before the batch can legitimately SHRINK while
+    // it runs (the r15 transient flake, reproduced at soak run 3/20:
+    // before=3 with two stale prior-test pins, after=1). The contract
+    // under test is only "the batch leaves no NEW pin behind".
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val batch = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
     EnrichStream.enrichBatch(batch, 0L, tmp("eb_out")) { raw =>
       val b = Materialize.pin(raw)
       b.join(b.groupBy("doc_id").count(), Seq("doc_id"))
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "batch pins must be released when the write lands")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"batch pins must be released when the write lands; leaked RDDs: $leaked")
     // the standing pin was NOT swept by the batch's release
     assert(standing.count() == 1, "caller's standing pin must survive")
   }
