@@ -203,6 +203,17 @@ object Soak {
       // measures the full cut + reassembly path
       "dup_span_removal" -> (() =>
         graft.ops.Dedup.removeDuplicateSpans(big, "doc_id", "text").count()),
+      // per-group repeated-line removal (r16): words as lines, a
+      // synthetic high-cardinality host key (nDocs/10 distinct groups
+      // of ~10 docs — the per-domain crawl shape, NOT 20 fat sources)
+      // so the minFrac group-size join runs at real group cardinality
+      // under the r16 stats-planned (never hint-broadcast) shape;
+      // minDocs=3 AND minFrac=0.3 keep both thresholds live
+      "repeated_lines_grp" -> (() =>
+        graft.ops.Dedup.removeRepeatedLinesPerGroup(
+          big.withColumn("host", pmod(col("doc_id"), lit(nDocs / 10))),
+          "doc_id", "host", "text", minDocs = 3, minFrac = Some(0.3),
+          sep = " ", keepEmpty = true).count()),
       // bigram-LM self-fit: count + score branches over copies× bigrams
       "bigram_lm" -> (() =>
         graft.ops.TextAnalysis.bigramLmScore(big, "doc_id", "text").count()),
