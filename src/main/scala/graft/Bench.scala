@@ -340,6 +340,19 @@ object Bench {
       require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
     }
     val selected = headline.filter { case (n, _) => only.forall(_(n)) }
+    // /proc/stat steal (field 8, whole-machine jiffies at USER_HZ=100)
+    // + 1-min loadavg — the QBench per-iteration attribution, at
+    // battery granularity (non-Linux: zeros, field still emitted)
+    def hostState(): (Long, Double) = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      val steal = if (cpu.length > 8) cpu(8).toLong else 0L
+      val load = scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split("\\s+")(0).toDouble
+      (steal, load)
+    } catch { case _: Throwable => (0L, -1.0) }
+    val hostStart = hostState()
+    val wallStart = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       val r = run(fn)
       // Full GC between queries: Spark's ContextCleaner reclaims
@@ -352,6 +365,7 @@ object Bench {
       System.gc()
       name -> r
     }
+    val hostEnd = hostState()
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, lo, hi)) =>
@@ -368,8 +382,20 @@ object Bench {
         "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // Machine-state bracket (r16 lesson: the sf1 adjudication — 333 s
+    // of measured hypervisor steal killing an attempt — was done by
+    // hand and survived only in a commit message; the artifact should
+    // self-describe its session). steal_sec is guest-visible CPU the
+    // hypervisor withheld ACROSS THE WHOLE BATTERY (jiffies at
+    // USER_HZ=100, whole-machine): tens of seconds ≈ idle host,
+    // hundreds+ means medians are contaminated — discard and re-run.
+    // loadavg start/end bounds co-resident pressure the same way.
+    val host =
+      f"""{"steal_sec":${(hostEnd._1 - hostStart._1) / 100.0}%.1f,""" +
+        f""""loadavg_start":${hostStart._2}%.2f,"loadavg_end":${hostEnd._2}%.2f,""" +
+        f""""wall_sec":${(System.nanoTime() - wallStart) / 1e9}%.1f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"outliers":$outliers,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"outliers":$outliers,"host":$host,"iters":$iters,"sf":"$sfDir"}"""
     // stdout AND a file: sbt prefixes stdout with [info], which breaks
     // line-oriented JSON parsing downstream — the file copy is canonical.
     println(json)

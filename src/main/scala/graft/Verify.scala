@@ -9,7 +9,23 @@ object Verify {
     val outDir = args(1)
     // Optional trailing args: run only these queries (local iteration;
     // the driver always passes exactly two args → full run).
-    val only = args.drop(2).toSet
+    //
+    // Queries whose ORACLE reads another query's dump (the
+    // __GRAFT_OUT__/<name> convention, e.g. q221 over q220's parquet)
+    // are force-included with their dependencies: running q221 alone
+    // would otherwise read a MISSING dump (visible error) or — worse —
+    // a STALE dump from a prior run at a different SF, silently
+    // feeding the oracle wrong doubles. Derived from the SQL itself
+    // (no hand-kept map to drift), closed transitively.
+    val depRe = "__GRAFT_OUT__/([A-Za-z0-9_]+)".r
+    def depsOf(n: String): Set[String] = SparkEntry.oracleSql.get(n)
+      .toSeq.flatMap(depRe.findAllMatchIn(_).map(_.group(1))).toSet - n
+    def closure(s: Set[String]): Set[String] = {
+      val next = s ++ s.flatMap(depsOf)
+      if (next == s) s else closure(next)
+    }
+    val only =
+      if (args.length <= 2) Set.empty[String] else closure(args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

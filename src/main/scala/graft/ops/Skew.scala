@@ -58,14 +58,6 @@ object Skew {
   private[graft] def ensureBloomConf(spark: org.apache.spark.sql.SparkSession,
                                      expectedItems: Long,
                                      numBits: Long): Unit = {
-    val budget = spark.conf.getOption(MaxFilterBytesConf)
-      .map(_.toLong).getOrElse(DefaultMaxFilterBytes)
-    val bytes = numBits / 8
-    require(bytes <= budget,
-      s"bloom filter sized at $bytes serialized bytes ($numBits bits for " +
-        s"$expectedItems items) exceeds the $budget-byte budget — raise " +
-        s"fpp (bits scale with ln(1/fpp)), or opt in by setting " +
-        s"$MaxFilterBytesConf above $bytes")
     def raise(key: String, needed: Long): Unit = {
       // registered SQLConf entries resolve their defaults through get
       val cur = spark.conf.get(key).toLong
@@ -76,7 +68,25 @@ object Skew {
         spark.conf.set(key, needed)
       }
     }
+    // budget read + check + raises all inside the session lock: the
+    // read participates in the same check-then-set the lock exists for
+    // (a concurrent budget raise must not be judged against a stale
+    // read). Parse failures name the conf instead of surfacing as a
+    // bare NumberFormatException — a malformed budget value must not
+    // cost the user the refusal message the budget exists to provide.
     spark.synchronized {
+      val budget = spark.conf.getOption(MaxFilterBytesConf).map { v =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$MaxFilterBytesConf must be a byte count (long), got '$v'")
+        }
+      }.getOrElse(DefaultMaxFilterBytes)
+      val bytes = numBits / 8
+      require(bytes <= budget,
+        s"bloom filter sized at $bytes serialized bytes ($numBits bits for " +
+          s"$expectedItems items) exceeds the $budget-byte budget — raise " +
+          s"fpp (bits scale with ln(1/fpp)), or opt in by setting " +
+          s"$MaxFilterBytesConf above $bytes")
       raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
       raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     }

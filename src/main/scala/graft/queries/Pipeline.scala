@@ -5039,7 +5039,7 @@ object Pipeline {
           FROM k GROUP BY 1, 2)
         SELECT d.doc_id, d.source, COALESCE(r.text, '') AS text
         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
-          AND d.source = r.source
+          AND d.source IS NOT DISTINCT FROM r.source
         ORDER BY d.doc_id""")),
 
     // --- zlib compression-ratio quality signal, materialized -----------------
@@ -5053,13 +5053,41 @@ object Pipeline {
     // differential against java.util.zip (codegen ≡ interpreted ≡
     // SQL). Planted rows exercise every branch deterministically: a
     // looping doc (ratio ≪ threshold), an empty doc (NULL), an
-    // LCG-soup doc (high ratio).)
+    // LCG-soup doc (high ratio).
+    //
+    // r17: PARTIAL oracle (was rows-only) — everything except the zlib
+    // double's value is real oracle work. The oracle reconstructs the
+    // exact expected key set (documents + the three planted rows) in
+    // DuckDB and joins the cratio column from THIS row's own parquet
+    // dump: membership is checked both directions (an extra, missing,
+    // or duplicated Spark row breaks the inner-join row count), the
+    // schema is checked, and the NULL pattern is checked BOTH ways —
+    // empty text must be NULL (the CASE nulls it, so a spurious value
+    // would mismatch) and non-empty text must be non-NULL (a spurious
+    // Spark NULL meets the -999 sentinel and mismatches). Only the
+    // double's VALUE rides the self-join; its truth stays with q221's
+    // independent-plan replay + the ExprSpec zlib differential.)
     "q220_compress_ratios" -> Q(
       (s, d) => compressCorpus(s, d)
         .select(col("doc_id"), col("source"),
           TA.compressionRatio(col("text")).as("cratio"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q220_compress_ratios/*.parquet')),
+        base AS (
+          SELECT doc_id, source, length(text) = 0 AS is_empty
+          FROM documents
+          UNION ALL
+          SELECT CAST(v.doc_id AS BIGINT), v.source, v.is_empty
+          FROM (VALUES (-1, '__planted', FALSE), (-2, '__planted', TRUE),
+                       (-3, '__planted', FALSE))
+            AS v(doc_id, source, is_empty))
+        SELECT b.doc_id, b.source,
+          CASE WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
+               WHEN m.cratio IS NULL THEN -999.0
+               ELSE m.cratio END AS cratio
+        FROM base b JOIN m ON b.doc_id = m.doc_id AND b.source = m.source
+        ORDER BY b.doc_id""")),
 
     // --- compression-ratio corpus report (gated composition) -----------------
     // (r16: recomputes the ratios INDEPENDENTLY of q220 (a second plan

@@ -581,8 +581,21 @@ object Soak {
         results.map { case (n, _, _, lo, hi) => f""""$n":[$lo%.2f,$hi%.2f]""" }
           .mkString(""","iters":""" + iters + ""","spread":{""", ",", "}")
       else ""
+    // Provenance labels (r16 lesson: two 67-73 s experiment lines from
+    // an unpinned-variant A/B sat next to the 41 s pinned record with
+    // identical params and nothing to tell them apart — a future
+    // reader diffing soak history couldn't distinguish experiment from
+    // regression). `head` is the commit the binary was built from;
+    // `variant` names the experiment lane (default "default";
+    // adjudication runs set SPARK_GRAFT_SOAK_VARIANT).
+    val head = sys.env.get("SPARK_GRAFT_HEAD").orElse(
+      try Some(scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD")).!!.trim)
+      catch { case _: Throwable => None }).getOrElse("unknown")
+    val variant = sys.env.getOrElse("SPARK_GRAFT_SOAK_VARIANT", "default")
     val json =
-      s"""{"soak":"dedup","copies":$copies,"docs":$nDocs,""" +
+      s"""{"soak":"dedup","head":"$head","variant":"$variant",""" +
+        s""""copies":$copies,"docs":$nDocs,""" +
         results.map { case (n, rows, med, _, _) =>
           f""""$n":{"rows":$rows,"sec":$med%.2f}""" }.mkString(",") +
         spread + s""","heap_used_mb":$heapUsedMb}"""

@@ -28,18 +28,30 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
+  // Full JSON string escape (the Verify.q escaper): the name and the
+  // exception text are free-form — a quote or backslash in either
+  // would corrupt exactly the post-mortem JSONL this listener exists
+  // to preserve (the r16 quote-to-apostrophe rewrite mangled quotes
+  // AND still let a backslash through).
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
   spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit =
       logLine(s"""{"ev":"start","t":${System.currentTimeMillis},""" +
-        s""""name":${Option(e.name).map("\"" + _ + "\"").getOrElse("null")},"runId":"${e.runId}"}""")
+        s""""name":${Option(e.name).map(jq).getOrElse("null")},"runId":"${e.runId}"}""")
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       logLine(s"""{"ev":"progress","t":${System.currentTimeMillis},"p":${e.progress.json}}""")
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       logLine(s"""{"ev":"term","t":${System.currentTimeMillis},"runId":"${e.runId}",""" +
-        s""""exception":${e.exception.map(x =>
-          "\"" + x.replace("\\", "\\\\").replace("\"", "'")
-            .replace("\n", " ") + "\"").getOrElse("null")}}""")
+        s""""exception":${e.exception.map(jq).getOrElse("null")}}""")
   })
   /** per-batch (batchId → state rows) trail for state-bound assertions —
     * inlined into the failure message so a flake self-attributes. */
