@@ -271,7 +271,11 @@ object Bench {
     // and the zlib compression-ratio report (codegen deflate kernel in
     // a scan-stage aggregate) — both new paths regression-tracked
     "q219_repeated_words_src" -> SparkEntry.queries("q219_repeated_words_src"),
-    "q221_compress_report" -> SparkEntry.queries("q221_compress_report"))
+    "q221_compress_report" -> SparkEntry.queries("q221_compress_report"),
+    // round-17: corpus-prep v6 — strip/normalize/deflate scan stage,
+    // zlib degenerate-text gate, per-source quantile keep, packing
+    // prefix sum; tracks the full composed cleaning chain per round
+    "q223_pipeline_v6" -> SparkEntry.queries("q223_pipeline_v6"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

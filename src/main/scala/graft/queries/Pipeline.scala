@@ -119,6 +119,56 @@ object Pipeline {
       .unionByName(planted)
   }
 
+  /** q222/q223's corpus: documents plus three plants pinning every
+    * v6 gate branch — a looping doc (dies at the cratio floor), an
+    * empty doc (clean of pure markup → '' → NULL ratio → dropped),
+    * and LCG ALPHANUMERIC soup (near-incompressible, survives the
+    * floor and flows into quantile/packing). The soup alphabet is
+    * [a-zA-Z0-9 ] — see the q222 registry comment for why q220's
+    * full-printable soup is NOT reused here. Same fixed-LCG
+    * determinism contract as [[lcgSoup]]. */
+  private lazy val v6Soup: String = {
+    val sb = new StringBuilder
+    var x = 987654321L
+    for (_ <- 1 to 400) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val r = java.lang.Long.remainderUnsigned(x >>> 33, 63).toInt
+      sb.append(
+        if (r == 62) ' '
+        else if (r < 26) ('a' + r).toChar
+        else if (r < 52) ('A' + (r - 26)).toChar
+        else ('0' + (r - 52)).toChar)
+    }
+    sb.toString
+  }
+  private val v6Pre = "<p class=\"x\">"
+  private val v6Post = "</p><script>drop()</script>"
+  /** v6's cleaning chain (one truth, both plan instantiations). */
+  private def v6Clean(text: Column): Column =
+    TA.normalizeText(TA.stripHtml(concat(lit(v6Pre), text, lit(v6Post))))
+  private def v6CleanSql(e: String): String =
+    TA.normalizeTextSql(TA.stripHtmlSql(s"'$v6Pre' || $e || '$v6Post'"))
+  private def v6Corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "__planted", Seq.fill(120)("loop the loop").mkString(" ")),
+      (-2L, "__planted", ""),
+      (-3L, "__planted", v6Soup)
+    ).toDF("doc_id", "source", "text")
+    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      .unionByName(planted)
+  }
+  /** The same corpus as a DuckDB subquery (plant texts inlined —
+    * loop via repeat(), soup as a quote-free literal). */
+  private def v6CorpusSql: String =
+    s"""SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT CAST(v.doc_id AS BIGINT), v.source, v.text
+      FROM (VALUES
+        (-1, '__planted', repeat('loop the loop ', 119) || 'loop the loop'),
+        (-2, '__planted', ''),
+        (-3, '__planted', '$v6Soup')) AS v(doc_id, source, text)"""
+
   val registry: Seq[(String, Q)] = Seq(
 
     // --- text analysis: token counting --------------------------------------
@@ -5117,7 +5167,103 @@ object Pipeline {
           COUNT(CASE WHEN cratio < 0.35 THEN 1 END) AS n_low,
           COUNT(CASE WHEN cratio > 0.9 THEN 1 END) AS n_high,
           MIN(cratio) AS min_ratio, MAX(cratio) AS max_ratio
-        FROM m GROUP BY source ORDER BY source"""))
+        FROM m GROUP BY source ORDER BY source""")),
+
+    // --- corpus-prep v6: the compression gate composed -----------------------
+    // (r17, VERDICT item 7: now that compressionRatio is oracle-gated,
+    // compose it into the cleaning chain — stripHtml → normalizeText →
+    // zlib degenerate-text gate (drop cratio < 0.35 or NULL, the
+    // RefinedWeb-style looping/boilerplate floor) → per-source
+    // quantile keep (token count, keep top 75%) → sequence packing.
+    //
+    // Two rows, the q220/q221 split one more level up: q222
+    // MATERIALIZES the per-doc cleaned-text ratios (partial oracle —
+    // DuckDB replays the clean itself via stripHtmlSql/normalizeTextSql,
+    // reconstructs the exact key set, and checks the NULL pattern both
+    // ways; only the zlib double's value rides the self-join), and
+    // q223 runs the WHOLE pipeline with the ratio recomputed
+    // INDEPENDENTLY inline (second plan instantiation — cross-plan
+    // nondeterminism in the kernel would break the hash against q222's
+    // dump), while its oracle replays clean + gate + quantile + packing
+    // in DuckDB reading only the ratio column from q222's parquet.
+    //
+    // Plants pin every gate branch at a fixed spot in the hash: the
+    // looping doc (-1) dies at the ratio floor, the empty doc (-2)
+    // dies at the NULL rule (clean of pure markup), and the LCG
+    // alphanumeric soup (-3) sails over the floor (near-incompressible)
+    // and into the quantile/packing stages. The soup alphabet is
+    // [a-zA-Z0-9 ] ON PURPOSE — q220's full-printable soup would feed
+    // '<'/'&'-laden noise through BOTH engines' stripHtml regexp
+    // chains, betting the gate on regex-engine agreement over
+    // adversarial non-markup; the alphanumeric soup keeps the plant's
+    // truth in the zlib kernel where it belongs.
+    //
+    // 100-TB shape: everything before the quantile is scan-stage
+    // codegen (strip/normalize/deflate per row, no shuffle); the
+    // quantile is one hash aggregate + a one-row-per-source broadcast
+    // back; packing is the q101 distributed prefix sum over the
+    // NARROW (id, ntok) frame — text never shuffles anywhere.)
+    "q222_v6_ratios" -> Q(
+      (s, d) => v6Corpus(s, d)
+        .select(col("doc_id"), col("source"),
+          TA.compressionRatio(v6Clean(col("text"))).as("cratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q222_v6_ratios/*.parquet')),
+        corpus AS ($v6CorpusSql),
+        base AS (SELECT doc_id, source,
+            length(${v6CleanSql("text")}) = 0 AS is_empty
+          FROM corpus)
+        SELECT b.doc_id, b.source,
+          CASE WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
+               WHEN m.cratio IS NULL THEN -999.0
+               ELSE m.cratio END AS cratio
+        FROM base b JOIN m ON b.doc_id = m.doc_id AND b.source = m.source
+        ORDER BY b.doc_id""")),
+
+    "q223_pipeline_v6" -> Q(
+      (s, d) => {
+        val cleaned = v6Corpus(s, d).select(col("doc_id"), col("source"),
+          v6Clean(col("text")).as("ct"))
+        val gated = cleaned
+          .withColumn("cratio", TA.compressionRatio(col("ct")))
+          .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
+        val toked = gated.withColumn("nt",
+          TA.tokenCount(col("ct")).cast("double"))
+        val kept = TA.keepTopQuantile(toked, "source", col("nt"), q = 0.25)
+        graft.ops.Packing.packDocuments(kept, "doc_id", "ct", maxLen = 1000)
+          .orderBy("doc_id", "pack_id")
+      },
+      Some(s"""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q222_v6_ratios/*.parquet')),
+        corpus AS ($v6CorpusSql),
+        cleaned AS (SELECT doc_id, source, ${v6CleanSql("text")} AS ct
+          FROM corpus),
+        gated AS (SELECT c.doc_id, c.source, c.ct
+          FROM cleaned c JOIN m ON c.doc_id = m.doc_id
+            AND c.source = m.source
+          WHERE m.cratio IS NOT NULL AND m.cratio >= 0.35),
+        tok AS (SELECT doc_id, source, ct,
+            CAST(len(string_split(ct, ' ')) AS DOUBLE) AS nt FROM gated),
+        thr AS (SELECT source, quantile_cont(nt, 0.25) AS t
+          FROM tok GROUP BY source),
+        kept AS (SELECT tok.doc_id, ct
+          FROM tok JOIN thr ON tok.source = thr.source WHERE nt >= t),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM kept WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2)
+        SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+          CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+            AS tok_end
+        FROM e ORDER BY doc_id, pack_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
