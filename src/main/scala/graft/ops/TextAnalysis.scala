@@ -961,7 +961,15 @@ object TextAnalysis {
     * Greenwald-Khanna sketch (`err ≤ 1/accuracy`) — the 100 TB path
     * when even the per-group exact percentile shuffle is too heavy;
     * thresholds then sit within the sketch error of the true quantile
-    * (set sensitivity accordingly). Keeps score == threshold rows. */
+    * (set sensitivity accordingly). Keeps score == threshold rows.
+    *
+    * `df` is consumed TWICE (the threshold aggregate and the keep
+    * probe are separate plan branches): when the input is an
+    * expensive derived chain — cleaning, deflate signals — pin it
+    * first (`Materialize.pin(df)`), or the chain's scan stage runs
+    * end-to-end once per branch (measured 1.8× on corpus-prep v6). A
+    * raw-table scan plus cheap columns does NOT need the pin: two
+    * pruned parquet scans beat materializing one. */
   def keepTopQuantile(df: DataFrame, group: String, score: Column,
                       q: Double, approx: Boolean = false,
                       accuracy: Int = 10000): DataFrame = {

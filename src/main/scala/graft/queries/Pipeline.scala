@@ -2810,8 +2810,11 @@ object Pipeline {
         val cleaned = docs(s, d).select(col("doc_id"), col("source"),
           TA.normalizeText(TA.stripHtml(concat(
             lit(pre), col("text"), lit(post), lit(Hostile.suffix)))).as("ct"))
-        val toked = cleaned.withColumn("nt",
-          TA.tokenCount(col("ct")).cast("double"))
+        // pin before keepTopQuantile (the r17 q223 lesson): the
+        // threshold aggregate and the keep probe are separate plan
+        // branches, so an unpinned strip/normalize chain scans twice
+        val toked = graft.ops.Materialize.pin(cleaned.withColumn("nt",
+          TA.tokenCount(col("ct")).cast("double")))
         val kept = TA.keepTopQuantile(toked, "source", col("nt"), q = 0.25)
         graft.ops.Mixture.groupHoldout(kept, col("source"), 0.3)
           .groupBy("source", "split")
