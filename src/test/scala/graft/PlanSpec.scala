@@ -821,4 +821,41 @@ class PlanSpec extends SparkSpec {
     val p = qe.executedPlan.toString
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("keepTopQuantile: unpinned input scans its source once per plan " +
+    "branch; the caller pin (the v3/v6 convention) collapses both " +
+    "branches onto one materialization") {
+    import org.apache.spark.sql.functions._
+    val TA = graft.ops.TextAnalysis
+    // an expensive-ish derived chain off the parquet scan — the shape
+    // corpus-prep v6 feeds in (q223 itself can't be probed for this:
+    // packConcat's own downstream pin truncates the final plan either
+    // way, so the double scan hides inside the pin's materialization)
+    def chain = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("source"),
+        TA.normalizeText(TA.stripHtml(col("text"))).as("ct"))
+      .withColumn("nt", TA.tokenCount(col("ct")).cast("double"))
+    def docScans(p: String): Int = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    // unpinned: the threshold aggregate and the keep probe are separate
+    // branches — the documents scan (and the whole clean chain) appears
+    // TWICE. This pins the rationale for the caller-side pin; if Spark
+    // ever learns to share the subtree, this side flips and the
+    // convention can be retired.
+    val unpinned = TA.keepTopQuantile(chain, "source", col("nt"), q = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(docScans(unpinned) == 2,
+      s"expected the unpinned double scan, got ${docScans(unpinned)}")
+    // pinned: both branches read the materialized frame — zero file
+    // scans in the final plan, and the one-row-per-group threshold
+    // still broadcasts back
+    val pinned = TA.keepTopQuantile(graft.ops.Materialize.pin(chain),
+        "source", col("nt"), q = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(docScans(pinned) == 0,
+      s"pinned plan still re-scans parquet:\n$pinned")
+    assert(pinned.contains("Scan ExistingRDD"), "expected the pinned scan")
+    assert(pinned.contains("BroadcastExchange"),
+      "threshold table must broadcast back")
+  }
 }
