@@ -969,7 +969,13 @@ object TextAnalysis {
     * first (`Materialize.pin(df)`), or the chain's scan stage runs
     * end-to-end once per branch (measured 1.8× on corpus-prep v6). A
     * raw-table scan plus cheap columns does NOT need the pin: two
-    * pruned parquet scans beat materializing one. */
+    * pruned parquet scans beat materializing one. Why Spark can't
+    * share it unaided: ReuseExchange deduplicates identical EXCHANGE
+    * subtrees, and the keep-probe branch has no exchange — its scan
+    * feeds the broadcast join directly — so there is nothing to
+    * reuse (measured: the two-aggregate argmax ops, whose branches
+    * all sit above one identical shuffle, already share it and a pin
+    * there is a small LOSS — interleaved A/B ratio 1.08). */
   def keepTopQuantile(df: DataFrame, group: String, score: Column,
                       q: Double, approx: Boolean = false,
                       accuracy: Int = 10000): DataFrame = {
