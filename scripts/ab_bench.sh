@@ -19,6 +19,14 @@
 #    "steal_sec":…, "wall_sec":…, "pairs":…, "iters":…, "sf":…}
 # Read: ratio ≈ 1 → no code delta; ratio far from 1 WITH low steal_sec
 # → real regression, bisect; high steal_sec → discard, re-run idle.
+#
+# ADJUDICATION BAR (when to spend an A/B run at all): a committed-
+# artifact row earns adjudication only when it moves >25% round-over-
+# round in the CLEAN battery run AND >0.5 s absolute. Below that it is
+# session noise — r17's clean run moved ~15 sub-second rows ±20-35% in
+# BOTH directions with zero code delta (q165 +50%, q206 −44%), so
+# round-over-round deltas under ~0.5 s absolute are beneath the
+# measurement floor of this harness and must not consume A/B time.
 set -euo pipefail
 REF="${1:?usage: ab_bench.sh <ref> <query> [pairs] [sfdir] [iters]}"
 QUERY="${2:?usage: ab_bench.sh <ref> <query> [pairs] [sfdir] [iters]}"
@@ -31,6 +39,16 @@ B_SHA=$(git rev-parse --short "$REF")
 WT="/tmp/ab_worktree_${B_SHA}"
 if [ ! -d "$WT" ]; then
   git worktree add --detach "$WT" "$B_SHA" >/dev/null
+else
+  # Reused worktree: force it back to a pristine B_SHA checkout — a
+  # dirty or manually-edited leftover from a prior experiment would
+  # otherwise silently benchmark modified code while the JSONL records
+  # it as B_SHA.
+  git -C "$WT" checkout --detach "$B_SHA" >/dev/null 2>&1
+  git -C "$WT" reset --hard "$B_SHA" >/dev/null
+  # keep build output (sbt recompiles anything stale from the reset
+  # sources) so reuse still saves the cold build
+  git -C "$WT" clean -fdx -e target -e project/target >/dev/null
 fi
 echo "== ab_bench: building A=HEAD($A_SHA) and B=$REF($B_SHA) =="
 sbt -batch compile >/tmp/ab_build_a.log 2>&1 || { tail -20 /tmp/ab_build_a.log; exit 1; }

@@ -275,7 +275,11 @@ object Bench {
     // round-17: corpus-prep v6 — strip/normalize/deflate scan stage,
     // zlib degenerate-text gate, per-source quantile keep, packing
     // prefix sum; tracks the full composed cleaning chain per round
-    "q223_pipeline_v6" -> SparkEntry.queries("q223_pipeline_v6"))
+    "q223_pipeline_v6" -> SparkEntry.queries("q223_pipeline_v6"),
+    // round-18: corpus-prep v7 — the incremental-ingest composition
+    // (snapshot diff → delta-only clean/gate → incremental LSH vs seen
+    // → seeded pack-append); tracks the standing-ingestion plumbing
+    "q225_pipeline_v7" -> SparkEntry.queries("q225_pipeline_v7"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -346,13 +350,18 @@ object Bench {
     val selected = headline.filter { case (n, _) => only.forall(_(n)) }
     // /proc/stat steal (field 8, whole-machine jiffies at USER_HZ=100)
     // + 1-min loadavg — the QBench per-iteration attribution, at
-    // battery granularity (non-Linux: zeros, field still emitted)
+    // battery granularity. Non-Linux / unreadable: steal 0 with
+    // loadavg -1.0 (the sentinel distinguishes "couldn't read" from a
+    // genuinely idle Linux host), fields still emitted. readString
+    // (not scala.io.Source) so no file handles leak per call.
     def hostState(): (Long, Double) = try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      val cpu = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat")).linesIterator
         .find(_.startsWith("cpu ")).get.trim.split("\\s+")
       val steal = if (cpu.length > 8) cpu(8).toLong else 0L
-      val load = scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split("\\s+")(0).toDouble
+      val load = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
       (steal, load)
     } catch { case _: Throwable => (0L, -1.0) }
     val hostStart = hostState()

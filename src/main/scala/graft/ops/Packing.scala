@@ -48,9 +48,17 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `startOffset` seeds the global token offset — the pack-APPEND
+    * mode an incremental ingest needs: pass the previous run's total
+    * token count (= its final `cb + ntok`, i.e. the end offset of its
+    * last, possibly partial, pack) and the new documents continue the
+    * token stream exactly where the prior pack left off, first filling
+    * the prior run's tail pack before opening new ones. The default 0
+    * is a fresh corpus. */
   def packConcat(df: DataFrame, id: String, nTokens: Column,
-                 maxLen: Long): DataFrame = {
+                 maxLen: Long, startOffset: Long = 0L): DataFrame = {
     require(maxLen >= 1, "packConcat: maxLen must be >= 1")
+    require(startOffset >= 0, "packConcat: startOffset must be >= 0")
     val L = lit(maxLen)
     val ranged = Materialize.pin(
       df.select(col(id), nTokens.cast("long").as("ntok"))
@@ -61,7 +69,7 @@ object Packing {
     // tiny: one row per partition after map-side combine
     val partSums = ranged.groupBy("pid").agg(sum(col("ntok")).as("psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
+    var acc = startOffset
     val offsets = partSums.map { case (p, s) =>
       val off = acc; acc += s; (p, off)
     }
@@ -82,8 +90,8 @@ object Packing {
 
   /** packConcat over whitespace-token counts of a text column. */
   def packDocuments(df: DataFrame, id: String, text: String,
-                    maxLen: Long): DataFrame =
-    packConcat(df, id, size(split(col(text), " ")), maxLen)
+                    maxLen: Long, startOffset: Long = 0L): DataFrame =
+    packConcat(df, id, size(split(col(text), " ")), maxLen, startOffset)
 
   /** Materialized training examples: the actual token content of every
     * pack. The (id, pack) interval map from [[packConcat]] equi-joins

@@ -127,20 +127,7 @@ object Pipeline {
     * [a-zA-Z0-9 ] — see the q222 registry comment for why q220's
     * full-printable soup is NOT reused here. Same fixed-LCG
     * determinism contract as [[lcgSoup]]. */
-  private lazy val v6Soup: String = {
-    val sb = new StringBuilder
-    var x = 987654321L
-    for (_ <- 1 to 400) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      val r = java.lang.Long.remainderUnsigned(x >>> 33, 63).toInt
-      sb.append(
-        if (r == 62) ' '
-        else if (r < 26) ('a' + r).toChar
-        else if (r < 52) ('A' + (r - 26)).toChar
-        else ('0' + (r - 52)).toChar)
-    }
-    sb.toString
-  }
+  private lazy val v6Soup: String = lcgAlnumSoup(987654321L)
   private val v6Pre = "<p class=\"x\">"
   private val v6Post = "</p><script>drop()</script>"
   /** v6's cleaning chain (one truth, both plan instantiations). */
@@ -168,6 +155,108 @@ object Pipeline {
         (-1, '__planted', repeat('loop the loop ', 119) || 'loop the loop'),
         (-2, '__planted', ''),
         (-3, '__planted', '$v6Soup')) AS v(doc_id, source, text)"""
+
+  /** q224/q225's snapshots (corpus-prep v7, the incremental-ingest
+    * composition). Old snapshot: documents minus ids %11=3, with
+    * %11=5 carrying DIFFERENT (v1) content, plus planted seen doc -4
+    * (soup A). New snapshot: documents minus ids %11=7 (removed),
+    * plus five plants — -4 unchanged (lands in the SEEN partition and
+    * becomes the near-dup target), and four ADDED docs pinning every
+    * v7 branch: -1 loop (dies at the cratio floor), -2 empty (dies at
+    * the NULL rule), -3 soup B (survives gate AND dedup → packed),
+    * -5 an exact copy of -4's soup A (survives the gate, then dies at
+    * the incremental LSH against seen — jaccard 1.0). Soups use the
+    * v6 alphanumeric-alphabet LCG convention (distinct seeds) so their
+    * truth stays in the zlib/shingle kernels, never in regex-engine
+    * agreement over adversarial markup. */
+  private lazy val v7SoupA: String = lcgAlnumSoup(555555555L)
+  private lazy val v7SoupB: String = lcgAlnumSoup(246813579L)
+  private def lcgAlnumSoup(seed: Long): String = {
+    val sb = new StringBuilder
+    var x = seed
+    for (_ <- 1 to 400) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val r = java.lang.Long.remainderUnsigned(x >>> 33, 63).toInt
+      sb.append(
+        if (r == 62) ' '
+        else if (r < 26) ('a' + r).toChar
+        else if (r < 52) ('A' + (r - 26)).toChar
+        else ('0' + (r - 52)).toChar)
+    }
+    sb.toString
+  }
+  /** Old snapshot, already reduced to (doc_id, k) content keys —
+    * md5 like q151 (portable across both engines; the diff never
+    * ships full text). */
+  private def v7Old(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq((-4L, v7SoupA)).toDF("doc_id", "t")
+    docs(s, d).filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("t"))
+      .unionByName(planted)
+      .select(col("doc_id"), md5(col("t")).as("k"))
+  }
+  private def v7New(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "__planted", Seq.fill(120)("loop the loop").mkString(" ")),
+      (-2L, "__planted", ""),
+      (-3L, "__planted", v7SoupB),
+      (-4L, "__planted", v7SoupA),
+      (-5L, "__planted", v7SoupA)
+    ).toDF("doc_id", "source", "text")
+    docs(s, d).filter(col("doc_id") % 11 =!= 7)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(planted)
+  }
+  /** snapshotDiff-driven split of the new snapshot into (delta, seen):
+    * delta = added ∪ changed ids (the docs the incremental run must
+    * process), seen = unchanged ids (the standing corpus). The diff's
+    * id set is pinned — it is consumed by BOTH the delta equi-join and
+    * the seen anti-join, and unpinned the full-outer diff join (two
+    * snapshot scans) would execute twice (the keepTopQuantile caller-
+    * pin convention). The new snapshot itself is NOT pinned: its three
+    * consumers are column-pruned parquet re-scans, and checkpointing
+    * 100 TB of text to save two scans is the wrong trade. */
+  private def v7Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val nw = v7New(s, d)
+    val diff = Dedup.snapshotDiff(v7Old(s, d),
+      nw.select(col("doc_id"), md5(col("text")).as("k")), "doc_id", "k")
+    val deltaIds = graft.ops.Materialize.pin(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"))
+    (nw.join(deltaIds, Seq("doc_id")),
+      nw.join(deltaIds, Seq("doc_id"), "left_anti"))
+  }
+  /** The v7 snapshots as DuckDB CTE bodies (plants inlined, exactly
+    * the [[v7Old]]/[[v7New]] construction). `v7NewSql` yields
+    * (doc_id, source, text); `v7OldSql` yields (doc_id, k). */
+  private def v7NewSql: String =
+    s"""SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 7
+      UNION ALL
+      SELECT CAST(v.doc_id AS BIGINT), v.source, v.text
+      FROM (VALUES
+        (-1, '__planted', repeat('loop the loop ', 119) || 'loop the loop'),
+        (-2, '__planted', ''),
+        (-3, '__planted', '$v7SoupB'),
+        (-4, '__planted', '$v7SoupA'),
+        (-5, '__planted', '$v7SoupA')) AS v(doc_id, source, text)"""
+  private def v7OldSql: String =
+    s"""SELECT doc_id,
+        md5(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END) AS k
+      FROM documents WHERE doc_id % 11 <> 3
+      UNION ALL SELECT -4, md5('$v7SoupA')"""
+  /** Delta/seen as DuckDB CTEs over `v7new`/`v7old` (the snapshotDiff
+    * replay: added = no old id, changed = key differs, seen = key
+    * equal). */
+  private val v7DeltaSql: String =
+    """SELECT n.doc_id, n.source, n.text FROM v7new n
+      LEFT JOIN v7old o ON n.doc_id = o.doc_id
+      WHERE o.doc_id IS NULL OR o.k <> md5(n.text)"""
+  private val v7SeenSql: String =
+    """SELECT n.doc_id, n.text FROM v7new n
+      JOIN v7old o ON n.doc_id = o.doc_id WHERE o.k = md5(n.text)"""
 
   val registry: Seq[(String, Q)] = Seq(
 
@@ -5111,15 +5200,22 @@ object Pipeline {
     // r17: PARTIAL oracle (was rows-only) — everything except the zlib
     // double's value is real oracle work. The oracle reconstructs the
     // exact expected key set (documents + the three planted rows) in
-    // DuckDB and joins the cratio column from THIS row's own parquet
-    // dump: membership is checked both directions (an extra, missing,
-    // or duplicated Spark row breaks the inner-join row count), the
-    // schema is checked, and the NULL pattern is checked BOTH ways —
+    // DuckDB and LEFT-joins a per-key GROUP BY of THIS row's own
+    // parquet dump (r18, VERDICT item 1: the r17 inner join was blind
+    // to missing and duplicated dump rows — the join shrank/multiplied
+    // oracle and Spark identically, so only EXTRA rows broke the
+    // count). Membership now fails in the row's OWN oracle in all
+    // three directions: a dump row MISSING for an expected key leaves
+    // g.cnt NULL → -888 sentinel; a DUPLICATED key gives g.cnt <> 1 →
+    // -777; an EXTRA key inflates the Spark row count past the
+    // reconstructed base. The NULL pattern stays checked BOTH ways —
     // empty text must be NULL (the CASE nulls it, so a spurious value
     // would mismatch) and non-empty text must be non-NULL (a spurious
     // Spark NULL meets the -999 sentinel and mismatches). Only the
-    // double's VALUE rides the self-join; its truth stays with q221's
-    // independent-plan replay + the ExprSpec zlib differential.)
+    // double's VALUE rides the self-join (MIN over the single row is
+    // the identity); its truth stays with q221's independent-plan
+    // replay + the ExprSpec zlib differential. All three directions +
+    // the value/NULL seeds are proven red by scripts/gate_drill.py.)
     "q220_compress_ratios" -> Q(
       (s, d) => compressCorpus(s, d)
         .select(col("doc_id"), col("source"),
@@ -5136,10 +5232,15 @@ object Pipeline {
                        (-3, '__planted', FALSE))
             AS v(doc_id, source, is_empty))
         SELECT b.doc_id, b.source,
-          CASE WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
-               WHEN m.cratio IS NULL THEN -999.0
-               ELSE m.cratio END AS cratio
-        FROM base b JOIN m ON b.doc_id = m.doc_id AND b.source = m.source
+          CASE WHEN g.cnt IS NULL THEN -888.0
+               WHEN g.cnt <> 1 THEN -777.0
+               WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
+               WHEN g.cratio IS NULL THEN -999.0
+               ELSE g.cratio END AS cratio
+        FROM base b LEFT JOIN
+          (SELECT doc_id, source, MIN(cratio) AS cratio, COUNT(*) AS cnt
+           FROM m GROUP BY 1, 2) g
+          ON b.doc_id = g.doc_id AND b.source IS NOT DISTINCT FROM g.source
         ORDER BY b.doc_id""")),
 
     // --- compression-ratio corpus report (gated composition) -----------------
@@ -5182,7 +5283,9 @@ object Pipeline {
     // Two rows, the q220/q221 split one more level up: q222
     // MATERIALIZES the per-doc cleaned-text ratios (partial oracle —
     // DuckDB replays the clean itself via stripHtmlSql/normalizeTextSql,
-    // reconstructs the exact key set, and checks the NULL pattern both
+    // reconstructs the exact key set with q220's hardened three-
+    // direction membership check (missing → -888, duplicate → -777,
+    // extra → count), and checks the NULL pattern both
     // ways; only the zlib double's value rides the self-join), and
     // q223 runs the WHOLE pipeline with the ratio recomputed
     // INDEPENDENTLY inline (second plan instantiation — cross-plan
@@ -5218,10 +5321,15 @@ object Pipeline {
             length(${v6CleanSql("text")}) = 0 AS is_empty
           FROM corpus)
         SELECT b.doc_id, b.source,
-          CASE WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
-               WHEN m.cratio IS NULL THEN -999.0
-               ELSE m.cratio END AS cratio
-        FROM base b JOIN m ON b.doc_id = m.doc_id AND b.source = m.source
+          CASE WHEN g.cnt IS NULL THEN -888.0
+               WHEN g.cnt <> 1 THEN -777.0
+               WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
+               WHEN g.cratio IS NULL THEN -999.0
+               ELSE g.cratio END AS cratio
+        FROM base b LEFT JOIN
+          (SELECT doc_id, source, MIN(cratio) AS cratio, COUNT(*) AS cnt
+           FROM m GROUP BY 1, 2) g
+          ON b.doc_id = g.doc_id AND b.source IS NOT DISTINCT FROM g.source
         ORDER BY b.doc_id""")),
 
     "q223_pipeline_v6" -> Q(
@@ -5249,7 +5357,7 @@ object Pipeline {
           FROM corpus),
         gated AS (SELECT c.doc_id, c.source, c.ct
           FROM cleaned c JOIN m ON c.doc_id = m.doc_id
-            AND c.source = m.source
+            AND c.source IS NOT DISTINCT FROM m.source
           WHERE m.cratio IS NOT NULL AND m.cratio >= 0.35),
         tok AS (SELECT doc_id, source, ct,
             CAST(len(string_split(ct, ' ')) AS DOUBLE) AS nt FROM gated),
@@ -5264,6 +5372,149 @@ object Pipeline {
             CAST(SUM(ntok) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
               AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2)
+        SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+          CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+            AS tok_end
+        FROM e ORDER BY doc_id, pack_id""")),
+
+    // --- corpus-prep v7: the incremental-ingest composition -------------------
+    // (r18, VERDICT item 5: the standing 100-TB operating mode end to
+    // end — snapshotDiff classifies the new crawl against the prior
+    // snapshot, ONLY the added/changed docs run the expensive v6
+    // clean + zlib gate, the incremental MinHash LSH pairs the gated
+    // delta against the SEEN corpus only (never seen×seen — already
+    // deduped; never new×new — q45's batch mode covers that), and the
+    // survivors PACK-APPEND: the q101 prefix sum seeded with the prior
+    // pack's end offset, so the new docs first fill the prior run's
+    // tail pack and then continue the global token stream. Every stage
+    // is individually green (q151/q222/q110/q101); this row gates the
+    // state-table/threshold PLUMBING between them — exactly where
+    // r15's LSH-cap bypass and r17's double-scan lived.
+    //
+    // Same two-row convention as q222/q223: q224 materializes the
+    // DELTA's cleaned-text zlib ratios (partial oracle — DuckDB
+    // replays the snapshots, the diff, and the clean, reconstructs the
+    // exact delta key set, and applies the hardened three-direction
+    // membership check + both-ways NULL pattern; only the zlib
+    // double's value rides the self-join), and q225 runs the whole
+    // pipeline with the ratio recomputed INDEPENDENTLY inline while
+    // its oracle replays diff + gate (via q224's dump) + exact
+    // cross-boundary Jaccard (q110's convention: at 0.8 the 32×2
+    // banding misses with p < 1e-14 and the exact verify removes every
+    // false positive) + seeded packing, all in DuckDB.
+    //
+    // 100-TB shape: the diff ships (id, md5) only — text never enters
+    // the full-outer join; the clean/gate scan stage runs over the
+    // DELTA alone (O(crawl delta), not O(corpus)); the seen side's
+    // shingle arrays and the pack seed are recomputed here but are
+    // PERSISTED STATE in a standing deployment (minhashLshIncremental
+    // scaladoc) — each ingest is then O(batch + touched buckets). The
+    // pinned frames: deltaIds (consumed by both the delta equi-join
+    // and the seen anti-join), the gated delta (LSH probe + survivor
+    // anti-join), and the cleaned seen corpus (LSH seen side + pack
+    // seed aggregate) — each a keepTopQuantile-convention multi-
+    // consumer frame whose recompute would repeat a full clean pass.)
+    "q224_v7_delta_ratios" -> Q(
+      (s, d) => {
+        val (delta, _) = v7Split(s, d)
+        delta.select(col("doc_id"), col("source"),
+          TA.compressionRatio(v6Clean(col("text"))).as("cratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q224_v7_delta_ratios/*.parquet')),
+        v7new AS ($v7NewSql),
+        v7old AS ($v7OldSql),
+        delta AS ($v7DeltaSql),
+        base AS (SELECT doc_id, source,
+            length(${v6CleanSql("text")}) = 0 AS is_empty
+          FROM delta)
+        SELECT b.doc_id, b.source,
+          CASE WHEN g.cnt IS NULL THEN -888.0
+               WHEN g.cnt <> 1 THEN -777.0
+               WHEN b.is_empty THEN CAST(NULL AS DOUBLE)
+               WHEN g.cratio IS NULL THEN -999.0
+               ELSE g.cratio END AS cratio
+        FROM base b LEFT JOIN
+          (SELECT doc_id, source, MIN(cratio) AS cratio, COUNT(*) AS cnt
+           FROM m GROUP BY 1, 2) g
+          ON b.doc_id = g.doc_id AND b.source IS NOT DISTINCT FROM g.source
+        ORDER BY b.doc_id""")),
+
+    "q225_pipeline_v7" -> Q(
+      (s, d) => {
+        val (delta, seen) = v7Split(s, d)
+        val gated = graft.ops.Materialize.pin(
+          delta.select(col("doc_id"), col("source"),
+              v6Clean(col("text")).as("ct"))
+            .withColumn("cratio", TA.compressionRatio(col("ct")))
+            .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
+            .select(col("doc_id"), col("ct")))
+        val seenClean = graft.ops.Materialize.pin(
+          seen.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+        val dups = Dedup.minhashLshIncremental(
+          gated, seenClean, "doc_id", "ct", 0.8)
+        val survivors = gated.join(
+          dups.select(col("d1").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // the prior pack's end offset = the seen corpus's total token
+        // count (one bounded one-row aggregate; persisted metadata in
+        // a standing deployment — recomputed here so the oracle can
+        // replay it)
+        val priorEnd = seenClean
+          .agg(coalesce(sum(size(split(col("ct"), " ")).cast("long")),
+            lit(0L)))
+          .collect()(0).getLong(0)
+        graft.ops.Packing.packDocuments(survivors, "doc_id", "ct",
+          maxLen = 1000, startOffset = priorEnd)
+          .orderBy("doc_id", "pack_id")
+      },
+      Some(s"""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q224_v7_delta_ratios/*.parquet')),
+        v7new AS ($v7NewSql),
+        v7old AS ($v7OldSql),
+        delta AS ($v7DeltaSql),
+        seen AS ($v7SeenSql),
+        dclean AS (SELECT doc_id, source, ${v6CleanSql("text")} AS ct
+          FROM delta),
+        gated AS (SELECT c.doc_id, c.ct FROM dclean c
+          JOIN m ON c.doc_id = m.doc_id
+            AND c.source IS NOT DISTINCT FROM m.source
+          WHERE m.cratio IS NOT NULL AND m.cratio >= 0.35),
+        sclean AS (SELECT doc_id, ${v6CleanSql("text")} AS ct FROM seen),
+        gt AS (SELECT doc_id, string_split(ct, ' ') AS w FROM gated),
+        st AS (SELECT doc_id, string_split(ct, ' ') AS w FROM sclean),
+        gsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM gt WHERE len(w) >= 3),
+        ssh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM st WHERE len(w) >= 3),
+        gsz AS (SELECT doc_id, COUNT(*) AS n FROM gsh GROUP BY doc_id),
+        ssz AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM gsh a JOIN ssh b ON a.s = b.s GROUP BY 1, 2),
+        dups AS (SELECT DISTINCT d1 FROM inter
+          JOIN gsz ON inter.d1 = gsz.doc_id
+          JOIN ssz ON inter.d2 = ssz.doc_id
+          WHERE CAST(i AS DOUBLE) / (gsz.n + ssz.n - i) >= 0.8),
+        surv AS (SELECT g.doc_id, g.ct FROM gated g
+          ANTI JOIN dups ON g.doc_id = dups.d1),
+        t0 AS (SELECT COALESCE(SUM(len(string_split(ct, ' '))), 0) AS toff
+          FROM sclean),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM surv WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              + (SELECT toff FROM t0) AS BIGINT) AS cb FROM t2),
         e AS (SELECT doc_id, ntok, cb,
             unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
               AS pack_id FROM c2)

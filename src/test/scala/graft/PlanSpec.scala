@@ -858,4 +858,21 @@ class PlanSpec extends SparkSpec {
     assert(pinned.contains("BroadcastExchange"),
       "threshold table must broadcast back")
   }
+
+  test("q160 pipeline v3 / q225 pipeline v7: the REGISTRY queries' " +
+    "final plans carry no duplicated documents FileScan (the r17 " +
+    "caller-pin convention, asserted at the actual call sites)") {
+    // the synthetic keepTopQuantile test above proves the convention;
+    // this guards the shipping callers — a dropped pin would re-surface
+    // the documents scan once per consumer branch in these plans
+    def docScans(p: String): Int = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    for (q <- Seq("q160_pipeline_v3", "q225_pipeline_v7")) {
+      val p = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(docScans(p) <= 1,
+        s"$q final plan re-scans documents parquet (${docScans(p)}×) — " +
+          s"a caller pin was dropped:\n$p")
+    }
+  }
 }
