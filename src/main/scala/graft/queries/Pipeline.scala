@@ -219,7 +219,13 @@ object Pipeline {
     * snapshot scans) would execute twice (the keepTopQuantile caller-
     * pin convention). The new snapshot itself is NOT pinned: its three
     * consumers are column-pruned parquet re-scans, and checkpointing
-    * 100 TB of text to save two scans is the wrong trade. */
+    * 100 TB of text to save two scans is the wrong trade. The delta
+    * equi-join and seen anti-join are stats-planned, never
+    * hint-broadcast (the q218 minFrac lesson): the pin gives AQE an
+    * exact size for the id set at runtime, so a small crawl delta
+    * broadcasts (plus local shuffle read on the corpus side) while a
+    * billion-id delta falls back to a plain id-keyed shuffle instead
+    * of OOMing the driver. */
   private def v7Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val nw = v7New(s, d)
     val diff = Dedup.snapshotDiff(v7Old(s, d),
