@@ -185,19 +185,22 @@ object Pipeline {
     }
     sb.toString
   }
-  /** Old snapshot, already reduced to (doc_id, k) content keys —
-    * md5 like q151 (portable across both engines; the diff never
-    * ships full text). */
-  private def v7Old(s: SparkSession, d: String): DataFrame = {
+  /** Old snapshot with text (q226's tombstone pass needs the prior
+    * corpus's content; q224/q225 reduce it to keys immediately). */
+  private def v7OldText(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val planted = Seq((-4L, v7SoupA)).toDF("doc_id", "t")
+    val planted = Seq((-4L, v7SoupA)).toDF("doc_id", "text")
     docs(s, d).filter(col("doc_id") % 11 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 11 === 5, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("t"))
+          .otherwise(col("text")).as("text"))
       .unionByName(planted)
-      .select(col("doc_id"), md5(col("t")).as("k"))
   }
+  /** Old snapshot, already reduced to (doc_id, k) content keys —
+    * md5 like q151 (portable across both engines; the diff never
+    * ships full text). */
+  private def v7Old(s: SparkSession, d: String): DataFrame =
+    v7OldText(s, d).select(col("doc_id"), md5(col("text")).as("k"))
   private def v7New(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
@@ -253,6 +256,11 @@ object Pipeline {
         md5(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END) AS k
       FROM documents WHERE doc_id % 11 <> 3
       UNION ALL SELECT -4, md5('$v7SoupA')"""
+  private def v7OldTextSql: String =
+    s"""SELECT doc_id,
+        CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 3
+      UNION ALL SELECT -4, '$v7SoupA'"""
   /** Delta/seen as DuckDB CTEs over `v7new`/`v7old` (the snapshotDiff
     * replay: added = no old id, changed = key differs, seen = key
     * equal). */
@@ -5528,7 +5536,67 @@ object Pipeline {
           CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
           CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
             AS tok_end
-        FROM e ORDER BY doc_id, pack_id"""))
+        FROM e ORDER BY doc_id, pack_id""")),
+
+    // --- v7 tombstones: the delete-side half of incremental ingest ----------
+    // (q225 handles the ADD side (added/changed docs pack-append);
+    // removed and changed docs leave STALE TOKENS behind in the prior
+    // pack — a training loader must mask or rewrite those intervals,
+    // and a deletion/contamination request ("remove doc X from the
+    // corpus") needs exactly this map. q226 emits the prior-pack
+    // intervals invalidated by the diff: rebuild the prior pack map
+    // over the OLD snapshot's cleaned text (the q101 prefix sum —
+    // persisted state in a standing deployment, recomputed here so
+    // DuckDB can replay it) and semi-join it to the removed ∪ changed
+    // ids from snapshotDiff. No zlib anywhere → a FULL single-row
+    // oracle (the only v7-family row that needs no materialization
+    // split). Plants: -4 (unchanged) pins the negative — its pack
+    // rows must NOT appear; the %11=7 (removed) and %11=5 (changed)
+    // slices pin both tombstone causes at fixed spots in the hash.
+    //
+    // 100-TB shape: the diff ships (id, md5) only; the pack map is a
+    // narrow (id, ntok) prefix sum (text never shuffles); the gone-id
+    // semi join is stats-planned. The tombstone set is O(delta), the
+    // map O(corpus) — in production the map is read from the prior
+    // run's manifest, making the whole pass O(delta + manifest scan).)
+    "q226_v7_tombstones" -> Q(
+      (s, d) => {
+        val old = v7OldText(s, d)
+        val diff = Dedup.snapshotDiff(
+          old.select(col("doc_id"), md5(col("text")).as("k")),
+          v7New(s, d).select(col("doc_id"), md5(col("text")).as("k")),
+          "doc_id", "k")
+        val gone = diff.filter(col("status").isin("removed", "changed"))
+          .select("doc_id")
+        graft.ops.Packing.packDocuments(
+            old.select(col("doc_id"), v6Clean(col("text")).as("ct")),
+            "doc_id", "ct", maxLen = 1000)
+          .join(gone, Seq("doc_id"))
+          .orderBy("doc_id", "pack_id")
+      },
+      Some(s"""WITH v7new AS ($v7NewSql),
+        v7oldt AS ($v7OldTextSql),
+        gone AS (SELECT o.doc_id FROM v7oldt o
+          LEFT JOIN (SELECT doc_id, md5(text) AS k FROM v7new) n
+            ON o.doc_id = n.doc_id
+          WHERE n.doc_id IS NULL OR n.k <> md5(o.text)),
+        oc AS (SELECT doc_id, ${v6CleanSql("text")} AS ct FROM v7oldt),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM oc WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2)
+        SELECT e.doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+          CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+            AS tok_end
+        FROM e SEMI JOIN gone USING (doc_id)
+        ORDER BY doc_id, pack_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
