@@ -5475,14 +5475,29 @@ object Pipeline {
         val survivors = gated.join(
           dups.select(col("d1").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        // the prior pack's end offset = the seen corpus's total token
-        // count (one bounded one-row aggregate; persisted metadata in
-        // a standing deployment — recomputed here so the oracle can
-        // replay it)
-        val priorEnd = seenClean
-          .agg(coalesce(sum(size(split(col("ct"), " ")).cast("long")),
-            lit(0L)))
+        // the prior pack's end offset = the FULL old snapshot's cleaned
+        // token total (the r18 advice fix: the prior pack spans every
+        // old doc INCLUDING the removed/changed ones whose intervals
+        // q226 tombstones — seeding with the seen-only total would
+        // overlap appended docs onto live unchanged intervals whenever
+        // the diff is non-empty). Decomposed as seenTotal + goneTotal
+        // so the expensive seen-side clean is the SAME pinned frame the
+        // LSH consumes (one clean pass over the standing corpus, plus
+        // an O(delta) clean of the removed/changed docs' old text);
+        // the sum is exact because seen ∪ gone partitions the old ids
+        // and unchanged docs' old text equals their new text. Both are
+        // bounded one-row aggregates; in a standing deployment this is
+        // the pack manifest's priorEnd (persisted metadata), recomputed
+        // here so the oracle can replay it.
+        val ntokOf = (c: Column) =>
+          coalesce(sum(size(split(c, " ")).cast("long")), lit(0L))
+        val seenTotal = seenClean.agg(ntokOf(col("ct")))
           .collect()(0).getLong(0)
+        val goneTotal = v7OldText(s, d)
+          .join(seen.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(ntokOf(v6Clean(col("text"))))
+          .collect()(0).getLong(0)
+        val priorEnd = seenTotal + goneTotal
         graft.ops.Packing.packDocuments(survivors, "doc_id", "ct",
           maxLen = 1000, startOffset = priorEnd)
           .orderBy("doc_id", "pack_id")
@@ -5520,8 +5535,9 @@ object Pipeline {
           WHERE CAST(i AS DOUBLE) / (gsz.n + ssz.n - i) >= 0.8),
         surv AS (SELECT g.doc_id, g.ct FROM gated g
           ANTI JOIN dups ON g.doc_id = dups.d1),
+        v7oldt AS ($v7OldTextSql),
         t0 AS (SELECT COALESCE(SUM(len(string_split(ct, ' '))), 0) AS toff
-          FROM sclean),
+          FROM (SELECT ${v6CleanSql("text")} AS ct FROM v7oldt)),
         t2 AS (SELECT doc_id,
             CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
           FROM surv WHERE len(string_split(ct, ' ')) > 0),
