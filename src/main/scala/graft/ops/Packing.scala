@@ -93,6 +93,92 @@ object Packing {
                     maxLen: Long, startOffset: Long = 0L): DataFrame =
     packConcat(df, id, size(split(col(text), " ")), maxLen, startOffset)
 
+  /** Pack compaction — the consumer of the tombstone interval map
+    * (Pipeline q226): rewrite packs whose live-token fraction fell
+    * below `minLiveFrac`, mask the rest. Deletions (snapshot diff,
+    * right-to-be-forgotten, contamination lists) invalidate intervals
+    * inside immutable packs; a training loader can mask a FEW dead
+    * tokens per pack cheaply, but a pack that is mostly dead wastes
+    * loader throughput and should be rebuilt. This is the standard
+    * mark-then-compact strategy of log-structured stores (public
+    * technique — e.g. LSM segment compaction), applied to token packs.
+    *
+    * Inputs: `packMap` = the prior pack interval map
+    * (id, pack_id, tok_start, tok_end) — one row per (document, pack)
+    * overlap, offsets doc-relative, as [[packConcat]] emits;
+    * `tombstones` = the invalidated subset, matched by (id, pack_id)
+    * key (a doc-level deletion tombstones every row of the doc, as
+    * Pipeline q226 produces). `startOffset` = the prior corpus's total
+    * token count (the pack manifest's end offset).
+    *
+    * Per pack: live fraction = live tokens / total tokens. Packs at or
+    * above `minLiveFrac` KEEP their ids and rows; their dead rows stay,
+    * flagged `live = false` — the loader's mask column. Packs below it
+    * are retired: their dead rows vanish and their LIVE intervals are
+    * rewritten into fresh packs via [[packConcat]] over the narrow
+    * (fragment, n_tokens) frame — text never shuffles; a fragment that
+    * outgrows a pack splits exactly like a long document would. The
+    * rewrite stream is seeded at the next pack BOUNDARY at or after
+    * `startOffset` (not `startOffset` itself): compaction must open
+    * fresh packs, never append into the prior run's kept tail pack,
+    * so rewritten pack ids can never collide with kept ones.
+    *
+    * Output: (id, pack_id, tok_start, tok_end, live, status) with
+    * status ∈ {'kept', 'rewritten'}; offsets stay doc-relative, so
+    * rewritten ∪ kept-live intervals tile each surviving document's
+    * token range exactly (PackingSpec proves the tiling).
+    *
+    * Scale shape: the per-pack stats are one narrow hash aggregate on
+    * pack_id joined back (stats-planned — the per-pack frame is
+    * corpus/maxLen rows, too big to assume broadcast at 100 TB); the
+    * fragment rewrite rides packConcat's distributed prefix sum. The
+    * fragment order key is struct(id, pack_id) — range-partitionable
+    * and totally ordered, no fragile integer encoding of the pair. */
+  def compactPacks(packMap: DataFrame, tombstones: DataFrame, id: String,
+                   maxLen: Long, minLiveFrac: Double,
+                   startOffset: Long): DataFrame = {
+    require(minLiveFrac >= 0.0 && minLiveFrac <= 1.0,
+      "compactPacks: minLiveFrac must be in [0, 1]")
+    require(startOffset >= 0, "compactPacks: startOffset must be >= 0")
+    val freshStart = ((startOffset + maxLen - 1) / maxLen) * maxLen
+    val dead = tombstones
+      .select(col(id), col("pack_id"), lit(true).as("__dead")).distinct()
+    // one pass marks liveness; pinned because three branches consume it
+    // (pack stats, kept rows, fragment rows) and its upstream is the
+    // full pack map join
+    val marked = Materialize.pin(
+      packMap.join(dead, Seq(id, "pack_id"), "left")
+        .withColumn("live", col("__dead").isNull)
+        .drop("__dead")
+        .withColumn("__len", col("tok_end") - col("tok_start")))
+    val stats = marked.groupBy("pack_id").agg(
+      sum(col("__len")).as("__tot"),
+      sum(when(col("live"), col("__len")).otherwise(lit(0L))).as("__live"))
+      .withColumn("__keep", col("__live") >= lit(minLiveFrac) * col("__tot"))
+      .select(col("pack_id"), col("__keep"))
+    // pinned: three consumers (kept rows, fragment projection feeding
+    // packConcat, and the fragment join-back) would otherwise re-run
+    // the stats aggregate + join per branch
+    val flagged = Materialize.pin(marked.join(stats, Seq("pack_id")))
+    val kept = flagged.filter(col("__keep"))
+      .select(col(id), col("pack_id"), col("tok_start"), col("tok_end"),
+        col("live"), lit("kept").as("status"))
+    val frags = flagged.filter(!col("__keep") && col("live"))
+      .select(struct(col(id), col("pack_id")).as("__fkey"),
+        col(id).as("__id"), col("tok_start").as("__base"),
+        col("__len").as("__ntok"))
+    val packed = packConcat(frags, "__fkey", col("__ntok"),
+      maxLen, freshStart)
+    val rewritten = packed
+      .join(frags.select(col("__fkey"), col("__id"), col("__base")),
+        Seq("__fkey"))
+      .select(col("__id").as(id), col("pack_id"),
+        (col("__base") + col("tok_start")).as("tok_start"),
+        (col("__base") + col("tok_end")).as("tok_end"),
+        lit(true).as("live"), lit("rewritten").as("status"))
+    kept.unionByName(rewritten)
+  }
+
   /** Materialized training examples: the actual token content of every
     * pack. The (id, pack) interval map from [[packConcat]] equi-joins
     * back to the corpus, each document contributes the token slice

@@ -5612,7 +5612,111 @@ object Pipeline {
           CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
             AS tok_end
         FROM e SEMI JOIN gone USING (doc_id)
-        ORDER BY doc_id, pack_id"""))
+        ORDER BY doc_id, pack_id""")),
+
+    // --- v7 pack compaction: the tombstone CONSUMER ------------------------
+    // (q226 maps the stale intervals; this row acts on them.
+    // Packing.compactPacks splits the prior pack map by per-pack live
+    // fraction at 0.80: packs at/above keep their ids, dead rows
+    // flagged live=false (the loader's mask column); packs below are
+    // retired — dead rows vanish and live intervals rewrite into fresh
+    // packs opened at the next pack boundary after the prior corpus's
+    // end (never colliding with kept ids, never appending into a kept
+    // tail pack). All-integer → FULL single-row oracle: DuckDB replays
+    // clean + diff + pack map + per-pack stats + threshold split + the
+    // seeded fragment rewrite. Plants: -4 (unchanged) stays live;
+    // %11∈{5,7} docs are dead everywhere — masked in kept packs,
+    // absent from rewritten ones. PackingSpec proves the structural
+    // contract (kept rows verbatim, rewritten ∪ kept-live tiles every
+    // surviving doc, fresh packs full-but-last).
+    //
+    // 100-TB shape: per-pack stats are one narrow hash aggregate on
+    // pack_id (corpus/maxLen rows — stats-planned join back, never
+    // assumed broadcastable); the rewrite rides packConcat's
+    // distributed prefix sum over (fragment, ntok) — text and the
+    // fat pack payloads never shuffle; the threshold bounds rewrite
+    // I/O to the packs actually worth rebuilding.)
+    "q227_v7_pack_compaction" -> Q(
+      (s, d) => {
+        val old = v7OldText(s, d)
+        // two consumers (pack map + manifest total) → pin
+        val oldClean = graft.ops.Materialize.pin(
+          old.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+        // two consumers (tombstone semi-join + compactPacks) → pin
+        val packMap = graft.ops.Materialize.pin(
+          graft.ops.Packing.packDocuments(
+            oldClean, "doc_id", "ct", maxLen = 1000))
+        val diff = Dedup.snapshotDiff(
+          old.select(col("doc_id"), md5(col("text")).as("k")),
+          v7New(s, d).select(col("doc_id"), md5(col("text")).as("k")),
+          "doc_id", "k")
+        val gone = diff.filter(col("status").isin("removed", "changed"))
+          .select("doc_id")
+        val tomb = packMap.join(gone, Seq("doc_id"))
+        val priorEnd = oldClean
+          .agg(coalesce(sum(size(split(col("ct"), " ")).cast("long")),
+            lit(0L)))
+          .collect()(0).getLong(0)
+        graft.ops.Packing.compactPacks(packMap, tomb, "doc_id",
+            maxLen = 1000, minLiveFrac = 0.80, startOffset = priorEnd)
+          .orderBy("doc_id", "pack_id", "tok_start")
+      },
+      Some(s"""WITH v7new AS ($v7NewSql),
+        v7oldt AS ($v7OldTextSql),
+        gone AS (SELECT o.doc_id FROM v7oldt o
+          LEFT JOIN (SELECT doc_id, md5(text) AS k FROM v7new) n
+            ON o.doc_id = n.doc_id
+          WHERE n.doc_id IS NULL OR n.k <> md5(o.text)),
+        oc AS (SELECT doc_id, ${v6CleanSql("text")} AS ct FROM v7oldt),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM oc WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2),
+        pm AS (SELECT e.doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+            CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+            CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+              AS tok_end
+          FROM e),
+        mk AS (SELECT pm.*, (g.doc_id IS NOT NULL) AS is_dead
+          FROM pm LEFT JOIN gone g USING (doc_id)),
+        ps AS (SELECT pack_id, SUM(tok_end - tok_start) AS tot,
+            SUM(CASE WHEN is_dead THEN 0 ELSE tok_end - tok_start END)
+              AS livetok
+          FROM mk GROUP BY 1),
+        kp AS (SELECT pack_id, livetok >= 0.80 * tot AS keep FROM ps),
+        kept AS (SELECT mk.doc_id, mk.pack_id, mk.tok_start, mk.tok_end,
+            NOT mk.is_dead AS live, 'kept' AS status
+          FROM mk JOIN kp USING (pack_id) WHERE keep),
+        t0 AS (SELECT COALESCE(SUM(len(string_split(ct, ' '))), 0) AS tot
+          FROM oc),
+        frag AS (SELECT mk.doc_id, mk.pack_id AS opack,
+            mk.tok_start AS base,
+            CAST(mk.tok_end - mk.tok_start AS BIGINT) AS ntok
+          FROM mk JOIN kp USING (pack_id) WHERE NOT keep AND NOT is_dead),
+        fc AS (SELECT doc_id, base, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id, opack
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              + ((SELECT tot FROM t0) + 999) // 1000 * 1000
+              AS BIGINT) AS cb FROM frag),
+        fe AS (SELECT doc_id, base, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM fc),
+        rw AS (SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+            CAST(base + greatest(pack_id * 1000, cb) - cb AS BIGINT)
+              AS tok_start,
+            CAST(base + least((pack_id + 1) * 1000, cb + ntok) - cb
+              AS BIGINT) AS tok_end,
+            true AS live, 'rewritten' AS status
+          FROM fe)
+        SELECT doc_id, pack_id, tok_start, tok_end, live, status
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM rw)
+        ORDER BY doc_id, pack_id, tok_start"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
