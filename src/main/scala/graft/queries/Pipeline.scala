@@ -5716,7 +5716,132 @@ object Pipeline {
           FROM fe)
         SELECT doc_id, pack_id, tok_start, tok_end, live, status
         FROM (SELECT * FROM kept UNION ALL SELECT * FROM rw)
-        ORDER BY doc_id, pack_id, tok_start"""))
+        ORDER BY doc_id, pack_id, tok_start""")),
+
+    // --- v7 deletion request: list-driven tombstone + compact + manifest ----
+    // (the composition the v7 family was built for: a deletion /
+    // right-to-be-forgotten / contamination request arrives as a DOC-ID
+    // LIST, not a snapshot diff. One pass: semi-join the prior pack map
+    // against the list (q226's machinery, list-driven), compact through
+    // Packing.compactPacks (q227's threshold split), and emit the
+    // UPDATED PACK MANIFEST — the narrow per-pack state table the next
+    // ingest reads: (pack_id, status kept|retired|new, live row/token
+    // counts, total tokens). Removal list: doc_id % 13 ∈ {4,7} ∪ -4 —
+    // this time the planted seen doc IS deleted, pinning the list-driven
+    // path (vs q226/q227 where -4 stays live). All-integer → FULL
+    // oracle: DuckDB replays clean + pack map + list tombstones +
+    // threshold split + seeded rewrite + all three manifest arms.
+    //
+    // 100-TB shape: the removal list is O(request); tombstones are one
+    // semi-join on the narrow map; the manifest is two hash aggregates
+    // on pack_id (corpus/maxLen rows). Everything downstream of the
+    // (persisted-in-production) pack map touches no text at all.)
+    "q228_v7_deletion_request" -> Q(
+      (s, d) => {
+        val old = v7OldText(s, d)
+        // two consumers (pack map + manifest total) → pin
+        val oldClean = graft.ops.Materialize.pin(
+          old.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+        // three consumers (tombstones, compactPacks, retired totals) → pin
+        val packMap = graft.ops.Materialize.pin(
+          graft.ops.Packing.packDocuments(
+            oldClean, "doc_id", "ct", maxLen = 1000))
+        val removal = old.select("doc_id")
+          .filter((col("doc_id") % 13).isin(4, 7) || col("doc_id") === -4)
+        val tomb = packMap.join(removal, Seq("doc_id"))
+        val priorEnd = oldClean
+          .agg(coalesce(sum(size(split(col("ct"), " ")).cast("long")),
+            lit(0L)))
+          .collect()(0).getLong(0)
+        // two consumers (manifest aggregate + retired anti-join) → pin
+        val compact = graft.ops.Materialize.pin(
+          graft.ops.Packing.compactPacks(packMap, tomb, "doc_id",
+            maxLen = 1000, minLiveFrac = 0.80, startOffset = priorEnd))
+        val len = col("tok_end") - col("tok_start")
+        val kn = compact.groupBy("pack_id").agg(
+            max(col("status")).as("st"),
+            sum(when(col("live"), lit(1L)).otherwise(lit(0L)))
+              .as("n_rows_live"),
+            sum(when(col("live"), len).otherwise(lit(0L)))
+              .as("n_toks_live"),
+            sum(len).as("n_toks_total"))
+          .select(col("pack_id"),
+            when(col("st") === "rewritten", lit("new"))
+              .otherwise(lit("kept")).as("status"),
+            col("n_rows_live"), col("n_toks_live"), col("n_toks_total"))
+        val retired = packMap.groupBy("pack_id")
+          .agg(sum(len).as("n_toks_total"))
+          .join(compact.select("pack_id").distinct(),
+            Seq("pack_id"), "left_anti")
+          .select(col("pack_id"), lit("retired").as("status"),
+            lit(0L).as("n_rows_live"), lit(0L).as("n_toks_live"),
+            col("n_toks_total"))
+        kn.unionByName(retired).orderBy("pack_id")
+      },
+      Some(s"""WITH v7oldt AS ($v7OldTextSql),
+        removal AS (SELECT doc_id FROM v7oldt
+          WHERE doc_id % 13 IN (4, 7) OR doc_id = -4),
+        oc AS (SELECT doc_id, ${v6CleanSql("text")} AS ct FROM v7oldt),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM oc WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2),
+        pm AS (SELECT e.doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+            CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+            CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+              AS tok_end
+          FROM e),
+        mk AS (SELECT pm.*, (g.doc_id IS NOT NULL) AS is_dead
+          FROM pm LEFT JOIN removal g USING (doc_id)),
+        ps AS (SELECT pack_id, SUM(tok_end - tok_start) AS tot,
+            SUM(CASE WHEN is_dead THEN 0 ELSE tok_end - tok_start END)
+              AS livetok
+          FROM mk GROUP BY 1),
+        kp AS (SELECT pack_id, livetok >= 0.80 * tot AS keep FROM ps),
+        kmanifest AS (SELECT mk.pack_id, 'kept' AS status,
+            CAST(SUM(CASE WHEN NOT is_dead THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_rows_live,
+            CAST(SUM(CASE WHEN NOT is_dead THEN tok_end - tok_start
+              ELSE 0 END) AS BIGINT) AS n_toks_live,
+            CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_toks_total
+          FROM mk JOIN kp USING (pack_id) WHERE keep GROUP BY 1),
+        t0 AS (SELECT COALESCE(SUM(len(string_split(ct, ' '))), 0) AS tot
+          FROM oc),
+        frag AS (SELECT mk.doc_id, mk.pack_id AS opack,
+            CAST(mk.tok_end - mk.tok_start AS BIGINT) AS ntok
+          FROM mk JOIN kp USING (pack_id) WHERE NOT keep AND NOT is_dead),
+        fc AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id, opack
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              + ((SELECT tot FROM t0) + 999) // 1000 * 1000
+              AS BIGINT) AS cb FROM frag),
+        fe AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM fc),
+        nmanifest AS (SELECT CAST(pack_id AS BIGINT) AS pack_id,
+            'new' AS status,
+            CAST(COUNT(*) AS BIGINT) AS n_rows_live,
+            CAST(SUM(least((pack_id + 1) * 1000, cb + ntok)
+              - greatest(pack_id * 1000, cb)) AS BIGINT) AS n_toks_live,
+            CAST(SUM(least((pack_id + 1) * 1000, cb + ntok)
+              - greatest(pack_id * 1000, cb)) AS BIGINT) AS n_toks_total
+          FROM fe GROUP BY 1),
+        rmanifest AS (SELECT pm.pack_id, 'retired' AS status,
+            CAST(0 AS BIGINT) AS n_rows_live,
+            CAST(0 AS BIGINT) AS n_toks_live,
+            CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_toks_total
+          FROM pm JOIN kp ON pm.pack_id = kp.pack_id AND NOT kp.keep
+          GROUP BY 1)
+        SELECT pack_id, status, n_rows_live, n_toks_live, n_toks_total
+        FROM (SELECT * FROM kmanifest UNION ALL SELECT * FROM nmanifest
+          UNION ALL SELECT * FROM rmanifest)
+        ORDER BY pack_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by
