@@ -279,7 +279,14 @@ object Bench {
     // round-18: corpus-prep v7 — the incremental-ingest composition
     // (snapshot diff → delta-only clean/gate → incremental LSH vs seen
     // → seeded pack-append); tracks the standing-ingestion plumbing
-    "q225_pipeline_v7" -> SparkEntry.queries("q225_pipeline_v7"))
+    "q225_pipeline_v7" -> SparkEntry.queries("q225_pipeline_v7"),
+    // round-19: tombstone-consuming pack compaction (narrow per-pack
+    // stats + threshold split + seeded fragment rewrite) and the
+    // persisted-state ingest (diff vs parquet keys, LSH over persisted
+    // shingle arrays, manifest-seeded pack-append) — the state-READ
+    // path regression-tracked against q225's recompute path
+    "q227_v7_pack_compaction" -> SparkEntry.queries("q227_v7_pack_compaction"),
+    "q231_v8_ingest_state" -> SparkEntry.queries("q231_v8_ingest_state"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

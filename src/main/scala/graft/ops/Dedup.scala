@@ -1034,23 +1034,43 @@ object Dedup {
                             numPerms: Int = 64, bands: Int = 32,
                             maxSeenBucket: Option[Int] = Some(DefaultMaxBucket),
                             materialize: Boolean = true): DataFrame = {
+    def prep(df: DataFrame) = {
+      val a0 = shingleHashArrays(df, id, text)
+      Materialize.pin(a0, materialize)
+    }
+    minhashLshIncrementalArrays(prep(newDf), prep(seenDf), id, threshold,
+      numPerms, bands, maxSeenBucket)
+  }
+
+  /** [[minhashLshIncremental]] over PRECOMPUTED shingle-hash arrays
+    * (id, hs) — the persisted-state ingest path: a standing deployment
+    * stores the seen corpus's arrays as parquet between runs (the
+    * [[graft.streaming.DedupStream]] state convention) and each ingest
+    * reads them instead of re-cleaning and re-shingling the corpus,
+    * making the increment O(batch + state scan). Pinning is the
+    * CALLER's job here: each side is consumed twice (banding + the
+    * exact-verify array join) — pin a computed new side; a seen side
+    * read from parquet state is usually better left unpinned, since
+    * two column-pruned scans of persisted state beat checkpointing a
+    * token-scale array column back to local disk. Semantics, guards
+    * and the recall contract are [[minhashLshIncremental]]'s. */
+  def minhashLshIncrementalArrays(newArrays: DataFrame,
+                                  seenArrays: DataFrame,
+                                  id: String, threshold: Double,
+                                  numPerms: Int = 64, bands: Int = 32,
+                                  maxSeenBucket: Option[Int] =
+                                    Some(DefaultMaxBucket)): DataFrame = {
     require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
       s"minhashLshIncremental: bands=$bands must divide numPerms=$numPerms " +
         "(bands > numPerms collapses every doc into one bucket per band; " +
         "a non-dividing bands silently drops the remainder permutations)")
     val rows = numPerms / bands
-    def prep(df: DataFrame) = {
-      val a0 = shingleHashArrays(df, id, text)
-      Materialize.pin(a0, materialize)
-    }
     def band(arrays: DataFrame) = arrays
       .select(col(id),
         graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
       .select(col(id), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val newArrays = prep(newDf)
-    val seenArrays = prep(seenDf)
     val nb = band(newArrays)
     val sb0 = band(seenArrays)
     val sb = maxSeenBucket match {

@@ -261,6 +261,53 @@ object Pipeline {
         CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END AS text
       FROM documents WHERE doc_id % 11 <> 3
       UNION ALL SELECT -4, '$v7SoupA'"""
+  /** Corpus-prep v8: the PERSISTED-STATE tables a standing deployment
+    * carries between ingests, written as parquet once per (JVM, sf
+    * dir) and then only READ — closing the gap where every gated v7
+    * run recomputed the seen side. Four tables, all derived from the
+    * prior (old) snapshot:
+    *   keys/      (doc_id, k)  — md5 content keys the snapshot diff
+    *                             joins against (q151's convention)
+    *   clean/     (doc_id, ct) — the cleaned corpus text (v6Clean)
+    *   shingles/  (doc_id, hs) — shingle-hash arrays, the LSH seen
+    *                             side ([[Dedup.shingleHashArrays]];
+    *                             the DedupStream parquet-state shape)
+    *   manifest/  (prior_end, max_len, tail_pack, tail_occupancy) —
+    *              one row: the pack stream's end offset (q225's seed)
+    *              and the tail pack's fill level
+    * Content is a pure function of the old snapshot → deterministic
+    * across rebuilds; the dir is process-unique (createTempDirectory)
+    * so concurrent JVMs never clobber each other's state. q229/q230
+    * dump keys and clean through the READ path and full-oracle them;
+    * q231 runs the ingest from state alone; QueriesSpec proves
+    * state-path ≡ recompute-path (q231 ≡ q225) row-for-row. */
+  private val v8Built = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def v8State(s: SparkSession, d: String): String =
+    v8Built.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft_v8_state_")
+        .toString
+      val old = v7OldText(s, d)
+      old.select(col("doc_id"), md5(col("text")).as("k"))
+        .write.mode("overwrite").parquet(s"$root/keys")
+      // three consumers (clean write, shingles, manifest total) → pin
+      val clean = graft.ops.Materialize.pin(
+        old.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+      clean.write.mode("overwrite").parquet(s"$root/clean")
+      Dedup.shingleHashArrays(clean, "doc_id", "ct")
+        .write.mode("overwrite").parquet(s"$root/shingles")
+      clean
+        .agg(coalesce(sum(size(split(col("ct"), " ")).cast("long")),
+          lit(0L)).as("prior_end"))
+        .withColumn("max_len", lit(1000L))
+        .withColumn("tail_pack",
+          floor(greatest(col("prior_end") - 1, lit(0L)) / col("max_len"))
+            .cast("long"))
+        .withColumn("tail_occupancy",
+          col("prior_end") - col("tail_pack") * col("max_len"))
+        .write.mode("overwrite").parquet(s"$root/manifest")
+      root
+    })
+
   /** Delta/seen as DuckDB CTEs over `v7new`/`v7old` (the snapshotDiff
     * replay: added = no old id, changed = key differs, seen = key
     * equal). */
@@ -5841,7 +5888,136 @@ object Pipeline {
         SELECT pack_id, status, n_rows_live, n_toks_live, n_toks_total
         FROM (SELECT * FROM kmanifest UNION ALL SELECT * FROM nmanifest
           UNION ALL SELECT * FROM rmanifest)
-        ORDER BY pack_id"""))
+        ORDER BY pack_id""")),
+
+    // --- corpus-prep v8: the persisted-state ingest -------------------------
+    // (closes the v7 prose gap: q225's 100-TB story said "the seen-side
+    // shingle arrays and the pack seed are persisted state in a
+    // standing deployment" while every gated run RECOMPUTED them. v8
+    // materializes the state (the [[v8State]] tables) and runs the
+    // ingest READING it: the diff joins the new crawl against the
+    // persisted keys, the LSH seen side comes from the persisted
+    // shingle arrays (minus the diff's gone ids — never re-shingled),
+    // and the pack seed is read from the one-row manifest. Per-ingest
+    // work becomes O(crawl delta + state scan) with ZERO corpus-scale
+    // text processing — this is exactly where O(corpus)-per-ingest
+    // silently sneaks back in, so the gate is double: q229/q230
+    // full-oracle the state tables through the write→read path, q231's
+    // oracle replays the whole ingest IN DUCKDB OVER THE DUMPED STATE
+    // TABLES (not over the snapshot — a wrong state write breaks the
+    // row), and QueriesSpec asserts q231 ≡ q225 row-for-row (the
+    // state-path/recompute-path differential).
+    //
+    // Pins: the diff frame feeds BOTH the delta equi-join ids and the
+    // seen-side gone anti-join ids; the gated delta feeds shingling +
+    // the survivor anti-join; the new-side arrays feed banding + the
+    // exact-verify join. The seen-side STATE arrays are deliberately
+    // NOT pinned: their two consumers are column-pruned parquet scans
+    // of persisted state, and checkpointing a token-scale array column
+    // back to local disk to save one scan is the wrong trade (the
+    // minhashLshIncrementalArrays scaladoc).)
+    "q229_v8_state_keys" -> Q(
+      (s, d) => s.read.parquet(s"${v8State(s, d)}/keys").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, k FROM ($v7OldSql) t ORDER BY doc_id""")),
+
+    "q230_v8_state_clean" -> Q(
+      (s, d) => s.read.parquet(s"${v8State(s, d)}/clean").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${v6CleanSql("text")} AS ct
+        FROM ($v7OldTextSql) t ORDER BY doc_id""")),
+
+    "q231_v8_ingest_state" -> Q(
+      (s, d) => {
+        val st = v8State(s, d)
+        val keys = s.read.parquet(s"$st/keys")
+        val nw = v7New(s, d)
+        val diff = graft.ops.Materialize.pin(
+          Dedup.snapshotDiff(keys,
+            nw.select(col("doc_id"), md5(col("text")).as("k")),
+            "doc_id", "k"))
+        val deltaIds = diff.filter(col("status").isin("added", "changed"))
+          .select("doc_id")
+        val goneIds = diff.filter(col("status").isin("removed", "changed"))
+          .select("doc_id")
+        val gated = graft.ops.Materialize.pin(
+          nw.join(deltaIds, Seq("doc_id"))
+            .select(col("doc_id"), v6Clean(col("text")).as("ct"))
+            .withColumn("cratio", TA.compressionRatio(col("ct")))
+            .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
+            .select(col("doc_id"), col("ct")))
+        val newArrays = graft.ops.Materialize.pin(
+          Dedup.shingleHashArrays(gated, "doc_id", "ct"))
+        val seenArrays = s.read.parquet(s"$st/shingles")
+          .join(goneIds, Seq("doc_id"), "left_anti")
+        val dups = Dedup.minhashLshIncrementalArrays(
+          newArrays, seenArrays, "doc_id", 0.8)
+        val survivors = gated.join(
+          dups.select(col("d1").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val priorEnd = s.read.parquet(s"$st/manifest")
+          .select("prior_end").collect()(0).getLong(0)
+        graft.ops.Packing.packDocuments(survivors, "doc_id", "ct",
+          maxLen = 1000, startOffset = priorEnd)
+          .orderBy("doc_id", "pack_id")
+      },
+      Some(s"""WITH m AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q224_v7_delta_ratios/*.parquet')),
+        keys AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q229_v8_state_keys/*.parquet')),
+        sclean0 AS (SELECT * FROM
+          read_parquet('__GRAFT_OUT__/q230_v8_state_clean/*.parquet')),
+        v7new AS ($v7NewSql),
+        delta AS (SELECT n.doc_id, n.source, n.text FROM v7new n
+          LEFT JOIN keys o ON n.doc_id = o.doc_id
+          WHERE o.doc_id IS NULL OR o.k <> md5(n.text)),
+        gone AS (SELECT o.doc_id FROM keys o
+          LEFT JOIN (SELECT doc_id, md5(text) AS k FROM v7new) n
+            ON o.doc_id = n.doc_id
+          WHERE n.doc_id IS NULL OR n.k <> o.k),
+        dclean AS (SELECT doc_id, source, ${v6CleanSql("text")} AS ct
+          FROM delta),
+        gated AS (SELECT c.doc_id, c.ct FROM dclean c
+          JOIN m ON c.doc_id = m.doc_id
+            AND c.source IS NOT DISTINCT FROM m.source
+          WHERE m.cratio IS NOT NULL AND m.cratio >= 0.35),
+        sstate AS (SELECT s.doc_id, s.ct FROM sclean0 s
+          ANTI JOIN gone USING (doc_id)),
+        gt AS (SELECT doc_id, string_split(ct, ' ') AS w FROM gated),
+        st AS (SELECT doc_id, string_split(ct, ' ') AS w FROM sstate),
+        gsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM gt WHERE len(w) >= 3),
+        ssh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+          FROM st WHERE len(w) >= 3),
+        gsz AS (SELECT doc_id, COUNT(*) AS n FROM gsh GROUP BY doc_id),
+        ssz AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM gsh a JOIN ssh b ON a.s = b.s GROUP BY 1, 2),
+        dups AS (SELECT DISTINCT d1 FROM inter
+          JOIN gsz ON inter.d1 = gsz.doc_id
+          JOIN ssz ON inter.d2 = ssz.doc_id
+          WHERE CAST(i AS DOUBLE) / (gsz.n + ssz.n - i) >= 0.8),
+        surv AS (SELECT g.doc_id, g.ct FROM gated g
+          ANTI JOIN dups ON g.doc_id = dups.d1),
+        t0 AS (SELECT COALESCE(SUM(len(string_split(ct, ' '))), 0) AS toff
+          FROM sclean0),
+        t2 AS (SELECT doc_id,
+            CAST(len(string_split(ct, ' ')) AS BIGINT) AS ntok
+          FROM surv WHERE len(string_split(ct, ' ')) > 0),
+        c2 AS (SELECT doc_id, ntok,
+            CAST(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+              + (SELECT toff FROM t0) AS BIGINT) AS cb FROM t2),
+        e AS (SELECT doc_id, ntok, cb,
+            unnest(generate_series(cb // 1000, (cb + ntok - 1) // 1000))
+              AS pack_id FROM c2)
+        SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          CAST(greatest(pack_id * 1000, cb) - cb AS BIGINT) AS tok_start,
+          CAST(least((pack_id + 1) * 1000, cb + ntok) - cb AS BIGINT)
+            AS tok_end
+        FROM e ORDER BY doc_id, pack_id"""))
   )
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.bm25TopK]] (shared by

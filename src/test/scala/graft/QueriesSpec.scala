@@ -25,6 +25,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("v8 state-path ingest reproduces the v7 recompute ingest exactly " +
+    "(q231 ≡ q225 row-for-row)") {
+    // the persisted-state differential: q225 recomputes the seen side
+    // (clean + shingles + pack seed) from the old snapshot; q231 reads
+    // every seen-side input from the materialized v8 state tables. Any
+    // divergence — a wrong state write, a stale manifest seed, a
+    // shingle-array corruption — shifts dups/survivors/offsets and
+    // breaks this row-for-row equality.
+    val a = SparkEntry.queries("q225_pipeline_v7")(spark, sfSmoke)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q231_v8_ingest_state")(spark, sfSmoke)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("stats helpers: moments, MI, skewness") {
     val li = Tables.lineitem(spark, sfSmoke)
     val row = li.agg(
