@@ -43,9 +43,14 @@ else
   # Reused worktree: force it back to a pristine B_SHA checkout — a
   # dirty or manually-edited leftover from a prior experiment would
   # otherwise silently benchmark modified code while the JSONL records
-  # it as B_SHA.
-  git -C "$WT" checkout --detach "$B_SHA" >/dev/null 2>&1
+  # it as B_SHA. reset --hard FIRST (it recovers dirty state no matter
+  # where HEAD points, and under `set -e` a conflicting-dirty-tree
+  # checkout failure would otherwise kill the script with its stderr
+  # suppressed — the very state this branch exists to recover from);
+  # the detach afterwards may no-op if HEAD already sits elsewhere,
+  # which the reset has already pinned to B_SHA's content.
   git -C "$WT" reset --hard "$B_SHA" >/dev/null
+  git -C "$WT" checkout --detach "$B_SHA" >/dev/null
   # keep build output (sbt recompiles anything stale from the reset
   # sources) so reuse still saves the cold build
   git -C "$WT" clean -fdx -e target -e project/target >/dev/null

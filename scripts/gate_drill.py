@@ -25,6 +25,9 @@ Defect classes, against the hardened partial oracles (q220/q222/q224):
            whose oracle replays composition logic over the mutated dump
            while its Spark dump used the true recomputed values.
 Plus q01 (standard full oracle): perturb → FAIL directly.
+Full-oracle rows (q226-q231 families) take drop/dup/extra directly, and
+  textmut corrupts one persisted v8 STATE cell (q230's dump) to prove
+  the downstream state-replay oracle (q231) flips.
 
 Usage: python3 scripts/gate_drill.py [sfDir] [verifyOut]
   sfDir     tables the oracles read        (default /root/testdata/sf0.001)
@@ -32,7 +35,7 @@ Usage: python3 scripts/gate_drill.py [sfDir] [verifyOut]
             — must contain oracle_sql.json and the target query dirs
             (run `python3 scripts/check.py <sfDir> <verifyOut>` first).
 """
-import sys, os, json, glob, shutil, subprocess
+import sys, os, re, json, glob, shutil, subprocess
 import numpy as np
 import pandas as pd
 
@@ -57,6 +60,31 @@ CASES = [
     ("q224_v7_delta_ratios", "dup",     "q224_v7_delta_ratios", "FAIL"),
     ("q224_v7_delta_ratios", "flip",    "q225_pipeline_v7",     "FAIL"),
     ("q01_groupby_agg",      "perturb", "q01_groupby_agg",      "FAIL"),
+    # r19: the extra/null classes drilled against EVERY hardened partial
+    # oracle (they were previously exercised only via q220, while the
+    # q222/q224 registry comments claimed full three-direction backing)
+    ("q222_v6_ratios",       "extra",   "q222_v6_ratios",       "FAIL"),
+    ("q222_v6_ratios",       "null",    "q222_v6_ratios",       "FAIL"),
+    ("q224_v7_delta_ratios", "extra",   "q224_v7_delta_ratios", "FAIL"),
+    ("q224_v7_delta_ratios", "null",    "q224_v7_delta_ratios", "FAIL"),
+    # r19: every new row family enters the drill the round it lands.
+    # q226/q227/q228 are FULL oracles (DuckDB recomputes the whole
+    # expected set) — any membership defect must flip them directly.
+    ("q226_v7_tombstones",   "drop",    "q226_v7_tombstones",   "FAIL"),
+    ("q226_v7_tombstones",   "dup",     "q226_v7_tombstones",   "FAIL"),
+    ("q226_v7_tombstones",   "extra",   "q226_v7_tombstones",   "FAIL"),
+    ("q227_v7_pack_compaction", "drop", "q227_v7_pack_compaction", "FAIL"),
+    ("q228_v7_deletion_request", "drop", "q228_v7_deletion_request", "FAIL"),
+    # r19: the v8 state-table rows (full oracles) and the state-ingest
+    # replay row; textmut is the v8 backstop — corrupt one persisted
+    # state cell and the DOWNSTREAM replay oracle (which reads the
+    # dumped state) must flip while q231's own Spark dump, built from
+    # the true state, stands
+    ("q229_v8_state_keys",   "drop",    "q229_v8_state_keys",   "FAIL"),
+    ("q230_v8_state_clean",  "drop",    "q230_v8_state_clean",  "FAIL"),
+    ("q231_v8_ingest_state", "drop",    "q231_v8_ingest_state", "FAIL"),
+    ("q231_v8_ingest_state", "dup",     "q231_v8_ingest_state", "FAIL"),
+    ("q230_v8_state_clean",  "textmut", "q231_v8_ingest_state", "FAIL"),
 ]
 
 
@@ -94,6 +122,14 @@ def mutate(df: pd.DataFrame, kind: str) -> pd.DataFrame:
             c = ints[0]
             df.loc[df.index[i], c] = df.loc[df.index[i], c] + 1
         return df
+    if kind == "textmut":  # corrupt ONE cell of a persisted state-table
+        # dump: the downstream replay oracle recomputes over the mutated
+        # state (every pack offset shifts with the token count) while
+        # the downstream Spark dump was built from the true state
+        c = next(c for c in df.columns if df[c].dtype == object)
+        j = df.index[0]
+        df.loc[j, c] = str(df.loc[j, c]) + " zzz"
+        return df
     if kind == "null":  # a spurious NULL where a value belongs: NaN in a
         # float64 frame lands as a parquet NULL via pyarrow — exactly
         # what a silently-nulled Spark value would dump
@@ -112,6 +148,13 @@ def run_case(mut_q: str, kind: str, check_q: str, expected: str,
     mutate(df, kind).to_parquet(f"{DRILL}/{mut_q}/part-0.parquet", index=False)
     if check_q != mut_q:  # downstream row: its own dump stays clean
         shutil.copytree(f"{SRC}/{check_q}", f"{DRILL}/{check_q}")
+    # every OTHER dump the oracle reads (e.g. q231 reads q224 + both v8
+    # state tables) rides along unmutated — the path rewrite below
+    # points the whole oracle at DRILL, so missing deps would error out
+    # instead of testing the seeded defect
+    for dq in set(re.findall(re.escape(SRC) + r"/([A-Za-z0-9_]+)/",
+                             oracle[check_q])) - {mut_q, check_q}:
+        shutil.copytree(f"{SRC}/{dq}", f"{DRILL}/{dq}")
     # the dump-reading oracle must read the (mutated) copies, not SRC
     with open(f"{DRILL}/oracle_sql.json", "w") as f:
         json.dump({check_q: oracle[check_q].replace(SRC, DRILL)}, f)
