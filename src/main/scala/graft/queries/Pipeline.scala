@@ -308,6 +308,47 @@ object Pipeline {
       root
     })
 
+  /** The v8 ingest up to (but not including) packing: diff the new
+    * crawl against the persisted keys, clean+gate ONLY the delta, pair
+    * it against the persisted shingle arrays (minus the diff's gone
+    * ids), drop LSH casualties. Returns (survivors, manifest priorEnd).
+    * Package-visible so PlanSpec can audit the shipping plan: the
+    * survivors frame's remaining lazy plan must read persisted state
+    * and pinned delta frames ONLY — a documents FileScan there means
+    * corpus-scale recompute crept back into the ingest path. */
+  private[graft] def v8IngestSurvivors(s: SparkSession,
+                                       d: String): (DataFrame, Long) = {
+    val st = v8State(s, d)
+    val keys = s.read.parquet(s"$st/keys")
+    val nw = v7New(s, d)
+    val diff = graft.ops.Materialize.pin(
+      Dedup.snapshotDiff(keys,
+        nw.select(col("doc_id"), md5(col("text")).as("k")),
+        "doc_id", "k"))
+    val deltaIds = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val goneIds = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val gated = graft.ops.Materialize.pin(
+      nw.join(deltaIds, Seq("doc_id"))
+        .select(col("doc_id"), v6Clean(col("text")).as("ct"))
+        .withColumn("cratio", TA.compressionRatio(col("ct")))
+        .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
+        .select(col("doc_id"), col("ct")))
+    val newArrays = graft.ops.Materialize.pin(
+      Dedup.shingleHashArrays(gated, "doc_id", "ct"))
+    val seenArrays = s.read.parquet(s"$st/shingles")
+      .join(goneIds, Seq("doc_id"), "left_anti")
+    val dups = Dedup.minhashLshIncrementalArrays(
+      newArrays, seenArrays, "doc_id", 0.8)
+    val survivors = gated.join(
+      dups.select(col("d1").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val priorEnd = s.read.parquet(s"$st/manifest")
+      .select("prior_end").collect()(0).getLong(0)
+    (survivors, priorEnd)
+  }
+
   /** Delta/seen as DuckDB CTEs over `v7new`/`v7old` (the snapshotDiff
     * replay: added = no old id, changed = key differs, seen = key
     * equal). */
@@ -5927,34 +5968,7 @@ object Pipeline {
 
     "q231_v8_ingest_state" -> Q(
       (s, d) => {
-        val st = v8State(s, d)
-        val keys = s.read.parquet(s"$st/keys")
-        val nw = v7New(s, d)
-        val diff = graft.ops.Materialize.pin(
-          Dedup.snapshotDiff(keys,
-            nw.select(col("doc_id"), md5(col("text")).as("k")),
-            "doc_id", "k"))
-        val deltaIds = diff.filter(col("status").isin("added", "changed"))
-          .select("doc_id")
-        val goneIds = diff.filter(col("status").isin("removed", "changed"))
-          .select("doc_id")
-        val gated = graft.ops.Materialize.pin(
-          nw.join(deltaIds, Seq("doc_id"))
-            .select(col("doc_id"), v6Clean(col("text")).as("ct"))
-            .withColumn("cratio", TA.compressionRatio(col("ct")))
-            .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
-            .select(col("doc_id"), col("ct")))
-        val newArrays = graft.ops.Materialize.pin(
-          Dedup.shingleHashArrays(gated, "doc_id", "ct"))
-        val seenArrays = s.read.parquet(s"$st/shingles")
-          .join(goneIds, Seq("doc_id"), "left_anti")
-        val dups = Dedup.minhashLshIncrementalArrays(
-          newArrays, seenArrays, "doc_id", 0.8)
-        val survivors = gated.join(
-          dups.select(col("d1").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        val priorEnd = s.read.parquet(s"$st/manifest")
-          .select("prior_end").collect()(0).getLong(0)
+        val (survivors, priorEnd) = v8IngestSurvivors(s, d)
         graft.ops.Packing.packDocuments(survivors, "doc_id", "ct",
           maxLen = 1000, startOffset = priorEnd)
           .orderBy("doc_id", "pack_id")

@@ -875,4 +875,27 @@ class PlanSpec extends SparkSpec {
           s"a caller pin was dropped:\n$p")
     }
   }
+
+  test("q231 v8 state ingest: the survivors stage reads persisted " +
+    "state and pinned delta frames ONLY — no documents parquet") {
+    // the v8 contract: per-ingest work is O(delta + state scan). The
+    // delta side is pinned (diff/gated/newArrays execute at plan
+    // construction — the only place a documents scan is legitimate:
+    // the NEW crawl must be read), so the survivors frame's remaining
+    // lazy plan may only carry ExistingRDD scans of those pins plus
+    // FileScans of the v8 state tables (shingles for the LSH seen
+    // side). A documents FileScan here means corpus-scale recompute
+    // crept back into the seen side of the ingest path. (The registry
+    // row's own final plan truncates at packConcat's internal pin, so
+    // this asserts one stage up, at the package-visible helper.)
+    val (survivors, _) =
+      graft.queries.Pipeline.v8IngestSurvivors(spark, sfSmoke)
+    val p = survivors.queryExecution.executedPlan.toString
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 0,
+      s"v8 survivors plan scans documents parquet ($docScans×):\n$p")
+    assert(p.contains("graft_v8_state_"),
+      s"expected the persisted state tables in the survivors plan:\n$p")
+  }
 }
