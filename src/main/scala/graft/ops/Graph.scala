@@ -74,15 +74,28 @@ object Graph {
     // bounded driver scalar (node count — the agg-to-scalar convention)
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // LOOP-INVARIANT HOIST (r19): the contribution join used to be
+    // e ⋈ ranks ⋈ outdeg EVERY iteration — but e ⋈ outdeg never
+    // changes. Pre-join it once (one extra long per edge on the pinned
+    // loop table, same edges-sized footprint as pinning e alone), so
+    // each iteration is ONE rank-table equi-join, not two. Same rows,
+    // same per-row r/od terms into the same exact decimal sum —
+    // bit-identical ranks.
+    val ewod = Materialize.pin(e.join(outdeg, Seq("src")), materialize)
+    // the dangling-node SET is likewise invariant: compute it once and
+    // semi-join the rank table per iteration, instead of re-running the
+    // nodes-vs-outdeg anti-join (which re-aggregated e) every round.
+    val dangNodes = Materialize.pin(
+      nodes.join(outdeg.withColumnRenamed("src", "node"),
+        Seq("node"), "left_anti"), materialize)
     val nD = lit(n.toDouble)
     var ranks = nodes.select(col("node"), (lit(1.0) / nD).as("r"))
     for (_ <- 1 to iterations) {
       val dang = ranks
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(dsum18(col("r")), lit(0.0)).as("dm"))
-      val contrib = e
+      val contrib = ewod
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .groupBy(col("dst")).agg(dsum18(col("r") / col("od")).as("c"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")

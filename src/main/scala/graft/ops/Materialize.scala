@@ -39,7 +39,14 @@ object Materialize {
     private[graft] def pinFrame(df: DataFrame): DataFrame
   }
 
-  /** Executor-local checkpoint — fast, not executor-loss tolerant. */
+  /** Executor-local checkpoint — fast, not executor-loss tolerant.
+    * Deliberately EAGER: an r19 experiment with `eager = false` (pin
+    * materializes inside the first consuming job, p fewer scheduled
+    * jobs) measured consistently SLOWER on the iterative ops (q170
+    * A/B ratio 1.22 across 3 interleaved pairs) — the un-materialized
+    * checkpoint RDD drags the pinned plan's AQE stage execution into
+    * every consumer's critical path, losing more than the saved
+    * job-submission round-trips. */
   case object Local extends Strategy {
     private[graft] def pinFrame(df: DataFrame): DataFrame =
       df.localCheckpoint()

@@ -420,9 +420,13 @@ object Similarity {
           Seq("__q", "__c"))
       val pick = Materialize.pin(pick0, materialize)
       picked = if (t == 1) pick else picked.unionByName(pick)
-      remaining = remaining.join(
-        pick.select(col("__q"), col("__c")), Seq("__q", "__c"), "left_anti")
-      remaining = Materialize.pin(remaining, materialize)
+      // remaining_t = base ∖ picked_{1..t}, rebuilt from the PINNED base
+      // and the PINNED picks each round (one anti-join, lineage depth 2)
+      // instead of pinning a chained remaining frame per round — same
+      // set either way, k fewer checkpoint jobs per call (r19; the
+      // chained form re-pinned a frame that is derivable in one hop).
+      remaining = base.join(
+        picked.select(col("__q"), col("__c")), Seq("__q", "__c"), "left_anti")
     }
     picked.select(col("__q").as(qid), col("rank"), col("__c").as(id),
       round(col("__score"), 6).as("score"))

@@ -296,6 +296,11 @@ object TextAnalysis {
     * predict "unk". Returns (id, lang). */
   def predictLangTrained(docs: DataFrame, id: String, text: String,
                          profiles: DataFrame, buckets: Int = 512): DataFrame = {
+    // scored feeds two consumers UNPINNED, deliberately (r19): every
+    // duplicated branch terminates in an identical Exchange, so runtime
+    // exchange reuse dedups the recompute; an explicit pin measured
+    // FLAT-to-slower A/B (q189 ratio 1.13 over 3 interleaved pairs) and
+    // hides the profile-broadcast shape PlanSpec pins.
     val scored = scoreLangProfiles(docs, id, text, profiles, buckets)
     val best = scored.groupBy(col(id)).agg(max(col("score")).as("__bs"))
     val pick = scored.join(best, Seq(id))
@@ -316,6 +321,9 @@ object TextAnalysis {
     * Returns (id, lang, margin). */
   def langIdMargin(docs: DataFrame, id: String, text: String,
                    profiles: DataFrame, buckets: Int = 512): DataFrame = {
+    // scored feeds three consumers UNPINNED, deliberately — see
+    // [[predictLangTrained]]: runtime exchange reuse covers the
+    // recompute, and the pin measured slower (r19 A/B).
     val scored = scoreLangProfiles(docs, id, text, profiles, buckets)
     val best = scored.groupBy(col(id)).agg(max(col("score")).as("__bs"))
     val withBest = scored.join(best, Seq(id))
