@@ -36,14 +36,25 @@ object Tables {
     * task retries (guide §2.5 — never derive placement from rand());
     * results are unchanged because every query's output order is
     * pinned by its own final sort, which the full oracle gate
-    * (row-order-preserving diff) re-proves end to end. */
+    * (row-order-preserving diff) re-proves end to end.
+    *
+    * APPLIED AT CALL SITES, not inside the loaders (r19, measured): a
+    * blanket loader-level split inserts the shuffle below REDUCING
+    * operations too — a 600k-row exchange under a 6-row aggregate —
+    * and a same-boot battery A/B read geomean 1.13 AGAINST it (cheap
+    * agg-first rows regressed 2-5× while per-row-kernel rows improved
+    * 2×). The split is only correct where the caller stacks heavy
+    * per-row compute ABOVE it before any reduction, which is
+    * call-site knowledge (guide §2.3 "aggregate before you shuffle" /
+    * §1.2 step 1). Non-file-backed frames (e.g. over a checkpoint)
+    * report no input files and pass through untouched. */
   private val splitBytesCap = 1L << 30
-  private def splitForCompute(df: DataFrame,
-                              key: org.apache.spark.sql.Column*): DataFrame = {
+  def splitForCompute(df: DataFrame,
+                      key: org.apache.spark.sql.Column*): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val p = sc.defaultParallelism
     val files = df.inputFiles
-    if (files.length >= p) df
+    if (files.isEmpty || files.length >= p) df
     else {
       val conf = sc.hadoopConfiguration
       val total = files.map { f =>
@@ -59,15 +70,8 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    splitForCompute(load(s, d, "orders"), col("o_orderkey"))
-  }
-  def lineitem(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    splitForCompute(load(s, d, "lineitem"),
-      col("l_orderkey"), col("l_linenumber"))
-  }
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.ts has shipped as TIMESTAMP(NANOS) in some testdata
     * generations (Spark 4 refuses it by default — read nanos as long,
     * truncate to microseconds, the same truncation DuckDB applies when
@@ -79,20 +83,13 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val raw = load(s, d, "events")
-    val fixed = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
-    splitForCompute(fixed, col("event_id"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    splitForCompute(load(s, d, "documents"), col("doc_id"))
-  }
-  def embeddings(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    splitForCompute(load(s, d, "embeddings"), col("vec_id"))
-  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -16,9 +16,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** split a small-file scan so the shingle/window hash transforms
+    * above it parallelize ([[graft.Tables.splitForCompute]] — identity
+    * on any real multi-file layout and on non-file-backed frames).
+    * Sits BELOW the array builders by construction: the heavy per-row
+    * hashing is stacked above the exchange, any reduction comes later. */
+  private def splitIn(df: DataFrame, id: String): DataFrame =
+    graft.Tables.splitForCompute(df, col(id))
+
   /** word-trigram shingles, de-duplicated per document.
     * Emits (idCol, "s"): one row per distinct shingle string. */
-  def shingles(df: DataFrame, id: String, text: String): DataFrame = {
+  def shingles(df0: DataFrame, id: String, text: String): DataFrame = {
+    val df = splitIn(df0, id)
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= 3)
@@ -35,7 +44,8 @@ object Dedup {
     * Distinct-hash counts equal distinct-string counts modulo ~n²/2⁶⁵
     * collisions — the same accepted approximation as joining on hashes.
     * Emits (idCol, "hs": array<long>). */
-  def shingleHashArrays(df: DataFrame, id: String, text: String): DataFrame = {
+  def shingleHashArrays(df0: DataFrame, id: String, text: String): DataFrame = {
+    val df = splitIn(df0, id)
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= 3)
@@ -47,9 +57,10 @@ object Dedup {
 
   /** per-doc array of distinct 64-bit word n-gram hashes for arbitrary
     * n — [[shingleHashArrays]] generalized (n = 3 is the shingle case). */
-  def ngramHashArrays(df: DataFrame, id: String, text: String,
+  def ngramHashArrays(df0: DataFrame, id: String, text: String,
                       n: Int): DataFrame = {
     require(n >= 1, "ngramHashArrays: n must be >= 1")
+    val df = splitIn(df0, id)
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
@@ -486,7 +497,7 @@ object Dedup {
     require(minDocs >= 2, "duplicateSpanStats: minDocs must be >= 2")
     val w = split(col(text), " ")
     // positional (NON-distinct) window hashes — multiplicity is signal
-    val arrays0 = df.select(col(id), w.as("w"))
+    val arrays0 = splitIn(df, id).select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col(id), transform(sequence(lit(0), size(col("w")) - n),
         i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)).as("gs"))
@@ -554,7 +565,7 @@ object Dedup {
     require(minDocs >= 2, "removeDuplicateSpans: minDocs must be >= 2")
     val w = split(col(text), " ")
     // positional window hashes: (id, pos, h), pos 0-based
-    val wins0 = df.select(col(id), w.as("w"))
+    val wins0 = splitIn(df, id).select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
         i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
@@ -1371,7 +1382,10 @@ object Dedup {
     // corpus and recompute the signature (the exchanges don't unify —
     // the q44/q45 lesson); the materialized frame is (id, 8-byte sh),
     // KBs per million docs. `materialize = false` restores pure-lazy.
-    val withSim0 = df.select(col(id), sim.as("sh"))
+    // splitIn: the signature fold is the heavy per-row work — compute
+    // it above the compute split so a single-file local scan uses
+    // every core (identity on real layouts).
+    val withSim0 = splitIn(df, id).select(col(id), sim.as("sh"))
     val withSim = Materialize.pin(withSim0, materialize)
     val chunkCols = offsets.zip(widths).map { case (off, w) =>
       shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
@@ -1427,7 +1441,7 @@ object Dedup {
       shiftright(col("sh"), off).bitwiseAND((1L << w) - 1L)
     }
     def chunked(df: DataFrame) = {
-      val withSim0 = df.select(col(id), sim.as("sh"))
+      val withSim0 = splitIn(df, id).select(col(id), sim.as("sh"))
       val withSim = Materialize.pin(withSim0, materialize)
       withSim.select(col(id), col("sh"), posexplode(array(chunkCols: _*)))
         .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")

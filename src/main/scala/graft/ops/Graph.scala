@@ -74,29 +74,33 @@ object Graph {
     // bounded driver scalar (node count — the agg-to-scalar convention)
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    // LOOP-INVARIANT HOIST (r19): the contribution join used to be
-    // e ⋈ ranks ⋈ outdeg EVERY iteration — but e ⋈ outdeg never
-    // changes. Pre-join it once (one extra long per edge on the pinned
-    // loop table, same edges-sized footprint as pinning e alone), so
-    // each iteration is ONE rank-table equi-join, not two. Same rows,
-    // same per-row r/od terms into the same exact decimal sum —
-    // bit-identical ranks.
-    val ewod = Materialize.pin(e.join(outdeg, Seq("src")), materialize)
-    // the dangling-node SET is likewise invariant: compute it once and
-    // semi-join the rank table per iteration, instead of re-running the
-    // nodes-vs-outdeg anti-join (which re-aggregated e) every round.
+    // LOOP-INVARIANT HOIST (r19): out-degrees and the dangling-node
+    // set never change — pin both once instead of re-deriving them
+    // from e every iteration (the old loop ran e ⋈ ranks ⋈ outdeg plus
+    // a nodes-vs-outdeg anti-join per round).
+    val odP = Materialize.pin(
+      outdeg.withColumnRenamed("src", "node"), materialize)
     val dangNodes = Materialize.pin(
-      nodes.join(outdeg.withColumnRenamed("src", "node"),
-        Seq("node"), "left_anti"), materialize)
+      nodes.join(odP, Seq("node"), "left_anti"), materialize)
     val nD = lit(n.toDouble)
     var ranks = nodes.select(col("node"), (lit(1.0) / nD).as("r"))
     for (_ <- 1 to iterations) {
       val dang = ranks
         .join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(dsum18(col("r")), lit(0.0)).as("dm"))
-      val contrib = ewod
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(dsum18(col("r") / col("od")).as("c"))
+      // quantize each node's contribution r/od to the exact
+      // decimal(38,18) register ONCE PER NODE before fanning out over
+      // its edges (r19): the double→decimal conversion is the
+      // expensive half of the exact sum, and doing it per EDGE paid it
+      // |E|/|V| times over. Same quantized terms into the same exact
+      // associative sum — bit-identical ranks; the per-iteration edge
+      // join now ships an 8+16-byte (src, term) table.
+      val ranksT = ranks.join(odP, Seq("node"))
+        .select(col("node").as("src"),
+          (col("r") / col("od")).cast("decimal(38,18)").as("__t"))
+      val contrib = e
+        .join(ranksT, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("__t")).cast("double").as("c"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dang))

@@ -73,6 +73,16 @@ object Pipeline {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** [[docs]] behind a compute split ([[Tables.splitForCompute]] —
+    * identity on real multi-file layouts): for query bodies that stack
+    * HEAVY per-row text kernels directly on the scan with no early
+    * reduction (projection rows: strip/normalize/script/readability/
+    * masking/PII). Aggregate-first bodies keep plain [[docs]] — a
+    * same-boot battery A/B measured the blanket split regressing those
+    * 2-5× (the exchange lands below the reduction, guide §2.3). */
+  private def docsP(s: SparkSession, d: String) =
+    Tables.splitForCompute(docs(s, d), col("doc_id"))
+
   /** Gate guard for the byte-BPE oracles (q207/q211/q213): their
     * DuckDB replay splits CHARS while the engine splits BYTES, which
     * coincide only while the corpus is printable ASCII. Assert that
@@ -142,7 +152,9 @@ object Pipeline {
       (-2L, "__planted", ""),
       (-3L, "__planted", v6Soup)
     ).toDF("doc_id", "source", "text")
-    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    Tables.splitForCompute(
+      docs(s, d).select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
       .unionByName(planted)
   }
   /** The same corpus as a DuckDB subquery (plant texts inlined —
@@ -381,7 +393,7 @@ object Pipeline {
 
     // --- text analysis: quality scoring (stopword / alpha ratios) ------------
     "q41_text_quality" -> Q(
-      (s, d) => docs(s, d).select(
+      (s, d) => docsP(s, d).select(
         col("doc_id"),
         TA.tokenCount(col("text")).as("n_tokens"),
         TA.stopwordCount(col("text")).as("n_stop"),
@@ -1001,7 +1013,7 @@ object Pipeline {
         val injected = concat(col("text"),
           lit(" contact user"), idStr, lit("@example.com at 10."),
           (col("doc_id") % 256).cast("string"), lit(".0.1 or +1555000"), idStr)
-        docs(s, d).select(col("doc_id"),
+        docsP(s, d).select(col("doc_id"),
           TA.piiCount(injected).as("n_pii"),
           TA.redactPii(injected).as("clean"))
           .orderBy("doc_id")
@@ -1102,7 +1114,7 @@ object Pipeline {
     // in DuckDB list SQL. The high end of top2 flags looping/boilerplate
     // docs a pretraining pipeline drops.
     "q59_repetition" -> Q(
-      (s, d) => docs(s, d).select(
+      (s, d) => docsP(s, d).select(
         col("doc_id"),
         TA.topNgramFraction(col("text"), 2).as("top2"),
         TA.topNgramFraction(col("text"), 3).as("top3"),
@@ -2303,7 +2315,7 @@ object Pipeline {
         val post = "</p><script>var a=1; if(a<2){b=3;}</script>" +
           "<style>.x{color:red}</style><!-- c -->" +
           "<p>tail&nbsp;&amp;&#39;s &lt;ok&gt;</p></body></html>"
-        docs(s, d).select(col("doc_id"),
+        docsP(s, d).select(col("doc_id"),
           TA.stripHtml(concat(lit(pre), col("text"), lit(post))).as("clean"))
           .orderBy("doc_id")
       },
@@ -2624,7 +2636,7 @@ object Pipeline {
     // rows pay one quick-check scan.)
     "q153_normalize_text" -> Q(
       (s, d) => {
-        docs(s, d).select(col("doc_id"),
+        docsP(s, d).select(col("doc_id"),
             TA.normalizeText(concat(col("text"), lit(Hostile.suffix))).as("clean"))
           .select(col("doc_id"), col("clean"), length(col("clean")).as("n_clean"))
           .orderBy("doc_id")
@@ -3432,7 +3444,7 @@ object Pipeline {
     // token's chunk/offset decision and the string reassembly.)
     "q172_span_corruption" -> Q(
       (s, d) => graft.ops.Masking.spanCorruption(
-          docs(s, d), "doc_id", "text", chunk = 20, spanLen = 3)
+          docsP(s, d), "doc_id", "text", chunk = 20, spanLen = 3)
         .select(col("doc_id"), col("n_tokens"), col("n_masked"),
           col("input"), col("target"))
         .orderBy("doc_id"),
@@ -3498,7 +3510,7 @@ object Pipeline {
     // the q41 removal-length idiom; DuckDB needs the 'g' flag where
     // Spark's regexp_replace is global by default.)
     "q174_script_profile" -> Q(
-      (s, d) => docs(s, d)
+      (s, d) => docsP(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), TA.scriptProfile(col("text")).as("sp"))
         .select(col("doc_id"), col("sp.latin"), col("sp.digit"),
@@ -3530,7 +3542,7 @@ object Pipeline {
     // Pure regexp counting; the per-row double formula is identical
     // IEEE arithmetic in both engines, rounded 6 dp.)
     "q175_readability" -> Q(
-      (s, d) => docs(s, d)
+      (s, d) => docsP(s, d)
         .select(col("doc_id"), TA.fleschReadingEase(col("text")).as("flesch"))
         .filter(col("flesch").isNotNull)
         .orderBy("doc_id"),
@@ -3558,7 +3570,7 @@ object Pipeline {
     // order is restored by the riding sentence index (array_sort ≡
     // string_agg ORDER BY).)
     "q176_sentence_chunks" -> Q(
-      (s, d) => TA.chunkBySentences(docs(s, d), "doc_id", "text", 60)
+      (s, d) => TA.chunkBySentences(docsP(s, d), "doc_id", "text", 60)
         .orderBy("doc_id", "chunk_ix"),
       Some("""WITH s0 AS (SELECT doc_id,
             list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
