@@ -49,10 +49,9 @@ object Dedup {
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col(id), array_distinct(
-        transform(sequence(lit(0), size(col("w")) - 3),
-          i => xxhash64(get(col("w"), i), get(col("w"), i + 1),
-            get(col("w"), i + 2)))).as("hs"))
+      .select(col(id),
+        graft.expr.TextHashExpressions.ngramHashesDistinct(col("w"), 3)
+          .as("hs"))
   }
 
   /** per-doc array of distinct 64-bit word n-gram hashes for arbitrary
@@ -64,10 +63,9 @@ object Dedup {
     val w = split(col(text), " ")
     df.select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(id), array_distinct(
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)))
-        .as("hs"))
+      .select(col(id),
+        graft.expr.TextHashExpressions.ngramHashesDistinct(col("w"), n)
+          .as("hs"))
   }
 
   /** Benchmark decontamination: per corpus document, the number of
@@ -499,8 +497,8 @@ object Dedup {
     // positional (NON-distinct) window hashes — multiplicity is signal
     val arrays0 = splitIn(df, id).select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(id), transform(sequence(lit(0), size(col("w")) - n),
-        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*)).as("gs"))
+      .select(col(id),
+        graft.expr.TextHashExpressions.ngramHashesAll(col("w"), n).as("gs"))
     val arrays = Materialize.pin(arrays0, materialize)
     val g = arrays.select(col(id), explode_outer(col("gs")).as("g"))
     val dup = g.select(col(id), col("g")).distinct()
@@ -567,8 +565,8 @@ object Dedup {
     // positional window hashes: (id, pos, h), pos 0-based
     val wins0 = splitIn(df, id).select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
-        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
+      .select(col(id), posexplode(
+        graft.expr.TextHashExpressions.ngramHashesAll(col("w"), n)))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
     val wins = Materialize.pin(wins0, materialize)
     val dup = wins.select(col(id), col("h")).distinct()
@@ -648,8 +646,8 @@ object Dedup {
     // convention identical to ngramHashArrays so both sides agree
     val wins = corpus.select(col(id), w.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(id), posexplode(transform(sequence(lit(0), size(col("w")) - n),
-        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))))
+      .select(col(id), posexplode(
+        graft.expr.TextHashExpressions.ngramHashesAll(col("w"), n)))
       .withColumnRenamed("col", "h")
     val hit = wins.join(broadcast(bg), Seq("h"), "left_semi")
     val dropPos = hit.select(col(id),
@@ -1339,8 +1337,8 @@ object Dedup {
     val w = split(col(text), " ")
     val gh0 = df.select(col(group).as("__g"), w.as("w"))
       .filter(col("__g").isNotNull && size(col("w")) >= n)
-      .select(col("__g"), explode(transform(sequence(lit(0), size(col("w")) - n),
-        i => xxhash64((0 until n).map(k => get(col("w"), i + k)): _*))).as("h"))
+      .select(col("__g"), explode(
+        graft.expr.TextHashExpressions.ngramHashesAll(col("w"), n)).as("h"))
       .distinct()
     // the compact (group, hash) vocabulary feeds three branches
     // (sizes + both sides of the intersection join) — the q44/q45

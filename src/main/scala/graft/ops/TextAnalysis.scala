@@ -191,17 +191,11 @@ object TextAnalysis {
     * engines exactly — charPoly→mix, not xxhash64 (the
     * [[Mixture.dsirLogWeights]] posture). Arrays shorter than 3 yield
     * an empty result. */
-  def charTrigramBuckets(cps: Column, buckets: Int): Column = {
-    val M = 2147483647L
-    when(size(cps) >= 3,
-      transform(sequence(lit(0), size(cps) - 3), i => {
-        val p1 = (lit(7L) * 31 + get(cps, i)) % M
-        val p2 = (p1 * 31 + get(cps, i + 1)) % M
-        val p3 = (p2 * 31 + get(cps, i + 2)) % M
-        pmod(graft.api.Frame.portableMix(p3), lit(buckets.toLong))
-      }))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def charTrigramBuckets(cps: Column, buckets: Int): Column =
+    // one codegen loop (r19) — identical long arithmetic to the former
+    // interpreted per-trigram lambda (charpoly chain → portable mixer →
+    // mod buckets), the <3-codepoint empty-array guard included
+    graft.expr.TextHashExpressions.charTrigramBuckets(cps, buckets)
 
   /** (keep, bucket) char-trigram occurrence stream of `text`, one row
     * per trigram — the code-point array hoists into a real column so
@@ -624,10 +618,7 @@ object TextAnalysis {
     def bigramArrays(d: DataFrame) = {
       val w = tokens(col(text))
       d.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
-        .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
-          i => struct(
-            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
-            xxhash64(get(col("w"), i)).as("h1"))).as("bs"))
+        .select(col(id), graft.expr.TextHashExpressions.bigramHashPairs(col("w")).as("bs"))
     }
     def expand(arrays: DataFrame) = arrays
       .select(col(id), explode_outer(col("bs")).as("b"))
@@ -666,10 +657,7 @@ object TextAnalysis {
     * aggregates over one corpus scan plus a 1-row broadcast cross. */
   def fitBigramLm(corpus: DataFrame, text: String): DataFrame = {
     val w = tokens(col(text))
-    val grams = transform(sequence(lit(0), size(col("w")) - 2),
-      i => struct(
-        xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
-        xxhash64(get(col("w"), i)).as("h1")))
+    val grams = graft.expr.TextHashExpressions.bigramHashPairs(col("w"))
     val occ = corpus.select(w.as("w")).filter(size(col("w")) >= 2)
       .select(explode(grams).as("b"))
       .select(col("b.h12").as("h12"), col("b.h1").as("h1"))
@@ -706,10 +694,7 @@ object TextAnalysis {
     val w = tokens(col(text))
     val scoreArrays = Materialize.pin(
       df.select(col(id), w.as("w")).filter(size(col("w")) >= 2)
-        .select(col(id), transform(sequence(lit(0), size(col("w")) - 2),
-          i => struct(
-            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
-            xxhash64(get(col("w"), i)).as("h1"))).as("bs")), materialize)
+        .select(col(id), graft.expr.TextHashExpressions.bigramHashPairs(col("w")).as("bs")), materialize)
     val occ = scoreArrays
       .select(col(id), explode_outer(col("bs")).as("b"))
       .select(col(id), col("b.h12").as("h12"), col("b.h1").as("h1"))
@@ -1130,10 +1115,7 @@ object TextAnalysis {
   private def ccnetBigramArrays(d: DataFrame): DataFrame =
     d.filter(size(col("w")) >= 2)
       .select(d.columns.filter(_ != "w").map(col) :+
-        transform(sequence(lit(0), size(col("w")) - 2),
-          i => struct(
-            xxhash64(get(col("w"), i), get(col("w"), i + 1)).as("h12"),
-            xxhash64(get(col("w"), i)).as("h1"))).as("bs"): _*)
+        graft.expr.TextHashExpressions.bigramHashPairs(col("w")).as("bs"): _*)
 
   private def ccnetExpand(arrays: DataFrame): DataFrame = arrays
     .withColumn("b", explode(col("bs"))).drop("bs")

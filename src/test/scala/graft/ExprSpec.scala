@@ -340,4 +340,76 @@ class ExprSpec extends SparkSpec {
       s"SELECT graft_compression_ratio('$degenerate') AS r").head.getDouble(0)
     assert(viaSql == direct(degenerate))
   }
+
+  // --- r19 text-hash kernels: bit-identical to the Column chains ---------
+
+  /** adversarial word arrays: repeats (distinct path), empties, single
+    * words, empty-string tokens (split(' ') artifacts), non-ASCII. */
+  private def hashWordFrames = {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "bb", "ccc", "", "wörd", "日本語", "é",
+      "loop", "the", "x" * 50)
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))))
+    } ++ Seq((300L, Seq.empty[String]), (301L, Seq("solo")),
+      (302L, Seq("a", "a", "a", "a")))
+    rows.toDF("id", "w").repartition(8)
+  }
+
+  test("ngramHashes matches transform+xxhash64(+array_distinct) bit-for-bit") {
+    for (n <- Seq(1, 2, 3, 5); dist <- Seq(true, false)) {
+      val df = hashWordFrames.filter(size($"w") >= n)
+      val kernel =
+        if (dist) graft.expr.TextHashExpressions.ngramHashesDistinct($"w", n)
+        else graft.expr.TextHashExpressions.ngramHashesAll($"w", n)
+      val ref0 = transform(sequence(lit(0), size($"w") - n),
+        i => xxhash64((0 until n).map(k => get($"w", i + k)): _*))
+      val ref = if (dist) array_distinct(ref0) else ref0
+      val rows = df.select($"id", kernel.as("g"), ref.as("r"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n distinct=$dist id=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("bigramHashPairs matches the struct(xxhash64) transform bit-for-bit") {
+    val df = hashWordFrames.filter(size($"w") >= 2)
+    val ref = transform(sequence(lit(0), size($"w") - 2),
+      i => struct(
+        xxhash64(get($"w", i), get($"w", i + 1)).as("h12"),
+        xxhash64(get($"w", i)).as("h1")))
+    val rows = df.select($"id",
+        graft.expr.TextHashExpressions.bigramHashPairs($"w").as("g"),
+        ref.as("r")).collect()
+    rows.foreach { r =>
+      val g = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      val w = r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getLong(1)))
+      assert(g == w, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("charTrigramBuckets kernel matches the interpreted charpoly chain") {
+    val M = 2147483647L
+    val rnd = new scala.util.Random(29)
+    // code points across the plane incl. 0 and max BMP/astral values
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(
+        Seq(0L, 65L, 122L, 0x7fL, 0x80L, 0x4e2dL, 0x1f600L)(rnd.nextInt(7))))
+    } ++ Seq((200L, Seq.empty[Long]), (201L, Seq(65L, 66L)))
+    val df = rows.toDF("id", "cp").repartition(4)
+    val ref = when(size($"cp") >= 3,
+      transform(sequence(lit(0), size($"cp") - 3), i => {
+        val p1 = (lit(7L) * 31 + get($"cp", i)) % M
+        val p2 = (p1 * 31 + get($"cp", i + 1)) % M
+        val p3 = (p2 * 31 + get($"cp", i + 2)) % M
+        pmod(graft.api.Frame.portableMix(p3), lit(512L))
+      })).otherwise(array().cast("array<bigint>"))
+    val got = df.select($"id",
+        graft.expr.TextHashExpressions.charTrigramBuckets($"cp", 512).as("g"),
+        ref.as("r")).collect()
+    got.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"id=${r.getLong(0)}"))
+  }
 }
