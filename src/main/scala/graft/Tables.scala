@@ -51,6 +51,9 @@ object Tables {
   private val splitBytesCap = 1L << 30
   def splitForCompute(df: DataFrame,
                       key: org.apache.spark.sql.Column*): DataFrame = {
+    // r20 (ADVICE): an empty key would silently fall back to round-robin
+    // repartition(p), losing the deterministic hash-placement guarantee
+    require(key.nonEmpty, "splitForCompute: pass an explicit hash key")
     val sc = df.sparkSession.sparkContext
     val p = sc.defaultParallelism
     val files = df.inputFiles

@@ -1074,7 +1074,13 @@ object Dedup {
         "(bands > numPerms collapses every doc into one bucket per band; " +
         "a non-dividing bands silently drops the remainder permutations)")
     val rows = numPerms / bands
-    def band(arrays: DataFrame) = arrays
+    // splitIn: the MinHash signature fold (numPerms passes over each
+    // hash array) is the heavy per-row work; a seen side read straight
+    // from few-file parquet state otherwise runs it as one task
+    // (identity on pinned/new-side frames, which carry no input files,
+    // and on any real multi-file state layout — r20 profile: the q231
+    // seen-side banding job was 400 ms on a single task).
+    def band(arrays: DataFrame) = splitIn(arrays, id)
       .select(col(id),
         graft.expr.VectorExpressions.minhashSig(col("hs"), numPerms).as("sig"))
       .select(col(id), posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -93,9 +93,22 @@ object Materialize {
         l.rdd
     }
 
-  /** Pin `df` per the current strategy. */
+  /** Pin `df` per the current strategy. The eager checkpoint job is
+    * labelled with the first graft call site outside this object so
+    * per-job profiles ([[graft.tools.Profile]]) attribute pin cost to
+    * the operator that requested it instead of an anonymous job. */
   private[graft] def pin(df: DataFrame): DataFrame = {
-    val pinned = strategy.pinFrame(df)
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    val site = Thread.currentThread.getStackTrace
+      .find(e => e.getClassName.startsWith("graft.") &&
+        !e.getClassName.contains("Materialize"))
+      .map(e => s"${e.getClassName.stripPrefix("graft.")}.${e.getMethodName}:${e.getLineNumber}")
+      .getOrElse("?")
+    sc.setJobDescription(s"pin @ $site")
+    val pinned =
+      try strategy.pinFrame(df)
+      finally sc.setJobDescription(prev)
     val reg = batchPins.get()
     if (reg != null && (pinned ne df)) pinnedRdds(pinned).foreach(reg.add)
     pinned

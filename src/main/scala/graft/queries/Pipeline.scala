@@ -125,7 +125,11 @@ object Pipeline {
       (-2L, "__planted", ""),
       (-3L, "__planted", lcgSoup)
     ).toDF("doc_id", "source", "text")
-    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    // compute split below the zlib/clean kernels q220/q221 stack on
+    // this corpus (the v6Corpus convention; identity on real layouts)
+    Tables.splitForCompute(
+      docs(s, d).select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"))
       .unionByName(planted)
   }
 
@@ -247,8 +251,18 @@ object Pipeline {
       nw.select(col("doc_id"), md5(col("text")).as("k")), "doc_id", "k")
     val deltaIds = graft.ops.Materialize.pin(
       diff.filter(col("status").isin("added", "changed")).select("doc_id"))
-    (nw.join(deltaIds, Seq("doc_id")),
-      nw.join(deltaIds, Seq("doc_id"), "left_anti"))
+    // compute split ABOVE the id joins, BELOW the v6Clean/zlib kernels
+    // every consumer stacks on these frames (r20, profile-attributed:
+    // the two clean pins ran as ONE working task each — 1.4 s + 0.7 s
+    // serialized on a 32-core session, the seen side additionally
+    // AQE-coalesced to 2 post-shuffle partitions because its BYTES are
+    // tiny while its per-row CPU is not; an explicit width repartition
+    // is exempt from AQE coalescing). The keys/md5 diff consumers above
+    // prune columns through the exchange, so only (doc_id) crosses for
+    // them; identity on real multi-file layouts as always.
+    (Tables.splitForCompute(nw.join(deltaIds, Seq("doc_id")), col("doc_id")),
+      Tables.splitForCompute(
+        nw.join(deltaIds, Seq("doc_id"), "left_anti"), col("doc_id")))
   }
   /** The v7 snapshots as DuckDB CTE bodies (plants inlined, exactly
     * the [[v7Old]]/[[v7New]] construction). `v7NewSql` yields
@@ -342,7 +356,7 @@ object Pipeline {
     val goneIds = diff.filter(col("status").isin("removed", "changed"))
       .select("doc_id")
     val gated = graft.ops.Materialize.pin(
-      nw.join(deltaIds, Seq("doc_id"))
+      Tables.splitForCompute(nw.join(deltaIds, Seq("doc_id")), col("doc_id"))
         .select(col("doc_id"), v6Clean(col("text")).as("ct"))
         .withColumn("cratio", TA.compressionRatio(col("ct")))
         .filter(col("cratio").isNotNull && col("cratio") >= 0.35)
@@ -5593,8 +5607,10 @@ object Pipeline {
           coalesce(sum(size(split(c, " ")).cast("long")), lit(0L))
         val seenTotal = seenClean.agg(ntokOf(col("ct")))
           .collect()(0).getLong(0)
-        val goneTotal = v7OldText(s, d)
-          .join(seen.select("doc_id"), Seq("doc_id"), "left_anti")
+        val goneTotal = Tables.splitForCompute(
+            v7OldText(s, d)
+              .join(seen.select("doc_id"), Seq("doc_id"), "left_anti"),
+            col("doc_id"))
           .agg(ntokOf(v6Clean(col("text"))))
           .collect()(0).getLong(0)
         val priorEnd = seenTotal + goneTotal
@@ -5685,7 +5701,8 @@ object Pipeline {
         val gone = diff.filter(col("status").isin("removed", "changed"))
           .select("doc_id")
         graft.ops.Packing.packDocuments(
-            old.select(col("doc_id"), v6Clean(col("text")).as("ct")),
+            Tables.splitForCompute(old, col("doc_id"))
+              .select(col("doc_id"), v6Clean(col("text")).as("ct")),
             "doc_id", "ct", maxLen = 1000)
           .join(gone, Seq("doc_id"))
           .orderBy("doc_id", "pack_id")
@@ -5739,9 +5756,12 @@ object Pipeline {
     "q227_v7_pack_compaction" -> Q(
       (s, d) => {
         val old = v7OldText(s, d)
-        // two consumers (pack map + manifest total) → pin
+        // two consumers (pack map + manifest total) → pin; compute
+        // split below the clean so the 17-regex/zlib chain uses every
+        // core (one working task otherwise — r20 profile)
         val oldClean = graft.ops.Materialize.pin(
-          old.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+          Tables.splitForCompute(old, col("doc_id"))
+            .select(col("doc_id"), v6Clean(col("text")).as("ct")))
         // two consumers (tombstone semi-join + compactPacks) → pin
         val packMap = graft.ops.Materialize.pin(
           graft.ops.Packing.packDocuments(
@@ -5839,9 +5859,12 @@ object Pipeline {
     "q228_v7_deletion_request" -> Q(
       (s, d) => {
         val old = v7OldText(s, d)
-        // two consumers (pack map + manifest total) → pin
+        // two consumers (pack map + manifest total) → pin; compute
+        // split below the clean so the 17-regex/zlib chain uses every
+        // core (one working task otherwise — r20 profile)
         val oldClean = graft.ops.Materialize.pin(
-          old.select(col("doc_id"), v6Clean(col("text")).as("ct")))
+          Tables.splitForCompute(old, col("doc_id"))
+            .select(col("doc_id"), v6Clean(col("text")).as("ct")))
         // three consumers (tombstones, compactPacks, retired totals) → pin
         val packMap = graft.ops.Materialize.pin(
           graft.ops.Packing.packDocuments(
